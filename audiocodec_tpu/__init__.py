@@ -1,0 +1,15 @@
+"""audiocodec_tpu — a TPU-native (JAX/XLA/Pallas) perceptual audio codec framework.
+
+Capability parity with korneelvdbroek/audiocodec (MDCT filter bank +
+psychoacoustic masking model), redesigned TPU-first. See SURVEY.md for the
+structural analysis of the reference and README.md for the design.
+"""
+
+from audiocodec_tpu.codec import Codec
+from audiocodec_tpu.mdct import MDCT
+from audiocodec_tpu.psycho import PsychoacousticModel
+from audiocodec_tpu import quantize
+
+__version__ = "0.1.0"
+
+__all__ = ["Codec", "MDCT", "PsychoacousticModel", "quantize", "__version__"]

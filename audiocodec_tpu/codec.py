@@ -1,0 +1,117 @@
+"""End-to-end perceptual codec pipeline as single jit-compiled programs.
+
+Composes the MDCT filter bank and the psychoacoustic model exactly the way
+the reference's tests / intended use do (SURVEY.md §3.5; reference has no
+pipeline object of its own):
+
+  wav -> MDCT.transform -> tonality -> global_masking_threshold
+      -> add_noise | quantize                                  ["encode"]
+      -> MDCT.inverse_transform                                ["decode"]
+
+Everything here is a pure function of (codec pytree, arrays, PRNG key), so
+the whole chain traces into ONE XLA program — fold, DCT matmul, Bark
+matmuls, masking, and noise all fuse; no host round trips between stages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from audiocodec_tpu import quantize as _quantize
+from audiocodec_tpu.mdct import MDCT
+from audiocodec_tpu.psycho import PsychoacousticModel
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["mdct", "psycho"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class Codec:
+    """MDCT + psychoacoustic model bundled as one pytree."""
+
+    mdct: MDCT
+    psycho: PsychoacousticModel
+
+    @classmethod
+    def create(
+        cls,
+        sample_rate,
+        filters_n: int = 1024,
+        bark_bands_n: int = 64,
+        alpha: float = 0.6,
+        window_type="vorbis",
+        compute_dtype=jnp.float32,
+        fast_bf16: bool = False,
+    ) -> "Codec":
+        return cls(
+            mdct=MDCT.create(
+                filters_n=filters_n,
+                window_type=window_type,
+                compute_dtype=compute_dtype,
+                fast_bf16=fast_bf16,
+            ),
+            psycho=PsychoacousticModel.create(
+                sample_rate,
+                filter_bands_n=filters_n,
+                bark_bands_n=bark_bands_n,
+                alpha=alpha,
+                compute_dtype=compute_dtype,
+            ),
+        )
+
+    # -- reference-parity path: noise injection ------------------------------
+
+    def encode(self, x: jax.Array, key: jax.Array, drown=0.0) -> jax.Array:
+        """Lossy "encode": spectrum with masked noise injected.
+
+        :param x: waveform [batches_n, samples_n, channels_n] in [-1, 1].
+        :param key: PRNG key for the noise.
+        :return: noisy spectrum [batches_n, blocks_n + 1, filters_n, channels_n].
+        """
+        spectrum = self.mdct.transform(x)
+        tonality = self.psycho.tonality(spectrum)
+        threshold = self.psycho.global_masking_threshold(
+            spectrum, tonality, drown
+        )
+        return self.psycho.add_noise(key, spectrum, threshold)
+
+    def decode(self, spectrum: jax.Array) -> jax.Array:
+        """Decode: inverse MDCT. [B, blocks, N, C] -> [B, (blocks+1)*N, C]."""
+        return self.mdct.inverse_transform(spectrum)
+
+    def round_trip(self, x: jax.Array, key: jax.Array, drown=0.0) -> jax.Array:
+        """encode + decode in one program. Output has filters_n padding
+        samples at each end relative to the input (blocks+1 framing twice)."""
+        return self.decode(self.encode(x, key, drown))
+
+    # -- quantized path -------------------------------------------------------
+
+    def encode_quantized(self, x: jax.Array, drown=0.0):
+        """Deterministic encode to integer codes + step sizes.
+
+        :return: (codes int32 [B, blocks+1, N, C], step sizes, threshold).
+        """
+        spectrum = self.mdct.transform(x)
+        tonality = self.psycho.tonality(spectrum)
+        threshold = self.psycho.global_masking_threshold(
+            spectrum, tonality, drown
+        )
+        codes, delta = _quantize.quantize(spectrum, threshold)
+        return codes, delta, threshold
+
+    def decode_quantized(self, codes: jax.Array, delta: jax.Array) -> jax.Array:
+        """Codes + step sizes -> waveform."""
+        spectrum = _quantize.dequantize(
+            codes, delta, dtype=self.mdct.compute_dtype
+        )
+        return self.decode(spectrum)
+
+    def round_trip_quantized(self, x: jax.Array, drown=0.0) -> jax.Array:
+        codes, delta, _ = self.encode_quantized(x, drown)
+        return self.decode_quantized(codes, delta)

@@ -1,0 +1,172 @@
+"""TPU-native MDCT analysis/synthesis filter bank.
+
+Capability parity with the reference's ``MDCTransformer``
+(audiocodec/mdctransformer.py:12-368), redesigned for TPU:
+
+* The polyphase stage is evaluated sparsely — 2 multiplies + 1 add per
+  sample (see ops/folding.py) — instead of the reference's dense [N, N]
+  2-tap convolution (its self-documented inefficiency, mdctransformer.py:16-18).
+* DCT-IV is an [N, N] cosine matmul on the MXU (see ops/dct.py) instead of
+  an FFT-based DCT-III with zero-interleaving (mdctransformer.py:311-347).
+* The transformer is a frozen pytree dataclass: precomputed coefficient
+  vectors are leaves, so instances pass through jit/vmap/pjit without
+  retracing, serialize trivially, and can be donated/sharded.
+* Channels stay a trailing axis end-to-end — no fold-channels-into-batch
+  dance (the reference needed it only for tf.nn.convolution's layout,
+  mdctransformer.py:257-297).
+
+Shape contract (identical to the reference):
+
+  transform:          [batches_n, samples_n, channels_n]  (samples multiple of N)
+                  ->  [batches_n, blocks_n + 1, filters_n, channels_n]
+  inverse_transform:  [batches_n, blocks_n, filters_n, channels_n]
+                  ->  [batches_n, (blocks_n + 1) * filters_n, channels_n]
+
+The one-extra-block framing means a round trip pads N samples on each end:
+x == inverse(transform(x))[:, N:-N] to float32 precision
+(reference test: audiocodec/tests/test_mdctransformer.py:35).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiocodec_tpu.ops import dct as _dct
+from audiocodec_tpu.ops import folding as _folding
+from audiocodec_tpu.utils import dtypes as _dtypes
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "wa_r", "wb", "wc", "ffr", "p", "q", "r", "s_r", "dct_mat",
+    ],
+    meta_fields=["filters_n", "window_type", "compute_dtype", "fast_bf16"],
+)
+@dataclasses.dataclass(frozen=True)
+class MDCT:
+    """MDCT filter bank as an immutable pytree.
+
+    :param filters_n: number of filter bands N (even). Default 1024.
+    :param window_type: 'sine', 'vorbis' (default), or None (all-ones).
+    :param compute_dtype: float64, float32 (default) or bfloat16; inputs
+        must already be this dtype — no implicit casting.
+    :param fast_bf16: with bfloat16 compute, run the DCT matmul natively in
+        bf16 with f32 accumulation instead of upcasting (faster, slightly
+        less accurate than the reference's upcast policy).
+    """
+
+    filters_n: int
+    window_type: object
+    compute_dtype: object
+    fast_bf16: bool
+    # Fold/unfold weights, shape [N/2] each, in compute_dtype:
+    wa_r: jax.Array
+    wb: jax.Array
+    wc: jax.Array
+    ffr: jax.Array
+    p: jax.Array
+    q: jax.Array
+    r: jax.Array
+    s_r: jax.Array
+    # DCT-IV matrix [N, N]; float32 for f32/bf16 pipelines, float64 for f64.
+    dct_mat: jax.Array
+
+    @classmethod
+    def create(
+        cls,
+        filters_n: int = 1024,
+        window_type="vorbis",
+        compute_dtype=jnp.float32,
+        fast_bf16: bool = False,
+    ) -> "MDCT":
+        """Precompute fold weights and the DCT matrix (float64 on host, then
+        downcast once — the reference's mixed-precision variable treatment,
+        mdctransformer.py:31-35)."""
+        if filters_n % 2 != 0:
+            raise ValueError(
+                "number of filters used in mdct transformation needs to be "
+                f"even, got {filters_n}"
+            )
+        dtype = _dtypes.canonicalize_compute_dtype(compute_dtype)
+        coeffs = _folding.make_fold_coefficients(filters_n, window_type)
+        mat_dtype = (
+            jnp.float64 if dtype == jnp.dtype(jnp.float64) else jnp.float32
+        )
+        as_compute = lambda v: jnp.asarray(v, dtype=dtype)
+        return cls(
+            filters_n=filters_n,
+            window_type=window_type,
+            compute_dtype=dtype,
+            fast_bf16=fast_bf16,
+            wa_r=as_compute(coeffs.wa_r),
+            wb=as_compute(coeffs.wb),
+            wc=as_compute(coeffs.wc),
+            ffr=as_compute(coeffs.ffr),
+            p=as_compute(coeffs.p),
+            q=as_compute(coeffs.q),
+            r=as_compute(coeffs.r),
+            s_r=as_compute(coeffs.s_r),
+            dct_mat=jnp.asarray(_dct.dct4_matrix(filters_n), dtype=mat_dtype),
+        )
+
+    # -- analysis ----------------------------------------------------------
+
+    def transform(self, x: jax.Array) -> jax.Array:
+        """MDCT analysis filter bank.
+
+        :param x: signal in [-1, 1], shape [batches_n, samples_n, channels_n],
+            samples_n a multiple of filters_n; must be compute_dtype.
+        :return: spectrum [batches_n, blocks_n + 1, filters_n, channels_n],
+            normalized to ]-1, 1[ (scaling rationale mirrors reference
+            mdctransformer.py:94-102).
+        """
+        _dtypes.check_input_dtype(x, self.compute_dtype, "transform input")
+        n = self.filters_n
+        batches_n, samples_n, channels_n = x.shape
+        if samples_n % n != 0:
+            raise ValueError(
+                f"samples_n={samples_n} must be a multiple of "
+                f"filters_n={n}"
+            )
+        blocks_n = samples_n // n
+        # [B, S, C] -> [B, C, blocks, N]; channels remain a real axis.
+        xb = jnp.transpose(x, (0, 2, 1)).reshape(
+            batches_n, channels_n, blocks_n, n
+        )
+        folded = _folding.fold(xb, self.wa_r, self.wb, self.wc, self.ffr)
+        y = _dct.dct4(folded, self.dct_mat, fast_bf16=self.fast_bf16)
+        scale = _dtypes.scalar(1.0 / math.sqrt(4.0 * n), self.compute_dtype)
+        return jnp.transpose(y * scale, (0, 2, 3, 1))
+
+    # -- synthesis ----------------------------------------------------------
+
+    def inverse_transform(self, mdct_amplitudes: jax.Array) -> jax.Array:
+        """MDCT synthesis filter bank.
+
+        :param mdct_amplitudes: [batches_n, blocks_n, filters_n, channels_n],
+            must be compute_dtype.
+        :return: signal [batches_n, (blocks_n + 1) * filters_n, channels_n].
+        """
+        _dtypes.check_input_dtype(
+            mdct_amplitudes, self.compute_dtype, "inverse_transform input"
+        )
+        n = self.filters_n
+        batches_n, blocks_n, filters_n, channels_n = mdct_amplitudes.shape
+        if filters_n != n:
+            raise ValueError(
+                f"expected filters_n={n} on axis 2, got {filters_n}"
+            )
+        yb = jnp.transpose(mdct_amplitudes, (0, 3, 1, 2))
+        scale = _dtypes.scalar(math.sqrt(4.0 * n), self.compute_dtype)
+        z = _dct.dct4(yb * scale, self.dct_mat, fast_bf16=self.fast_bf16)
+        out = _folding.unfold(z, self.p, self.q, self.r, self.s_r)
+        return jnp.transpose(
+            out.reshape(batches_n, channels_n, (blocks_n + 1) * n), (0, 2, 1)
+        )

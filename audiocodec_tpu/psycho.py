@@ -1,0 +1,372 @@
+"""TPU-native psychoacoustic model (Bark-domain masking).
+
+Capability parity with the reference's ``PsychoacousticModel``
+(audiocodec/psychoacoustic.py:13-339), redesigned for TPU/JAX:
+
+* Pure-functional pytree dataclass; all Bark-domain precomputes (W, W_inv,
+  spreading matrix, threshold in quiet) are built in numpy float64 on the
+  host and downcast once (mirrors psychoacoustic.py:60-69).
+* The masking einsum chain is reassociated so the reference's 5-D
+  [B, blocks, bark, bark, C] intermediate (its peak-memory hot spot,
+  psychoacoustic.py:195-207) is never materialized: since the per-band
+  offset depends only on the *output* Bark index, the superposition is
+  (I^alpha @ spreading) * offset_factor — two matmuls' worth of work,
+  zero extra memory, same numbers.
+* ``add_noise`` takes an explicit ``jax.random`` key instead of relying on
+  global RNG state (the reference uses tf.random.normal with the global
+  seed, psychoacoustic.py:165) — a deliberate, documented API difference.
+
+All formulas follow Zolzer, "Digital Audio Signal Processing" ch. 9, as in
+the reference (equation citations inline below).
+
+Shape contract (identical to the reference):
+  spectra   [batches_n, blocks_n, filter_bands_n, channels_n]
+  tonality  [batches_n, blocks_n, 1, channels_n]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiocodec_tpu.utils import dtypes as _dtypes
+
+# dB level corresponding to |amplitude| = 1.0, calibrated against MP3
+# encodings (reference psychoacoustic.py:46-52).
+DB_MAX = 120.0
+# Intensity floor guarding logs/pows and their gradients
+# (reference psychoacoustic.py:54-56, gradient-NaN note at :311).
+INTENSITY_EPS = 1e-14
+
+
+def freq2bark(frequencies):
+    """Empirical Bark scale: bark = 6 * asinh(f / 600)."""
+    return 6.0 * np.arcsinh(np.asarray(frequencies) / 600.0)
+
+
+def bark2freq(bark_band):
+    """Inverse empirical Bark scale: f = 600 * sinh(bark / 6)."""
+    return 600.0 * np.sinh(np.asarray(bark_band) / 6.0)
+
+
+def _bark_freq_mapping(
+    sample_rate: float, filter_bands_n: int, bark_bands_n: int
+):
+    """Linear-frequency <-> Bark band overlap matrices, float64.
+
+    W [filter_bands_n, bark_bands_n]: fractional overlap of each filter band
+    with each Bark band, normalized by the filter bandwidth (rows sum to 1).
+    W_inv [bark_bands_n, filter_bands_n]: overlap normalized by the Bark
+    bandwidth, transposed (rows sum to 1). Intensities are mapped linearly;
+    the square root to amplitudes is applied downstream
+    (reference psychoacoustic.py:257-299 — following the code, not the
+    1/sqrt(k) ASCII art in its docstring).
+    """
+    max_frequency = sample_rate / 2.0
+    max_bark = freq2bark(max_frequency)
+    bark_band_width = max_bark / bark_bands_n
+    filter_band_width = max_frequency / filter_bands_n
+
+    bark_idx = np.arange(bark_bands_n, dtype=np.float64)[None, :]
+    freq_idx = np.arange(filter_bands_n, dtype=np.float64)[:, None]
+
+    bark_low_hz = bark2freq(bark_band_width * bark_idx)
+    bark_high_hz = bark2freq(bark_band_width * (bark_idx + 1.0))
+    freq_low = filter_band_width * freq_idx
+    freq_high = freq_low + filter_band_width
+
+    lo = np.clip(bark_low_hz, freq_low, freq_high)
+    hi = np.clip(bark_high_hz, freq_low, freq_high)
+    overlap = hi - lo
+
+    W = overlap / filter_band_width
+    W_inv = (overlap / (bark_high_hz - bark_low_hz)).T
+    return W, W_inv
+
+
+def _spreading_matrix(bark_bands_n: int, max_bark: float, alpha: float):
+    """Toeplitz-like matrix of shifted spreading prototypes, float64.
+
+    Prototype (Zolzer eq. 9.15): 15.81 + 7.5(z+0.474) - 17.5 sqrt(1+(z+0.474)^2)
+    dB, evaluated on 2*bark_bands_n points over [-max_bark, max_bark],
+    converted to intensity with the alpha exponent baked in, then each row
+    shifted by one bin (reference psychoacoustic.py:212-230 — vectorized
+    here, no map_fn / Python loop over rows).
+    """
+    z = np.linspace(-max_bark, max_bark, 2 * bark_bands_n)
+    f_spreading = 15.81 + 7.5 * (z + 0.474) - 17.5 * np.sqrt(
+        1.0 + (z + 0.474) ** 2
+    )
+    f_intensity = 10.0 ** (alpha * f_spreading / 10.0)
+    # Row `row` reads f_intensity[bark_bands_n - row : 2*bark_bands_n - row]:
+    # a sliding window — realized with stride tricks instead of a loop.
+    starts = bark_bands_n - np.arange(bark_bands_n)
+    idx = starts[:, None] + np.arange(bark_bands_n)[None, :]
+    return f_intensity[idx]
+
+
+def _quiet_threshold_intensity(
+    bark_bands_n: int, max_bark: float, db_min: float
+):
+    """Threshold-in-quiet intensity per Bark band, [1, 1, bark_bands_n, 1].
+
+    Zolzer eq. 9.3 evaluated at the Bark band midpoints (in kHz), clipped to
+    [db_min, DB_MAX], converted to intensity relative to DB_MAX
+    (reference psychoacoustic.py:232-255).
+    """
+    bark_band_width = max_bark / bark_bands_n
+    mid_bark = bark_band_width * np.arange(bark_bands_n, dtype=np.float64) + (
+        bark_band_width / 2.0
+    )
+    mid_khz = bark2freq(mid_bark) / 1000.0
+    quiet_db = np.clip(
+        3.64 * mid_khz**-0.8
+        - 6.5 * np.exp(-0.6 * (mid_khz - 3.3) ** 2)
+        + 1e-3 * mid_khz**4,
+        db_min,
+        DB_MAX,
+    )
+    intensity = 10.0 ** ((quiet_db - DB_MAX) / 10.0)
+    return intensity.reshape(1, 1, -1, 1)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "W", "W_inv", "quiet_threshold_intensity", "spreading_matrix",
+        "bark_grid",
+    ],
+    meta_fields=[
+        "sample_rate", "filter_bands_n", "bark_bands_n", "alpha",
+        "compute_dtype", "max_bark",
+    ],
+)
+@dataclasses.dataclass(frozen=True)
+class PsychoacousticModel:
+    """Bark-scale masking model as an immutable pytree.
+
+    :param sample_rate: input sample rate in Hz.
+    :param filter_bands_n: number of MDCT filter bands (default 1024).
+    :param bark_bands_n: number of Bark bands (default 64); 1024/64 are the
+        standard-MP3 defaults and deviating shifts absolute threshold levels
+        (same caveat as reference psychoacoustic.py:18-23).
+    :param alpha: exponent for non-linear masking superposition
+        (1.0 = linear; 0.6 default).
+    :param compute_dtype: float64, float32 (default) or bfloat16; float16 is
+        rejected — insufficient exponent range for the 1e-14 intensity floor.
+    """
+
+    sample_rate: float
+    filter_bands_n: int
+    bark_bands_n: int
+    alpha: float
+    compute_dtype: object
+    max_bark: float
+    W: jax.Array
+    W_inv: jax.Array
+    quiet_threshold_intensity: jax.Array
+    spreading_matrix: jax.Array
+    bark_grid: jax.Array  # linspace(0, max_bark, bark_bands_n)
+
+    @classmethod
+    def create(
+        cls,
+        sample_rate,
+        filter_bands_n: int = 1024,
+        bark_bands_n: int = 64,
+        alpha: float = 0.6,
+        compute_dtype=jnp.float32,
+    ) -> "PsychoacousticModel":
+        dtype = _dtypes.canonicalize_compute_dtype(compute_dtype)
+        max_bark = float(freq2bark(sample_rate / 2.0))
+        # dB floor implied by the intensity floor: amplitude_to_dB(1e-14)
+        # = 10*log10(max(EPS, EPS^2)) + 120 = -20 dB
+        # (reference psychoacoustic.py:58 and the clamp at :83-84).
+        db_min = 10.0 * math.log10(INTENSITY_EPS) + DB_MAX
+        W, W_inv = _bark_freq_mapping(sample_rate, filter_bands_n, bark_bands_n)
+        as_compute = lambda v: jnp.asarray(v, dtype=dtype)
+        return cls(
+            sample_rate=float(sample_rate),
+            filter_bands_n=filter_bands_n,
+            bark_bands_n=bark_bands_n,
+            alpha=float(alpha),
+            compute_dtype=dtype,
+            max_bark=max_bark,
+            W=as_compute(W),
+            W_inv=as_compute(W_inv),
+            quiet_threshold_intensity=as_compute(
+                _quiet_threshold_intensity(bark_bands_n, max_bark, db_min)
+            ),
+            spreading_matrix=as_compute(
+                _spreading_matrix(bark_bands_n, max_bark, alpha)
+            ),
+            bark_grid=as_compute(
+                np.linspace(0.0, max_bark, bark_bands_n)
+            ),
+        )
+
+    # -- dB utilities --------------------------------------------------------
+
+    @property
+    def _eps(self):
+        return _dtypes.scalar(INTENSITY_EPS, self.compute_dtype)
+
+    @property
+    def dB_MAX(self):
+        return DB_MAX
+
+    @property
+    def dB_MIN(self):
+        return 10.0 * math.log10(INTENSITY_EPS) + DB_MAX
+
+    def amplitude_to_dB(self, mdct_amplitude: jax.Array) -> jax.Array:
+        """Amplitude in [-1, 1] -> dB in [dB_MIN, dB_MAX].
+
+        Intensity (amplitude squared) 1.0 maps to dB_MAX; the intensity is
+        floored at INTENSITY_EPS (reference psychoacoustic.py:71-85).
+        """
+        intensity = jnp.maximum(self._eps, mdct_amplitude**2)
+        ln10 = _dtypes.scalar(math.log(10.0), self.compute_dtype)
+        return 10.0 * jnp.log(intensity) / ln10 + _dtypes.scalar(
+            DB_MAX, self.compute_dtype
+        )
+
+    def amplitude_to_dB_norm(self, mdct_amplitude: jax.Array) -> jax.Array:
+        """Amplitude in [-1, 1] -> normalized dB in [0, 1]
+        (reference psychoacoustic.py:87-100)."""
+        db = self.amplitude_to_dB(mdct_amplitude)
+        return (db - self.dB_MIN) / (self.dB_MAX - self.dB_MIN)
+
+    # -- perceptual core -----------------------------------------------------
+
+    def tonality(self, mdct_amplitudes: jax.Array) -> jax.Array:
+        """Tonality in [0, 1] (0 = noise, 1 = tonal) from the spectral
+        flatness measure, Zolzer eqs. 9.10-9.11
+        (reference psychoacoustic.py:103-120).
+
+        :param mdct_amplitudes: [batches_n, blocks_n, filter_bands_n, channels_n].
+        :return: [batches_n, blocks_n, 1, channels_n].
+        """
+        _dtypes.check_input_dtype(
+            mdct_amplitudes, self.compute_dtype, "tonality input"
+        )
+        intensity = mdct_amplitudes**2
+        geo_mean = jnp.exp(
+            jnp.mean(
+                jnp.log(jnp.maximum(self._eps, intensity)),
+                axis=2,
+                keepdims=True,
+            )
+        )
+        arith_mean = jnp.mean(intensity, axis=2, keepdims=True) + self._eps
+        ln10 = _dtypes.scalar(math.log(10.0), self.compute_dtype)
+        sfm = 10.0 * jnp.log(geo_mean / arith_mean) / ln10
+        return jnp.minimum(sfm / -60.0, 1.0)
+
+    def _masking_intensity_in_bark(
+        self, mdct_amplitudes, tonality_per_block, drown=0.0
+    ):
+        """Masked intensity per Bark band
+        [batches_n, blocks_n, bark_bands_n, channels_n].
+
+        Masking offset O(i) = tonality*(14.5 + i_bark) + (1-tonality)*5.5,
+        scaled by (1 - drown); applied as 10^(-alpha*O/10) on the *output*
+        Bark index, so it factors out of the spreading contraction — the
+        reference's 5-D masking_matrix (psychoacoustic.py:195-197) is
+        algebraically (I^alpha @ spreading) * offset_factor and never needs
+        to exist.
+        """
+        alpha = _dtypes.scalar(self.alpha, self.compute_dtype)
+        grid = self.bark_grid.reshape(1, 1, -1, 1)
+        offset = (1.0 - drown) * (
+            tonality_per_block * grid + 9.0 * tonality_per_block + 5.5
+        )
+        offset_factor = jnp.power(
+            _dtypes.scalar(10.0, self.compute_dtype), -alpha * offset / 10.0
+        )
+
+        intensities_in_bark = self._to_bark_intensity(mdct_amplitudes)
+        amp_alpha = jnp.power(
+            jnp.maximum(self._eps, intensities_in_bark), alpha
+        )
+        # Non-linear superposition (Zolzer eq. 9.17, transposed), with the
+        # diagonal offset folded in *after* the contraction — preserves the
+        # pow -> matmul -> pow order of operations exactly.
+        # einsum accumulates bf16 inputs in f32 (its default promoted
+        # accumulator); cast back so the compute-dtype contract holds.
+        spread = jnp.einsum(
+            "nbic,ij->nbjc",
+            amp_alpha,
+            self.spreading_matrix,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(self.compute_dtype)
+        masked = spread * offset_factor
+        return jnp.power(jnp.maximum(self._eps, masked), 1.0 / alpha)
+
+    def global_masking_threshold(
+        self, mdct_amplitudes, tonality_per_block, drown=0.0
+    ) -> jax.Array:
+        """Global masking threshold as per-filter-band amplitudes (>= 0).
+
+        max(masking, threshold-in-quiet) in the Bark domain, mapped back to
+        filter-band amplitudes (reference psychoacoustic.py:122-148).
+
+        :param mdct_amplitudes: [batches_n, blocks_n, filter_bands_n, channels_n].
+        :param tonality_per_block: [batches_n, blocks_n, 1, channels_n]
+            (from :meth:`tonality`).
+        :param drown: 0..1, raises the threshold to drown out audible content.
+        """
+        _dtypes.check_input_dtype(
+            mdct_amplitudes, self.compute_dtype, "global_masking_threshold input"
+        )
+        with jax.named_scope("global_masking_threshold"):
+            masking = self._masking_intensity_in_bark(
+                mdct_amplitudes, tonality_per_block, drown
+            )
+            global_in_bark = jnp.maximum(
+                masking, self.quiet_threshold_intensity
+            )
+            return self._bark_intensity_to_freq_ampl(global_in_bark)
+
+    def add_noise(
+        self, key: jax.Array, mdct_amplitudes, masking_threshold
+    ) -> jax.Array:
+        """Add inaudible Gaussian noise shaped by the masking threshold.
+
+        sigma = threshold / 6 ("3-sigma both directions": 0.2% exceedance,
+        reference psychoacoustic.py:151-167). Takes an explicit PRNG key —
+        the one deliberate API difference from the reference's global-seeded
+        tf.random.normal.
+        """
+        noise = masking_threshold * jax.random.normal(
+            key, mdct_amplitudes.shape, dtype=self.compute_dtype
+        ) * _dtypes.scalar(1.0 / 6.0, self.compute_dtype)
+        return mdct_amplitudes + noise
+
+    # -- Bark mapping ---------------------------------------------------------
+
+    def _to_bark_intensity(self, mdct_amplitudes) -> jax.Array:
+        """Filter-band amplitudes -> Bark-band intensities
+        (reference psychoacoustic.py:301-315)."""
+        return jnp.einsum(
+            "nbic,ij->nbjc",
+            mdct_amplitudes**2,
+            self.W,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(self.compute_dtype)
+
+    def _bark_intensity_to_freq_ampl(self, bark_intensity) -> jax.Array:
+        """Bark-band intensities -> filter-band amplitudes: linear intensity
+        split, then sqrt (reference psychoacoustic.py:317-331)."""
+        intensity = jnp.einsum(
+            "nbic,ij->nbjc",
+            bark_intensity,
+            self.W_inv,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(self.compute_dtype)
+        return jnp.sqrt(jnp.maximum(self._eps, intensity))

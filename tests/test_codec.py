@@ -1,0 +1,132 @@
+"""End-to-end codec pipeline tests (SURVEY.md §3.5 composition +
+the quantized path that is new in this framework)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiocodec_tpu import quantize
+from audiocodec_tpu.codec import Codec
+from tests.test_mdct import sine_wav
+
+
+def snr_db(x, y):
+    noise = np.asarray(x, dtype=np.float64) - np.asarray(y, dtype=np.float64)
+    return 10 * np.log10(
+        np.sum(np.asarray(x, dtype=np.float64) ** 2)
+        / max(np.sum(noise**2), 1e-30)
+    )
+
+
+class TestNoisePath:
+    def test_round_trip_audible_fidelity(self):
+        """Full encode (with masked noise) + decode keeps high SNR: the
+        injected noise sits below the masking threshold by construction."""
+        filters_n = 256
+        codec = Codec.create(16000, filters_n=filters_n, bark_bands_n=64)
+        wave = sine_wav(0.8, 880, sample_rate=16000, duration_sec=1.0)
+        wave = wave[:, : filters_n * (wave.shape[1] // filters_n)]
+        out = codec.round_trip(wave, jax.random.key(0))
+        # output has filters_n padding twice (encode pads a block, decode
+        # pads another): interior comparison
+        inner = out[:, 2 * filters_n : 2 * filters_n + wave.shape[1] - 2 * filters_n]
+        ref = wave[:, filters_n:-filters_n]
+        assert inner.shape == ref.shape
+        # ~20 dB is the masking model's calibration point for a loud pure
+        # tone: the noise fills the spectrum right up to the threshold.
+        assert snr_db(ref, inner) > 15.0
+
+    def test_encode_shapes(self):
+        codec = Codec.create(44100, filters_n=128)
+        wave = jnp.zeros((3, 10 * 128, 2), dtype=jnp.float32)
+        spec = codec.encode(wave, jax.random.key(1))
+        assert spec.shape == (3, 11, 128, 2)
+        out = codec.decode(spec)
+        assert out.shape == (3, 12 * 128, 2)
+
+    def test_single_jit_program(self):
+        """The whole chain jits as one program over the codec pytree."""
+        codec = Codec.create(44100, filters_n=128)
+        wave = jnp.ones((1, 8 * 128, 1), dtype=jnp.float32) * 0.3
+
+        @jax.jit
+        def pipeline(c, x, key):
+            return c.round_trip(x, key)
+
+        out = pipeline(codec, wave, jax.random.key(2))
+        assert out.shape == (1, 10 * 128, 1)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestQuantizedPath:
+    def test_quantize_dequantize_error_bounded(self):
+        """|dequantize(quantize(x)) - x| <= delta/2 everywhere."""
+        rng = np.random.default_rng(0)
+        amps = jnp.asarray(
+            rng.uniform(-1, 1, size=(2, 4, 64, 1)), dtype=jnp.float32
+        )
+        thr = jnp.full_like(amps, 0.01)
+        codes, delta = quantize.quantize(amps, thr)
+        recon = quantize.dequantize(codes, delta)
+        assert codes.dtype == jnp.int32
+        err = jnp.abs(recon - amps)
+        assert bool(jnp.all(err <= delta / 2 + 1e-7))
+
+    def test_round_trip_quantized_snr(self):
+        filters_n = 256
+        codec = Codec.create(16000, filters_n=filters_n)
+        wave = sine_wav(0.8, 880, sample_rate=16000, duration_sec=1.0)
+        wave = wave[:, : filters_n * (wave.shape[1] // filters_n)]
+        out = codec.round_trip_quantized(wave)
+        inner = out[:, 2 * filters_n : wave.shape[1]]
+        ref = wave[:, filters_n:-filters_n]
+        assert snr_db(ref, inner) > 20.0
+
+    def test_quantized_noise_comparable_to_injection(self):
+        """Quantization noise power is calibrated to the noise-injection
+        path: SNRs should be within a few dB of each other."""
+        filters_n = 256
+        codec = Codec.create(16000, filters_n=filters_n)
+        wave = sine_wav(0.5, 440, sample_rate=16000, duration_sec=1.0)
+        wave = wave[:, : filters_n * (wave.shape[1] // filters_n)]
+        ref = wave[:, filters_n:-filters_n]
+
+        out_q = codec.round_trip_quantized(wave)[:, 2 * filters_n : wave.shape[1]]
+        out_n = codec.round_trip(wave, jax.random.key(3))[
+            :, 2 * filters_n : wave.shape[1]
+        ]
+        snr_q = snr_db(ref, out_q)
+        snr_n = snr_db(ref, out_n)
+        # The deadzone of the mid-tread quantizer zeroes sub-threshold bands
+        # outright, so the quantized path may beat the additive-noise path —
+        # but it must never be meaningfully worse.
+        assert snr_q >= snr_n - 3.0
+
+    def test_ste_gradient(self):
+        """Straight-through estimator passes gradients to amplitudes only."""
+        amps = jnp.asarray([[0.5, -0.3]], dtype=jnp.float32)
+        thr = jnp.asarray([[0.1, 0.1]], dtype=jnp.float32)
+
+        def loss(a, t):
+            return jnp.sum(quantize.quantize_ste(a, t) ** 2)
+
+        ga, gt = jax.grad(loss, argnums=(0, 1))(amps, thr)
+        assert bool(jnp.all(jnp.isfinite(ga)))
+        assert bool(jnp.all(gt == 0.0))
+
+
+class TestDrown:
+    def test_drown_degrades_quality(self):
+        """Higher drown -> more noise -> lower SNR (monotone behavior)."""
+        filters_n = 256
+        codec = Codec.create(16000, filters_n=filters_n)
+        wave = sine_wav(0.8, 880, sample_rate=16000, duration_sec=1.0)
+        wave = wave[:, : filters_n * (wave.shape[1] // filters_n)]
+        ref = wave[:, filters_n:-filters_n]
+        key = jax.random.key(4)
+        snrs = []
+        for drown in (0.0, 0.5, 1.0):
+            out = codec.round_trip(wave, key, drown=drown)
+            snrs.append(snr_db(ref, out[:, 2 * filters_n : wave.shape[1]]))
+        assert snrs[0] > snrs[1] > snrs[2]

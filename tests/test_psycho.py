@@ -1,0 +1,247 @@
+"""Psychoacoustic model tests.
+
+Replicates the reference's taxonomy (conservation laws, behavioral
+extremes — audiocodec/tests/test_psychoacoustic.py) and adds the coverage
+the reference lacks: global_masking_threshold / add_noise outputs, drown,
+dB utilities, dtype whitelist, gradient flow, and the 5-D-free masking
+reassociation checked against a direct dense evaluation.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiocodec_tpu.mdct import MDCT
+from audiocodec_tpu.psycho import (
+    DB_MAX,
+    INTENSITY_EPS,
+    PsychoacousticModel,
+    bark2freq,
+    freq2bark,
+)
+from tests.test_mdct import sine_wav
+
+
+class TestConservation:
+    def test_energy_conservation_W(self):
+        """Rows of W sum to 1 (reference test_energy_conservation_W)."""
+        pa = PsychoacousticModel.create(sample_rate=32768, filter_bands_n=64)
+        row_sums = jnp.sum(pa.W, axis=1)
+        assert float(jnp.sum(jnp.abs(row_sums - 1.0))) < 1e-6
+
+    def test_energy_conservation_W_inv(self):
+        """Rows of W_inv sum to 1 (reference test_energy_conservation_W_inv)."""
+        pa = PsychoacousticModel.create(sample_rate=32768, filter_bands_n=64)
+        row_sums = jnp.sum(pa.W_inv, axis=1)
+        assert float(jnp.sum(jnp.abs(row_sums - 1.0))) < 1e-6
+
+    def test_bark_scale_inverse(self):
+        f = np.linspace(1.0, 24000.0, 100)
+        np.testing.assert_allclose(bark2freq(freq2bark(f)), f, rtol=1e-12)
+
+
+class TestTonality:
+    def test_tonality_pure_tone(self):
+        """Pure tone -> tonality exactly 1.0 (reference test_tonality_tone)."""
+        filters_n = 64
+        mdct = MDCT.create(filters_n)
+        wave = sine_wav(0.8, 4, sample_rate=64, duration_sec=5.0)
+        spectrum = mdct.transform(wave)
+        pa = PsychoacousticModel.create(
+            sample_rate=filters_n, filter_bands_n=filters_n
+        )
+        tonality = pa.tonality(spectrum)
+        assert float(tonality[0, 1, 0, 0]) == 1.0
+
+    def test_tonality_noise(self):
+        """Uniform noise -> tonality below 0.1, shape [B, blocks+1, 1, C]
+        (reference test_tonality_noise)."""
+        filters_n = 64
+        blocks_n = 10
+        mdct = MDCT.create(filters_n)
+        rng = np.random.default_rng(0)
+        wave = jnp.asarray(
+            rng.uniform(-1.0, 1.0, size=(10, blocks_n * filters_n, 2)),
+            dtype=jnp.float32,
+        )
+        spectrum = mdct.transform(wave)
+        pa = PsychoacousticModel.create(
+            sample_rate=filters_n, filter_bands_n=filters_n
+        )
+        tonality = pa.tonality(spectrum)
+        assert tonality.shape == (10, blocks_n + 1, 1, 2)
+        assert float(jnp.mean(tonality[0, 1:-1])) < 0.1
+
+
+class TestDbUtilities:
+    def test_amplitude_to_dB_calibration(self):
+        """|amplitude| 1.0 -> 120 dB; the EPS floor -> -20 dB."""
+        pa = PsychoacousticModel.create(sample_rate=44100)
+        one = jnp.asarray(1.0, dtype=jnp.float32)
+        assert float(pa.amplitude_to_dB(one)) == pytest.approx(DB_MAX)
+        eps = jnp.asarray(INTENSITY_EPS, dtype=jnp.float32)
+        assert float(pa.amplitude_to_dB(eps)) == pytest.approx(-20.0, abs=1e-3)
+        assert pa.dB_MIN == pytest.approx(-20.0)
+
+    def test_amplitude_to_dB_norm_range(self):
+        pa = PsychoacousticModel.create(sample_rate=44100)
+        amps = jnp.asarray([0.0, 1e-10, 0.01, 0.5, 1.0], dtype=jnp.float32)
+        norm = pa.amplitude_to_dB_norm(amps)
+        assert float(jnp.min(norm)) >= 0.0
+        assert float(jnp.max(norm)) <= 1.0
+        assert float(norm[-1]) == pytest.approx(1.0)
+        assert float(norm[0]) == pytest.approx(0.0)
+
+
+class TestMaskingThreshold:
+    def _spectrum(self, filters_n=64, sample_rate=44100):
+        mdct = MDCT.create(filters_n)
+        wave = sine_wav(0.6, 3000, sample_rate=sample_rate, duration_sec=0.25)
+        wave = wave[:, : filters_n * (wave.shape[1] // filters_n)]
+        return mdct.transform(wave)
+
+    def test_threshold_positive_and_shaped(self):
+        filters_n = 64
+        spectrum = self._spectrum(filters_n)
+        pa = PsychoacousticModel.create(44100, filter_bands_n=filters_n)
+        tonality = pa.tonality(spectrum)
+        thr = pa.global_masking_threshold(spectrum, tonality)
+        assert thr.shape == spectrum.shape
+        assert float(jnp.min(thr)) > 0.0
+        assert bool(jnp.all(jnp.isfinite(thr)))
+
+    def test_quiet_threshold_floor_on_silence(self):
+        """Silence -> the threshold equals the threshold-in-quiet mapped to
+        filter bands (never zero)."""
+        filters_n = 64
+        pa = PsychoacousticModel.create(44100, filter_bands_n=filters_n)
+        silence = jnp.zeros((1, 3, filters_n, 1), dtype=jnp.float32)
+        tonality = pa.tonality(silence)
+        thr = pa.global_masking_threshold(silence, tonality)
+        expected = pa._bark_intensity_to_freq_ampl(
+            jnp.broadcast_to(
+                pa.quiet_threshold_intensity, (1, 3, pa.bark_bands_n, 1)
+            )
+        )
+        np.testing.assert_allclose(
+            np.asarray(thr), np.asarray(expected), rtol=1e-5
+        )
+
+    def test_drown_raises_threshold(self):
+        """drown in (0, 1] must raise the masking threshold where the signal
+        dominates the quiet floor (untested in the reference)."""
+        filters_n = 64
+        spectrum = self._spectrum(filters_n)
+        pa = PsychoacousticModel.create(44100, filter_bands_n=filters_n)
+        tonality = pa.tonality(spectrum)
+        thr0 = pa.global_masking_threshold(spectrum, tonality, drown=0.0)
+        thr1 = pa.global_masking_threshold(spectrum, tonality, drown=1.0)
+        assert float(jnp.mean(thr1)) > float(jnp.mean(thr0))
+
+    def test_masking_matches_dense_5d_evaluation(self):
+        """The reassociated (I^a @ SM) * offset path must equal the
+        reference's 5-D masking-matrix formulation evaluated densely
+        (reference psychoacoustic.py:193-208)."""
+        filters_n = 64
+        pa = PsychoacousticModel.create(
+            44100, filter_bands_n=filters_n, compute_dtype=jnp.float64
+        )
+        rng = np.random.default_rng(1)
+        spectrum = jnp.asarray(
+            rng.uniform(-0.5, 0.5, size=(2, 3, filters_n, 2))
+        )
+        tonality = pa.tonality(spectrum)
+        mine = pa._masking_intensity_in_bark(spectrum, tonality, drown=0.1)
+
+        # Dense oracle, straight from the reference's einsum chain:
+        alpha = pa.alpha
+        grid = np.asarray(pa.bark_grid)
+        t = np.asarray(tonality)
+        offset = (1.0 - 0.1) * (
+            np.einsum("nbic,j->nbjc", t, grid) + 9.0 * t + 5.5
+        )
+        sm = np.asarray(pa.spreading_matrix)
+        masking_matrix = np.einsum(
+            "ij,nbjc->nbijc", sm, 10.0 ** (-alpha * offset / 10.0)
+        )
+        intens = np.einsum(
+            "nbic,ij->nbjc", np.asarray(spectrum) ** 2, np.asarray(pa.W)
+        )
+        dense = np.einsum(
+            "nbic,nbijc->nbjc",
+            np.maximum(INTENSITY_EPS, intens) ** alpha,
+            masking_matrix,
+        )
+        dense = np.maximum(INTENSITY_EPS, dense) ** (1.0 / alpha)
+        np.testing.assert_allclose(np.asarray(mine), dense, rtol=1e-10)
+
+
+class TestNoiseAndDtypes:
+    def test_add_noise_statistics(self):
+        """Noise sigma = threshold / 6 (reference psychoacoustic.py:152-157)."""
+        pa = PsychoacousticModel.create(44100, filter_bands_n=64)
+        shape = (4, 100, 64, 1)
+        amplitudes = jnp.zeros(shape, dtype=jnp.float32)
+        threshold = jnp.full(shape, 0.6, dtype=jnp.float32)
+        noisy = pa.add_noise(jax.random.key(0), amplitudes, threshold)
+        sigma = float(jnp.std(noisy))
+        assert sigma == pytest.approx(0.1, rel=0.05)
+
+    def test_add_noise_deterministic_per_key(self):
+        pa = PsychoacousticModel.create(44100, filter_bands_n=64)
+        x = jnp.zeros((1, 2, 64, 1), dtype=jnp.float32)
+        thr = jnp.ones_like(x)
+        a = pa.add_noise(jax.random.key(7), x, thr)
+        b = pa.add_noise(jax.random.key(7), x, thr)
+        c = pa.add_noise(jax.random.key(8), x, thr)
+        assert bool(jnp.all(a == b))
+        assert not bool(jnp.all(a == c))
+
+    def test_float16_rejected(self):
+        with pytest.raises(TypeError, match="float64, float32 or bfloat16"):
+            PsychoacousticModel.create(44100, compute_dtype=jnp.float16)
+
+    def test_bfloat16_path_runs(self):
+        filters_n = 64
+        pa = PsychoacousticModel.create(
+            44100, filter_bands_n=filters_n, compute_dtype=jnp.bfloat16
+        )
+        rng = np.random.default_rng(2)
+        spectrum = jnp.asarray(
+            rng.uniform(-0.5, 0.5, size=(1, 3, filters_n, 1)),
+            dtype=jnp.bfloat16,
+        )
+        thr = pa.global_masking_threshold(spectrum, pa.tonality(spectrum))
+        assert thr.dtype == jnp.bfloat16
+        assert bool(jnp.all(jnp.isfinite(thr.astype(jnp.float32))))
+
+    def test_wrong_input_dtype_raises(self):
+        pa = PsychoacousticModel.create(44100, filter_bands_n=64)
+        with pytest.raises(TypeError, match="compute_dtype"):
+            pa.tonality(jnp.zeros((1, 2, 64, 1), dtype=jnp.float64))
+
+
+class TestGradients:
+    def test_gradient_through_masking(self):
+        """Masking threshold must be differentiable without NaNs even with
+        zero bands (the EPS floors exist exactly for this —
+        reference psychoacoustic.py:206-208,311)."""
+        filters_n = 64
+        pa = PsychoacousticModel.create(44100, filter_bands_n=filters_n)
+
+        def loss(spectrum):
+            t = pa.tonality(spectrum)
+            thr = pa.global_masking_threshold(spectrum, t)
+            return jnp.sum(thr)
+
+        rng = np.random.default_rng(3)
+        spectrum = jnp.asarray(
+            rng.uniform(-0.5, 0.5, size=(1, 3, filters_n, 1)),
+            dtype=jnp.float32,
+        )
+        spectrum = spectrum.at[0, 0].set(0.0)  # a silent block
+        g = jax.grad(loss)(spectrum)
+        assert bool(jnp.all(jnp.isfinite(g)))
