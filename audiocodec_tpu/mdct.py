@@ -45,9 +45,13 @@ from audiocodec_tpu.utils import dtypes as _dtypes
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "wa_r", "wb", "wc", "ffr", "p", "q", "r", "s_r", "dct_mat",
+        "wa_r", "wb", "wc", "ffr", "p", "q", "r", "s_r",
+        "dct_mat_fwd", "dct_mat_inv",
     ],
-    meta_fields=["filters_n", "window_type", "compute_dtype", "fast_bf16"],
+    meta_fields=[
+        "filters_n", "window_type", "compute_dtype", "fast_bf16",
+        "use_pallas",
+    ],
 )
 @dataclasses.dataclass(frozen=True)
 class MDCT:
@@ -66,6 +70,7 @@ class MDCT:
     window_type: object
     compute_dtype: object
     fast_bf16: bool
+    use_pallas: bool
     # Fold/unfold weights, shape [N/2] each, in compute_dtype:
     wa_r: jax.Array
     wb: jax.Array
@@ -76,7 +81,10 @@ class MDCT:
     r: jax.Array
     s_r: jax.Array
     # DCT-IV matrix [N, N]; float32 for f32/bf16 pipelines, float64 for f64.
-    dct_mat: jax.Array
+    # The forward/inverse normalizations (1/sqrt(4N), sqrt(4N)) are folded
+    # into these copies so no separate full-array scaling pass exists.
+    dct_mat_fwd: jax.Array
+    dct_mat_inv: jax.Array
 
     @classmethod
     def create(
@@ -85,6 +93,7 @@ class MDCT:
         window_type="vorbis",
         compute_dtype=jnp.float32,
         fast_bf16: bool = False,
+        use_pallas: bool = False,
     ) -> "MDCT":
         """Precompute fold weights and the DCT matrix (float64 on host, then
         downcast once — the reference's mixed-precision variable treatment,
@@ -95,6 +104,13 @@ class MDCT:
                 f"even, got {filters_n}"
             )
         dtype = _dtypes.canonicalize_compute_dtype(compute_dtype)
+        if use_pallas and (filters_n % 256 != 0 or dtype == jnp.float64):
+            raise ValueError(
+                "use_pallas requires filters_n to be a multiple of 256 "
+                "(two >=128-lane half-blocks) and a non-float64 compute "
+                "dtype; got filters_n="
+                f"{filters_n}, compute_dtype={dtype}"
+            )
         coeffs = _folding.make_fold_coefficients(filters_n, window_type)
         mat_dtype = (
             jnp.float64 if dtype == jnp.dtype(jnp.float64) else jnp.float32
@@ -105,6 +121,7 @@ class MDCT:
             window_type=window_type,
             compute_dtype=dtype,
             fast_bf16=fast_bf16,
+            use_pallas=use_pallas,
             wa_r=as_compute(coeffs.wa_r),
             wb=as_compute(coeffs.wb),
             wc=as_compute(coeffs.wc),
@@ -113,7 +130,14 @@ class MDCT:
             q=as_compute(coeffs.q),
             r=as_compute(coeffs.r),
             s_r=as_compute(coeffs.s_r),
-            dct_mat=jnp.asarray(_dct.dct4_matrix(filters_n), dtype=mat_dtype),
+            dct_mat_fwd=jnp.asarray(
+                _dct.dct4_matrix(filters_n) / math.sqrt(4.0 * filters_n),
+                dtype=mat_dtype,
+            ),
+            dct_mat_inv=jnp.asarray(
+                _dct.dct4_matrix(filters_n) * math.sqrt(4.0 * filters_n),
+                dtype=mat_dtype,
+            ),
         )
 
     # -- analysis ----------------------------------------------------------
@@ -140,10 +164,21 @@ class MDCT:
         xb = jnp.transpose(x, (0, 2, 1)).reshape(
             batches_n, channels_n, blocks_n, n
         )
-        folded = _folding.fold(xb, self.wa_r, self.wb, self.wc, self.ffr)
-        y = _dct.dct4(folded, self.dct_mat, fast_bf16=self.fast_bf16)
-        scale = _dtypes.scalar(1.0 / math.sqrt(4.0 * n), self.compute_dtype)
-        return jnp.transpose(y * scale, (0, 2, 3, 1))
+        if self.use_pallas:
+            from audiocodec_tpu.ops import pallas_mdct as _pallas
+
+            coeffs = jnp.stack([self.wa_r, self.wb, self.wc, self.ffr])
+            y = _pallas.mdct_forward_pallas(
+                xb.reshape(batches_n * channels_n, blocks_n, n),
+                coeffs,
+                self.dct_mat_fwd.astype(self.compute_dtype),
+            ).reshape(batches_n, channels_n, blocks_n + 1, n)
+        else:
+            folded = _folding.fold(
+                xb, self.wa_r, self.wb, self.wc, self.ffr
+            )
+            y = _dct.dct4(folded, self.dct_mat_fwd, fast_bf16=self.fast_bf16)
+        return jnp.transpose(y, (0, 2, 3, 1))
 
     # -- synthesis ----------------------------------------------------------
 
@@ -164,9 +199,18 @@ class MDCT:
                 f"expected filters_n={n} on axis 2, got {filters_n}"
             )
         yb = jnp.transpose(mdct_amplitudes, (0, 3, 1, 2))
-        scale = _dtypes.scalar(math.sqrt(4.0 * n), self.compute_dtype)
-        z = _dct.dct4(yb * scale, self.dct_mat, fast_bf16=self.fast_bf16)
-        out = _folding.unfold(z, self.p, self.q, self.r, self.s_r)
+        if self.use_pallas:
+            from audiocodec_tpu.ops import pallas_mdct as _pallas
+
+            coeffs = jnp.stack([self.p, self.q, self.r, self.s_r])
+            out = _pallas.mdct_inverse_pallas(
+                yb.reshape(batches_n * channels_n, blocks_n, n),
+                coeffs,
+                self.dct_mat_inv.astype(self.compute_dtype),
+            ).reshape(batches_n, channels_n, blocks_n + 1, n)
+        else:
+            z = _dct.dct4(yb, self.dct_mat_inv, fast_bf16=self.fast_bf16)
+            out = _folding.unfold(z, self.p, self.q, self.r, self.s_r)
         return jnp.transpose(
             out.reshape(batches_n, channels_n, (blocks_n + 1) * n), (0, 2, 1)
         )

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Headline benchmark: full encode-pipeline throughput on one chip.
+
+Workload (BASELINE.md config): 10 s mono 44.1 kHz clips, filters_n=1024,
+bark_bands_n=64, full chain MDCT -> tonality -> global masking threshold ->
+masked-noise injection -> inverse MDCT, float32, batched, one jit program.
+
+Methodology notes (this is a remote-attached TPU):
+* iterations are chained on-device with lax.scan over *fresh* input batches
+  (loop-variant data, so XLA cannot hoist the encode out of the loop), and
+* the timed quantity ends in a single scalar host readback, because
+  block_until_ready on the remote backend does not guarantee device
+  completion — only a value transfer does.
+
+Reference baseline: TF 2.21 on 1 CPU core measures ~92 audio-seconds/sec on
+this exact chain (BASELINE.md). Target: >= 100x on TPU v5e-1.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_AUDIO_SEC_PER_SEC = 92.0  # reference TF-CPU, measured (BASELINE.md)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from audiocodec_tpu.codec import Codec
+
+    sample_rate = 44100
+    duration_s = 10.0
+    filters_n = 1024
+    batch = 32
+    iters = 8
+
+    codec = Codec.create(
+        sample_rate=sample_rate, filters_n=filters_n, bark_bands_n=64
+    )
+
+    samples = int(sample_rate * duration_s) // filters_n * filters_n
+    rng = np.random.default_rng(0)
+    t = np.arange(samples) / sample_rate
+    base = (
+        0.4 * np.sin(2 * np.pi * 440 * t)
+        + 0.3 * np.sin(2 * np.pi * 1320 * t)
+        + 0.05 * rng.normal(size=samples)
+    ).astype(np.float32)
+    xs = np.broadcast_to(
+        base[None, None, :, None], (iters, batch, samples, 1)
+    ) * rng.uniform(0.5, 1.0, size=(iters, batch, 1, 1)).astype(np.float32)
+    xs = jnp.asarray(xs)
+
+    @jax.jit
+    def chained(c, xs, key):
+        def body(acc, xk):
+            x, k = xk
+            out = c.round_trip(x, k)
+            return acc + jnp.sum(jnp.abs(out)), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0), (xs, jax.random.split(key, xs.shape[0]))
+        )
+        return acc
+
+    # warmup / compile (host readback forces completion)
+    float(chained(codec, xs, jax.random.key(0)))
+
+    best = float("inf")
+    for trial in range(3):
+        start = time.perf_counter()
+        float(chained(codec, xs, jax.random.key(trial + 1)))
+        best = min(best, (time.perf_counter() - start) / iters)
+
+    audio_seconds = batch * (samples / sample_rate)
+    throughput = audio_seconds / best
+
+    print(
+        json.dumps(
+            {
+                "metric": "encode_pipeline_throughput",
+                "value": round(throughput, 1),
+                "unit": "audio-sec/sec",
+                "vs_baseline": round(throughput / BASELINE_AUDIO_SEC_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

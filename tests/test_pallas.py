@@ -1,0 +1,81 @@
+"""Fused Pallas MDCT kernel tests (interpreter mode on CPU; the same
+kernels compile for real TPU — exercised by bench/verify on hardware)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from audiocodec_tpu.mdct import MDCT
+
+
+@pytest.fixture(scope="module")
+def pair():
+    n = 256
+    return MDCT.create(n), MDCT.create(n, use_pallas=True)
+
+
+class TestPallasForward:
+    @pytest.mark.parametrize(
+        "shape",
+        [
+            (1, 3, 1),  # single tile (blocks+1 < tile)
+            (2, 7, 2),  # multi-row
+            (1, 63, 1),  # one frame short of a full tile
+            (1, 64, 1),  # blocks+1 == tile+1 -> 2 tiles, last has 1 frame
+            (2, 130, 2),  # interior + ragged tail tiles
+        ],
+    )
+    def test_matches_xla_path(self, pair, shape):
+        m, mp = pair
+        b, blocks, c = shape
+        rng = np.random.default_rng(blocks)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (b, blocks * 256, c)), dtype=jnp.float32
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = mp.transform(x)
+        want = m.transform(x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6
+        )
+
+
+class TestPallasInverse:
+    @pytest.mark.parametrize("blocks", [3, 63, 64, 130])
+    def test_matches_xla_path(self, pair, blocks):
+        m, mp = pair
+        rng = np.random.default_rng(blocks)
+        y = jnp.asarray(
+            rng.uniform(-0.5, 0.5, (2, blocks, 256, 2)), dtype=jnp.float32
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = mp.inverse_transform(y)
+        want = m.inverse_transform(y)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
+
+
+class TestPallasRoundTrip:
+    def test_perfect_reconstruction(self, pair):
+        _, mp = pair
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (1, 10 * 256, 1)), dtype=jnp.float32
+        )
+        with pltpu.force_tpu_interpret_mode():
+            rt = mp.inverse_transform(mp.transform(x))
+        err = float(jnp.max(jnp.abs(x - rt[:, 256:-256])))
+        assert err < 1e-5
+
+
+class TestPallasValidation:
+    def test_non_multiple_of_256_rejected(self):
+        with pytest.raises(ValueError, match="multiple of 256"):
+            MDCT.create(128, use_pallas=True)
+
+    def test_float64_rejected(self):
+        with pytest.raises(ValueError, match="float64"):
+            MDCT.create(256, use_pallas=True, compute_dtype=jnp.float64)
