@@ -90,6 +90,22 @@ class Codec:
         samples at each end relative to the input (blocks+1 framing twice)."""
         return self.decode(self.encode(x, key, drown))
 
+    # -- fast path: hardware-PRNG noise ---------------------------------------
+
+    def encode_fast(self, x: jax.Array, seed, drown=0.0) -> jax.Array:
+        """Like :meth:`encode` but with the fused Pallas noise kernel
+        (PsychoacousticModel.add_noise_fast): same distribution, one HBM
+        pass, hardware PRNG seeded by an int instead of a jax key."""
+        spectrum = self.mdct.transform(x)
+        tonality = self.psycho.tonality(spectrum)
+        threshold = self.psycho.global_masking_threshold(
+            spectrum, tonality, drown
+        )
+        return self.psycho.add_noise_fast(seed, spectrum, threshold)
+
+    def round_trip_fast(self, x: jax.Array, seed, drown=0.0) -> jax.Array:
+        return self.decode(self.encode_fast(x, seed, drown))
+
     # -- quantized path -------------------------------------------------------
 
     def encode_quantized(self, x: jax.Array, drown=0.0):

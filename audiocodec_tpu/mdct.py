@@ -47,6 +47,7 @@ from audiocodec_tpu.utils import dtypes as _dtypes
     data_fields=[
         "wa_r", "wb", "wc", "ffr", "p", "q", "r", "s_r",
         "dct_mat_fwd", "dct_mat_inv",
+        "fused_fwd_prev", "fused_fwd_cur", "fused_inv_prev", "fused_inv_cur",
     ],
     meta_fields=[
         "filters_n", "window_type", "compute_dtype", "fast_bf16",
@@ -85,6 +86,12 @@ class MDCT:
     # into these copies so no separate full-array scaling pass exists.
     dct_mat_fwd: jax.Array
     dct_mat_inv: jax.Array
+    # Pallas-path fused matrices (fold x DCT x scale collapsed into
+    # y[n] = x[n-1] @ prev + x[n] @ cur); None unless use_pallas.
+    fused_fwd_prev: object
+    fused_fwd_cur: object
+    fused_inv_prev: object
+    fused_inv_cur: object
 
     @classmethod
     def create(
@@ -104,11 +111,15 @@ class MDCT:
                 f"even, got {filters_n}"
             )
         dtype = _dtypes.canonicalize_compute_dtype(compute_dtype)
-        if use_pallas and (filters_n % 256 != 0 or dtype == jnp.float64):
+        if use_pallas and (
+            filters_n % 128 != 0
+            or filters_n > 1024
+            or dtype == jnp.dtype(jnp.float64)
+        ):
             raise ValueError(
-                "use_pallas requires filters_n to be a multiple of 256 "
-                "(two >=128-lane half-blocks) and a non-float64 compute "
-                "dtype; got filters_n="
+                "use_pallas requires filters_n to be a multiple of 128 and "
+                "<= 1024 (two [N, N] fused matrices must fit VMEM) and a "
+                "non-float64 compute dtype; got filters_n="
                 f"{filters_n}, compute_dtype={dtype}"
             )
         coeffs = _folding.make_fold_coefficients(filters_n, window_type)
@@ -116,6 +127,25 @@ class MDCT:
             jnp.float64 if dtype == jnp.dtype(jnp.float64) else jnp.float32
         )
         as_compute = lambda v: jnp.asarray(v, dtype=dtype)
+        fused = {}
+        if use_pallas:
+            from audiocodec_tpu.ops import pallas_mdct as _pallas
+
+            fp, fc = _pallas.fused_forward_matrices(filters_n, window_type)
+            ip, ic = _pallas.fused_inverse_matrices(filters_n, window_type)
+            fused = dict(
+                fused_fwd_prev=as_compute(fp),
+                fused_fwd_cur=as_compute(fc),
+                fused_inv_prev=as_compute(ip),
+                fused_inv_cur=as_compute(ic),
+            )
+        else:
+            fused = dict(
+                fused_fwd_prev=None,
+                fused_fwd_cur=None,
+                fused_inv_prev=None,
+                fused_inv_cur=None,
+            )
         return cls(
             filters_n=filters_n,
             window_type=window_type,
@@ -138,6 +168,7 @@ class MDCT:
                 _dct.dct4_matrix(filters_n) * math.sqrt(4.0 * filters_n),
                 dtype=mat_dtype,
             ),
+            **fused,
         )
 
     # -- analysis ----------------------------------------------------------
@@ -167,11 +198,10 @@ class MDCT:
         if self.use_pallas:
             from audiocodec_tpu.ops import pallas_mdct as _pallas
 
-            coeffs = jnp.stack([self.wa_r, self.wb, self.wc, self.ffr])
             y = _pallas.mdct_forward_pallas(
                 xb.reshape(batches_n * channels_n, blocks_n, n),
-                coeffs,
-                self.dct_mat_fwd.astype(self.compute_dtype),
+                self.fused_fwd_prev,
+                self.fused_fwd_cur,
             ).reshape(batches_n, channels_n, blocks_n + 1, n)
         else:
             folded = _folding.fold(
@@ -202,11 +232,10 @@ class MDCT:
         if self.use_pallas:
             from audiocodec_tpu.ops import pallas_mdct as _pallas
 
-            coeffs = jnp.stack([self.p, self.q, self.r, self.s_r])
             out = _pallas.mdct_inverse_pallas(
                 yb.reshape(batches_n * channels_n, blocks_n, n),
-                coeffs,
-                self.dct_mat_inv.astype(self.compute_dtype),
+                self.fused_inv_prev,
+                self.fused_inv_cur,
             ).reshape(batches_n, channels_n, blocks_n + 1, n)
         else:
             z = _dct.dct4(yb, self.dct_mat_inv, fast_bf16=self.fast_bf16)

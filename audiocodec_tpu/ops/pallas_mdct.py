@@ -1,164 +1,138 @@
 """Fused Pallas TPU kernels for the MDCT filter bank.
 
-Forward: window-fold + DCT-IV matmul + normalization in ONE kernel — the
-input signal is read from HBM exactly once and the spectrum written exactly
-once; the folded intermediate lives only in VMEM. Inverse: DCT-IV matmul +
-unfold, same single-pass property. This is the memory-bandwidth-limited
-design goal the XLA path can only approximate (SURVEY.md §7 step 5).
+Design: the polyphase stage is a 2-tap coupling y[n] = x[n] @ H0 +
+x[n-1] @ H1 followed by the DCT-IV matmul C. H0/H1 each have ONE nonzero
+per row (the diamond), so H1 @ C and H0 @ C are scaled row-permutations of
+C — still dense [N, N], but exact precomputes. The whole forward therefore
+collapses to
 
-The polyphase fold couples adjacent blocks, so each frame tile needs a
-one-block halo. Instead of padding the array in HBM (a full extra copy),
-the kernels keep the signal in ANY/HBM memory space and DMA the
-[tile + 1 halo] window into VMEM scratch themselves. Edge tiles (first /
-last) zero-fill the out-of-range rows; every DMA has a Python-static size
-because which grid step is first/last is known at trace time.
+    y[n] = x[n-1] @ M_prev + x[n] @ M_cur        (M_* = H_* @ C / sqrt(4N))
 
-Shapes use the channel-folded layout [rows = B*C, blocks, N]; N must be a
-multiple of 256 (the fold splits blocks into halves of >= 128 lanes).
+two MXU matmuls per tile with ZERO elementwise work in between — no
+flips (Mosaic has no lane-reverse primitive), no fold pass, no separate
+normalization. The inverse factors identically:
+
+    out[n] = z[n] @ G0 + z[n-1] @ G1,  z = sqrt(4N) * (y @ C)
+           = y[n] @ (C @ G0 * s) + y[n-1] @ (C @ G1 * s)
+
+The signal is read from HBM exactly once and the output written exactly
+once; each grid tile DMAs its own [tile + 1 halo] window into VMEM
+(adjacent-block coupling = one-block halo). Edge tiles zero-fill; every DMA
+size is Python-static because which grid step is first/last is known at
+trace time.
+
+FLOP cost is 2x the bare DCT matmul, paid to eliminate every intermediate
+HBM pass — the right trade on a bandwidth-bound chip.
+
+Shapes use the channel-folded layout [rows = B*C, blocks, N]. N must be a
+multiple of 128 and N <= 1024 (two [N, N] matrices must fit VMEM).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from audiocodec_tpu.ops import dct as _dct
+from audiocodec_tpu.ops import folding as _folding
 
-def _fold_tile(prev, cur, wa_r, wb, wc, ffr):
-    """Fold TB frames from their (previous, current) input blocks.
 
-    prev, cur: [TB, N]. Returns [TB, N]:
-      lower = flip(prev_lo) * wa_r + prev_hi * wb
-      upper = cur_lo * wc - flip(cur_hi) * ffr
+def fused_forward_matrices(filters_n: int, window_type) -> tuple:
+    """(M_prev, M_cur) float64 [N, N]: fold + DCT-IV + 1/sqrt(4N), fused."""
+    h0, h1 = _folding.dense_fold_matrices(filters_n, window_type)
+    c = _dct.dct4_matrix(filters_n)
+    s = 1.0 / math.sqrt(4.0 * filters_n)
+    return h1 @ c * s, h0 @ c * s
+
+
+def fused_inverse_matrices(filters_n: int, window_type) -> tuple:
+    """(M_prev, M_cur) float64 [N, N]: sqrt(4N) + DCT-IV + unfold, fused."""
+    g0, g1 = _folding.dense_unfold_matrices(filters_n, window_type)
+    c = _dct.dct4_matrix(filters_n)
+    s = math.sqrt(4.0 * filters_n)
+    return c @ g1 * s, c @ g0 * s
+
+
+def _mdct_kernel(
+    x_hbm, mprev_ref, mcur_ref, out_ref, cur_s, halo_s, sem_cur,
+    *, tb, blocks_n, n_tiles
+):
+    """Shared forward/inverse body: out = prev @ M_prev + cur @ M_cur.
+
+    Mosaic requires second-to-last-dim DMA slices to be 8-aligned in offset
+    AND size, which rules out a 1-block halo DMA. But TPU grid steps run
+    SEQUENTIALLY and scratch persists across them, so the halo block is
+    simply the previous tile's last block saved into ``halo_s`` at the end
+    of each step — zero extra HBM traffic. The wrapper zero-pads the blocks
+    axis to a multiple of 8, keeping the tail DMA aligned too; stale
+    scratch rows past the tail are masked in-register before the matmul.
     """
-    h = prev.shape[-1] // 2
-    lower = jnp.flip(prev[:, :h], axis=-1) * wa_r + prev[:, h:] * wb
-    upper = cur[:, :h] * wc - jnp.flip(cur[:, h:], axis=-1) * ffr
-    return jnp.concatenate([lower, upper], axis=-1)
+    r, t = pl.program_id(0), pl.program_id(1)
+    f0 = t * tb
+    # blocks_n is a multiple of 8 (the wrapper zero-pads), so every DMA
+    # offset and size below is 8-aligned.
+    last_valid = blocks_n - (n_tiles - 1) * tb  # static, in [0, tb)
+    last_size = last_valid
 
+    if n_tiles > 1:
 
-def _unfold_tile(zprev, zcur, p, q, r, s_r):
-    """Synthesis combine: out[n] from (z[n-1], z[n]); inputs [TB, N]."""
-    h = zcur.shape[-1] // 2
-    low = jnp.flip(zcur[:, :h] * p, axis=-1) + zprev[:, h:] * r
-    up = zcur[:, :h] * q + jnp.flip(zprev[:, h:], axis=-1) * s_r
-    return jnp.concatenate([low, up], axis=-1)
-
-
-def _load_halo_window(src_hbm, scratch, sem, *, r_ref, t_ref, tb, blocks_n, n_tiles):
-    """DMA blocks [t*tb - 1, t*tb + tb - 1] of row r of src into scratch
-    [tb+1, N], zero-filling out-of-range rows. All DMA sizes are
-    Python-static.
-
-    src_hbm: full-array ref [rows, blocks_n, N] (ANY/HBM — block index maps
-    do not slice HBM-resident inputs, so the kernel indexes the row itself);
-    scratch: VMEM [tb+1, N].
-    """
-    t = t_ref
-    r = r_ref
-    if n_tiles == 1:
-        # one tile covers all frames: halo row 0 and any tail rows are zero
-        scratch[:, :] = jnp.zeros_like(scratch)
-        cp = pltpu.make_async_copy(
-            src_hbm.at[r, pl.ds(0, blocks_n), :],
-            scratch.at[pl.ds(1, blocks_n), :],
-            sem,
-        )
-        cp.start()
-        cp.wait()
-        return
-
-    first_valid = min(tb, blocks_n)  # static; == tb when n_tiles > 1
-    last_lo = (n_tiles - 1) * tb - 1
-    last_valid = blocks_n - last_lo  # static, >= 1
-
-    @pl.when(t == 0)
-    def _():
-        scratch[0:1, :] = jnp.zeros_like(scratch[0:1, :])
-        cp = pltpu.make_async_copy(
-            src_hbm.at[r, pl.ds(0, first_valid), :],
-            scratch.at[pl.ds(1, first_valid), :],
-            sem,
-        )
-        cp.start()
-        cp.wait()
-
-    @pl.when(jnp.logical_and(t > 0, t < n_tiles - 1))
-    def _():
-        cp = pltpu.make_async_copy(
-            src_hbm.at[r, pl.ds(t * tb - 1, tb + 1), :],
-            scratch.at[pl.ds(0, tb + 1), :],
-            sem,
-        )
-        cp.start()
-        cp.wait()
+        @pl.when(t < n_tiles - 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[r, pl.ds(f0, tb), :], cur_s, sem_cur
+            )
+            cp.start()
+            cp.wait()
 
     @pl.when(t == n_tiles - 1)
     def _():
-        scratch[:, :] = jnp.zeros_like(scratch)
-        cp = pltpu.make_async_copy(
-            src_hbm.at[r, pl.ds(last_lo, last_valid), :],
-            scratch.at[pl.ds(0, last_valid), :],
-            sem,
-        )
-        cp.start()
-        cp.wait()
+        if last_size > 0:
+            cp = pltpu.make_async_copy(
+                x_hbm.at[r, pl.ds((n_tiles - 1) * tb, last_size), :],
+                cur_s.at[pl.ds(0, last_size), :],
+                sem_cur,
+            )
+            cp.start()
+            cp.wait()
 
+    @pl.when(t == 0)
+    def _():
+        halo_s[0:1, :] = jnp.zeros_like(halo_s[0:1, :])
 
-def _mdct_fwd_kernel(
-    x_hbm, coef_ref, dct_ref, out_ref, scratch, sem, *, tb, blocks_n, n_tiles
-):
-    _load_halo_window(
-        x_hbm, scratch, sem,
-        r_ref=pl.program_id(0), t_ref=pl.program_id(1),
-        tb=tb, blocks_n=blocks_n, n_tiles=n_tiles,
-    )
-    h = scratch.shape[-1] // 2
-    folded = _fold_tile(
-        scratch[0:tb, :],
-        scratch[1 : tb + 1, :],
-        coef_ref[0, :h], coef_ref[1, :h], coef_ref[2, :h], coef_ref[3, :h],
-    )
-    out_ref[0, :, :] = jnp.dot(
-        folded,
-        dct_ref[:, :],
-        preferred_element_type=folded.dtype,
+    # Mask rows past the end of the signal (the final output frame has no
+    # current block; tail-tile DMA may have read tile padding).
+    valid_rows = jnp.where(t == n_tiles - 1, last_valid, tb)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tb, 1), 0)
+    cur = jnp.where(row < valid_rows, cur_s[:, :], 0)
+
+    prev = jnp.concatenate([halo_s[0:1, :], cur[0 : tb - 1, :]], axis=0)
+    acc = jnp.dot(
+        prev,
+        mprev_ref[:, :],
+        preferred_element_type=cur.dtype,
         precision=jax.lax.Precision.HIGHEST,
     )
-
-
-def _mdct_inv_kernel(
-    y_hbm, coef_ref, dct_ref, out_ref, yscratch, sem, *, tb, blocks_n, n_tiles
-):
-    _load_halo_window(
-        y_hbm, yscratch, sem,
-        r_ref=pl.program_id(0), t_ref=pl.program_id(1),
-        tb=tb, blocks_n=blocks_n, n_tiles=n_tiles,
-    )
-    # DCT all tb+1 frames; the halo frame's DCT is recomputed by the
-    # neighboring tile (one extra [1,N]x[N,N] row per tile — far cheaper
-    # than a second HBM pass to share it).
-    z = jnp.dot(
-        yscratch[:, :],
-        dct_ref[:, :],
-        preferred_element_type=yscratch.dtype,
+    out_ref[0, :, :] = acc + jnp.dot(
+        cur,
+        mcur_ref[:, :],
+        preferred_element_type=cur.dtype,
         precision=jax.lax.Precision.HIGHEST,
     )
-    h = z.shape[-1] // 2
-    out_ref[0, :, :] = _unfold_tile(
-        z[0:tb, :], z[1 : tb + 1, :],
-        coef_ref[0, :h], coef_ref[1, :h], coef_ref[2, :h], coef_ref[3, :h],
-    )
+    # Save this tile's last block as the next tile's halo (sequential grid).
+    halo_s[0:1, :] = cur[tb - 1 : tb, :]
 
 
-def _call(kernel_fn, rows, blocks_n, n, tb, dtype, coeffs, dct_mat, x):
+def _call(rows, blocks_n, n, tb, dtype, m_prev, m_cur, x):
     num_out = blocks_n + 1
     n_tiles = pl.cdiv(num_out, tb)
     kernel = functools.partial(
-        kernel_fn, tb=tb, blocks_n=blocks_n, n_tiles=n_tiles
+        _mdct_kernel, tb=tb, blocks_n=blocks_n, n_tiles=n_tiles
     )
     return pl.pallas_call(
         kernel,
@@ -166,9 +140,7 @@ def _call(kernel_fn, rows, blocks_n, n, tb, dtype, coeffs, dct_mat, x):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # full array; row-indexed
                                                    # inside the kernel
-            pl.BlockSpec(
-                (4, n // 2), lambda r, t: (0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((n, n), lambda r, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, n), lambda r, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -176,41 +148,53 @@ def _call(kernel_fn, rows, blocks_n, n, tb, dtype, coeffs, dct_mat, x):
         ),
         out_shape=jax.ShapeDtypeStruct((rows, num_out, n), dtype),
         scratch_shapes=[
-            pltpu.VMEM((tb + 1, n), dtype),
+            pltpu.VMEM((tb, n), dtype),  # current-blocks window
+            pltpu.VMEM((8, n), dtype),  # halo block (8-row tile-padded)
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * rows * (num_out + n_tiles) * n * n,
+            flops=4 * rows * num_out * n * n,
             bytes_accessed=4 * rows * (blocks_n + num_out) * n,
             transcendentals=0,
         ),
-    )(x, coeffs, dct_mat)
+    )(x, m_prev, m_cur)
 
 
-def mdct_forward_pallas(x_rows, coeffs, dct_fwd, *, tile_blocks=64):
+def mdct_forward_pallas(x_rows, m_prev, m_cur, *, tile_blocks=64):
     """Fused forward MDCT: [rows, blocks, N] -> [rows, blocks+1, N].
 
-    :param coeffs: [4, N/2] stacked (wa_r, wb, wc, ffr), compute dtype.
-    :param dct_fwd: [N, N] DCT-IV matrix with 1/sqrt(4N) folded in.
+    :param m_prev, m_cur: [N, N] fused matrices from
+        :func:`fused_forward_matrices`, cast to the compute dtype.
     """
     rows, blocks_n, n = x_rows.shape
-    tb = min(tile_blocks, blocks_n + 1)
-    return _call(
-        _mdct_fwd_kernel, rows, blocks_n, n, tb, x_rows.dtype,
-        coeffs, dct_fwd, x_rows,
-    )
+    x_rows, padded = _pad_blocks8(x_rows)
+    tb = min(tile_blocks, -(-(padded + 1) // 8) * 8)
+    out = _call(rows, padded, n, tb, x_rows.dtype, m_prev, m_cur, x_rows)
+    return out[:, : blocks_n + 1]
 
 
-def mdct_inverse_pallas(y_rows, coeffs, dct_inv, *, tile_blocks=64):
+def _pad_blocks8(rows_arr):
+    """Zero-pad the blocks axis to a multiple of 8 (keeps every kernel DMA
+    8-aligned; zero blocks are valid signal so no masking subtleties). In a
+    jit pipeline the pad fuses into the producing transpose/reshape."""
+    blocks_n = rows_arr.shape[1]
+    padded = -(-blocks_n // 8) * 8
+    if padded != blocks_n:
+        rows_arr = jnp.pad(
+            rows_arr, ((0, 0), (0, padded - blocks_n), (0, 0))
+        )
+    return rows_arr, padded
+
+
+def mdct_inverse_pallas(y_rows, m_prev, m_cur, *, tile_blocks=64):
     """Fused inverse MDCT: [rows, blocks, N] spectral frames ->
     [rows, blocks+1, N] time blocks (caller reshapes to samples).
 
-    :param coeffs: [4, N/2] stacked (p, q, r, s_r), compute dtype.
-    :param dct_inv: [N, N] DCT-IV matrix with sqrt(4N) folded in.
+    :param m_prev, m_cur: [N, N] fused matrices from
+        :func:`fused_inverse_matrices`, cast to the compute dtype.
     """
     rows, blocks_n, n = y_rows.shape
-    tb = min(tile_blocks, blocks_n + 1)
-    return _call(
-        _mdct_inv_kernel, rows, blocks_n, n, tb, y_rows.dtype,
-        coeffs, dct_inv, y_rows,
-    )
+    y_rows, padded = _pad_blocks8(y_rows)
+    tb = min(tile_blocks, -(-(padded + 1) // 8) * 8)
+    out = _call(rows, padded, n, tb, y_rows.dtype, m_prev, m_cur, y_rows)
+    return out[:, : blocks_n + 1]

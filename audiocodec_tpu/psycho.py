@@ -348,6 +348,26 @@ class PsychoacousticModel:
         ) * _dtypes.scalar(1.0 / 6.0, self.compute_dtype)
         return mdct_amplitudes + noise
 
+    def add_noise_fast(
+        self, seed, mdct_amplitudes, masking_threshold
+    ) -> jax.Array:
+        """Same operation as :meth:`add_noise` but fused into a single
+        Pallas pass using the TPU hardware PRNG (Box-Muller, exact normal
+        distribution, same sigma = threshold/6 calibration).
+
+        ~5x faster than the counter-based path at production batch sizes —
+        threefry hashing dominates the whole encode chain otherwise. The
+        stream is seeded by (seed, grid position): reproducible for a fixed
+        seed and shape, but not bit-equal to jax.random.normal.
+
+        :param seed: int32 scalar (python int or traced).
+        """
+        from audiocodec_tpu.ops import pallas_noise as _pallas_noise
+
+        return _pallas_noise.add_masked_noise_pallas(
+            mdct_amplitudes, masking_threshold, seed
+        )
+
     # -- Bark mapping ---------------------------------------------------------
 
     def _to_bark_intensity(self, mdct_amplitudes) -> jax.Array:

@@ -53,8 +53,11 @@ class TestPallasInverse:
         with pltpu.force_tpu_interpret_mode():
             got = mp.inverse_transform(y)
         want = m.inverse_transform(y)
+        # the fused single-matmul path rounds differently from the
+        # two-step DCT+unfold; values are O(10) (sqrt(4N) folded in),
+        # so this is ~1e-5 relative f32 noise
         np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), atol=2e-5
+            np.asarray(got), np.asarray(want), atol=1e-4
         )
 
 
@@ -72,9 +75,11 @@ class TestPallasRoundTrip:
 
 
 class TestPallasValidation:
-    def test_non_multiple_of_256_rejected(self):
-        with pytest.raises(ValueError, match="multiple of 256"):
-            MDCT.create(128, use_pallas=True)
+    def test_bad_filters_n_rejected(self):
+        with pytest.raises(ValueError, match="multiple of 128"):
+            MDCT.create(192, use_pallas=True)
+        with pytest.raises(ValueError, match="multiple of 128"):
+            MDCT.create(2048, use_pallas=True)
 
     def test_float64_rejected(self):
         with pytest.raises(ValueError, match="float64"):
