@@ -1,0 +1,189 @@
+"""Command-line interface: encode / decode / roundtrip / info.
+
+The reference ships no CLI, entry points or I/O (SURVEY.md §2.2); this is
+the user-facing surface of the framework:
+
+  python -m audiocodec_tpu encode  in.wav  out.acz  [--filters-n 1024] ...
+  python -m audiocodec_tpu decode  out.acz rec.wav
+  python -m audiocodec_tpu roundtrip in.wav rec.wav [--drown 0.2]
+  python -m audiocodec_tpu info   out.acz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _build_codec(sample_rate, args):
+    import jax.numpy as jnp
+
+    from audiocodec_tpu.codec import Codec
+
+    return Codec.create(
+        sample_rate=sample_rate,
+        filters_n=args.filters_n,
+        bark_bands_n=args.bark_bands_n,
+        alpha=args.alpha,
+        window_type=args.window if args.window != "none" else None,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+
+
+def _read(path):
+    from audiocodec_tpu import native
+
+    return native.decode_wav(path)
+
+
+def _trim_to_blocks(data, filters_n):
+    samples = data.shape[1] - data.shape[1] % filters_n
+    return data[:, :samples]
+
+
+def cmd_encode(args):
+    import jax.numpy as jnp
+
+    from audiocodec_tpu.io import bitstream
+
+    data, rate = _read(args.input)
+    codec = _build_codec(rate, args)
+    data = _trim_to_blocks(data, args.filters_n)
+    x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
+    codes, bark = codec.encode_bitstream(x, drown=args.drown)
+    size = bitstream.save(
+        args.output,
+        codes,
+        bark,
+        sample_rate=rate,
+        filters_n=args.filters_n,
+        bark_bands_n=args.bark_bands_n,
+        alpha=args.alpha,
+        window_type=args.window if args.window != "none" else None,
+    )
+    raw = data.size * 2  # vs 16-bit PCM
+    print(
+        f"{args.input}: {data.shape[1]} samples @ {rate} Hz, "
+        f"{data.shape[2]} ch -> {args.output} ({size} bytes, "
+        f"{raw / size:.1f}x smaller than 16-bit PCM)"
+    )
+    return 0
+
+
+def cmd_decode(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiocodec_tpu import native
+    from audiocodec_tpu.io import bitstream
+
+    codes, bark, meta = bitstream.load(args.input)
+    args.filters_n = meta["filters_n"]
+    args.bark_bands_n = meta["bark_bands_n"]
+    args.alpha = meta["alpha"]
+    args.window = meta["window_type"] or "none"
+    codec = _build_codec(meta["sample_rate"], args)
+    wave = codec.decode_bitstream(
+        jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16)
+    )
+    n = meta["filters_n"]
+    wave = np.asarray(wave.astype(jnp.float32))[:, n:-n]
+    native.write_wav(args.output, wave, meta["sample_rate"])
+    print(
+        f"{args.input} -> {args.output}: {wave.shape[1]} samples @ "
+        f"{meta['sample_rate']} Hz, {wave.shape[2]} ch"
+    )
+    return 0
+
+
+def cmd_roundtrip(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiocodec_tpu import native
+
+    data, rate = _read(args.input)
+    codec = _build_codec(rate, args)
+    data = _trim_to_blocks(data, args.filters_n)
+    x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
+    out = codec.round_trip_quantized(x, drown=args.drown)
+    n = args.filters_n
+    rec = np.asarray(out.astype(jnp.float32))[:, n:-n]
+    orig = np.asarray(data)
+    noise = ((orig - rec) ** 2).sum()
+    snr = 10 * np.log10((orig**2).sum() / max(noise, 1e-30))
+    native.write_wav(args.output, rec, rate)
+    print(f"{args.input} -> {args.output}: SNR {snr:.2f} dB")
+    return 0
+
+
+def cmd_info(args):
+    from audiocodec_tpu.io import bitstream
+
+    codes, bark, meta = bitstream.load(args.input)
+    size = os.path.getsize(args.input)
+    blocks = codes.shape[1]
+    seconds = blocks * meta["filters_n"] / meta["sample_rate"]
+    kbps = size * 8 / max(seconds, 1e-9) / 1000
+    print(f"{args.input}:")
+    for k, v in meta.items():
+        print(f"  {k}: {v}")
+    print(f"  blocks: {blocks}  (~{seconds:.2f} s)")
+    print(f"  size: {size} bytes  (~{kbps:.0f} kbit/s)")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="audiocodec_tpu",
+        description="TPU-native perceptual audio codec",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def add_model_args(p):
+        p.add_argument("--filters-n", type=int, default=1024)
+        p.add_argument("--bark-bands-n", type=int, default=64)
+        p.add_argument("--alpha", type=float, default=0.6)
+        p.add_argument(
+            "--window", choices=["vorbis", "sine", "none"], default="vorbis"
+        )
+        p.add_argument("--drown", type=float, default=0.0)
+        p.add_argument("--bf16", action="store_true")
+
+    p = sub.add_parser("encode", help="wav -> .acz bitstream")
+    p.add_argument("input")
+    p.add_argument("output")
+    add_model_args(p)
+    p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("decode", help=".acz bitstream -> wav")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--bf16", action="store_true")
+    p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("roundtrip", help="wav -> wav through the codec")
+    p.add_argument("input")
+    p.add_argument("output")
+    add_model_args(p)
+    p.set_defaults(fn=cmd_roundtrip)
+
+    p = sub.add_parser("info", help="inspect an .acz bitstream")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"error: file not found: {e.filename}", file=sys.stderr)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+    except OSError as e:
+        print(f"error: {e}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

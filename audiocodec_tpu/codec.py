@@ -131,3 +131,42 @@ class Codec:
     def round_trip_quantized(self, x: jax.Array, drown=0.0) -> jax.Array:
         codes, delta, _ = self.encode_quantized(x, drown)
         return self.decode_quantized(codes, delta)
+
+    # -- bitstream path: what actually gets transmitted -----------------------
+
+    def encode_bitstream(self, x: jax.Array, drown=0.0):
+        """Encode to the transmissible representation: integer codes plus
+        the Bark-domain masking intensity (bark_bands_n << filter_bands_n
+        values per block) from which the decoder re-derives step sizes.
+
+        The Bark intensity is rounded to bfloat16 *before* deriving the
+        encoder's own quantization steps, so encoder and decoder use
+        bit-identical thresholds. (bfloat16, not float16: intensities reach
+        the 1e-14 floor, below float16's exponent range — the same reason
+        the compute-dtype whitelist excludes float16.)
+
+        :return: (codes int32 [B, blocks+1, N, C],
+                  bark_intensity bfloat16 [B, blocks+1, bark_bands_n, C]).
+        """
+        spectrum = self.mdct.transform(x)
+        tonality = self.psycho.tonality(spectrum)
+        bark = self.psycho.global_masking_intensity_in_bark(
+            spectrum, tonality, drown
+        )
+        bark16 = bark.astype(jnp.bfloat16)
+        threshold = self.psycho.bark_intensity_to_threshold(
+            bark16.astype(self.mdct.compute_dtype)
+        )
+        codes, _ = _quantize.quantize(spectrum, threshold)
+        return codes, bark16
+
+    def decode_bitstream(self, codes: jax.Array, bark16: jax.Array) -> jax.Array:
+        """Inverse of :meth:`encode_bitstream`: codes + Bark intensities ->
+        waveform [B, (blocks+1)*N, C]."""
+        threshold = self.psycho.bark_intensity_to_threshold(
+            bark16.astype(self.mdct.compute_dtype)
+        )
+        delta = _quantize.step_size(threshold)
+        return self.decode(
+            _quantize.dequantize(codes, delta, dtype=self.mdct.compute_dtype)
+        )

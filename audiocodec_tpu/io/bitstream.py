@@ -1,0 +1,82 @@
+"""Serialized bitstream container for encoded audio.
+
+The reference has no bitstream at all (its "encode" is noise injection,
+SURVEY.md §0); this container makes the quantized path an actual codec:
+integer spectral codes + the compact Bark-domain masking intensity, packed
+with numpy's compressed container (zlib entropy-codes the mostly-zero
+codes well). Format (npz members):
+
+  codes     int8/int16/int32 [B, blocks, N, C]  (narrowest dtype that fits)
+  bark      uint16 view of bfloat16 [B, blocks, bark_bands_n, C]
+  meta      int64 [sample_rate, filters_n, bark_bands_n, channels]
+  alphaw    float64 [alpha]; window type in 'window' (str array)
+"""
+
+from __future__ import annotations
+
+import io as _io
+
+import numpy as np
+
+
+def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
+         window_type) -> bytes:
+    """Serialize encoder output to bytes."""
+    codes = np.asarray(codes)
+    for dt in (np.int8, np.int16, np.int32):
+        if (
+            codes.min() >= np.iinfo(dt).min
+            and codes.max() <= np.iinfo(dt).max
+        ):
+            codes = codes.astype(dt)
+            break
+    bark_u16 = np.asarray(bark16).view(np.uint16)
+    buf = _io.BytesIO()
+    np.savez_compressed(
+        buf,
+        codes=codes,
+        bark=bark_u16,
+        meta=np.asarray(
+            [sample_rate, filters_n, bark_bands_n, codes.shape[-1]],
+            dtype=np.int64,
+        ),
+        alphaw=np.asarray([alpha], dtype=np.float64),
+        window=np.asarray(
+            [window_type if window_type is not None else ""]
+        ),
+    )
+    return buf.getvalue()
+
+
+def unpack(data: bytes):
+    """Deserialize -> (codes int32, bark bfloat16, meta dict)."""
+    import ml_dtypes
+
+    with np.load(_io.BytesIO(data), allow_pickle=False) as z:
+        codes = z["codes"].astype(np.int32)
+        bark = z["bark"].view(ml_dtypes.bfloat16)
+        meta_arr = z["meta"]
+        window = str(z["window"][0]) or None
+        alpha = float(z["alphaw"][0])
+    meta = {
+        "sample_rate": int(meta_arr[0]),
+        "filters_n": int(meta_arr[1]),
+        "bark_bands_n": int(meta_arr[2]),
+        "channels": int(meta_arr[3]),
+        "alpha": alpha,
+        "window_type": window,
+    }
+    return codes, bark, meta
+
+
+def save(path: str, codes, bark16, **meta) -> int:
+    """Pack and write to disk; returns the byte size."""
+    data = pack(codes, bark16, **meta)
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
+def load(path: str):
+    with open(path, "rb") as f:
+        return unpack(f.read())

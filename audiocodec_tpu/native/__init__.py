@@ -1,0 +1,216 @@
+"""Native (C++) host runtime: bulk WAV decode + corpus framing loader.
+
+The compute path is JAX/XLA/Pallas on the TPU; this is the host-side
+ingest that keeps a chip fed at corpus scale. The C++ library is built
+on first use with g++ (cached next to the source) and bound with ctypes;
+everything degrades gracefully to the pure-Python wav reader when no
+compiler is available (``native.available()`` reports which path is live).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "wavio.cpp")
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "_wavio.so")
+_lock = threading.Lock()
+_lib = None
+_build_error: str | None = None
+
+
+def _build() -> str | None:
+    """Compile wavio.cpp -> _wavio.so. Returns an error string or None."""
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        _SRC, "-o", _LIB_PATH,
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=120
+        )
+    except (OSError, subprocess.TimeoutExpired) as e:
+        return f"g++ unavailable: {e}"
+    if proc.returncode != 0:
+        return f"g++ failed: {proc.stderr[-500:]}"
+    return None
+
+
+def _load():
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(
+            _LIB_PATH
+        ) < os.path.getmtime(_SRC):
+            _build_error = _build()
+            if _build_error is not None:
+                return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.acx_decode_wav.restype = ctypes.c_int
+        lib.acx_decode_wav.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.acx_load_corpus.restype = ctypes.c_int64
+        lib.acx_load_corpus.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.acx_write_wav.restype = ctypes.c_int
+        lib.acx_write_wav.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    """True when the native library is built and loadable."""
+    return _load() is not None
+
+
+def build_error() -> str | None:
+    _load()
+    return _build_error
+
+
+_ERRORS = {
+    -1: "cannot read file",
+    -2: "not a RIFF/WAVE file",
+    -3: "malformed wav (missing fmt/data)",
+    -4: "unsupported encoding (want PCM 16/24/32 or float32)",
+    -5: "channel count mismatch",
+}
+
+
+def decode_wav(path: str):
+    """Decode one WAV -> ([1, frames, channels] float32 in [-1, 1], rate).
+
+    Same contract as io.wav.read_wav, decoded natively.
+    """
+    lib = _load()
+    if lib is None:
+        from audiocodec_tpu.io.wav import read_wav
+
+        return read_wav(path)
+
+    # Total decoded values can never exceed file_bytes / 2 (samples are at
+    # least 16-bit in every supported encoding), so a buffer of that many
+    # float32 values is always sufficient regardless of channel count.
+    size = os.path.getsize(path)
+    cap_values = max(1, size // 2)
+    out = np.empty(cap_values, dtype=np.float32)
+    rate = ctypes.c_int32()
+    channels = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    rc = lib.acx_decode_wav(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cap_values,  # frame cap; frames*channels <= values <= cap_values
+        ctypes.byref(rate),
+        ctypes.byref(channels),
+        ctypes.byref(frames),
+    )
+    if rc != 0:
+        raise ValueError(
+            f"native wav decode failed for {path}: "
+            f"{_ERRORS.get(rc, rc)}"
+        )
+    n, c = int(frames.value), int(channels.value)
+    data = out[: n * c].reshape(1, n, c).copy()
+    return data, int(rate.value)
+
+
+def load_corpus(
+    paths,
+    clip_seconds: float,
+    sample_rate: int,
+    channels: int = 1,
+    n_threads: int = 0,
+):
+    """Bulk-decode WAV files into [n, frames, channels] float32.
+
+    Clips are truncated / zero-padded to exactly clip_seconds. Decoding is
+    multithreaded in C++ (n_threads=0 -> all cores).
+
+    :return: (array [n, frames, channels], status int32 [n]; 0 = ok).
+    """
+    lib = _load()
+    frames = int(clip_seconds * sample_rate)
+    n = len(paths)
+    out = np.zeros((n, frames, channels), dtype=np.float32)
+    status = np.zeros(n, dtype=np.int32)
+    if lib is None:
+        from audiocodec_tpu.io.wav import read_wav
+
+        for i, p in enumerate(paths):
+            try:
+                data, _ = read_wav(p)
+            except Exception:
+                status[i] = -1
+                continue
+            if data.shape[2] != channels:
+                status[i] = -5
+                continue
+            m = min(frames, data.shape[1])
+            out[i, :m] = data[0, :m]
+        return out, status
+
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.acx_load_corpus(
+        arr,
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        frames,
+        channels,
+        n_threads,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out, status
+
+
+def write_wav(path: str, data, sample_rate: int, width: int = 2) -> None:
+    """Write [frames, channels] or [1, frames, channels] float32 natively."""
+    lib = _load()
+    x = np.ascontiguousarray(np.asarray(data, dtype=np.float32))
+    if x.ndim == 3:
+        if x.shape[0] != 1:
+            raise ValueError("write_wav takes a single clip")
+        x = x[0]
+    if x.ndim == 1:
+        x = x[:, None]
+    if lib is None:
+        from audiocodec_tpu.io import wav as _pywav
+
+        _pywav.write_wav(path, x, sample_rate, width=width)
+        return
+    rc = lib.acx_write_wav(
+        path.encode(),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        x.shape[0],
+        x.shape[1],
+        sample_rate,
+        width,
+    )
+    if rc != 0:
+        raise ValueError(f"native wav write failed: {_ERRORS.get(rc, rc)}")

@@ -325,13 +325,30 @@ class PsychoacousticModel:
             mdct_amplitudes, self.compute_dtype, "global_masking_threshold input"
         )
         with jax.named_scope("global_masking_threshold"):
-            masking = self._masking_intensity_in_bark(
+            global_in_bark = self.global_masking_intensity_in_bark(
                 mdct_amplitudes, tonality_per_block, drown
             )
-            global_in_bark = jnp.maximum(
-                masking, self.quiet_threshold_intensity
-            )
             return self._bark_intensity_to_freq_ampl(global_in_bark)
+
+    def global_masking_intensity_in_bark(
+        self, mdct_amplitudes, tonality_per_block, drown=0.0
+    ) -> jax.Array:
+        """The Bark-domain global masking intensity
+        [batches_n, blocks_n, bark_bands_n, channels_n]: max(masking,
+        threshold-in-quiet), before mapping back to filter bands.
+
+        This compact representation (bark_bands_n << filter_bands_n) is
+        what a bitstream transmits so the decoder can reconstruct the
+        quantization step sizes (see codec.Codec.encode_bitstream)."""
+        masking = self._masking_intensity_in_bark(
+            mdct_amplitudes, tonality_per_block, drown
+        )
+        return jnp.maximum(masking, self.quiet_threshold_intensity)
+
+    def bark_intensity_to_threshold(self, bark_intensity) -> jax.Array:
+        """Bark-domain masking intensity -> per-filter-band threshold
+        amplitudes (the decoder-side half of global_masking_threshold)."""
+        return self._bark_intensity_to_freq_ampl(bark_intensity)
 
     def add_noise(
         self, key: jax.Array, mdct_amplitudes, masking_threshold

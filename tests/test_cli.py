@@ -1,0 +1,111 @@
+"""CLI + bitstream round-trip tests (encode -> decode -> SNR)."""
+
+import numpy as np
+import pytest
+
+import audiocodec_tpu.__main__ as cli
+from audiocodec_tpu.io import bitstream
+from audiocodec_tpu.io.wav import read_wav, write_wav
+
+
+@pytest.fixture()
+def wav_file(tmp_path):
+    rate = 16000
+    t = np.arange(rate * 2) / rate
+    x = (
+        0.5 * np.sin(2 * np.pi * 440 * t)
+        + 0.2 * np.sin(2 * np.pi * 1320 * t)
+    ).astype(np.float32)[:, None]
+    path = str(tmp_path / "in.wav")
+    write_wav(path, x, rate)
+    return path, x, rate
+
+
+class TestBitstream:
+    def test_pack_unpack_roundtrip(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        codes = rng.integers(-50, 50, size=(1, 7, 64, 1), dtype=np.int32)
+        bark = jnp.asarray(
+            rng.uniform(1e-12, 1e-2, size=(1, 7, 16, 1)), dtype=jnp.bfloat16
+        )
+        data = bitstream.pack(
+            codes, bark, sample_rate=16000, filters_n=64, bark_bands_n=16,
+            alpha=0.6, window_type="vorbis",
+        )
+        codes2, bark2, meta = bitstream.unpack(data)
+        np.testing.assert_array_equal(codes, codes2)
+        np.testing.assert_array_equal(
+            np.asarray(bark).view(np.uint16), np.asarray(bark2).view(np.uint16)
+        )
+        assert meta["sample_rate"] == 16000
+        assert meta["window_type"] == "vorbis"
+
+    def test_none_window_survives(self):
+        codes = np.zeros((1, 1, 64, 1), dtype=np.int32)
+        import jax.numpy as jnp
+
+        bark = jnp.ones((1, 1, 16, 1), dtype=jnp.bfloat16)
+        data = bitstream.pack(
+            codes, bark, sample_rate=8000, filters_n=64, bark_bands_n=16,
+            alpha=0.6, window_type=None,
+        )
+        _, _, meta = bitstream.unpack(data)
+        assert meta["window_type"] is None
+
+    def test_codes_narrowed(self):
+        import jax.numpy as jnp
+
+        codes = np.zeros((1, 2, 64, 1), dtype=np.int32)
+        codes[0, 0, 0, 0] = 100  # fits int8
+        bark = jnp.ones((1, 2, 16, 1), dtype=jnp.bfloat16)
+        data = bitstream.pack(
+            codes, bark, sample_rate=8000, filters_n=64, bark_bands_n=16,
+            alpha=0.6, window_type="sine",
+        )
+        import io as _io
+
+        with np.load(_io.BytesIO(data)) as z:
+            assert z["codes"].dtype == np.int8
+
+
+class TestCLI:
+    def test_encode_decode_cycle(self, tmp_path, wav_file, capsys):
+        wav_path, x, rate = wav_file
+        acz = str(tmp_path / "out.acz")
+        rec = str(tmp_path / "rec.wav")
+
+        rc = cli.main(["encode", wav_path, acz, "--filters-n", "256"])
+        assert rc == 0
+        assert "smaller than 16-bit PCM" in capsys.readouterr().out
+
+        rc = cli.main(["info", acz])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "filters_n: 256" in out
+
+        rc = cli.main(["decode", acz, rec])
+        assert rc == 0
+        capsys.readouterr()
+
+        y, rrate = read_wav(rec)
+        assert rrate == rate
+        n = 256
+        usable = min(x.shape[0], y.shape[1])
+        a = x[: usable - n]
+        b = y[0, : usable - n]
+        snr = 10 * np.log10(
+            (a**2).sum() / max(((a - b) ** 2).sum(), 1e-30)
+        )
+        assert snr > 10.0
+
+    def test_roundtrip_command(self, tmp_path, wav_file, capsys):
+        wav_path, _, _ = wav_file
+        rec = str(tmp_path / "rt.wav")
+        rc = cli.main(
+            ["roundtrip", wav_path, rec, "--filters-n", "256"]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "SNR" in out

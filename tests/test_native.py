@@ -1,0 +1,96 @@
+"""Native C++ WAV loader tests (auto-built with g++; skip if unavailable)."""
+
+import numpy as np
+import pytest
+
+from audiocodec_tpu import native
+from audiocodec_tpu.io.wav import write_wav as py_write_wav
+
+pytestmark = pytest.mark.skipif(
+    not native.available(),
+    reason=f"native loader unavailable: {native.build_error()}",
+)
+
+
+def _make_wav(tmp_path, name, frames=4096, channels=1, rate=16000, width=2,
+              seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-0.9, 0.9, size=(frames, channels)).astype(np.float32)
+    path = str(tmp_path / name)
+    py_write_wav(path, x, rate, width=width)
+    return path, x
+
+
+class TestDecode:
+    @pytest.mark.parametrize("width", [2, 4])
+    @pytest.mark.parametrize("channels", [1, 2])
+    def test_matches_python_reader(self, tmp_path, width, channels):
+        path, x = _make_wav(
+            tmp_path, "a.wav", channels=channels, width=width, seed=width
+        )
+        data, rate = native.decode_wav(path)
+        assert rate == 16000
+        assert data.shape == (1, 4096, channels)
+        tol = 2.0 / 32768 if width == 2 else 2e-9
+        np.testing.assert_allclose(data[0], x, atol=tol)
+
+    def test_native_write_read(self, tmp_path):
+        rng = np.random.default_rng(3)
+        x = rng.uniform(-0.9, 0.9, size=(1000, 2)).astype(np.float32)
+        path = str(tmp_path / "w.wav")
+        native.write_wav(path, x, 48000, width=4)
+        data, rate = native.decode_wav(path)
+        assert rate == 48000
+        np.testing.assert_allclose(data[0], x, atol=2e-9)
+
+    def test_bad_file_raises(self, tmp_path):
+        path = str(tmp_path / "junk.wav")
+        with open(path, "wb") as f:
+            f.write(b"not a wav at all" * 10)
+        with pytest.raises(ValueError, match="RIFF"):
+            native.decode_wav(path)
+
+
+class TestCorpusLoader:
+    def test_bulk_load(self, tmp_path):
+        paths, clips = [], []
+        for i in range(16):
+            p, x = _make_wav(tmp_path, f"c{i}.wav", frames=3000, seed=i)
+            paths.append(p)
+            clips.append(x)
+        out, status = native.load_corpus(
+            paths, clip_seconds=0.25, sample_rate=16000, channels=1
+        )
+        assert out.shape == (16, 4000, 1)
+        assert (status == 0).all()
+        for i in range(16):
+            # first 3000 frames match, rest zero-padded
+            np.testing.assert_allclose(
+                out[i, :3000], clips[i], atol=2.0 / 32768
+            )
+            assert (out[i, 3000:] == 0).all()
+
+    def test_truncation(self, tmp_path):
+        p, x = _make_wav(tmp_path, "long.wav", frames=8000, seed=42)
+        out, status = native.load_corpus(
+            [p], clip_seconds=0.25, sample_rate=16000, channels=1
+        )
+        assert status[0] == 0
+        np.testing.assert_allclose(out[0], x[:4000], atol=2.0 / 32768)
+
+    def test_channel_mismatch_reported(self, tmp_path):
+        p, _ = _make_wav(tmp_path, "stereo.wav", channels=2)
+        out, status = native.load_corpus(
+            [p], clip_seconds=0.1, sample_rate=16000, channels=1
+        )
+        assert status[0] == -5
+        assert (out[0] == 0).all()
+
+    def test_missing_file_reported(self, tmp_path):
+        out, status = native.load_corpus(
+            [str(tmp_path / "nope.wav")],
+            clip_seconds=0.1,
+            sample_rate=16000,
+            channels=1,
+        )
+        assert status[0] == -1
