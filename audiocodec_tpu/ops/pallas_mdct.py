@@ -160,17 +160,53 @@ def _call(rows, blocks_n, n, tb, dtype, m_prev, m_cur, x):
     )(x, m_prev, m_cur)
 
 
+@jax.custom_vjp
+def _two_tap_matmul(x_rows, m_prev, m_cur):
+    """y[n] = x[n-1] @ m_prev + x[n] @ m_cur via the fused kernel.
+
+    Linear in x, so the VJP is the SAME kernel run on the block-reversed
+    cotangent with transposed matrices:
+
+      dx[m] = g[m] @ m_cur^T + g[m+1] @ m_prev^T
+            = reverse(K(reverse(g); m_prev^T, m_cur^T))[1:-1]
+
+    (pallas_call is not differentiable by tracing, and the filter bank
+    must be differentiable — it exists to sit in neural pipelines.)
+    """
+    rows, blocks_n, n = x_rows.shape
+    xp, padded = _pad_blocks8(x_rows)
+    tb = min(64, -(-(padded + 1) // 8) * 8)
+    out = _call(rows, padded, n, tb, xp.dtype, m_prev, m_cur, xp)
+    return out[:, : blocks_n + 1]
+
+
+def _two_tap_fwd(x_rows, m_prev, m_cur):
+    return _two_tap_matmul(x_rows, m_prev, m_cur), (
+        x_rows.shape,
+        m_prev,
+        m_cur,
+    )
+
+
+def _two_tap_bwd(res, g):
+    (rows, blocks_n, n), m_prev, m_cur = res
+    grev = jnp.flip(g, axis=1)
+    full = _two_tap_matmul(grev, m_prev.T, m_cur.T)
+    dx = jnp.flip(full[:, 1:-1], axis=1)
+    # The matrices are deterministic precomputes, never trained.
+    return dx, jnp.zeros_like(m_prev), jnp.zeros_like(m_cur)
+
+
+_two_tap_matmul.defvjp(_two_tap_fwd, _two_tap_bwd)
+
+
 def mdct_forward_pallas(x_rows, m_prev, m_cur, *, tile_blocks=64):
     """Fused forward MDCT: [rows, blocks, N] -> [rows, blocks+1, N].
 
     :param m_prev, m_cur: [N, N] fused matrices from
         :func:`fused_forward_matrices`, cast to the compute dtype.
     """
-    rows, blocks_n, n = x_rows.shape
-    x_rows, padded = _pad_blocks8(x_rows)
-    tb = min(tile_blocks, -(-(padded + 1) // 8) * 8)
-    out = _call(rows, padded, n, tb, x_rows.dtype, m_prev, m_cur, x_rows)
-    return out[:, : blocks_n + 1]
+    return _two_tap_matmul(x_rows, m_prev, m_cur)
 
 
 def _pad_blocks8(rows_arr):
@@ -193,8 +229,4 @@ def mdct_inverse_pallas(y_rows, m_prev, m_cur, *, tile_blocks=64):
     :param m_prev, m_cur: [N, N] fused matrices from
         :func:`fused_inverse_matrices`, cast to the compute dtype.
     """
-    rows, blocks_n, n = y_rows.shape
-    y_rows, padded = _pad_blocks8(y_rows)
-    tb = min(tile_blocks, -(-(padded + 1) // 8) * 8)
-    out = _call(rows, padded, n, tb, y_rows.dtype, m_prev, m_cur, y_rows)
-    return out[:, : blocks_n + 1]
+    return _two_tap_matmul(y_rows, m_prev, m_cur)

@@ -84,3 +84,37 @@ class TestPallasValidation:
     def test_float64_rejected(self):
         with pytest.raises(ValueError, match="float64"):
             MDCT.create(256, use_pallas=True, compute_dtype=jnp.float64)
+
+
+class TestPallasGradients:
+    def test_vjp_matches_xla_path(self, pair):
+        """The custom VJP (same kernel, transposed matrices, block flips)
+        must agree with the autodiff gradient of the XLA path."""
+        m, mp = pair
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (1, 5 * 256, 1)), dtype=jnp.float32
+        )
+
+        def loss(mm, x):
+            return jnp.sum(mm.transform(x) ** 2)
+
+        g_xla = jax.grad(lambda x: loss(m, x))(x)
+        with pltpu.force_tpu_interpret_mode():
+            g_pal = jax.grad(lambda x: loss(mp, x))(x)
+        np.testing.assert_allclose(
+            np.asarray(g_pal), np.asarray(g_xla), atol=2e-5
+        )
+
+    def test_vjp_through_round_trip(self, pair):
+        _, mp = pair
+        x = jnp.ones((1, 3 * 256, 1), dtype=jnp.float32) * 0.3
+
+        def loss(x):
+            y = mp.inverse_transform(mp.transform(x))
+            return jnp.sum(y**2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(loss)(x)
+        assert bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.max(jnp.abs(g))) > 0

@@ -141,3 +141,35 @@ class TestPsychoParity:
         norm_ref = ref.amplitude_to_dB_norm(tf.constant(amps)).numpy()
         norm_mine = np.asarray(mine.amplitude_to_dB_norm(jnp.asarray(amps)))
         np.testing.assert_allclose(norm_mine, norm_ref, atol=1e-6)
+
+
+class TestTwoToneMaskingParity:
+    """BASELINE config 2: psychoacoustic masking threshold on a two-tone
+    test signal, compared against the reference end to end (through the
+    reference's own MDCT so both models see identical spectra)."""
+
+    def test_two_tone_threshold(self):
+        sr, n = 44100, 64
+        t = np.arange(sr // n * n) / sr
+        wave = (
+            0.5 * np.sin(2 * np.pi * 440 * t)
+            + 0.3 * np.sin(2 * np.pi * 3000 * t)
+        ).astype(np.float32)[None, :, None]
+
+        ref_mdct = RefMDCT(n)
+        spec = ref_mdct.transform(tf.constant(wave)).numpy()
+
+        kwargs = dict(sample_rate=sr, filter_bands_n=n, bark_bands_n=32)
+        ref_pa = RefPsycho(**kwargs)
+        my_pa = PsychoacousticModel.create(**kwargs)
+
+        t_ref = ref_pa.tonality(tf.constant(spec))
+        thr_ref = ref_pa.global_masking_threshold(
+            tf.constant(spec), t_ref
+        ).numpy()
+
+        spec_j = jnp.asarray(spec)
+        t_my = my_pa.tonality(spec_j)
+        thr_my = np.asarray(my_pa.global_masking_threshold(spec_j, t_my))
+
+        np.testing.assert_allclose(thr_my, thr_ref, rtol=2e-4, atol=1e-8)
