@@ -48,6 +48,7 @@ class Codec:
         window_type="vorbis",
         compute_dtype=jnp.float32,
         fast_bf16: bool = False,
+        use_pallas: bool = False,
     ) -> "Codec":
         return cls(
             mdct=MDCT.create(
@@ -55,6 +56,7 @@ class Codec:
                 window_type=window_type,
                 compute_dtype=compute_dtype,
                 fast_bf16=fast_bf16,
+                use_pallas=use_pallas,
             ),
             psycho=PsychoacousticModel.create(
                 sample_rate,

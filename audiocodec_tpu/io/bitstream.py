@@ -20,21 +20,40 @@ import numpy as np
 
 
 def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
-         window_type) -> bytes:
-    """Serialize encoder output to bytes."""
+         window_type, entropy: str = "auto") -> bytes:
+    """Serialize encoder output to bytes.
+
+    :param entropy: "rice" (native Rice/Golomb coder — smallest), "zlib"
+        (narrowest-int codes through the container's deflate), or "auto"
+        (rice when the native library is available).
+    """
+    from audiocodec_tpu import native
+
     codes = np.asarray(codes)
-    for dt in (np.int8, np.int16, np.int32):
-        if (
-            codes.min() >= np.iinfo(dt).min
-            and codes.max() <= np.iinfo(dt).max
-        ):
-            codes = codes.astype(dt)
-            break
+    if entropy == "auto":
+        entropy = "rice" if native.available() else "zlib"
+
+    members = {}
+    if entropy == "rice":
+        members["rice"] = np.frombuffer(
+            native.rice_encode(codes), dtype=np.uint8
+        )
+        members["shape"] = np.asarray(codes.shape, dtype=np.int64)
+    else:
+        packed = codes
+        for dt in (np.int8, np.int16, np.int32):
+            if (
+                codes.min() >= np.iinfo(dt).min
+                and codes.max() <= np.iinfo(dt).max
+            ):
+                packed = codes.astype(dt)
+                break
+        members["codes"] = packed
+
     bark_u16 = np.asarray(bark16).view(np.uint16)
     buf = _io.BytesIO()
     np.savez_compressed(
         buf,
-        codes=codes,
         bark=bark_u16,
         meta=np.asarray(
             [sample_rate, filters_n, bark_bands_n, codes.shape[-1]],
@@ -44,6 +63,7 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
         window=np.asarray(
             [window_type if window_type is not None else ""]
         ),
+        **members,
     )
     return buf.getvalue()
 
@@ -53,7 +73,15 @@ def unpack(data: bytes):
     import ml_dtypes
 
     with np.load(_io.BytesIO(data), allow_pickle=False) as z:
-        codes = z["codes"].astype(np.int32)
+        if "rice" in z.files:
+            from audiocodec_tpu import native
+
+            shape = tuple(int(v) for v in z["shape"])
+            codes = native.rice_decode(
+                z["rice"].tobytes(), int(np.prod(shape))
+            ).reshape(shape)
+        else:
+            codes = z["codes"].astype(np.int32)
         bark = z["bark"].view(ml_dtypes.bfloat16)
         meta_arr = z["meta"]
         window = str(z["window"][0]) or None

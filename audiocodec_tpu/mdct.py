@@ -191,24 +191,27 @@ class MDCT:
                 f"filters_n={n}"
             )
         blocks_n = samples_n // n
-        # [B, S, C] -> [B, C, blocks, N]; channels remain a real axis.
-        xb = jnp.transpose(x, (0, 2, 1)).reshape(
-            batches_n, channels_n, blocks_n, n
-        )
-        if self.use_pallas:
-            from audiocodec_tpu.ops import pallas_mdct as _pallas
-
-            y = _pallas.mdct_forward_pallas(
-                xb.reshape(batches_n * channels_n, blocks_n, n),
-                self.fused_fwd_prev,
-                self.fused_fwd_cur,
-            ).reshape(batches_n, channels_n, blocks_n + 1, n)
-        else:
-            folded = _folding.fold(
-                xb, self.wa_r, self.wb, self.wc, self.ffr
+        with jax.named_scope("mdct_transform"):
+            # [B, S, C] -> [B, C, blocks, N]; channels remain a real axis.
+            xb = jnp.transpose(x, (0, 2, 1)).reshape(
+                batches_n, channels_n, blocks_n, n
             )
-            y = _dct.dct4(folded, self.dct_mat_fwd, fast_bf16=self.fast_bf16)
-        return jnp.transpose(y, (0, 2, 3, 1))
+            if self.use_pallas:
+                from audiocodec_tpu.ops import pallas_mdct as _pallas
+
+                y = _pallas.mdct_forward_pallas(
+                    xb.reshape(batches_n * channels_n, blocks_n, n),
+                    self.fused_fwd_prev,
+                    self.fused_fwd_cur,
+                ).reshape(batches_n, channels_n, blocks_n + 1, n)
+            else:
+                folded = _folding.fold(
+                    xb, self.wa_r, self.wb, self.wc, self.ffr
+                )
+                y = _dct.dct4(
+                    folded, self.dct_mat_fwd, fast_bf16=self.fast_bf16
+                )
+            return jnp.transpose(y, (0, 2, 3, 1))
 
     # -- synthesis ----------------------------------------------------------
 
@@ -228,18 +231,20 @@ class MDCT:
             raise ValueError(
                 f"expected filters_n={n} on axis 2, got {filters_n}"
             )
-        yb = jnp.transpose(mdct_amplitudes, (0, 3, 1, 2))
-        if self.use_pallas:
-            from audiocodec_tpu.ops import pallas_mdct as _pallas
+        with jax.named_scope("mdct_inverse_transform"):
+            yb = jnp.transpose(mdct_amplitudes, (0, 3, 1, 2))
+            if self.use_pallas:
+                from audiocodec_tpu.ops import pallas_mdct as _pallas
 
-            out = _pallas.mdct_inverse_pallas(
-                yb.reshape(batches_n * channels_n, blocks_n, n),
-                self.fused_inv_prev,
-                self.fused_inv_cur,
-            ).reshape(batches_n, channels_n, blocks_n + 1, n)
-        else:
-            z = _dct.dct4(yb, self.dct_mat_inv, fast_bf16=self.fast_bf16)
-            out = _folding.unfold(z, self.p, self.q, self.r, self.s_r)
-        return jnp.transpose(
-            out.reshape(batches_n, channels_n, (blocks_n + 1) * n), (0, 2, 1)
-        )
+                out = _pallas.mdct_inverse_pallas(
+                    yb.reshape(batches_n * channels_n, blocks_n, n),
+                    self.fused_inv_prev,
+                    self.fused_inv_cur,
+                ).reshape(batches_n, channels_n, blocks_n + 1, n)
+            else:
+                z = _dct.dct4(yb, self.dct_mat_inv, fast_bf16=self.fast_bf16)
+                out = _folding.unfold(z, self.p, self.q, self.r, self.s_r)
+            return jnp.transpose(
+                out.reshape(batches_n, channels_n, (blocks_n + 1) * n),
+                (0, 2, 1),
+            )

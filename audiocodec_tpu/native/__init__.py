@@ -16,8 +16,11 @@ import threading
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(__file__), "wavio.cpp")
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "_wavio.so")
+_SRCS = [
+    os.path.join(os.path.dirname(__file__), "wavio.cpp"),
+    os.path.join(os.path.dirname(__file__), "entropy.cpp"),
+]
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "_native.so")
 _lock = threading.Lock()
 _lib = None
 _build_error: str | None = None
@@ -27,7 +30,7 @@ def _build() -> str | None:
     """Compile wavio.cpp -> _wavio.so. Returns an error string or None."""
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        _SRC, "-o", _LIB_PATH,
+        *_SRCS, "-o", _LIB_PATH,
     ]
     try:
         proc = subprocess.run(
@@ -47,7 +50,7 @@ def _load():
             return _lib
         if not os.path.exists(_LIB_PATH) or os.path.getmtime(
             _LIB_PATH
-        ) < os.path.getmtime(_SRC):
+        ) < max(os.path.getmtime(src) for src in _SRCS):
             _build_error = _build()
             if _build_error is not None:
                 return None
@@ -79,6 +82,24 @@ def _load():
             ctypes.c_int32,
             ctypes.c_int32,
             ctypes.c_int32,
+        ]
+        lib.acx_rice_bound.restype = ctypes.c_int64
+        lib.acx_rice_bound.argtypes = [ctypes.c_int64, ctypes.c_int64]
+        lib.acx_rice_encode.restype = ctypes.c_int64
+        lib.acx_rice_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+        ]
+        lib.acx_rice_decode.restype = ctypes.c_int32
+        lib.acx_rice_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
         ]
         _lib = lib
         return _lib
@@ -214,3 +235,87 @@ def write_wav(path: str, data, sample_rate: int, width: int = 2) -> None:
     )
     if rc != 0:
         raise ValueError(f"native wav write failed: {_ERRORS.get(rc, rc)}")
+
+
+# -- Rice/Golomb entropy coding ----------------------------------------------
+
+RICE_GROUP = 256  # values per Rice parameter group
+
+
+def rice_encode(codes, group: int = RICE_GROUP) -> bytes:
+    """Entropy-code int32 codes (any shape) -> bytes. Native-only (the
+    encoder always runs where the framework is installed); decoding has a
+    pure-Python fallback so bitstreams stay portable."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            f"rice_encode needs the native library: {_build_error}"
+        )
+    flat = np.ascontiguousarray(np.asarray(codes, dtype=np.int32).ravel())
+    cap = int(lib.acx_rice_bound(flat.size, group))
+    out = np.empty(cap, dtype=np.uint8)
+    written = lib.acx_rice_encode(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        flat.size,
+        group,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+    )
+    if written < 0:
+        raise RuntimeError("rice encoder overflow (bound bug)")
+    return out[:written].tobytes()
+
+
+def rice_decode(data: bytes, n: int, group: int = RICE_GROUP) -> np.ndarray:
+    """Decode `n` int32 values from a Rice stream (native or pure Python)."""
+    lib = _load()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(n, dtype=np.int32)
+    if lib is not None:
+        rc = lib.acx_rice_decode(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            buf.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n,
+            group,
+        )
+        if rc != 0:
+            raise ValueError("corrupt rice stream")
+        return out
+    return _rice_decode_py(buf, n, group)
+
+
+def _rice_decode_py(buf: np.ndarray, n: int, group: int) -> np.ndarray:
+    """Slow but dependency-free Rice decoder (portability fallback)."""
+    bits = np.unpackbits(buf)
+    pos = 0
+    out = np.empty(n, dtype=np.int32)
+    i = 0
+    while i < n:
+        k = 0
+        for b in bits[pos : pos + 4]:
+            k = (k << 1) | int(b)
+        pos += 4
+        end = min(i + group, n)
+        while i < end:
+            q = 0
+            while bits[pos]:
+                q += 1
+                pos += 1
+                if q > 48:
+                    raise ValueError("corrupt rice stream")
+            pos += 1  # stop bit
+            if q == 48:  # escape: 32 raw bits
+                u = 0
+                for b in bits[pos : pos + 32]:
+                    u = (u << 1) | int(b)
+                pos += 32
+            else:
+                rem = 0
+                for b in bits[pos : pos + k]:
+                    rem = (rem << 1) | int(b)
+                pos += k
+                u = (q << k) | rem
+            out[i] = (u >> 1) ^ -(u & 1)
+            i += 1
+    return out

@@ -62,12 +62,29 @@ class TestBitstream:
         bark = jnp.ones((1, 2, 16, 1), dtype=jnp.bfloat16)
         data = bitstream.pack(
             codes, bark, sample_rate=8000, filters_n=64, bark_bands_n=16,
-            alpha=0.6, window_type="sine",
+            alpha=0.6, window_type="sine", entropy="zlib",
         )
         import io as _io
 
         with np.load(_io.BytesIO(data)) as z:
             assert z["codes"].dtype == np.int8
+
+    def test_rice_beats_zlib(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        codes = ((rng.geometric(0.3, size=(1, 40, 256, 1)) - 1)
+                 * rng.choice([-1, 1], size=(1, 40, 256, 1))).astype(np.int32)
+        bark = jnp.full((1, 40, 16, 1), 1e-6, dtype=jnp.bfloat16)
+        kw = dict(sample_rate=16000, filters_n=256, bark_bands_n=16,
+                  alpha=0.6, window_type="vorbis")
+        rice = bitstream.pack(codes, bark, entropy="rice", **kw)
+        zlib_ = bitstream.pack(codes, bark, entropy="zlib", **kw)
+        assert len(rice) < len(zlib_)
+        c1, _, _ = bitstream.unpack(rice)
+        c2, _, _ = bitstream.unpack(zlib_)
+        np.testing.assert_array_equal(c1, codes)
+        np.testing.assert_array_equal(c2, codes)
 
 
 class TestCLI:

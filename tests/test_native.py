@@ -94,3 +94,48 @@ class TestCorpusLoader:
             channels=1,
         )
         assert status[0] == -1
+
+
+class TestRiceCoding:
+    def test_roundtrip_geometric(self):
+        rng = np.random.default_rng(0)
+        # zero-heavy geometric-ish codes like the quantizer produces
+        codes = (rng.geometric(0.4, size=20000) - 1) * rng.choice(
+            [-1, 1], size=20000
+        )
+        codes = codes.astype(np.int32)
+        data = native.rice_encode(codes)
+        got = native.rice_decode(data, codes.size)
+        np.testing.assert_array_equal(got, codes)
+        # must beat 16-bit storage comfortably on this distribution
+        assert len(data) < codes.size * 2 * 0.5
+
+    def test_roundtrip_extremes(self):
+        codes = np.asarray(
+            [0, 1, -1, 2**30, -(2**30), 47, -48, 2**31 - 1, -(2**31)],
+            dtype=np.int32,
+        )
+        data = native.rice_encode(codes)
+        got = native.rice_decode(data, codes.size)
+        np.testing.assert_array_equal(got, codes)
+
+    def test_python_fallback_decoder_matches(self):
+        rng = np.random.default_rng(1)
+        codes = (rng.geometric(0.5, size=700) - 1).astype(np.int32)
+        codes[::7] *= -1
+        codes[13] = 123456789  # force an escape
+        data = native.rice_encode(codes)
+        buf = np.frombuffer(data, dtype=np.uint8)
+        got = native._rice_decode_py(buf, codes.size, native.RICE_GROUP)
+        np.testing.assert_array_equal(got, codes)
+
+    def test_all_zeros_compresses_hard(self):
+        codes = np.zeros(10000, dtype=np.int32)
+        data = native.rice_encode(codes)
+        assert len(data) < 10000 // 8 + 64  # ~1 bit per value
+
+    def test_corrupt_stream_raises(self):
+        codes = np.arange(-50, 50, dtype=np.int32)
+        data = bytearray(native.rice_encode(codes))
+        with pytest.raises(ValueError, match="corrupt"):
+            native.rice_decode(bytes(data[: len(data) // 4]), codes.size)

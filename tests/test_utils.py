@@ -1,0 +1,59 @@
+"""Serialization / profiling utility tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiocodec_tpu import streaming
+from audiocodec_tpu.codec import Codec
+from audiocodec_tpu.utils import serialization
+
+
+class TestCodecSerialization:
+    def test_save_load_rebuilds_identically(self, tmp_path):
+        codec = Codec.create(
+            32000, filters_n=128, bark_bands_n=24, alpha=0.7,
+            window_type="sine",
+        )
+        path = str(tmp_path / "codec.json")
+        serialization.save_codec(path, codec)
+        restored = serialization.load_codec(path)
+        # deterministic precompute: every array rebuilds bit-identically
+        for a, b in zip(
+            jax.tree_util.tree_leaves(codec),
+            jax.tree_util.tree_leaves(restored),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_none_window_and_pallas_flags(self, tmp_path):
+        codec = Codec.create(
+            16000, filters_n=256, window_type=None, use_pallas=True
+        )
+        path = str(tmp_path / "c.json")
+        serialization.save_codec(path, codec)
+        restored = serialization.load_codec(path)
+        assert restored.mdct.window_type is None
+        assert restored.mdct.use_pallas
+
+
+class TestStreamStateSerialization:
+    def test_stream_resume_across_checkpoint(self, tmp_path):
+        codec = Codec.create(16000, filters_n=64, bark_bands_n=16)
+        mdct = codec.mdct
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (1, 8 * 64, 1)), dtype=jnp.float32
+        )
+        carry = streaming.mdct_stream_init(mdct, 1, 1)
+        carry, f1 = streaming.mdct_stream_step(mdct, carry, x[:, : 4 * 64])
+
+        path = str(tmp_path / "state.npz")
+        serialization.save_stream_state(path, carry, offset=4)
+        enc, dec, offset = serialization.load_stream_state(path)
+        assert offset == 4
+        assert dec is None
+
+        _, f2 = streaming.mdct_stream_step(mdct, enc, x[:, 4 * 64 :])
+        got = np.concatenate([np.asarray(f1), np.asarray(f2)], axis=1)
+        want = np.asarray(mdct.transform(x))[:, :-1]
+        np.testing.assert_allclose(got, want, atol=1e-6)
