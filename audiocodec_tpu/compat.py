@@ -1,0 +1,137 @@
+"""Drop-in API compatibility with the reference library.
+
+The reference is used as::
+
+    from audiocodec.mdctransformer import MDCTransformer
+    from audiocodec import psychoacoustic
+    mdct = MDCTransformer(filters_n, window_type)
+    pa = psychoacoustic.PsychoacousticModel(sample_rate, ...)
+
+This module lets that code run on TPU by switching only the import::
+
+    from audiocodec_tpu.compat import MDCTransformer, PsychoacousticModel
+
+Constructor signatures match the reference exactly
+(audiocodec/mdctransformer.py:13-14, psychoacoustic.py:14-15), including
+the ``precompute_dtype`` argument — accepted and ignored, because this
+framework always precomputes in float64 on the host (the reference's
+default). Dtypes may be passed as jnp dtypes, numpy dtypes, or strings.
+
+One semantic difference is unavoidable: JAX has no global RNG, so
+``add_noise`` here draws from an internal counter-based key stream seeded
+per instance (deterministic per construction order, like TF's global seed
+behaves within one program). Pass ``key=`` explicitly for reproducible
+pipelines — or use the native API (audiocodec_tpu.PsychoacousticModel).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+
+from audiocodec_tpu import mdct as _mdct
+from audiocodec_tpu import psycho as _psycho
+
+_instance_counter = itertools.count()
+
+
+def _canonical(dtype):
+    """Accept tf-style/np/str dtype spellings."""
+    name = getattr(dtype, "name", None) or str(dtype)
+    name = name.split(".")[-1].strip("'<>")
+    return jnp.dtype(name)
+
+
+class MDCTransformer:
+    """Reference-signature wrapper over audiocodec_tpu.mdct.MDCT
+    (reference: audiocodec/mdctransformer.py:12-59)."""
+
+    def __init__(self, filters_n=1024, window_type="vorbis",
+                 compute_dtype=jnp.float32, precompute_dtype=None):
+        del precompute_dtype  # always float64 on host, as in the reference
+        self._m = _mdct.MDCT.create(
+            filters_n=filters_n,
+            window_type=window_type,
+            compute_dtype=_canonical(compute_dtype),
+        )
+        self.filters_n = filters_n
+        self.window_type = window_type
+
+    def transform(self, x):
+        return self._m.transform(jnp.asarray(x))
+
+    def inverse_transform(self, mdct_amplitudes):
+        return self._m.inverse_transform(jnp.asarray(mdct_amplitudes))
+
+
+class PsychoacousticModel:
+    """Reference-signature wrapper over audiocodec_tpu.psycho
+    (reference: audiocodec/psychoacoustic.py:13-69)."""
+
+    def __init__(self, sample_rate, filter_bands_n=1024, bark_bands_n=64,
+                 alpha=0.6, compute_dtype=jnp.float32,
+                 precompute_dtype=None):
+        del precompute_dtype
+        self._p = _psycho.PsychoacousticModel.create(
+            sample_rate,
+            filter_bands_n=filter_bands_n,
+            bark_bands_n=bark_bands_n,
+            alpha=alpha,
+            compute_dtype=_canonical(compute_dtype),
+        )
+        self.sample_rate = sample_rate
+        self.filter_bands_n = filter_bands_n
+        self.bark_bands_n = bark_bands_n
+        self.alpha = alpha
+        self._noise_key = jax.random.key(next(_instance_counter))
+
+    # attribute surface the reference exposes
+    @property
+    def W(self):
+        return self._p.W
+
+    @property
+    def W_inv(self):
+        return self._p.W_inv
+
+    @property
+    def spreading_matrix(self):
+        return self._p.spreading_matrix
+
+    @property
+    def quiet_threshold_intensity(self):
+        return self._p.quiet_threshold_intensity
+
+    def amplitude_to_dB(self, mdct_amplitude):
+        return self._p.amplitude_to_dB(jnp.asarray(mdct_amplitude))
+
+    def amplitude_to_dB_norm(self, mdct_amplitude):
+        return self._p.amplitude_to_dB_norm(jnp.asarray(mdct_amplitude))
+
+    def tonality(self, mdct_amplitudes):
+        return self._p.tonality(jnp.asarray(mdct_amplitudes))
+
+    def global_masking_threshold(self, mdct_amplitudes, tonality_per_block,
+                                 drown=0.0):
+        return self._p.global_masking_threshold(
+            jnp.asarray(mdct_amplitudes),
+            jnp.asarray(tonality_per_block),
+            drown,
+        )
+
+    def add_noise(self, mdct_amplitudes, masking_threshold, key=None):
+        """Reference call shape (no key). Without ``key``, an internal
+        stream advances per call — analogous to TF's global-seed RNG."""
+        if key is None:
+            self._noise_key, key = jax.random.split(self._noise_key)
+        return self._p.add_noise(
+            key, jnp.asarray(mdct_amplitudes), jnp.asarray(masking_threshold)
+        )
+
+    def freq2bark(self, frequencies):
+        return 6.0 * jnp.arcsinh(jnp.asarray(frequencies) / 600.0)
+
+    def bark2freq(self, bark_band):
+        return 600.0 * jnp.sinh(jnp.asarray(bark_band) / 6.0)

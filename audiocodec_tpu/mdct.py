@@ -51,7 +51,7 @@ from audiocodec_tpu.utils import dtypes as _dtypes
     ],
     meta_fields=[
         "filters_n", "window_type", "compute_dtype", "fast_bf16",
-        "use_pallas",
+        "use_pallas", "dct_precision",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -72,6 +72,7 @@ class MDCT:
     compute_dtype: object
     fast_bf16: bool
     use_pallas: bool
+    dct_precision: str
     # Fold/unfold weights, shape [N/2] each, in compute_dtype:
     wa_r: jax.Array
     wb: jax.Array
@@ -101,6 +102,7 @@ class MDCT:
         compute_dtype=jnp.float32,
         fast_bf16: bool = False,
         use_pallas: bool = False,
+        dct_precision: str = "highest",
     ) -> "MDCT":
         """Precompute fold weights and the DCT matrix (float64 on host, then
         downcast once — the reference's mixed-precision variable treatment,
@@ -146,12 +148,18 @@ class MDCT:
                 fused_inv_prev=None,
                 fused_inv_cur=None,
             )
+        if dct_precision not in _dct.PRECISIONS:
+            raise ValueError(
+                f"dct_precision must be one of {sorted(_dct.PRECISIONS)}, "
+                f"got {dct_precision!r}"
+            )
         return cls(
             filters_n=filters_n,
             window_type=window_type,
             compute_dtype=dtype,
             fast_bf16=fast_bf16,
             use_pallas=use_pallas,
+            dct_precision=dct_precision,
             wa_r=as_compute(coeffs.wa_r),
             wb=as_compute(coeffs.wb),
             wc=as_compute(coeffs.wc),
@@ -209,7 +217,8 @@ class MDCT:
                     xb, self.wa_r, self.wb, self.wc, self.ffr
                 )
                 y = _dct.dct4(
-                    folded, self.dct_mat_fwd, fast_bf16=self.fast_bf16
+                    folded, self.dct_mat_fwd, fast_bf16=self.fast_bf16,
+                    precision=self.dct_precision,
                 )
             return jnp.transpose(y, (0, 2, 3, 1))
 
@@ -242,7 +251,10 @@ class MDCT:
                     self.fused_inv_cur,
                 ).reshape(batches_n, channels_n, blocks_n + 1, n)
             else:
-                z = _dct.dct4(yb, self.dct_mat_inv, fast_bf16=self.fast_bf16)
+                z = _dct.dct4(
+                    yb, self.dct_mat_inv, fast_bf16=self.fast_bf16,
+                    precision=self.dct_precision,
+                )
                 out = _folding.unfold(z, self.p, self.q, self.r, self.s_r)
             return jnp.transpose(
                 out.reshape(batches_n, channels_n, (blocks_n + 1) * n),

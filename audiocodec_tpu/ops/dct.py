@@ -34,19 +34,35 @@ def dct4_matrix(filters_n: int) -> np.ndarray:
     )
 
 
-def dct4(x: jnp.ndarray, dct_mat: jnp.ndarray, *, fast_bf16: bool = False) -> jnp.ndarray:
+PRECISIONS = {
+    # measured on v5e (N=1024 forward MDCT, max err vs float64):
+    "highest": jax.lax.Precision.HIGHEST,  # ~8e-9  (6-pass bf16)
+    "high": jax.lax.Precision.HIGH,        # ~7e-7  (3-pass bf16, ~15% faster)
+    "default": jax.lax.Precision.DEFAULT,  # ~1e-4  (1-pass bf16, fastest)
+}
+
+
+def dct4(
+    x: jnp.ndarray,
+    dct_mat: jnp.ndarray,
+    *,
+    fast_bf16: bool = False,
+    precision: str = "highest",
+) -> jnp.ndarray:
     """Apply DCT-IV along the last axis: x [..., N] @ dct_mat [N, N].
 
     ``dct_mat`` is expected in float32 (or float64 for a float64 pipeline).
     bfloat16 inputs are upcast to the matrix dtype around the matmul unless
     ``fast_bf16`` is set.
 
-    float32 matmuls are pinned to Precision.HIGHEST: the TPU MXU's default
+    float32 matmuls default to Precision.HIGHEST: the TPU MXU's default
     f32 precision is a single bfloat16 pass (~3 decimal digits), which would
     silently cost ~60 dB of round-trip SNR. HIGHEST uses multi-pass bf16
     accumulation and recovers true-f32 accuracy; for codec block sizes the
-    extra passes are negligible against the HBM-bandwidth-bound fold.
+    extra passes are negligible against the HBM-bandwidth-bound fold. The
+    ``precision`` knob trades that accuracy back for speed (see PRECISIONS).
     """
+    prec = PRECISIONS[precision]
     if x.dtype == jnp.bfloat16:
         if fast_bf16:
             y = jnp.matmul(
@@ -55,15 +71,11 @@ def dct4(x: jnp.ndarray, dct_mat: jnp.ndarray, *, fast_bf16: bool = False) -> jn
                 preferred_element_type=jnp.float32,
             )
         else:
-            y = jnp.matmul(
-                x.astype(dct_mat.dtype),
-                dct_mat,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            y = jnp.matmul(x.astype(dct_mat.dtype), dct_mat, precision=prec)
         return y.astype(jnp.bfloat16)
     return jnp.matmul(
         x,
         dct_mat,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
         preferred_element_type=x.dtype,
     )

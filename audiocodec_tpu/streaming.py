@@ -95,7 +95,8 @@ def mdct_stream_step(mdct: MDCT, carry, chunk):
         [_to_next(mdct, ext[:, :, :-1]), _to_cur(mdct, ext[:, :, 1:])],
         axis=-1,
     )
-    frames = _dct.dct4(folded, mdct.dct_mat_fwd, fast_bf16=mdct.fast_bf16)
+    frames = _dct.dct4(folded, mdct.dct_mat_fwd, fast_bf16=mdct.fast_bf16,
+                       precision=mdct.dct_precision)
     return xb[:, :, -1], jnp.transpose(frames, (0, 2, 3, 1))
 
 
@@ -108,7 +109,8 @@ def mdct_stream_flush(mdct: MDCT, carry):
     lower = _to_next(mdct, carry)  # [B, C, N/2]
     folded = jnp.concatenate([lower, jnp.zeros_like(lower)], axis=-1)
     frame = _dct.dct4(
-        folded[:, :, None, :], mdct.dct_mat_fwd, fast_bf16=mdct.fast_bf16
+        folded[:, :, None, :], mdct.dct_mat_fwd, fast_bf16=mdct.fast_bf16,
+        precision=mdct.dct_precision,
     )
     return jnp.transpose(frame, (0, 2, 3, 1))
 
@@ -134,7 +136,8 @@ def imdct_stream_step(mdct: MDCT, carry, frames):
     n = mdct.filters_n
     b, k, _, c = frames.shape
     yb = jnp.transpose(frames, (0, 3, 1, 2))
-    z = _dct.dct4(yb, mdct.dct_mat_inv, fast_bf16=mdct.fast_bf16)
+    z = _dct.dct4(yb, mdct.dct_mat_inv, fast_bf16=mdct.fast_bf16,
+                  precision=mdct.dct_precision)
     ext = jnp.concatenate([carry[:, :, None, :], z], axis=2)  # [B,C,K+1,N]
     out = _out_cur(mdct, ext[:, :, 1:]) + _out_prev(mdct, ext[:, :, :-1])
     samples = jnp.transpose(out.reshape(b, c, k * n), (0, 2, 1))

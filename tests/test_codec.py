@@ -130,3 +130,42 @@ class TestDrown:
             out = codec.round_trip(wave, key, drown=drown)
             snrs.append(snr_db(ref, out[:, 2 * filters_n : wave.shape[1]]))
         assert snrs[0] > snrs[1] > snrs[2]
+
+
+class TestPallasCodec:
+    def test_full_codec_with_pallas_mdct(self):
+        """The codec composes with the Pallas MDCT path end to end."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        codec = Codec.create(16000, filters_n=256, bark_bands_n=32,
+                             use_pallas=True)
+        wave = sine_wav(0.6, 700, sample_rate=16000, duration_sec=0.5)
+        wave = wave[:, : 256 * (wave.shape[1] // 256)]
+        with pltpu.force_tpu_interpret_mode():
+            out = codec.round_trip_quantized(wave)
+        ref = wave[:, 256:-256]
+        inner = out[:, 2 * 256 : wave.shape[1]]
+        assert snr_db(ref, inner) > 15.0
+
+
+class TestDctPrecisionKnob:
+    def test_precision_levels_accepted(self):
+        from audiocodec_tpu.mdct import MDCT
+
+        for p in ("highest", "high", "default"):
+            MDCT.create(64, dct_precision=p)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="dct_precision"):
+            MDCT.create(64, dct_precision="fast")
+
+    def test_high_precision_close_to_highest(self):
+        from audiocodec_tpu.mdct import MDCT
+
+        m1 = MDCT.create(64)
+        m2 = MDCT.create(64, dct_precision="high")
+        x = sine_wav(0.8, 880, sample_rate=16000, duration_sec=0.1)
+        x = x[:, : 64 * (x.shape[1] // 64)]
+        a = np.asarray(m1.transform(x))
+        b = np.asarray(m2.transform(x))
+        np.testing.assert_allclose(a, b, atol=1e-4)
