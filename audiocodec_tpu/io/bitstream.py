@@ -39,6 +39,16 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
             native.rice_encode(codes), dtype=np.uint8
         )
         members["shape"] = np.asarray(codes.shape, dtype=np.int64)
+        # The Bark sidecar dominates file size. Intensities are positive and
+        # smooth across blocks, and bfloat16's bit pattern is monotonic in
+        # value for positive floats — so block-to-block deltas of the uint16
+        # views are small integers, ideal for the same Rice coder.
+        bark_i32 = np.asarray(bark16).view(np.uint16).astype(np.int32)
+        deltas = np.diff(bark_i32, axis=1, prepend=0)
+        members["bark_rice"] = np.frombuffer(
+            native.rice_encode(deltas), dtype=np.uint8
+        )
+        members["bark_shape"] = np.asarray(bark_i32.shape, dtype=np.int64)
     else:
         packed = codes
         for dt in (np.int8, np.int16, np.int32):
@@ -50,11 +60,11 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
                 break
         members["codes"] = packed
 
-    bark_u16 = np.asarray(bark16).view(np.uint16)
+    if "bark_rice" not in members:
+        members["bark"] = np.asarray(bark16).view(np.uint16)
     buf = _io.BytesIO()
     np.savez_compressed(
         buf,
-        bark=bark_u16,
         meta=np.asarray(
             [sample_rate, filters_n, bark_bands_n, codes.shape[-1]],
             dtype=np.int64,
@@ -82,7 +92,20 @@ def unpack(data: bytes):
             ).reshape(shape)
         else:
             codes = z["codes"].astype(np.int32)
-        bark = z["bark"].view(ml_dtypes.bfloat16)
+        if "bark_rice" in z.files:
+            from audiocodec_tpu import native
+
+            bshape = tuple(int(v) for v in z["bark_shape"])
+            deltas = native.rice_decode(
+                z["bark_rice"].tobytes(), int(np.prod(bshape))
+            ).reshape(bshape)
+            bark = (
+                np.cumsum(deltas, axis=1)
+                .astype(np.uint16)
+                .view(ml_dtypes.bfloat16)
+            )
+        else:
+            bark = z["bark"].view(ml_dtypes.bfloat16)
         meta_arr = z["meta"]
         window = str(z["window"][0]) or None
         alpha = float(z["alphaw"][0])

@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis): invariants that must hold for ALL
+valid configurations, not just the handful of fixed cases."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from audiocodec_tpu import native
+from audiocodec_tpu.mdct import MDCT
+from audiocodec_tpu.psycho import PsychoacousticModel
+
+_settings = settings(max_examples=20, deadline=None)
+
+
+class TestMDCTProperties:
+    @_settings
+    @given(
+        filters_n=st.sampled_from([4, 8, 30, 64, 100, 256]),
+        blocks=st.integers(min_value=1, max_value=9),
+        window=st.sampled_from(["vorbis", "sine", None]),
+        batch=st.integers(min_value=1, max_value=3),
+        channels=st.integers(min_value=1, max_value=3),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_perfect_reconstruction_everywhere(
+        self, filters_n, blocks, window, batch, channels, seed
+    ):
+        """PR holds for any even N, any window, any shape, any data."""
+        mdct = MDCT.create(filters_n, window_type=window)
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (batch, blocks * filters_n, channels)),
+            dtype=jnp.float32,
+        )
+        rt = mdct.inverse_transform(mdct.transform(x))
+        err = float(
+            jnp.max(jnp.abs(x - rt[:, filters_n:-filters_n]))
+        ) if blocks * filters_n > 0 else 0.0
+        assert err < 1e-4  # scales mildly with N in f32
+
+    @_settings
+    @given(
+        filters_n=st.sampled_from([8, 64, 128]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_linearity(self, filters_n, seed):
+        """The transform is linear: T(a x + b y) == a T(x) + b T(y)."""
+        mdct = MDCT.create(filters_n)
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (1, 4 * filters_n, 1)), dtype=jnp.float32
+        )
+        y = jnp.asarray(
+            rng.uniform(-1, 1, (1, 4 * filters_n, 1)), dtype=jnp.float32
+        )
+        lhs = mdct.transform(0.5 * x + 2.0 * y)
+        rhs = 0.5 * mdct.transform(x) + 2.0 * mdct.transform(y)
+        np.testing.assert_allclose(
+            np.asarray(lhs), np.asarray(rhs), atol=1e-5
+        )
+
+
+class TestPsychoProperties:
+    @_settings
+    @given(
+        sample_rate=st.sampled_from([8000, 16000, 44100, 48000, 96000]),
+        filters_n=st.sampled_from([32, 64, 256]),
+        bark_n=st.sampled_from([8, 24, 64]),
+    )
+    def test_bark_maps_conserve_energy(self, sample_rate, filters_n, bark_n):
+        """Rows of W and W_inv sum to 1 for every configuration."""
+        pa = PsychoacousticModel.create(
+            sample_rate, filter_bands_n=filters_n, bark_bands_n=bark_n
+        )
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(pa.W, axis=1)), 1.0, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(pa.W_inv, axis=1)), 1.0, atol=1e-5
+        )
+
+    @_settings
+    @given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+    def test_threshold_positive_and_tonality_bounded(self, seed):
+        pa = PsychoacousticModel.create(44100, filter_bands_n=64)
+        rng = np.random.default_rng(seed)
+        spec = jnp.asarray(
+            rng.uniform(-1, 1, (1, 3, 64, 1)), dtype=jnp.float32
+        )
+        t = pa.tonality(spec)
+        assert float(jnp.max(t)) <= 1.0
+        thr = pa.global_masking_threshold(spec, t)
+        assert float(jnp.min(thr)) > 0.0
+        assert bool(jnp.all(jnp.isfinite(thr)))
+
+
+class TestRiceProperties:
+    @_settings
+    @given(
+        data=st.lists(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            min_size=1,
+            max_size=2000,
+        )
+    )
+    def test_rice_roundtrip_any_int32(self, data):
+        codes = np.asarray(data, dtype=np.int32)
+        blob = native.rice_encode(codes)
+        got = native.rice_decode(blob, codes.size)
+        np.testing.assert_array_equal(got, codes)
