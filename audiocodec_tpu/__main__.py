@@ -39,6 +39,11 @@ def _read(path):
 
 def _trim_to_blocks(data, filters_n):
     samples = data.shape[1] - data.shape[1] % filters_n
+    if samples == 0:
+        raise ValueError(
+            f"input has {data.shape[1]} samples but one MDCT block needs "
+            f"{filters_n}; use a smaller --filters-n or a longer file"
+        )
     return data[:, :samples]
 
 
@@ -61,6 +66,7 @@ def cmd_encode(args):
         bark_bands_n=args.bark_bands_n,
         alpha=args.alpha,
         window_type=args.window if args.window != "none" else None,
+        compute_dtype=str(jnp.dtype(codec.mdct.compute_dtype)),
     )
     raw = data.size * 2  # vs 16-bit PCM
     print(
@@ -83,6 +89,9 @@ def cmd_decode(args):
     args.bark_bands_n = meta["bark_bands_n"]
     args.alpha = meta["alpha"]
     args.window = meta["window_type"] or "none"
+    # the bitstream records the encoder's compute dtype; the decoder MUST
+    # match it so both derive identical quantization steps
+    args.bf16 = meta["compute_dtype"] == "bfloat16"
     codec = _build_codec(meta["sample_rate"], args)
     wave = codec.decode_bitstream(
         jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16)

@@ -49,6 +49,7 @@ class Codec:
         compute_dtype=jnp.float32,
         fast_bf16: bool = False,
         use_pallas: bool = False,
+        dct_precision: str = "highest",
     ) -> "Codec":
         return cls(
             mdct=MDCT.create(
@@ -57,6 +58,7 @@ class Codec:
                 compute_dtype=compute_dtype,
                 fast_bf16=fast_bf16,
                 use_pallas=use_pallas,
+                dct_precision=dct_precision,
             ),
             psycho=PsychoacousticModel.create(
                 sample_rate,

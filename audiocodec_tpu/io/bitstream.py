@@ -20,7 +20,8 @@ import numpy as np
 
 
 def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
-         window_type, entropy: str = "auto") -> bytes:
+         window_type, compute_dtype: str = "float32",
+         entropy: str = "auto") -> bytes:
     """Serialize encoder output to bytes.
 
     :param entropy: "rice" (native Rice/Golomb coder — smallest), "zlib"
@@ -73,6 +74,9 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
         window=np.asarray(
             [window_type if window_type is not None else ""]
         ),
+        # the decoder must derive step sizes in the SAME dtype the encoder
+        # quantized against, or thresholds diverge by the dtype's epsilon
+        dtype=np.asarray([str(compute_dtype)]),
         **members,
     )
     return buf.getvalue()
@@ -109,6 +113,7 @@ def unpack(data: bytes):
         meta_arr = z["meta"]
         window = str(z["window"][0]) or None
         alpha = float(z["alphaw"][0])
+        dtype = str(z["dtype"][0]) if "dtype" in z.files else "float32"
     meta = {
         "sample_rate": int(meta_arr[0]),
         "filters_n": int(meta_arr[1]),
@@ -116,6 +121,7 @@ def unpack(data: bytes):
         "channels": int(meta_arr[3]),
         "alpha": alpha,
         "window_type": window,
+        "compute_dtype": dtype,
     }
     return codes, bark, meta
 

@@ -13,23 +13,58 @@ import wave
 import numpy as np
 
 
+def _parse_riff(buf: bytes):
+    """Minimal RIFF/WAVE parser: (format_code, channels, rate, bits, data).
+
+    Written by hand instead of stdlib ``wave`` because wave.open rejects
+    IEEE-float files (format 3) and cannot distinguish 32-bit int PCM from
+    float32 — both of which the native decoder supports and this fallback
+    must match.
+    """
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        clen = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and clen >= 16:
+            code = int.from_bytes(body[0:2], "little")
+            if code == 0xFFFE and clen >= 40:  # WAVE_FORMAT_EXTENSIBLE
+                code = int.from_bytes(body[24:26], "little")
+            fmt = (
+                code,
+                int.from_bytes(body[2:4], "little"),
+                int.from_bytes(body[4:8], "little"),
+                int.from_bytes(body[14:16], "little"),
+            )
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed wav (missing fmt/data chunk)")
+    return (*fmt, data)
+
+
 def read_wav(path: str, dtype=np.float32):
-    """Read a WAV file.
+    """Read a WAV file (PCM 16/24/32-bit or IEEE float32).
 
     :return: (data [1, samples, channels] in [-1, 1], sample_rate).
     """
-    with wave.open(path, "rb") as f:
-        channels = f.getnchannels()
-        width = f.getsampwidth()
-        rate = f.getframerate()
-        frames = f.readframes(f.getnframes())
+    with open(path, "rb") as f:
+        code, channels, rate, bits, frames = _parse_riff(f.read())
 
-    if width == 2:
+    if code == 3 and bits == 32:
+        x = np.frombuffer(frames, dtype="<f4").astype(np.float64)
+    elif code == 1 and bits == 16:
         x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
-    elif width == 4:
+    elif code == 1 and bits == 32:
         x = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
-    elif width == 3:
-        raw = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+    elif code == 1 and bits == 24:
+        raw = np.frombuffer(frames, dtype=np.uint8)
+        raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
         as32 = (
             raw[:, 0].astype(np.int32)
             | (raw[:, 1].astype(np.int32) << 8)
@@ -38,9 +73,12 @@ def read_wav(path: str, dtype=np.float32):
         as32 = np.where(as32 >= 1 << 23, as32 - (1 << 24), as32)
         x = as32.astype(np.float64) / float(1 << 23)
     else:
-        raise ValueError(f"unsupported sample width: {width} bytes")
+        raise ValueError(
+            f"unsupported encoding: format code {code}, {bits}-bit "
+            "(want PCM 16/24/32 or float32)"
+        )
 
-    x = x.reshape(-1, channels)
+    x = x[: len(x) - len(x) % channels].reshape(-1, channels)
     return x[None, :, :].astype(dtype), rate
 
 

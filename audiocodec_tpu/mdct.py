@@ -133,13 +133,21 @@ class MDCT:
         if use_pallas:
             from audiocodec_tpu.ops import pallas_mdct as _pallas
 
+            # same bf16 policy as the XLA path: keep the matrices in f32
+            # and upcast around the matmul, unless fast_bf16 opts into
+            # native bf16 matmuls
+            fused_dtype = (
+                dtype
+                if dtype != jnp.dtype(jnp.bfloat16) or fast_bf16
+                else jnp.dtype(jnp.float32)
+            )
             fp, fc = _pallas.fused_forward_matrices(filters_n, window_type)
             ip, ic = _pallas.fused_inverse_matrices(filters_n, window_type)
             fused = dict(
-                fused_fwd_prev=as_compute(fp),
-                fused_fwd_cur=as_compute(fc),
-                fused_inv_prev=as_compute(ip),
-                fused_inv_cur=as_compute(ic),
+                fused_fwd_prev=jnp.asarray(fp, dtype=fused_dtype),
+                fused_fwd_cur=jnp.asarray(fc, dtype=fused_dtype),
+                fused_inv_prev=jnp.asarray(ip, dtype=fused_dtype),
+                fused_inv_cur=jnp.asarray(ic, dtype=fused_dtype),
             )
         else:
             fused = dict(
@@ -193,9 +201,9 @@ class MDCT:
         _dtypes.check_input_dtype(x, self.compute_dtype, "transform input")
         n = self.filters_n
         batches_n, samples_n, channels_n = x.shape
-        if samples_n % n != 0:
+        if samples_n % n != 0 or samples_n == 0:
             raise ValueError(
-                f"samples_n={samples_n} must be a multiple of "
+                f"samples_n={samples_n} must be a nonzero multiple of "
                 f"filters_n={n}"
             )
         blocks_n = samples_n // n
@@ -207,11 +215,15 @@ class MDCT:
             if self.use_pallas:
                 from audiocodec_tpu.ops import pallas_mdct as _pallas
 
+                rows = xb.reshape(batches_n * channels_n, blocks_n, n)
                 y = _pallas.mdct_forward_pallas(
-                    xb.reshape(batches_n * channels_n, blocks_n, n),
+                    rows.astype(self.fused_fwd_prev.dtype),
                     self.fused_fwd_prev,
                     self.fused_fwd_cur,
-                ).reshape(batches_n, channels_n, blocks_n + 1, n)
+                    self.dct_precision,
+                ).astype(self.compute_dtype).reshape(
+                    batches_n, channels_n, blocks_n + 1, n
+                )
             else:
                 folded = _folding.fold(
                     xb, self.wa_r, self.wb, self.wc, self.ffr
@@ -240,16 +252,22 @@ class MDCT:
             raise ValueError(
                 f"expected filters_n={n} on axis 2, got {filters_n}"
             )
+        if blocks_n == 0:
+            raise ValueError("need at least one spectral frame to invert")
         with jax.named_scope("mdct_inverse_transform"):
             yb = jnp.transpose(mdct_amplitudes, (0, 3, 1, 2))
             if self.use_pallas:
                 from audiocodec_tpu.ops import pallas_mdct as _pallas
 
+                rows = yb.reshape(batches_n * channels_n, blocks_n, n)
                 out = _pallas.mdct_inverse_pallas(
-                    yb.reshape(batches_n * channels_n, blocks_n, n),
+                    rows.astype(self.fused_inv_prev.dtype),
                     self.fused_inv_prev,
                     self.fused_inv_cur,
-                ).reshape(batches_n, channels_n, blocks_n + 1, n)
+                    self.dct_precision,
+                ).astype(self.compute_dtype).reshape(
+                    batches_n, channels_n, blocks_n + 1, n
+                )
             else:
                 z = _dct.dct4(
                     yb, self.dct_mat_inv, fast_bf16=self.fast_bf16,

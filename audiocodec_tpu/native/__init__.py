@@ -43,66 +43,85 @@ def _build() -> str | None:
     return None
 
 
+def _bind(lib):
+    """Declare ctypes signatures (split out so a failed CDLL can retry)."""
+    lib.acx_decode_wav.restype = ctypes.c_int
+    lib.acx_decode_wav.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.acx_load_corpus.restype = ctypes.c_int64
+    lib.acx_load_corpus.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.acx_write_wav.restype = ctypes.c_int
+    lib.acx_write_wav.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    lib.acx_rice_bound.restype = ctypes.c_int64
+    lib.acx_rice_bound.argtypes = [ctypes.c_int64, ctypes.c_int64]
+    lib.acx_rice_encode.restype = ctypes.c_int64
+    lib.acx_rice_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    lib.acx_rice_decode.restype = ctypes.c_int32
+    lib.acx_rice_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+    ]
+    return lib
+
+
 def _load():
+    """Build (if stale) and load the native library; None on any failure.
+
+    A stale or foreign-platform binary (e.g. from a git checkout) that
+    fails to CDLL triggers exactly one rebuild attempt before giving up —
+    the graceful-degradation contract is that this NEVER raises.
+    """
     global _lib, _build_error
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) or os.path.getmtime(
+        needs_build = not os.path.exists(_LIB_PATH) or os.path.getmtime(
             _LIB_PATH
-        ) < max(os.path.getmtime(src) for src in _SRCS):
-            _build_error = _build()
-            if _build_error is not None:
-                return None
-        lib = ctypes.CDLL(_LIB_PATH)
-        lib.acx_decode_wav.restype = ctypes.c_int
-        lib.acx_decode_wav.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.acx_load_corpus.restype = ctypes.c_int64
-        lib.acx_load_corpus.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int64,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.acx_write_wav.restype = ctypes.c_int
-        lib.acx_write_wav.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int64,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-        ]
-        lib.acx_rice_bound.restype = ctypes.c_int64
-        lib.acx_rice_bound.argtypes = [ctypes.c_int64, ctypes.c_int64]
-        lib.acx_rice_encode.restype = ctypes.c_int64
-        lib.acx_rice_encode.argtypes = [
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64,
-        ]
-        lib.acx_rice_decode.restype = ctypes.c_int32
-        lib.acx_rice_decode.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64,
-            ctypes.c_int64,
-        ]
-        _lib = lib
-        return _lib
+        ) < max(os.path.getmtime(src) for src in _SRCS)
+        for attempt in range(2):
+            if needs_build:
+                _build_error = _build()
+                if _build_error is not None:
+                    return None
+            try:
+                _lib = _bind(ctypes.CDLL(_LIB_PATH))
+                _build_error = None
+                return _lib
+            except OSError as e:
+                # unloadable binary (wrong arch / truncated): rebuild once
+                _build_error = f"cannot load native library: {e}"
+                needs_build = True
+        return None
 
 
 def available() -> bool:

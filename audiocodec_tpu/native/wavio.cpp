@@ -243,14 +243,17 @@ int acx_write_wav(const char* path, const float* data, int64_t frames,
   while (i < values) {
     size_t n = 0;
     while (i < values && n + static_cast<size_t>(width) <= chunk.size()) {
-      float v = data[i];
-      if (v > 1.0f) v = 1.0f;
-      if (v < -1.0f) v = -1.0f;
+      // clamp + scale in double: 2147483647 is not representable in
+      // float32 (rounds up to 2^31), whose int32 cast is UB and flips
+      // full-scale positive samples to INT32_MIN.
+      double v = static_cast<double>(data[i]);
+      if (v > 1.0) v = 1.0;
+      if (v < -1.0) v = -1.0;
       if (width == 2) {
-        int16_t s = static_cast<int16_t>(v * 32767.0f);
+        int16_t s = static_cast<int16_t>(v * 32767.0);
         std::memcpy(chunk.data() + n, &s, 2);
       } else {
-        int32_t s = static_cast<int32_t>(v * 2147483647.0f);
+        int32_t s = static_cast<int32_t>(v * 2147483647.0);
         std::memcpy(chunk.data() + n, &s, 4);
       }
       n += static_cast<size_t>(width);

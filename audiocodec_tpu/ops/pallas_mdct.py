@@ -42,6 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 from audiocodec_tpu.ops import dct as _dct
 from audiocodec_tpu.ops import folding as _folding
 
+_DEFAULT_TILE_BLOCKS = 64
+
 
 def fused_forward_matrices(filters_n: int, window_type) -> tuple:
     """(M_prev, M_cur) float64 [N, N]: fold + DCT-IV + 1/sqrt(4N), fused."""
@@ -61,7 +63,7 @@ def fused_inverse_matrices(filters_n: int, window_type) -> tuple:
 
 def _mdct_kernel(
     x_hbm, mprev_ref, mcur_ref, out_ref, cur_s, halo_s, sem_cur,
-    *, tb, blocks_n, n_tiles
+    *, tb, blocks_n, n_tiles, precision
 ):
     """Shared forward/inverse body: out = prev @ M_prev + cur @ M_cur.
 
@@ -116,23 +118,24 @@ def _mdct_kernel(
         prev,
         mprev_ref[:, :],
         preferred_element_type=cur.dtype,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     out_ref[0, :, :] = acc + jnp.dot(
         cur,
         mcur_ref[:, :],
         preferred_element_type=cur.dtype,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     # Save this tile's last block as the next tile's halo (sequential grid).
     halo_s[0:1, :] = cur[tb - 1 : tb, :]
 
 
-def _call(rows, blocks_n, n, tb, dtype, m_prev, m_cur, x):
+def _call(rows, blocks_n, n, tb, dtype, m_prev, m_cur, x, precision):
     num_out = blocks_n + 1
     n_tiles = pl.cdiv(num_out, tb)
     kernel = functools.partial(
-        _mdct_kernel, tb=tb, blocks_n=blocks_n, n_tiles=n_tiles
+        _mdct_kernel, tb=tb, blocks_n=blocks_n, n_tiles=n_tiles,
+        precision=_dct.PRECISIONS[precision],
     )
     return pl.pallas_call(
         kernel,
@@ -160,8 +163,8 @@ def _call(rows, blocks_n, n, tb, dtype, m_prev, m_cur, x):
     )(x, m_prev, m_cur)
 
 
-@jax.custom_vjp
-def _two_tap_matmul(x_rows, m_prev, m_cur):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _two_tap_matmul(x_rows, m_prev, m_cur, precision="highest"):
     """y[n] = x[n-1] @ m_prev + x[n] @ m_cur via the fused kernel.
 
     Linear in x, so the VJP is the SAME kernel run on the block-reversed
@@ -175,23 +178,24 @@ def _two_tap_matmul(x_rows, m_prev, m_cur):
     """
     rows, blocks_n, n = x_rows.shape
     xp, padded = _pad_blocks8(x_rows)
-    tb = min(64, -(-(padded + 1) // 8) * 8)
-    out = _call(rows, padded, n, tb, xp.dtype, m_prev, m_cur, xp)
+    tb = min(_DEFAULT_TILE_BLOCKS, -(-(padded + 1) // 8) * 8)
+    out = _call(
+        rows, padded, n, tb, xp.dtype, m_prev, m_cur, xp, precision
+    )
     return out[:, : blocks_n + 1]
 
 
-def _two_tap_fwd(x_rows, m_prev, m_cur):
-    return _two_tap_matmul(x_rows, m_prev, m_cur), (
-        x_rows.shape,
+def _two_tap_fwd(x_rows, m_prev, m_cur, precision):
+    return _two_tap_matmul(x_rows, m_prev, m_cur, precision), (
         m_prev,
         m_cur,
     )
 
 
-def _two_tap_bwd(res, g):
-    (rows, blocks_n, n), m_prev, m_cur = res
+def _two_tap_bwd(precision, res, g):
+    m_prev, m_cur = res
     grev = jnp.flip(g, axis=1)
-    full = _two_tap_matmul(grev, m_prev.T, m_cur.T)
+    full = _two_tap_matmul(grev, m_prev.T, m_cur.T, precision)
     dx = jnp.flip(full[:, 1:-1], axis=1)
     # The matrices are deterministic precomputes, never trained.
     return dx, jnp.zeros_like(m_prev), jnp.zeros_like(m_cur)
@@ -200,13 +204,14 @@ def _two_tap_bwd(res, g):
 _two_tap_matmul.defvjp(_two_tap_fwd, _two_tap_bwd)
 
 
-def mdct_forward_pallas(x_rows, m_prev, m_cur, *, tile_blocks=64):
+def mdct_forward_pallas(x_rows, m_prev, m_cur, precision="highest"):
     """Fused forward MDCT: [rows, blocks, N] -> [rows, blocks+1, N].
 
     :param m_prev, m_cur: [N, N] fused matrices from
-        :func:`fused_forward_matrices`, cast to the compute dtype.
+        :func:`fused_forward_matrices` (float32, or bfloat16 for the
+        fast_bf16 policy).
     """
-    return _two_tap_matmul(x_rows, m_prev, m_cur)
+    return _two_tap_matmul(x_rows, m_prev, m_cur, precision)
 
 
 def _pad_blocks8(rows_arr):
@@ -222,11 +227,12 @@ def _pad_blocks8(rows_arr):
     return rows_arr, padded
 
 
-def mdct_inverse_pallas(y_rows, m_prev, m_cur, *, tile_blocks=64):
+def mdct_inverse_pallas(y_rows, m_prev, m_cur, precision="highest"):
     """Fused inverse MDCT: [rows, blocks, N] spectral frames ->
     [rows, blocks+1, N] time blocks (caller reshapes to samples).
 
     :param m_prev, m_cur: [N, N] fused matrices from
-        :func:`fused_inverse_matrices`, cast to the compute dtype.
+        :func:`fused_inverse_matrices` (float32, or bfloat16 for the
+        fast_bf16 policy).
     """
-    return _two_tap_matmul(y_rows, m_prev, m_cur)
+    return _two_tap_matmul(y_rows, m_prev, m_cur, precision)

@@ -83,14 +83,17 @@ def encode_corpus(
     n = clips.shape[0]
     for start in range(0, n, batch_size):
         batch = clips[start : start + batch_size]
-        if batch.shape[0] % dp != 0:
-            pad = _mesh.pad_batch_to(batch.shape[0], dp) - batch.shape[0]
+        real = batch.shape[0]
+        if real % dp != 0:
+            pad = _mesh.pad_batch_to(real, dp) - real
             batch = jnp.concatenate(
                 [batch, jnp.zeros((pad,) + batch.shape[1:], batch.dtype)]
             )
         if quantized:
-            outputs.append(encoder(batch))
+            out = encoder(batch)
         else:
             key, sub = jax.random.split(key)
-            outputs.append(encoder(batch, sub))
+            out = (encoder(batch, sub),)
+        # strip the dp-padding rows so callers never see phantom clips
+        outputs.append(tuple(o[:real] for o in out))
     return outputs

@@ -225,11 +225,13 @@ def streaming_round_trip(codec, x, chunk_blocks: int, key=None, drown=0.0):
         )
     chunks = jnp.transpose(x, (0, 2, 1)).reshape(b, c, s // chunk, chunk)
     use_noise = key is not None
-    keys = (
-        jax.random.split(key, s // chunk)
-        if use_noise
-        else jnp.zeros((s // chunk,), dtype=jnp.uint32)
-    )
+    n_chunks = s // chunk
+    if use_noise:
+        all_keys = jax.random.split(key, n_chunks + 1)
+        keys, flush_key = all_keys[:-1], all_keys[-1]
+    else:
+        keys = jnp.zeros((n_chunks,), dtype=jnp.uint32)
+        flush_key = keys[0]
 
     def lossy(frames, k):
         tonality = codec.psycho.tonality(frames)
@@ -264,9 +266,7 @@ def streaming_round_trip(codec, x, chunk_blocks: int, key=None, drown=0.0):
     # flush: final encoder frame, lossy-process it, decode it, then the
     # decoder's own tail
     last_frame = mdct_stream_flush(mdct, enc_carry)
-    last_frame = lossy(
-        last_frame, jax.random.key(0) if use_noise else keys[0]
-    )
+    last_frame = lossy(last_frame, flush_key)
     dec_carry, last_samples = imdct_stream_step(mdct, dec_carry, last_frame)
     tail = imdct_stream_flush(mdct, dec_carry)
     return jnp.concatenate([body_samples, last_samples, tail], axis=1)

@@ -31,6 +31,7 @@ def codec_config(codec: Codec) -> dict:
         "compute_dtype": str(jnp.dtype(codec.mdct.compute_dtype)),
         "fast_bf16": codec.mdct.fast_bf16,
         "use_pallas": codec.mdct.use_pallas,
+        "dct_precision": codec.mdct.dct_precision,
     }
 
 
@@ -43,6 +44,7 @@ def load_codec(path: str) -> Codec:
     with open(path) as f:
         cfg = json.load(f)
     dtype = _DTYPE_NAMES[cfg.pop("compute_dtype")]
+    cfg.setdefault("dct_precision", "highest")  # older checkpoints
     return Codec.create(compute_dtype=dtype, **cfg)
 
 

@@ -44,3 +44,42 @@ class TestWavRoundTrip:
         y, _ = read_wav(path)
         assert float(y.max()) <= 1.0
         assert float(y.min()) >= -1.0
+
+
+class TestFloat32Wav:
+    def test_read_float32_wav(self, tmp_path):
+        """IEEE-float WAVs (format 3) must read in the pure-Python path —
+        stdlib wave rejects them, hence the hand-rolled RIFF parser."""
+        import struct
+
+        rng = np.random.default_rng(9)
+        x = rng.uniform(-0.9, 0.9, size=(500, 2)).astype(np.float32)
+        pcm = x.astype("<f4").tobytes()
+        path = str(tmp_path / "f32.wav")
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+        hdr += struct.pack("<IHHIIHH", 16, 3, 2, 48000, 48000 * 8, 8, 32)
+        hdr += b"data" + struct.pack("<I", len(pcm))
+        with open(path, "wb") as f:
+            f.write(hdr + pcm)
+        data, rate = read_wav(path)
+        assert rate == 48000
+        np.testing.assert_allclose(data[0], x, atol=1e-7)
+
+    def test_unsupported_format_raises(self, tmp_path):
+        import struct
+
+        path = str(tmp_path / "alaw.wav")
+        hdr = b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+        hdr += struct.pack("<IHHIIHH", 16, 6, 1, 8000, 8000, 1, 8)  # A-law
+        hdr += b"data" + struct.pack("<I", 0)
+        with open(path, "wb") as f:
+            f.write(hdr)
+        with pytest.raises(ValueError, match="unsupported encoding"):
+            read_wav(path)
+
+    def test_garbage_raises(self, tmp_path):
+        path = str(tmp_path / "junk.wav")
+        with open(path, "wb") as f:
+            f.write(b"garbage" * 10)
+        with pytest.raises(ValueError, match="RIFF"):
+            read_wav(path)

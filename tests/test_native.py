@@ -139,3 +139,18 @@ class TestRiceCoding:
         data = bytearray(native.rice_encode(codes))
         with pytest.raises(ValueError, match="corrupt"):
             native.rice_decode(bytes(data[: len(data) // 4]), codes.size)
+
+
+class TestWriteClipping:
+    def test_full_scale_positive_not_wrapped(self, tmp_path):
+        """Full-scale +1.0 must not wrap to INT32_MIN (float32 cannot
+        represent 2^31-1; scaling must happen in double)."""
+        path = str(tmp_path / "fs.wav")
+        x = np.asarray([[1.0], [0.5], [-1.0], [2.0]], dtype=np.float32)
+        native.write_wav(path, x, 16000, width=4)
+        data, _ = native.decode_wav(path)
+        got = data[0, :, 0]
+        assert got[0] > 0.999  # NOT -1.0
+        assert abs(got[1] - 0.5) < 1e-6
+        assert got[2] < -0.999
+        assert got[3] > 0.999  # clamped, not wrapped
