@@ -1,0 +1,255 @@
+"""Seekable chunked stream container (.acs) for long-form encoded audio.
+
+The monolithic .acz container (io/bitstream.py) holds one array of codes —
+fine for clips, wrong for an hour of audio: decode would need the whole
+file. This container stores independently-readable CHUNKS of spectral
+frames with a byte index, so a decoder can stream sequentially with bounded
+memory or seek to any chunk. Overlap-add needs exactly one spectral frame
+of context (the MDCT's 2-tap coupling), so decoding from chunk k fetches
+chunk k-1's last frame — nothing else.
+
+Layout (little-endian):
+
+  magic b"ACS1" | u32 header_len | header JSON (meta incl. chunk_blocks)
+  per chunk: u32 blocks | u32 codes_len | codes rice bytes
+             | u32 bark_len | bark-delta rice bytes
+  trailer: u64 index offset at EOF-8; index = u64 chunk byte offsets
+
+Codes and Bark sidecar use the same Rice coder as .acz; Bark deltas are
+within-chunk only, so every chunk is self-contained.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+
+_MAGIC = b"ACS1"
+
+
+class StreamWriter:
+    """Append encoded chunks to a seekable stream file."""
+
+    def __init__(self, path: str, *, sample_rate, filters_n, bark_bands_n,
+                 alpha, window_type, channels, compute_dtype="float32"):
+        self.meta = {
+            "sample_rate": int(sample_rate),
+            "filters_n": int(filters_n),
+            "bark_bands_n": int(bark_bands_n),
+            "alpha": float(alpha),
+            "window_type": window_type,
+            "channels": int(channels),
+            "compute_dtype": str(compute_dtype),
+        }
+        self._f = open(path, "wb")
+        header = json.dumps(self.meta).encode()
+        self._f.write(_MAGIC + struct.pack("<I", len(header)) + header)
+        self._index = []
+        self._closed = False
+
+    def append(self, codes, bark16) -> None:
+        """Write one chunk: codes int32 [1, blocks, N, C] (or [blocks, N, C]),
+        bark16 bfloat16 [1, blocks, bark_n, C] (or unbatched)."""
+        from audiocodec_tpu import native
+
+        codes = np.asarray(codes)
+        bark = np.asarray(bark16)
+        if codes.ndim == 4:
+            if codes.shape[0] != 1:
+                raise ValueError("stream chunks are single-clip")
+            codes = codes[0]
+            bark = bark[0]
+        blocks = codes.shape[0]
+        code_bytes = native.rice_encode(codes.astype(np.int32))
+        bark_i32 = bark.view(np.uint16).astype(np.int32)
+        deltas = np.diff(bark_i32, axis=0, prepend=0)
+        bark_bytes = native.rice_encode(deltas)
+        self._index.append(self._f.tell())
+        self._f.write(struct.pack("<II", blocks, len(code_bytes)))
+        self._f.write(code_bytes)
+        self._f.write(struct.pack("<I", len(bark_bytes)))
+        self._f.write(bark_bytes)
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        index_off = self._f.tell()
+        self._f.write(struct.pack(f"<{len(self._index)}Q", *self._index))
+        self._f.write(struct.pack("<QQ", len(self._index), index_off))
+        self._f.close()
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class StreamReader:
+    """Random or sequential access to an .acs stream."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+        magic = self._f.read(4)
+        if magic != _MAGIC:
+            raise ValueError(f"not an ACS stream (magic {magic!r})")
+        (hlen,) = struct.unpack("<I", self._f.read(4))
+        self.meta = json.loads(self._f.read(hlen))
+        self._f.seek(-16, 2)
+        n_chunks, index_off = struct.unpack("<QQ", self._f.read(16))
+        self._f.seek(index_off)
+        self._index = list(
+            struct.unpack(f"<{n_chunks}Q", self._f.read(8 * n_chunks))
+        )
+
+    @property
+    def n_chunks(self) -> int:
+        return len(self._index)
+
+    def read_chunk(self, i: int):
+        """-> (codes int32 [blocks, N, C], bark bfloat16 [blocks, bark, C])."""
+        import ml_dtypes
+
+        from audiocodec_tpu import native
+
+        if not 0 <= i < len(self._index):
+            raise IndexError(f"chunk {i} of {len(self._index)}")
+        self._f.seek(self._index[i])
+        blocks, clen = struct.unpack("<II", self._f.read(8))
+        code_bytes = self._f.read(clen)
+        (blen,) = struct.unpack("<I", self._f.read(4))
+        bark_bytes = self._f.read(blen)
+
+        n = self.meta["filters_n"]
+        bark_n = self.meta["bark_bands_n"]
+        ch = self.meta["channels"]
+        codes = native.rice_decode(code_bytes, blocks * n * ch).reshape(
+            blocks, n, ch
+        )
+        deltas = native.rice_decode(bark_bytes, blocks * bark_n * ch).reshape(
+            blocks, bark_n, ch
+        )
+        bark = (
+            np.cumsum(deltas, axis=0).astype(np.uint16).view(ml_dtypes.bfloat16)
+        )
+        return codes, bark
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# -- codec integration ---------------------------------------------------------
+
+
+def encode_stream(codec, x, path: str, chunk_blocks: int = 256) -> int:
+    """Encode a long waveform to a seekable stream with bounded memory.
+
+    Uses the streaming MDCT (one carried block across chunks) and per-chunk
+    masking + quantization against the bfloat16-rounded Bark intensity —
+    the same encoder/decoder step-size agreement as .acz.
+
+    :param x: [1, samples, channels], samples a multiple of chunk_blocks*N.
+    :return: number of chunks written.
+    """
+    import jax.numpy as jnp
+
+    from audiocodec_tpu import quantize as _quantize
+    from audiocodec_tpu import streaming
+
+    mdct = codec.mdct
+    n = mdct.filters_n
+    b, s, c = x.shape
+    if b != 1:
+        raise ValueError("encode_stream takes a single clip")
+    chunk = chunk_blocks * n
+    if s % chunk != 0:
+        raise ValueError(f"samples {s} must be a multiple of {chunk}")
+
+    with StreamWriter(
+        path,
+        sample_rate=codec.psycho.sample_rate,
+        filters_n=n,
+        bark_bands_n=codec.psycho.bark_bands_n,
+        alpha=codec.psycho.alpha,
+        window_type=mdct.window_type,
+        channels=c,
+        compute_dtype=str(jnp.dtype(mdct.compute_dtype)),
+    ) as w:
+        carry = streaming.mdct_stream_init(mdct, 1, c)
+        for start in range(0, s, chunk):
+            carry, frames = streaming.mdct_stream_step(
+                mdct, carry, x[:, start : start + chunk]
+            )
+            w.append(*_encode_frames(codec, frames))
+        last = streaming.mdct_stream_flush(mdct, carry)
+        w.append(*_encode_frames(codec, last))
+        n_chunks = len(w._index)
+    return n_chunks
+
+
+def _encode_frames(codec, frames):
+    import jax.numpy as jnp
+
+    from audiocodec_tpu import quantize as _quantize
+
+    tonality = codec.psycho.tonality(frames)
+    bark = codec.psycho.global_masking_intensity_in_bark(frames, tonality)
+    bark16 = bark.astype(jnp.bfloat16)
+    threshold = codec.psycho.bark_intensity_to_threshold(
+        bark16.astype(codec.mdct.compute_dtype)
+    )
+    codes, _ = _quantize.quantize(frames, threshold)
+    return codes, bark16
+
+
+def decode_stream(codec, path: str, start_chunk: int = 0):
+    """Generator of waveform chunks from an .acs stream (seekable).
+
+    Starting mid-stream only needs the previous chunk's last frame for the
+    overlap-add carry; the first yielded chunk is then sample-exact.
+    """
+    import jax.numpy as jnp
+
+    from audiocodec_tpu import quantize as _quantize
+    from audiocodec_tpu import streaming
+
+    mdct = codec.mdct
+
+    def dequant(codes, bark):
+        threshold = codec.psycho.bark_intensity_to_threshold(
+            jnp.asarray(bark, dtype=mdct.compute_dtype)[None]
+        )
+        delta = _quantize.step_size(threshold)
+        return _quantize.dequantize(
+            jnp.asarray(codes)[None], delta, dtype=mdct.compute_dtype
+        )
+
+    with StreamReader(path) as r:
+        ch = r.meta["channels"]
+        carry = streaming.imdct_stream_init(mdct, 1, ch)
+        if start_chunk > 0:
+            prev = dequant(*r.read_chunk(start_chunk - 1))[:, -1:]
+            # prime the carry with the DCT of the previous chunk's last frame
+            from audiocodec_tpu.ops import dct as _dct
+
+            yb = jnp.transpose(prev, (0, 3, 1, 2))
+            z = _dct.dct4(
+                yb, mdct.dct_mat_inv, fast_bf16=mdct.fast_bf16,
+                precision=mdct.dct_precision,
+            )
+            carry = z[:, :, -1]
+        for i in range(start_chunk, r.n_chunks):
+            frames = dequant(*r.read_chunk(i))
+            carry, samples = streaming.imdct_stream_step(mdct, carry, frames)
+            yield samples
+        tail = streaming.imdct_stream_flush(mdct, carry)
+        yield tail

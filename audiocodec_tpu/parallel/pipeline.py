@@ -1,0 +1,134 @@
+"""Prefetching ingest pipeline: overlap host I/O + H2D with device compute.
+
+The corpus benchmark shows the encoder is device-fast but ingest-bound
+(benchmarks/run_benchmarks.py config 4): synchronous decode -> device_put ->
+encode serializes the host and the chip. This pipeline runs WAV decoding
+(the native thread-pool loader) and host->device transfer on a background
+thread, keeping a bounded queue of device-resident batches ahead of the
+consumer, so the chip never waits on the host in steady state.
+
+    pipe = PrefetchingCorpusLoader(paths, clip_seconds=10.0,
+                                   sample_rate=44100, batch_size=64)
+    for batch, status in pipe:          # batch is already on device
+        codes, delta = encoder(batch)
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import jax
+
+from audiocodec_tpu import native
+
+
+class PrefetchingCorpusLoader:
+    """Iterate device-resident waveform batches decoded ahead of time.
+
+    :param paths: list of WAV paths (equal nominal length; each clip is
+        truncated / zero-padded to clip_seconds).
+    :param batch_size: clips per yielded batch (last batch may be short).
+    :param prefetch: max batches decoded + transferred ahead (>= 1).
+    :param sharding: optional jax sharding for device placement (e.g.
+        parallel.mesh.waveform_sharding(mesh)); default: default device.
+    :yields: (device array [b, frames, channels], status int32 [b]).
+    """
+
+    def __init__(
+        self,
+        paths,
+        clip_seconds: float,
+        sample_rate: int,
+        channels: int = 1,
+        batch_size: int = 64,
+        prefetch: int = 2,
+        sharding=None,
+        decode_threads: int = 0,
+    ):
+        self._paths = list(paths)
+        self._clip_seconds = clip_seconds
+        self._sample_rate = sample_rate
+        self._channels = channels
+        self._batch_size = batch_size
+        self._sharding = sharding
+        self._decode_threads = decode_threads
+        self._queue: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+        self._error = None
+        self._thread = None
+
+    def _producer(self):
+        try:
+            for start in range(0, len(self._paths), self._batch_size):
+                chunk = self._paths[start : start + self._batch_size]
+                host, status = native.load_corpus(
+                    chunk,
+                    clip_seconds=self._clip_seconds,
+                    sample_rate=self._sample_rate,
+                    channels=self._channels,
+                    n_threads=self._decode_threads,
+                )
+                if self._sharding is not None:
+                    dev = jax.device_put(host, self._sharding)
+                else:
+                    dev = jax.device_put(host)
+                self._queue.put((dev, status))
+        except Exception as e:  # surface on the consumer side
+            self._error = e
+        finally:
+            self._queue.put(None)
+
+    def __iter__(self):
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+        while True:
+            item = self._queue.get()
+            if item is None:
+                if self._error is not None:
+                    raise self._error
+                return
+            yield item
+
+    def __len__(self):
+        return -(-len(self._paths) // self._batch_size)
+
+
+def encode_corpus_streaming(codec, paths, mesh=None, **loader_kwargs):
+    """End-to-end prefetched corpus encode: paths -> per-batch codes.
+
+    Combines the background loader with the sharded encoder; decode/H2D of
+    batch k+1 overlaps the chip encoding batch k.
+
+    :return: list of (codes, delta, status) per batch (device-resident).
+    """
+    from audiocodec_tpu.parallel import corpus as _corpus
+    from audiocodec_tpu.parallel import mesh as _mesh
+
+    if mesh is None:
+        mesh = _mesh.make_mesh()
+    loader_kwargs.setdefault("sharding", _mesh.waveform_sharding(mesh))
+    encoder = _corpus.make_corpus_encoder(codec, mesh, quantized=True)
+    dp = mesh.shape["dp"]
+
+    results = []
+    n = codec.mdct.filters_n
+    for batch, status in PrefetchingCorpusLoader(paths, **loader_kwargs):
+        # clip_seconds need not be block-aligned; trim to whole MDCT blocks
+        usable = batch.shape[1] - batch.shape[1] % n
+        if usable == 0:
+            raise ValueError(
+                f"clip_seconds yields {batch.shape[1]} frames — shorter "
+                f"than one MDCT block (filters_n={n})"
+            )
+        batch = batch[:, :usable]
+        real = batch.shape[0]
+        if real % dp != 0:
+            import jax.numpy as jnp
+
+            pad = _mesh.pad_batch_to(real, dp) - real
+            batch = jnp.concatenate(
+                [batch, jnp.zeros((pad,) + batch.shape[1:], batch.dtype)]
+            )
+        codes, delta = encoder(batch)
+        results.append((codes[:real], delta[:real], status))
+    return results
