@@ -56,6 +56,30 @@ def cmd_encode(args):
     codec = _build_codec(rate, args)
     data = _trim_to_blocks(data, args.filters_n)
     x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
+
+    if args.chunk_blocks:
+        from audiocodec_tpu.io import stream_container
+
+        chunk = args.chunk_blocks * args.filters_n
+        usable = x.shape[1] - x.shape[1] % chunk
+        if usable == 0:
+            raise ValueError(
+                f"input shorter than one chunk ({chunk} samples); lower "
+                "--chunk-blocks"
+            )
+        n_chunks = stream_container.encode_stream(
+            codec, x[:, :usable], args.output,
+            chunk_blocks=args.chunk_blocks,
+        )
+        size = os.path.getsize(args.output)
+        raw = usable * x.shape[2] * 2
+        print(
+            f"{args.input}: {usable} samples @ {rate} Hz -> {args.output} "
+            f"(.acs stream, {n_chunks} chunks, {size} bytes, "
+            f"{raw / size:.1f}x smaller than 16-bit PCM)"
+        )
+        return 0
+
     codes, bark = codec.encode_bitstream(x, drown=args.drown)
     size = bitstream.save(
         args.output,
@@ -77,12 +101,20 @@ def cmd_encode(args):
     return 0
 
 
+def _is_acs(path):
+    with open(path, "rb") as f:
+        return f.read(4) == b"ACS1"
+
+
 def cmd_decode(args):
     import jax.numpy as jnp
     import numpy as np
 
     from audiocodec_tpu import native
     from audiocodec_tpu.io import bitstream
+
+    if _is_acs(args.input):
+        return _decode_stream(args)
 
     codes, bark, meta = bitstream.load(args.input)
     args.filters_n = meta["filters_n"]
@@ -127,8 +159,51 @@ def cmd_roundtrip(args):
     return 0
 
 
+def _decode_stream(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiocodec_tpu import native
+    from audiocodec_tpu.io import stream_container
+
+    with stream_container.StreamReader(args.input) as r:
+        meta = dict(r.meta)
+    args.filters_n = meta["filters_n"]
+    args.bark_bands_n = meta["bark_bands_n"]
+    args.alpha = meta["alpha"]
+    args.window = meta["window_type"] or "none"
+    args.bf16 = meta["compute_dtype"] == "bfloat16"
+    codec = _build_codec(meta["sample_rate"], args)
+    chunks = [
+        np.asarray(c.astype(jnp.float32))
+        for c in stream_container.decode_stream(codec, args.input)
+    ]
+    wave = np.concatenate(chunks, axis=1)
+    n = meta["filters_n"]
+    wave = wave[:, n:-n]
+    native.write_wav(args.output, wave, meta["sample_rate"])
+    print(
+        f"{args.input} -> {args.output}: {wave.shape[1]} samples @ "
+        f"{meta['sample_rate']} Hz, {wave.shape[2]} ch (stream)"
+    )
+    return 0
+
+
 def cmd_info(args):
     from audiocodec_tpu.io import bitstream
+
+    if _is_acs(args.input):
+        from audiocodec_tpu.io import stream_container
+
+        with stream_container.StreamReader(args.input) as r:
+            meta, n_chunks = dict(r.meta), r.n_chunks
+        size = os.path.getsize(args.input)
+        print(f"{args.input} (.acs stream):")
+        for k, v in meta.items():
+            print(f"  {k}: {v}")
+        print(f"  chunks: {n_chunks}")
+        print(f"  size: {size} bytes")
+        return 0
 
     codes, bark, meta = bitstream.load(args.input)
     size = os.path.getsize(args.input)
@@ -159,6 +234,11 @@ def main(argv=None) -> int:
         )
         p.add_argument("--drown", type=float, default=0.0)
         p.add_argument("--bf16", action="store_true")
+        p.add_argument(
+            "--chunk-blocks", type=int, default=0,
+            help="write a seekable .acs stream with this many MDCT blocks "
+                 "per chunk (0 = monolithic .acz)",
+        )
 
     p = sub.add_parser("encode", help="wav -> .acz bitstream")
     p.add_argument("input")

@@ -1,0 +1,53 @@
+"""Auxiliary subsystems: multihost helpers, checkify debugging."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiocodec_tpu.codec import Codec
+from audiocodec_tpu.parallel import multihost
+from audiocodec_tpu.utils import debug
+
+
+class TestMultihost:
+    def test_initialize_noop_single_host(self):
+        assert multihost.initialize() is False
+
+    def test_global_mesh_shapes(self):
+        mesh = multihost.global_mesh(sp=2)
+        assert mesh.shape == {"dp": 4, "sp": 2}
+        with pytest.raises(ValueError, match="divisible"):
+            multihost.global_mesh(sp=3)
+
+    def test_process_local_batch(self):
+        assert multihost.process_local_batch(64) == 64  # single process
+
+
+class TestCheckify:
+    def test_clean_pipeline_passes(self):
+        codec = Codec.create(16000, filters_n=64, bark_bands_n=16)
+        x = jnp.ones((1, 4 * 64, 1), dtype=jnp.float32) * 0.3
+        checked = debug.checked(
+            lambda x, k: codec.round_trip(x, k)
+        )
+        err, out = jax.jit(checked)(x, jax.random.key(0))
+        err.throw()  # no error
+        assert out.shape == (1, 6 * 64, 1)
+
+    def test_nan_input_caught(self):
+        codec = Codec.create(16000, filters_n=64, bark_bands_n=16)
+        x = jnp.full((1, 4 * 64, 1), jnp.nan, dtype=jnp.float32)
+        checked = debug.checked(lambda x, k: codec.round_trip(x, k))
+        err, _ = jax.jit(checked)(x, jax.random.key(0))
+        with pytest.raises(Exception):
+            err.throw()
+
+    def test_find_nonfinite(self):
+        tree = {
+            "good": jnp.ones((4,)),
+            "bad": jnp.asarray([1.0, jnp.nan, jnp.inf, 2.0]),
+        }
+        bad = debug.find_nonfinite(tree)
+        assert len(bad) == 1
+        assert list(bad.values()) == [2]

@@ -126,3 +126,31 @@ class TestCLI:
         assert rc == 0
         out = capsys.readouterr().out
         assert "SNR" in out
+
+    def test_streaming_encode_decode_cycle(self, tmp_path, wav_file, capsys):
+        wav_path, x, rate = wav_file
+        acs = str(tmp_path / "out.acs")
+        rec = str(tmp_path / "rec_s.wav")
+
+        rc = cli.main(
+            ["encode", wav_path, acs, "--filters-n", "256",
+             "--chunk-blocks", "16"]
+        )
+        assert rc == 0
+        assert ".acs stream" in capsys.readouterr().out
+
+        rc = cli.main(["info", acs])
+        assert rc == 0
+        assert "chunks:" in capsys.readouterr().out
+
+        rc = cli.main(["decode", acs, rec])
+        assert rc == 0
+        assert "(stream)" in capsys.readouterr().out
+
+        y, rrate = read_wav(rec)
+        assert rrate == rate
+        n = 256
+        usable = min(x.shape[0], y.shape[1]) - n
+        a, b = x[:usable], y[0, :usable]
+        snr = 10 * np.log10((a**2).sum() / max(((a - b) ** 2).sum(), 1e-30))
+        assert snr > 10.0
