@@ -7,10 +7,13 @@ masked-noise injection -> inverse MDCT, float32, batched, one jit program.
 
 Methodology notes (this is a remote-attached TPU):
 * iterations are chained on-device with lax.scan over *fresh* input batches
-  (loop-variant data, so XLA cannot hoist the encode out of the loop), and
+  (loop-variant data, so XLA cannot hoist the encode out of the loop);
 * the timed quantity ends in a single scalar host readback, because
   block_until_ready on the remote backend does not guarantee device
-  completion — only a value transfer does.
+  completion — only a value transfer does; and
+* every host call pays a fixed ~26 ms tunnel round trip regardless of
+  device work, so the no-op RTT is measured and subtracted — verified by
+  the device time/iter being stable across different chain lengths.
 
 Reference baseline: TF 2.21 on 1 CPU core measures ~92 audio-seconds/sec on
 this exact chain (BASELINE.md). Target: >= 100x on TPU v5e-1.
@@ -40,7 +43,7 @@ def main():
     duration_s = 10.0
     filters_n = 1024
     batch = 32
-    iters = 8
+    iters = 16
 
     codec = Codec.create(
         sample_rate=sample_rate, filters_n=filters_n, bark_bands_n=64
@@ -71,17 +74,30 @@ def main():
         )
         return acc
 
+    @jax.jit
+    def noop(x):
+        return jnp.sum(x[0, :8])
+
     # warmup / compile (host readback forces completion)
     float(chained(codec, xs, jax.random.key(0)))
+    float(noop(xs))
 
-    best = float("inf")
-    for trial in range(3):
-        start = time.perf_counter()
-        float(chained(codec, xs, jax.random.key(trial + 1)))
-        best = min(best, (time.perf_counter() - start) / iters)
+    def best_of(fn, reps=4):
+        best = float("inf")
+        for i in range(reps):
+            start = time.perf_counter()
+            fn(i)
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    rtt = best_of(lambda i: float(noop(xs)))
+    total = best_of(
+        lambda i: float(chained(codec, xs, jax.random.key(i + 1)))
+    )
+    per_iter = max((total - rtt) / iters, 1e-9)
 
     audio_seconds = batch * (samples / sample_rate)
-    throughput = audio_seconds / best
+    throughput = audio_seconds / per_iter
 
     print(
         json.dumps(
