@@ -12,7 +12,9 @@ Layout (little-endian):
 
   magic b"ACS1" | u32 header_len | header JSON (meta incl. chunk_blocks)
   per chunk: u32 blocks | u32 codes_len | codes rice bytes
-             | u32 bark_len | bark-delta rice bytes
+             | u32 bark_len | bark-delta rice bytes | u32 crc32
+             (crc over both payloads — storage/transport corruption is
+              detected at read time, not as garbled audio)
   trailer: u64 index offset at EOF-8; index = u64 chunk byte offsets
 
 Codes and Bark sidecar use the same Rice coder as .acz; Bark deltas are
@@ -23,6 +25,7 @@ from __future__ import annotations
 
 import json
 import struct
+import zlib
 
 import numpy as np
 
@@ -66,11 +69,13 @@ class StreamWriter:
         bark_i32 = bark.view(np.uint16).astype(np.int32)
         deltas = np.diff(bark_i32, axis=0, prepend=0)
         bark_bytes = native.rice_encode(deltas)
+        crc = zlib.crc32(bark_bytes, zlib.crc32(code_bytes))
         self._index.append(self._f.tell())
         self._f.write(struct.pack("<II", blocks, len(code_bytes)))
         self._f.write(code_bytes)
         self._f.write(struct.pack("<I", len(bark_bytes)))
         self._f.write(bark_bytes)
+        self._f.write(struct.pack("<I", crc))
 
     def close(self) -> None:
         if self._closed:
@@ -122,6 +127,9 @@ class StreamReader:
         code_bytes = self._f.read(clen)
         (blen,) = struct.unpack("<I", self._f.read(4))
         bark_bytes = self._f.read(blen)
+        (crc,) = struct.unpack("<I", self._f.read(4))
+        if zlib.crc32(bark_bytes, zlib.crc32(code_bytes)) != crc:
+            raise ValueError(f"chunk {i} failed CRC — corrupt stream")
 
         n = self.meta["filters_n"]
         bark_n = self.meta["bark_bands_n"]

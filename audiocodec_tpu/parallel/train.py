@@ -62,17 +62,26 @@ def perceptual_loss(codec: Codec, gains, x, nmr_weight=0.1):
     return wave_mse + nmr_weight * nmr
 
 
-def make_train_step(codec: Codec, mesh, optimizer=None):
+def make_train_step(codec: Codec, mesh, optimizer=None, remat: bool = False):
     """Build a jitted sharded train step: (state, batch) -> (state, loss).
 
     Input batches are expected sharded batch-over-dp / samples-over-sp
     (use parallel.mesh.waveform_sharding); params are replicated. XLA
     inserts the dp-mean psum for the gradient automatically.
+
+    :param remat: rematerialize the forward pass during the backward pass
+        (jax.checkpoint) — trades ~2x forward FLOPs for not keeping the
+        spectrum/threshold intermediates alive, which matters for long
+        clips (memory scales with blocks_n x filter_bands_n).
     """
     if optimizer is None:
         optimizer = optax.adam(1e-3)
     wave_sharding = _mesh.waveform_sharding(mesh)
     repl = _mesh.replicated(mesh)
+
+    loss_fn = lambda g, x: perceptual_loss(codec, g, x)
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn)
 
     @functools.partial(
         jax.jit,
@@ -81,9 +90,9 @@ def make_train_step(codec: Codec, mesh, optimizer=None):
         donate_argnums=(0,),
     )
     def train_step(state: TrainState, x):
-        loss, grads = jax.value_and_grad(
-            lambda g: perceptual_loss(codec, g, x)
-        )(state.gains)
+        loss, grads = jax.value_and_grad(lambda g: loss_fn(g, x))(
+            state.gains
+        )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.gains
         )

@@ -132,3 +132,24 @@ class TestTrainStep:
             results.append((np.asarray(state.gains), float(loss)))
         np.testing.assert_allclose(results[0][0], results[1][0], atol=1e-6)
         assert results[0][1] == pytest.approx(results[1][1], rel=1e-6)
+
+
+class TestRemat:
+    def test_remat_train_step_matches(self, codec):
+        """jax.checkpoint must not change the math, only the memory."""
+        mesh = _mesh.make_mesh(n_devices=2)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(
+            rng.uniform(-0.5, 0.5, size=(2, 8 * 64, 1)), dtype=jnp.float32
+        )
+        outs = []
+        for remat in (False, True):
+            step, opt = _train.make_train_step(
+                codec, mesh, optimizer=optax.sgd(1e-2), remat=remat
+            )
+            state = _train.init_state(codec, opt)
+            state, loss = step(state, jax.device_put(
+                x, _mesh.waveform_sharding(mesh)))
+            outs.append((np.asarray(state.gains), float(loss)))
+        np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-6)
+        assert outs[0][1] == pytest.approx(outs[1][1], rel=1e-6)

@@ -85,3 +85,16 @@ class TestContainerRoundTrip:
         with sc.StreamReader(path) as r:
             with pytest.raises(IndexError):
                 r.read_chunk(99)
+
+    def test_corruption_detected(self, codec, signal, tmp_path):
+        path = str(tmp_path / "c.acs")
+        sc.encode_stream(codec, signal, path, chunk_blocks=8)
+        with sc.StreamReader(path) as r:
+            off = r._index[1]
+        with open(path, "r+b") as f:
+            f.seek(off + 12)
+            f.write(b"\xff\xff")  # flip payload bytes
+        with sc.StreamReader(path) as r:
+            r.read_chunk(0)  # untouched chunk still reads
+            with pytest.raises(ValueError, match="CRC"):
+                r.read_chunk(1)
