@@ -133,6 +133,10 @@ def _mdct_kernel(
 def _call(rows, blocks_n, n, tb, dtype, m_prev, m_cur, x, precision):
     num_out = blocks_n + 1
     n_tiles = pl.cdiv(num_out, tb)
+    # Mosaic supports only DEFAULT and HIGHEST dot precisions; 'high'
+    # falls back to 'highest' inside kernels (accurate, slightly slower).
+    if precision == "high":
+        precision = "highest"
     kernel = functools.partial(
         _mdct_kernel, tb=tb, blocks_n=blocks_n, n_tiles=n_tiles,
         precision=_dct.PRECISIONS[precision],

@@ -11,9 +11,10 @@ Methodology notes (this is a remote-attached TPU):
 * the timed quantity ends in a single scalar host readback, because
   block_until_ready on the remote backend does not guarantee device
   completion — only a value transfer does; and
-* every host call pays a fixed ~26 ms tunnel round trip regardless of
-  device work, so the no-op RTT is measured and subtracted — verified by
-  the device time/iter being stable across different chain lengths.
+* every host call pays a ~26 ms tunnel round trip that FLUCTUATES with
+  tunnel load, so device time is extracted as a slope: the same chained
+  program is timed at two lengths and differenced —
+  (t(L2) - t(L1)) / (L2 - L1) cancels the per-call constant exactly.
 
 Reference baseline: TF 2.21 on 1 CPU core measures ~92 audio-seconds/sec on
 this exact chain (BASELINE.md). Target: >= 100x on TPU v5e-1.
@@ -43,7 +44,7 @@ def main():
     duration_s = 10.0
     filters_n = 1024
     batch = 32
-    iters = 16
+    iters_short, iters_long = 8, 24
 
     codec = Codec.create(
         sample_rate=sample_rate, filters_n=filters_n, bark_bands_n=64
@@ -57,30 +58,36 @@ def main():
         + 0.3 * np.sin(2 * np.pi * 1320 * t)
         + 0.05 * rng.normal(size=samples)
     ).astype(np.float32)
-    xs = np.broadcast_to(
-        base[None, None, :, None], (iters, batch, samples, 1)
-    ) * rng.uniform(0.5, 1.0, size=(iters, batch, 1, 1)).astype(np.float32)
-    xs = jnp.asarray(xs)
+    xs8 = np.broadcast_to(
+        base[None, None, :, None], (iters_short, batch, samples, 1)
+    ) * rng.uniform(0.5, 1.0, size=(iters_short, batch, 1, 1)).astype(
+        np.float32
+    )
+    xs8 = jnp.asarray(xs8)
 
-    @jax.jit
-    def chained(c, xs, key):
-        def body(acc, xk):
-            x, k = xk
-            out = c.round_trip(x, k)
-            return acc + jnp.sum(jnp.abs(out)), None
+    def make_chain(iters):
+        @jax.jit
+        def chained(c, xs, key):
+            def body(acc, i):
+                # cycle the resident batches, rescaled per step so the
+                # encode stays loop-variant and cannot hoist
+                x = xs[i % xs.shape[0]] * (1.0 + 0.001 * i.astype(jnp.float32))
+                out = c.round_trip(x, jax.random.fold_in(key, i))
+                return acc + jnp.sum(jnp.abs(out)), None
 
-        acc, _ = jax.lax.scan(
-            body, jnp.float32(0), (xs, jax.random.split(key, xs.shape[0]))
-        )
-        return acc
+            acc, _ = jax.lax.scan(
+                body, jnp.float32(0), jnp.arange(iters)
+            )
+            return acc
 
-    @jax.jit
-    def noop(x):
-        return jnp.sum(x[0, :8])
+        return chained
+
+    chain_short = make_chain(iters_short)
+    chain_long = make_chain(iters_long)
 
     # warmup / compile (host readback forces completion)
-    float(chained(codec, xs, jax.random.key(0)))
-    float(noop(xs))
+    float(chain_short(codec, xs8, jax.random.key(0)))
+    float(chain_long(codec, xs8, jax.random.key(0)))
 
     def best_of(fn, reps=4):
         best = float("inf")
@@ -90,11 +97,13 @@ def main():
             best = min(best, time.perf_counter() - start)
         return best
 
-    rtt = best_of(lambda i: float(noop(xs)))
-    total = best_of(
-        lambda i: float(chained(codec, xs, jax.random.key(i + 1)))
+    t_short = best_of(
+        lambda i: float(chain_short(codec, xs8, jax.random.key(i + 1)))
     )
-    per_iter = max((total - rtt) / iters, 1e-9)
+    t_long = best_of(
+        lambda i: float(chain_long(codec, xs8, jax.random.key(i + 1)))
+    )
+    per_iter = max((t_long - t_short) / (iters_long - iters_short), 1e-9)
 
     audio_seconds = batch * (samples / sample_rate)
     throughput = audio_seconds / per_iter
