@@ -154,3 +154,42 @@ class TestWriteClipping:
         assert abs(got[1] - 0.5) < 1e-6
         assert got[2] < -0.999
         assert got[3] > 0.999  # clamped, not wrapped
+
+
+class TestParserFuzz:
+    def test_random_garbage_never_crashes(self, tmp_path):
+        """The native RIFF parser must reject arbitrary bytes with an error
+        code, never crash or hang (it backs a network-facing CLI)."""
+        rng = np.random.default_rng(0)
+        for i in range(50):
+            path = str(tmp_path / f"fuzz{i}.bin")
+            size = int(rng.integers(0, 2000))
+            blob = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+            if i % 3 == 0:  # bias toward almost-valid headers
+                blob = b"RIFF" + blob
+            if i % 5 == 0:
+                blob = b"RIFF\xff\xff\xff\xffWAVE" + blob
+            with open(path, "wb") as f:
+                f.write(blob)
+            try:
+                native.decode_wav(path)
+            except ValueError:
+                pass  # expected for malformed input
+
+    def test_truncated_real_wav(self, tmp_path):
+        from audiocodec_tpu.io.wav import write_wav
+
+        rng = np.random.default_rng(1)
+        x = rng.uniform(-0.5, 0.5, size=(1000, 1)).astype(np.float32)
+        full = str(tmp_path / "full.wav")
+        write_wav(full, x, 16000)
+        blob = open(full, "rb").read()
+        for frac in (0.3, 0.6, 0.95):
+            cut = str(tmp_path / f"cut{frac}.wav")
+            with open(cut, "wb") as f:
+                f.write(blob[: int(len(blob) * frac)])
+            try:
+                data, _ = native.decode_wav(cut)
+                assert data.shape[1] <= 1000  # partial decode is fine
+            except ValueError:
+                pass
