@@ -56,6 +56,8 @@ def cmd_encode(args):
     codec = _build_codec(rate, args)
     data = _trim_to_blocks(data, args.filters_n)
     x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
+    if args.ms and x.shape[2] != 2:
+        raise ValueError("--ms (joint mid/side) needs a stereo input")
 
     if args.chunk_blocks:
         from audiocodec_tpu.io import stream_container
@@ -80,7 +82,10 @@ def cmd_encode(args):
         )
         return 0
 
-    codes, bark = codec.encode_bitstream(x, drown=args.drown)
+    if args.ms:
+        codes, bark = codec.encode_bitstream_ms(x, drown=args.drown)
+    else:
+        codes, bark = codec.encode_bitstream(x, drown=args.drown)
     size = bitstream.save(
         args.output,
         codes,
@@ -91,6 +96,7 @@ def cmd_encode(args):
         alpha=args.alpha,
         window_type=args.window if args.window != "none" else None,
         compute_dtype=str(jnp.dtype(codec.mdct.compute_dtype)),
+        ms=args.ms,
     )
     raw = data.size * 2  # vs 16-bit PCM
     print(
@@ -125,9 +131,14 @@ def cmd_decode(args):
     # match it so both derive identical quantization steps
     args.bf16 = meta["compute_dtype"] == "bfloat16"
     codec = _build_codec(meta["sample_rate"], args)
-    wave = codec.decode_bitstream(
-        jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16)
-    )
+    if meta.get("ms"):
+        wave = codec.decode_bitstream_ms(
+            jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16)
+        )
+    else:
+        wave = codec.decode_bitstream(
+            jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16)
+        )
     n = meta["filters_n"]
     wave = np.asarray(wave.astype(jnp.float32))[:, n:-n]
     native.write_wav(args.output, wave, meta["sample_rate"])
@@ -234,6 +245,10 @@ def main(argv=None) -> int:
         )
         p.add_argument("--drown", type=float, default=0.0)
         p.add_argument("--bf16", action="store_true")
+        p.add_argument(
+            "--ms", action="store_true",
+            help="joint mid/side coding for stereo inputs",
+        )
         p.add_argument(
             "--chunk-blocks", type=int, default=0,
             help="write a seekable .acs stream with this many MDCT blocks "

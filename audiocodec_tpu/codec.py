@@ -138,6 +138,67 @@ class Codec:
 
     # -- bitstream path: what actually gets transmitted -----------------------
 
+    @staticmethod
+    def to_mid_side(x: jax.Array) -> jax.Array:
+        """Stereo (channels last, size 2) -> mid/side, orthonormal. Works on
+        waveforms and spectra alike (the MDCT is linear, so transforming
+        then rotating equals rotating then transforming)."""
+        scale = jnp.asarray(1.0 / jnp.sqrt(2.0), dtype=x.dtype)
+        mid = (x[..., 0:1] + x[..., 1:2]) * scale
+        side = (x[..., 0:1] - x[..., 1:2]) * scale
+        return jnp.concatenate([mid, side], axis=-1)
+
+    @staticmethod
+    def from_mid_side(ms: jax.Array) -> jax.Array:
+        """Inverse of :meth:`to_mid_side` (self-inverse up to roundoff)."""
+        return Codec.to_mid_side(ms)
+
+    def encode_bitstream_ms(self, x: jax.Array, drown=0.0):
+        """Joint-stereo encode: quantize mid/side spectra against the
+        conservative per-band min of the LEFT/RIGHT masking thresholds.
+
+        Thresholds must come from the signal the listener hears (L/R) —
+        masking the side channel by its own (tiny) energy would faithfully
+        code inaudible content and GROW the file. With min(L, R) the
+        quantization noise stays below audibility in both output channels
+        (the orthonormal rotation splits each M/S noise power equally into
+        L and R), while correlated content drives the side codes to zero.
+
+        The transmitted sidecar is the per-band MIN over channels of the
+        Bark intensity — a single channel's worth (halving the sidecar),
+        and since the Bark→threshold map is positive-linear, the threshold
+        it yields lower-bounds both channels' thresholds (conservative).
+
+        :param x: stereo waveform [B, S, 2].
+        :return: (codes [B, blocks+1, N, 2], bark16 [B, blocks+1, bark, 1]).
+        """
+        if x.shape[-1] != 2:
+            raise ValueError("joint stereo needs exactly 2 channels")
+        spectrum = self.mdct.transform(x)
+        tonality = self.psycho.tonality(spectrum)
+        bark = self.psycho.global_masking_intensity_in_bark(
+            spectrum, tonality, drown
+        )
+        bark16 = jnp.min(bark, axis=-1, keepdims=True).astype(jnp.bfloat16)
+        codes, _ = _quantize.quantize(
+            self.to_mid_side(spectrum), self._ms_threshold(bark16)
+        )
+        return codes, bark16
+
+    def _ms_threshold(self, bark16_min: jax.Array) -> jax.Array:
+        thr = self.psycho.bark_intensity_to_threshold(
+            bark16_min.astype(self.mdct.compute_dtype)
+        )
+        return jnp.broadcast_to(thr, thr.shape[:-1] + (2,))
+
+    def decode_bitstream_ms(self, codes: jax.Array, bark16: jax.Array) -> jax.Array:
+        """Inverse of :meth:`encode_bitstream_ms` -> L/R waveform."""
+        delta = _quantize.step_size(self._ms_threshold(bark16))
+        spec_ms = _quantize.dequantize(
+            codes, delta, dtype=self.mdct.compute_dtype
+        )
+        return self.decode(self.from_mid_side(spec_ms))
+
     def encode_bitstream(self, x: jax.Array, drown=0.0):
         """Encode to the transmissible representation: integer codes plus
         the Bark-domain masking intensity (bark_bands_n << filter_bands_n

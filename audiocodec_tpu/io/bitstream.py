@@ -21,7 +21,7 @@ import numpy as np
 
 def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
          window_type, compute_dtype: str = "float32",
-         entropy: str = "auto") -> bytes:
+         entropy: str = "auto", ms: bool = False) -> bytes:
     """Serialize encoder output to bytes.
 
     :param entropy: "rice" (native Rice/Golomb coder — smallest), "zlib"
@@ -77,6 +77,7 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
         # the decoder must derive step sizes in the SAME dtype the encoder
         # quantized against, or thresholds diverge by the dtype's epsilon
         dtype=np.asarray([str(compute_dtype)]),
+        ms=np.asarray([1 if ms else 0], dtype=np.int64),
         **members,
     )
     return buf.getvalue()
@@ -114,6 +115,7 @@ def unpack(data: bytes):
         window = str(z["window"][0]) or None
         alpha = float(z["alphaw"][0])
         dtype = str(z["dtype"][0]) if "dtype" in z.files else "float32"
+        ms = bool(int(z["ms"][0])) if "ms" in z.files else False
     meta = {
         "sample_rate": int(meta_arr[0]),
         "filters_n": int(meta_arr[1]),
@@ -122,6 +124,7 @@ def unpack(data: bytes):
         "alpha": alpha,
         "window_type": window,
         "compute_dtype": dtype,
+        "ms": ms,
     }
     return codes, bark, meta
 

@@ -154,3 +154,59 @@ class TestCLI:
         a, b = x[:usable], y[0, :usable]
         snr = 10 * np.log10((a**2).sum() / max(((a - b) ** 2).sum(), 1e-30))
         assert snr > 10.0
+
+
+class TestMidSide:
+    def test_ms_transform_self_inverse(self):
+        from audiocodec_tpu.codec import Codec
+
+        rng = np.random.default_rng(0)
+        x = np.asarray(rng.uniform(-1, 1, (2, 100, 2)), dtype=np.float32)
+        import jax.numpy as jnp
+
+        xs = jnp.asarray(x)
+        back = Codec.from_mid_side(Codec.to_mid_side(xs))
+        np.testing.assert_allclose(np.asarray(back), x, atol=1e-6)
+
+    def test_ms_shrinks_correlated_stereo(self, tmp_path):
+        """Near-identical broadband L/R channels: joint coding zeroes the
+        side codes and halves the Bark sidecar -> smaller file, and it
+        still decodes correctly."""
+        rate = 16000
+        rng = np.random.default_rng(7)
+        t = np.arange(rate) / rate
+        mono = (
+            0.4 * np.sin(2 * np.pi * 440 * t)
+            + 0.15 * rng.normal(size=t.size)
+        ).astype(np.float32)
+        mono = np.clip(mono, -1, 1)
+        stereo = np.stack([mono, mono * 0.98], axis=-1)
+        wav = str(tmp_path / "st.wav")
+        write_wav(wav, stereo, rate)
+
+        plain = str(tmp_path / "plain.acz")
+        joint = str(tmp_path / "joint.acz")
+        assert cli.main(["encode", wav, plain, "--filters-n", "256"]) == 0
+        assert cli.main(
+            ["encode", wav, joint, "--filters-n", "256", "--ms"]
+        ) == 0
+        import os as _os
+
+        assert _os.path.getsize(joint) < _os.path.getsize(plain)
+
+        rec = str(tmp_path / "rec.wav")
+        assert cli.main(["decode", joint, rec]) == 0
+        y, _ = read_wav(rec)
+        n = 256
+        usable = min(stereo.shape[0], y.shape[1]) - n
+        a, b = stereo[:usable], y[0, :usable]
+        snr = 10 * np.log10((a**2).sum() / max(((a - b) ** 2).sum(), 1e-30))
+        assert snr > 10.0
+
+    def test_ms_on_mono_rejected(self, tmp_path, wav_file, capsys):
+        wav_path, _, _ = wav_file
+        rc = cli.main(
+            ["encode", wav_path, str(tmp_path / "x.acz"), "--ms"]
+        )
+        assert rc == 1
+        assert "stereo" in capsys.readouterr().err
