@@ -62,6 +62,11 @@ def cmd_encode(args):
     if args.chunk_blocks:
         from audiocodec_tpu.io import stream_container
 
+        if args.ms:
+            raise ValueError(
+                "--ms is not supported together with --chunk-blocks "
+                "(joint stereo is a .acz feature for now)"
+            )
         chunk = args.chunk_blocks * args.filters_n
         usable = x.shape[1] - x.shape[1] % chunk
         if usable == 0:
@@ -71,7 +76,7 @@ def cmd_encode(args):
             )
         n_chunks = stream_container.encode_stream(
             codec, x[:, :usable], args.output,
-            chunk_blocks=args.chunk_blocks,
+            chunk_blocks=args.chunk_blocks, drown=args.drown,
         )
         size = os.path.getsize(args.output)
         raw = usable * x.shape[2] * 2
@@ -185,13 +190,21 @@ def _decode_stream(args):
     args.window = meta["window_type"] or "none"
     args.bf16 = meta["compute_dtype"] == "bfloat16"
     codec = _build_codec(meta["sample_rate"], args)
-    chunks = [
-        np.asarray(c.astype(jnp.float32))
-        for c in stream_container.decode_stream(codec, args.input)
-    ]
-    wave = np.concatenate(chunks, axis=1)
     n = meta["filters_n"]
-    wave = wave[:, n:-n]
+    # preallocate from the chunk headers so peak memory stays ~1x the
+    # decoded waveform (the point of the streaming container)
+    with stream_container.StreamReader(args.input) as r:
+        total_blocks = sum(r.chunk_blocks(i) for i in range(r.n_chunks))
+        ch = r.meta["channels"]
+    wave = np.empty(
+        (1, (total_blocks + 1) * n, ch), dtype=np.float32
+    )
+    pos = 0
+    for c in stream_container.decode_stream(codec, args.input):
+        arr = np.asarray(c.astype(jnp.float32))
+        wave[:, pos : pos + arr.shape[1]] = arr
+        pos += arr.shape[1]
+    wave = wave[:, :pos][:, n:-n]
     native.write_wav(args.output, wave, meta["sample_rate"])
     print(
         f"{args.input} -> {args.output}: {wave.shape[1]} samples @ "

@@ -213,16 +213,20 @@ class Codec:
         :return: (codes int32 [B, blocks+1, N, C],
                   bark_intensity bfloat16 [B, blocks+1, bark_bands_n, C]).
         """
-        spectrum = self.mdct.transform(x)
-        tonality = self.psycho.tonality(spectrum)
+        return self.quantize_frames(self.mdct.transform(x), drown)
+
+    def quantize_frames(self, frames: jax.Array, drown=0.0):
+        """Spectral frames -> (codes, bf16 Bark sidecar); the frame-level
+        half of encode_bitstream, shared with the streaming container."""
+        tonality = self.psycho.tonality(frames)
         bark = self.psycho.global_masking_intensity_in_bark(
-            spectrum, tonality, drown
+            frames, tonality, drown
         )
         bark16 = bark.astype(jnp.bfloat16)
         threshold = self.psycho.bark_intensity_to_threshold(
             bark16.astype(self.mdct.compute_dtype)
         )
-        codes, _ = _quantize.quantize(spectrum, threshold)
+        codes, _ = _quantize.quantize(frames, threshold)
         return codes, bark16
 
     def decode_bitstream(self, codes: jax.Array, bark16: jax.Array) -> jax.Array:

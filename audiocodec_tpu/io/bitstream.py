@@ -19,6 +19,33 @@ import io as _io
 import numpy as np
 
 
+def encode_bark_sidecar(bark16, block_axis: int) -> bytes:
+    """Delta (along blocks) + Rice coding of the bfloat16 Bark sidecar.
+
+    bfloat16 bit patterns are monotonic for positive floats, so smooth
+    intensities give small integer deltas. Shared by .acz and .acs.
+    """
+    from audiocodec_tpu import native
+
+    bark_i32 = np.asarray(bark16).view(np.uint16).astype(np.int32)
+    deltas = np.diff(bark_i32, axis=block_axis, prepend=0)
+    return native.rice_encode(deltas)
+
+
+def decode_bark_sidecar(data: bytes, shape, block_axis: int):
+    """Inverse of :func:`encode_bark_sidecar` -> bfloat16 array."""
+    import ml_dtypes
+
+    from audiocodec_tpu import native
+
+    deltas = native.rice_decode(data, int(np.prod(shape))).reshape(shape)
+    return (
+        np.cumsum(deltas, axis=block_axis)
+        .astype(np.uint16)
+        .view(ml_dtypes.bfloat16)
+    )
+
+
 def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
          window_type, compute_dtype: str = "float32",
          entropy: str = "auto", ms: bool = False) -> bytes:
@@ -40,16 +67,13 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
             native.rice_encode(codes), dtype=np.uint8
         )
         members["shape"] = np.asarray(codes.shape, dtype=np.int64)
-        # The Bark sidecar dominates file size. Intensities are positive and
-        # smooth across blocks, and bfloat16's bit pattern is monotonic in
-        # value for positive floats — so block-to-block deltas of the uint16
-        # views are small integers, ideal for the same Rice coder.
-        bark_i32 = np.asarray(bark16).view(np.uint16).astype(np.int32)
-        deltas = np.diff(bark_i32, axis=1, prepend=0)
+        # The Bark sidecar dominates file size; see encode_bark_sidecar.
         members["bark_rice"] = np.frombuffer(
-            native.rice_encode(deltas), dtype=np.uint8
+            encode_bark_sidecar(bark16, block_axis=1), dtype=np.uint8
         )
-        members["bark_shape"] = np.asarray(bark_i32.shape, dtype=np.int64)
+        members["bark_shape"] = np.asarray(
+            np.asarray(bark16).shape, dtype=np.int64
+        )
     else:
         packed = codes
         for dt in (np.int8, np.int16, np.int32):
@@ -98,16 +122,9 @@ def unpack(data: bytes):
         else:
             codes = z["codes"].astype(np.int32)
         if "bark_rice" in z.files:
-            from audiocodec_tpu import native
-
             bshape = tuple(int(v) for v in z["bark_shape"])
-            deltas = native.rice_decode(
-                z["bark_rice"].tobytes(), int(np.prod(bshape))
-            ).reshape(bshape)
-            bark = (
-                np.cumsum(deltas, axis=1)
-                .astype(np.uint16)
-                .view(ml_dtypes.bfloat16)
+            bark = decode_bark_sidecar(
+                z["bark_rice"].tobytes(), bshape, block_axis=1
             )
         else:
             bark = z["bark"].view(ml_dtypes.bfloat16)

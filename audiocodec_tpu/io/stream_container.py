@@ -66,9 +66,9 @@ class StreamWriter:
             bark = bark[0]
         blocks = codes.shape[0]
         code_bytes = native.rice_encode(codes.astype(np.int32))
-        bark_i32 = bark.view(np.uint16).astype(np.int32)
-        deltas = np.diff(bark_i32, axis=0, prepend=0)
-        bark_bytes = native.rice_encode(deltas)
+        from audiocodec_tpu.io import bitstream as _bitstream
+
+        bark_bytes = _bitstream.encode_bark_sidecar(bark, block_axis=0)
         crc = zlib.crc32(bark_bytes, zlib.crc32(code_bytes))
         self._index.append(self._f.tell())
         self._f.write(struct.pack("<II", blocks, len(code_bytes)))
@@ -97,37 +97,74 @@ class StreamReader:
     """Random or sequential access to an .acs stream."""
 
     def __init__(self, path: str):
+        import os
+
         self._f = open(path, "rb")
+        self._size = os.fstat(self._f.fileno()).st_size
         magic = self._f.read(4)
         if magic != _MAGIC:
             raise ValueError(f"not an ACS stream (magic {magic!r})")
-        (hlen,) = struct.unpack("<I", self._f.read(4))
-        self.meta = json.loads(self._f.read(hlen))
-        self._f.seek(-16, 2)
-        n_chunks, index_off = struct.unpack("<QQ", self._f.read(16))
-        self._f.seek(index_off)
-        self._index = list(
-            struct.unpack(f"<{n_chunks}Q", self._f.read(8 * n_chunks))
-        )
+        try:
+            (hlen,) = struct.unpack("<I", self._f.read(4))
+            if hlen > self._size:
+                raise ValueError("header length exceeds file size")
+            self.meta = json.loads(self._f.read(hlen))
+            self._f.seek(-16, 2)
+            n_chunks, index_off = struct.unpack("<QQ", self._f.read(16))
+            # every trailer field must point inside the file
+            if (
+                index_off + 8 * n_chunks + 16 > self._size
+                or index_off < 8 + hlen
+            ):
+                raise ValueError("stream trailer/index out of bounds")
+            self._f.seek(index_off)
+            self._index = list(
+                struct.unpack(f"<{n_chunks}Q", self._f.read(8 * n_chunks))
+            )
+            if any(not 8 + hlen <= off < index_off for off in self._index):
+                raise ValueError("chunk offsets out of bounds")
+        except (struct.error, json.JSONDecodeError, UnicodeDecodeError) as e:
+            raise ValueError(f"corrupt ACS stream: {e}") from None
 
     @property
     def n_chunks(self) -> int:
         return len(self._index)
 
-    def read_chunk(self, i: int):
-        """-> (codes int32 [blocks, N, C], bark bfloat16 [blocks, bark, C])."""
-        import ml_dtypes
+    def chunk_blocks(self, i: int) -> int:
+        """Number of spectral frames in chunk i (header read only)."""
+        self._check_index(i)
+        self._f.seek(self._index[i])
+        (blocks,) = struct.unpack("<I", self._read_exact(4, i))
+        return blocks
 
-        from audiocodec_tpu import native
-
+    def _check_index(self, i: int) -> None:
         if not 0 <= i < len(self._index):
             raise IndexError(f"chunk {i} of {len(self._index)}")
+
+    def _read_exact(self, nbytes: int, i: int) -> bytes:
+        data = self._f.read(nbytes)
+        if len(data) != nbytes:
+            raise ValueError(f"chunk {i} truncated — corrupt stream")
+        return data
+
+    def read_chunk(self, i: int):
+        """-> (codes int32 [blocks, N, C], bark bfloat16 [blocks, bark, C])."""
+        from audiocodec_tpu import native
+        from audiocodec_tpu.io import bitstream as _bitstream
+
+        self._check_index(i)
         self._f.seek(self._index[i])
-        blocks, clen = struct.unpack("<II", self._f.read(8))
-        code_bytes = self._f.read(clen)
-        (blen,) = struct.unpack("<I", self._f.read(4))
-        bark_bytes = self._f.read(blen)
-        (crc,) = struct.unpack("<I", self._f.read(4))
+        blocks, clen = struct.unpack("<II", self._read_exact(8, i))
+        # length fields come from the (potentially corrupt) file: bound
+        # them by the file itself before allocating or reading
+        if blocks > self._size or clen > self._size:
+            raise ValueError(f"chunk {i} has implausible sizes — corrupt stream")
+        code_bytes = self._read_exact(clen, i)
+        (blen,) = struct.unpack("<I", self._read_exact(4, i))
+        if blen > self._size:
+            raise ValueError(f"chunk {i} has implausible sizes — corrupt stream")
+        bark_bytes = self._read_exact(blen, i)
+        (crc,) = struct.unpack("<I", self._read_exact(4, i))
         if zlib.crc32(bark_bytes, zlib.crc32(code_bytes)) != crc:
             raise ValueError(f"chunk {i} failed CRC — corrupt stream")
 
@@ -137,11 +174,8 @@ class StreamReader:
         codes = native.rice_decode(code_bytes, blocks * n * ch).reshape(
             blocks, n, ch
         )
-        deltas = native.rice_decode(bark_bytes, blocks * bark_n * ch).reshape(
-            blocks, bark_n, ch
-        )
-        bark = (
-            np.cumsum(deltas, axis=0).astype(np.uint16).view(ml_dtypes.bfloat16)
+        bark = _bitstream.decode_bark_sidecar(
+            bark_bytes, (blocks, bark_n, ch), block_axis=0
         )
         return codes, bark
 
@@ -158,7 +192,8 @@ class StreamReader:
 # -- codec integration ---------------------------------------------------------
 
 
-def encode_stream(codec, x, path: str, chunk_blocks: int = 256) -> int:
+def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
+                  drown=0.0) -> int:
     """Encode a long waveform to a seekable stream with bounded memory.
 
     Uses the streaming MDCT (one carried block across chunks) and per-chunk
@@ -170,7 +205,6 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256) -> int:
     """
     import jax.numpy as jnp
 
-    from audiocodec_tpu import quantize as _quantize
     from audiocodec_tpu import streaming
 
     mdct = codec.mdct
@@ -197,26 +231,11 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256) -> int:
             carry, frames = streaming.mdct_stream_step(
                 mdct, carry, x[:, start : start + chunk]
             )
-            w.append(*_encode_frames(codec, frames))
+            w.append(*codec.quantize_frames(frames, drown))
         last = streaming.mdct_stream_flush(mdct, carry)
-        w.append(*_encode_frames(codec, last))
+        w.append(*codec.quantize_frames(last, drown))
         n_chunks = len(w._index)
     return n_chunks
-
-
-def _encode_frames(codec, frames):
-    import jax.numpy as jnp
-
-    from audiocodec_tpu import quantize as _quantize
-
-    tonality = codec.psycho.tonality(frames)
-    bark = codec.psycho.global_masking_intensity_in_bark(frames, tonality)
-    bark16 = bark.astype(jnp.bfloat16)
-    threshold = codec.psycho.bark_intensity_to_threshold(
-        bark16.astype(codec.mdct.compute_dtype)
-    )
-    codes, _ = _quantize.quantize(frames, threshold)
-    return codes, bark16
 
 
 def decode_stream(codec, path: str, start_chunk: int = 0):

@@ -28,20 +28,31 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def initialize(coordinator_address=None, num_processes=None, process_id=None):
+def initialize(coordinator_address=None, num_processes=None, process_id=None,
+               auto: bool = False):
     """Initialize jax.distributed when running multi-process.
 
-    No-op when single-process (the common case and all tests). Arguments
-    default to the standard JAX env vars / TPU metadata autodetection.
+    Explicit arguments (or JAX_NUM_PROCESSES > 1) trigger initialization.
+    On Cloud TPU pod slices the canonical call is argument-free
+    autodetection from TPU metadata — that cannot be probed without a
+    network round trip, so opt in with ``auto=True`` from pod launchers:
+
+        multihost.initialize(auto=True)   # pods: metadata autodetection
+        multihost.initialize()            # single host: clean no-op
+
+    Returns True when jax.distributed was initialized.
     """
     world = num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1"))
-    if world <= 1 and coordinator_address is None:
+    if world <= 1 and coordinator_address is None and not auto:
         return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    if auto and coordinator_address is None and num_processes is None:
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     return True
 
 

@@ -51,13 +51,11 @@ class PrefetchingCorpusLoader:
         self._sample_rate = sample_rate
         self._channels = channels
         self._batch_size = batch_size
+        self._prefetch = max(1, prefetch)
         self._sharding = sharding
         self._decode_threads = decode_threads
-        self._queue: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
-        self._error = None
-        self._thread = None
 
-    def _producer(self):
+    def _producer(self, q, stop, errbox):
         try:
             for start in range(0, len(self._paths), self._batch_size):
                 chunk = self._paths[start : start + self._batch_size]
@@ -72,22 +70,44 @@ class PrefetchingCorpusLoader:
                     dev = jax.device_put(host, self._sharding)
                 else:
                     dev = jax.device_put(host)
-                self._queue.put((dev, status))
+                # bounded put that notices an abandoned consumer instead of
+                # blocking forever holding device memory
+                while not stop.is_set():
+                    try:
+                        q.put((dev, status), timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except Exception as e:  # surface on the consumer side
-            self._error = e
+            errbox.append(e)
         finally:
-            self._queue.put(None)
+            try:
+                q.put(None, timeout=5.0)
+            except queue.Full:
+                pass
 
     def __iter__(self):
-        self._thread = threading.Thread(target=self._producer, daemon=True)
-        self._thread.start()
-        while True:
-            item = self._queue.get()
-            if item is None:
-                if self._error is not None:
-                    raise self._error
-                return
-            yield item
+        # each iteration gets its own queue/thread so re-iteration or an
+        # early break can never interleave stale batches
+        q: queue.Queue = queue.Queue(maxsize=self._prefetch)
+        stop = threading.Event()
+        errbox: list = []
+        thread = threading.Thread(
+            target=self._producer, args=(q, stop, errbox), daemon=True
+        )
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    if errbox:
+                        raise errbox[0]
+                    return
+                yield item
+        finally:
+            stop.set()
 
     def __len__(self):
         return -(-len(self._paths) // self._batch_size)

@@ -68,14 +68,36 @@ def _rtt() -> float:
 
 def timed(fn, iters=3):
     """Best-of wall time of fn() minus the fixed host-call RTT (fn must
-    end in a host readback)."""
+    end in a host readback). For chain timings prefer slope_timed."""
     fn()  # warm / compile
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)
-    return max(best - _rtt(), 1e-9)
+    # never let RTT fluctuation report absurd throughput: device time is
+    # at least 10% of the observed wall (conservative floor for short runs)
+    return max(best - _rtt(), best * 0.1)
+
+
+def slope_timed(make_chain, l_short=6, l_long=18):
+    """Per-iteration device time via two chain lengths: the difference
+    cancels the fluctuating per-call tunnel RTT exactly.
+
+    :param make_chain: length -> zero-arg callable ending in a readback.
+    """
+    short, long_ = make_chain(l_short), make_chain(l_long)
+    short(), long_()  # warm / compile
+
+    def best_of(fn, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((best_of(long_) - best_of(short)) / (l_long - l_short), 1e-9)
 
 
 def config1_mdct_roundtrip(quick):
@@ -100,17 +122,20 @@ def config1_mdct_roundtrip(quick):
 
     err = float(rt_err(x))
 
-    iters = 2 if quick else 16
+    def make_chain(length):
+        @jax.jit
+        def chain(x):
+            def body(c, _):
+                y = mdct.inverse_transform(mdct.transform(c))
+                return c * 0.999, jnp.sum(jnp.abs(y))
+            _, s = jax.lax.scan(body, x, None, length=length)
+            return jnp.sum(s)
+        return lambda: float(chain(x))
 
-    @jax.jit
-    def chain(x):
-        def body(c, _):
-            y = mdct.inverse_transform(mdct.transform(c))
-            return c * 0.999, jnp.sum(jnp.abs(y))
-        _, s = jax.lax.scan(body, x, None, length=iters)
-        return jnp.sum(s)
-
-    dt = timed(lambda: float(chain(x))) / iters
+    if quick:  # smoke test: slope of tiny chains is noise-dominated
+        dt = timed(make_chain(2)) / 2
+    else:
+        dt = slope_timed(make_chain, 6, 18)
     audio_s = batch * wave.size / sr
     return {
         "config": "mdct_roundtrip",
@@ -149,16 +174,19 @@ def config2_psycho_twotone(quick):
     thr_silence = np.asarray(threshold(jnp.zeros_like(x)))
     quiet_floor = float(thr_silence[0, 1:-1, bin_440, 0].mean())
     near_masker = float(thr[0, 1:-1, bin_440, 0].mean())
-    iters = 2 if quick else 16
+    def make_chain(length):
+        @jax.jit
+        def chain(x):
+            def body(c, _):
+                return c * 0.999, jnp.sum(threshold(c))
+            _, s = jax.lax.scan(body, x, None, length=length)
+            return jnp.sum(s)
+        return lambda: float(chain(x))
 
-    @jax.jit
-    def chain(x):
-        def body(c, _):
-            return c * 0.999, jnp.sum(threshold(c))
-        _, s = jax.lax.scan(body, x, None, length=iters)
-        return jnp.sum(s)
-
-    dt = timed(lambda: float(chain(x))) / iters
+    if quick:
+        dt = timed(make_chain(2)) / 2
+    else:
+        dt = slope_timed(make_chain, 6, 18)
     return {
         "config": "psycho_twotone",
         "masker_to_floor_ratio": round(near_masker / quiet_floor, 1),
@@ -190,20 +218,20 @@ def config3_full_encode_decode(quick):
     out = np.asarray(jax.jit(codec.round_trip_quantized)(x))[:, n:-n]
     snr = snr_db(np.asarray(x), out)
 
-    iters = 2 if quick else 8
-    xs = jnp.asarray(
-        np.tile(wave[None, None, :, None], (iters, batch, 1, 1))
-        * rng.uniform(0.5, 1.0, (iters, batch, 1, 1)).astype(np.float32)
-    )
+    def make_chain(length):
+        @jax.jit
+        def chain(c, x0):
+            def body(acc, i):
+                xi = x0 * (1.0 + 0.001 * i.astype(jnp.float32))
+                return acc + jnp.sum(jnp.abs(c.round_trip_quantized(xi))), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(length))
+            return acc
+        return lambda: float(chain(codec, x))
 
-    @jax.jit
-    def chain(c, xs):
-        def body(acc, xi):
-            return acc + jnp.sum(jnp.abs(c.round_trip_quantized(xi))), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0), xs)
-        return acc
-
-    dt = timed(lambda: float(chain(codec, xs))) / iters
+    if quick:
+        dt = timed(make_chain(2)) / 2
+    else:
+        dt = slope_timed(make_chain, 6, 18)
     audio_s = batch * wave.size / sr
     thr = audio_s / dt
     return {

@@ -70,3 +70,19 @@ class TestPrefetchingLoader:
         codes, delta, status = out[0]
         assert codes.shape == (4, 5, 64, 1)
         assert (np.asarray(status) == 0).all()
+
+
+class TestLoaderLifecycle:
+    def test_reiteration_is_clean(self, corpus):
+        """A second iteration must replay all batches exactly — no stale
+        items from a previous (even abandoned) pass."""
+        paths, _ = corpus
+        loader = PrefetchingCorpusLoader(
+            paths, clip_seconds=4 * 64 / 16000, sample_rate=16000,
+            batch_size=4, prefetch=1,
+        )
+        it = iter(loader)
+        next(it)  # consume one batch, then abandon
+        it.close()
+        counts = [sum(b.shape[0] for b, _ in loader) for _ in range(2)]
+        assert counts == [10, 10]

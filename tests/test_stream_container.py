@@ -98,3 +98,38 @@ class TestContainerRoundTrip:
             r.read_chunk(0)  # untouched chunk still reads
             with pytest.raises(ValueError, match="CRC"):
                 r.read_chunk(1)
+
+    def test_corrupt_trailer_rejected(self, codec, signal, tmp_path):
+        """Implausible trailer fields must be a clean ValueError, not a
+        multi-terabyte allocation or struct crash."""
+        path = str(tmp_path / "t.acs")
+        sc.encode_stream(codec, signal, path, chunk_blocks=8)
+        blob = bytearray(open(path, "rb").read())
+        import struct as _struct
+
+        blob[-16:] = _struct.pack("<QQ", 2**40, 12)  # absurd n_chunks
+        evil = str(tmp_path / "evil.acs")
+        open(evil, "wb").write(bytes(blob))
+        with pytest.raises(ValueError, match="corrupt|bounds"):
+            sc.StreamReader(evil)
+
+    def test_truncated_file_rejected(self, codec, signal, tmp_path):
+        path = str(tmp_path / "tr.acs")
+        sc.encode_stream(codec, signal, path, chunk_blocks=8)
+        blob = open(path, "rb").read()
+        cut = str(tmp_path / "cut.acs")
+        open(cut, "wb").write(blob[: len(blob) // 2])
+        with pytest.raises(ValueError, match="corrupt|bounds|truncated"):
+            r = sc.StreamReader(cut)
+            for i in range(r.n_chunks):
+                r.read_chunk(i)
+
+    def test_drown_plumbed_through_stream(self, codec, signal, tmp_path):
+        """encode_stream(drown=1.0) must produce coarser codes than 0.0."""
+        a = str(tmp_path / "d0.acs")
+        b = str(tmp_path / "d1.acs")
+        sc.encode_stream(codec, signal, a, chunk_blocks=8, drown=0.0)
+        sc.encode_stream(codec, signal, b, chunk_blocks=8, drown=1.0)
+        import os as _os
+
+        assert _os.path.getsize(b) < _os.path.getsize(a)
