@@ -87,7 +87,15 @@ def cmd_encode(args):
         )
         return 0
 
-    if args.ms:
+    tscale = 1.0
+    if args.kbps:
+        from audiocodec_tpu import rate as _rate
+
+        result = _rate.encode_with_target_bitrate(
+            codec, x, args.kbps, drown=args.drown, ms=args.ms
+        )
+        codes, bark, tscale = result.codes, result.bark16, result.threshold_scale
+    elif args.ms:
         codes, bark = codec.encode_bitstream_ms(x, drown=args.drown)
     else:
         codes, bark = codec.encode_bitstream(x, drown=args.drown)
@@ -102,6 +110,7 @@ def cmd_encode(args):
         window_type=args.window if args.window != "none" else None,
         compute_dtype=str(jnp.dtype(codec.mdct.compute_dtype)),
         ms=args.ms,
+        threshold_scale=tscale,
     )
     raw = data.size * 2  # vs 16-bit PCM
     print(
@@ -136,13 +145,13 @@ def cmd_decode(args):
     # match it so both derive identical quantization steps
     args.bf16 = meta["compute_dtype"] == "bfloat16"
     codec = _build_codec(meta["sample_rate"], args)
+    tscale = meta.get("threshold_scale", 1.0)
     if meta.get("ms"):
-        wave = codec.decode_bitstream_ms(
-            jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16)
-        )
+        wave = _decode_ms(codec, codes, bark, tscale)
     else:
         wave = codec.decode_bitstream(
-            jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16)
+            jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
+            threshold_scale=tscale,
         )
     n = meta["filters_n"]
     wave = np.asarray(wave.astype(jnp.float32))[:, n:-n]
@@ -173,6 +182,20 @@ def cmd_roundtrip(args):
     native.write_wav(args.output, rec, rate)
     print(f"{args.input} -> {args.output}: SNR {snr:.2f} dB")
     return 0
+
+
+def _decode_ms(codec, codes, bark, tscale):
+    import jax.numpy as jnp
+
+    from audiocodec_tpu import quantize as _quantize
+
+    thr = codec._ms_threshold(jnp.asarray(bark, dtype=jnp.bfloat16))
+    thr = thr * jnp.asarray(tscale, dtype=codec.mdct.compute_dtype)
+    spec_ms = _quantize.dequantize(
+        jnp.asarray(codes), _quantize.step_size(thr),
+        dtype=codec.mdct.compute_dtype,
+    )
+    return codec.decode(codec.from_mid_side(spec_ms))
 
 
 def _decode_stream(args):
@@ -258,6 +281,11 @@ def main(argv=None) -> int:
         )
         p.add_argument("--drown", type=float, default=0.0)
         p.add_argument("--bf16", action="store_true")
+        p.add_argument(
+            "--kbps", type=float, default=0.0,
+            help="target bitrate (rate control via threshold scaling; "
+                 "0 = native VBR)",
+        )
         p.add_argument(
             "--ms", action="store_true",
             help="joint mid/side coding for stereo inputs",

@@ -215,9 +215,16 @@ class Codec:
         """
         return self.quantize_frames(self.mdct.transform(x), drown)
 
-    def quantize_frames(self, frames: jax.Array, drown=0.0):
+    def quantize_frames(self, frames: jax.Array, drown=0.0,
+                        threshold_scale=1.0):
         """Spectral frames -> (codes, bf16 Bark sidecar); the frame-level
-        half of encode_bitstream, shared with the streaming container."""
+        half of encode_bitstream, shared with the streaming container.
+
+        :param threshold_scale: multiplies the quantization thresholds
+            (> 1 = coarser codes / fewer bits). Unlike ``drown`` it is
+            unbounded, which makes it the rate-control knob (see rate.py);
+            the decoder must apply the same scale.
+        """
         tonality = self.psycho.tonality(frames)
         bark = self.psycho.global_masking_intensity_in_bark(
             frames, tonality, drown
@@ -225,16 +232,17 @@ class Codec:
         bark16 = bark.astype(jnp.bfloat16)
         threshold = self.psycho.bark_intensity_to_threshold(
             bark16.astype(self.mdct.compute_dtype)
-        )
+        ) * jnp.asarray(threshold_scale, dtype=self.mdct.compute_dtype)
         codes, _ = _quantize.quantize(frames, threshold)
         return codes, bark16
 
-    def decode_bitstream(self, codes: jax.Array, bark16: jax.Array) -> jax.Array:
+    def decode_bitstream(self, codes: jax.Array, bark16: jax.Array,
+                         threshold_scale=1.0) -> jax.Array:
         """Inverse of :meth:`encode_bitstream`: codes + Bark intensities ->
         waveform [B, (blocks+1)*N, C]."""
         threshold = self.psycho.bark_intensity_to_threshold(
             bark16.astype(self.mdct.compute_dtype)
-        )
+        ) * jnp.asarray(threshold_scale, dtype=self.mdct.compute_dtype)
         delta = _quantize.step_size(threshold)
         return self.decode(
             _quantize.dequantize(codes, delta, dtype=self.mdct.compute_dtype)

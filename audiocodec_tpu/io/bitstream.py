@@ -48,7 +48,8 @@ def decode_bark_sidecar(data: bytes, shape, block_axis: int):
 
 def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
          window_type, compute_dtype: str = "float32",
-         entropy: str = "auto", ms: bool = False) -> bytes:
+         entropy: str = "auto", ms: bool = False,
+         threshold_scale: float = 1.0) -> bytes:
     """Serialize encoder output to bytes.
 
     :param entropy: "rice" (native Rice/Golomb coder — smallest), "zlib"
@@ -102,6 +103,7 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
         # quantized against, or thresholds diverge by the dtype's epsilon
         dtype=np.asarray([str(compute_dtype)]),
         ms=np.asarray([1 if ms else 0], dtype=np.int64),
+        tscale=np.asarray([threshold_scale], dtype=np.float64),
         **members,
     )
     return buf.getvalue()
@@ -133,6 +135,7 @@ def unpack(data: bytes):
         alpha = float(z["alphaw"][0])
         dtype = str(z["dtype"][0]) if "dtype" in z.files else "float32"
         ms = bool(int(z["ms"][0])) if "ms" in z.files else False
+        tscale = float(z["tscale"][0]) if "tscale" in z.files else 1.0
     meta = {
         "sample_rate": int(meta_arr[0]),
         "filters_n": int(meta_arr[1]),
@@ -142,6 +145,7 @@ def unpack(data: bytes):
         "window_type": window,
         "compute_dtype": dtype,
         "ms": ms,
+        "threshold_scale": tscale,
     }
     return codes, bark, meta
 

@@ -210,3 +210,27 @@ class TestMidSide:
         )
         assert rc == 1
         assert "stereo" in capsys.readouterr().err
+
+
+class TestRateControlCLI:
+    def test_kbps_flag(self, tmp_path, wav_file, capsys):
+        wav_path, x, rate_hz = wav_file
+        acz = str(tmp_path / "cbr.acz")
+        rc = cli.main(
+            ["encode", wav_path, acz, "--filters-n", "256", "--kbps", "48"]
+        )
+        assert rc == 0
+        capsys.readouterr()
+        import os as _os
+
+        seconds = (x.shape[0] // 256 * 256) / rate_hz
+        kbps = _os.path.getsize(acz) * 8 / seconds / 1000
+        assert abs(kbps - 48.0) < 0.15 * 48.0
+
+        rec = str(tmp_path / "cbr.wav")
+        assert cli.main(["decode", acz, rec]) == 0
+        y, _ = read_wav(rec)
+        usable = min(x.shape[0], y.shape[1]) - 256
+        a, b = x[:usable], y[0, :usable]
+        snr = 10 * np.log10((a**2).sum() / max(((a - b) ** 2).sum(), 1e-30))
+        assert snr > 5.0

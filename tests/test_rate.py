@@ -1,0 +1,76 @@
+"""Rate control tests: hit a target bitrate by threshold scaling."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiocodec_tpu import native, rate
+from audiocodec_tpu.codec import Codec
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="rate control packs via the Rice coder"
+)
+
+
+@pytest.fixture(scope="module")
+def codec():
+    return Codec.create(16000, filters_n=256, bark_bands_n=32)
+
+
+@pytest.fixture(scope="module")
+def clip():
+    rng = np.random.default_rng(0)
+    t = np.arange(2 * 16000) / 16000
+    wave = np.clip(
+        0.4 * np.sin(2 * np.pi * 440 * t) + 0.15 * rng.normal(size=t.size),
+        -1, 1,
+    ).astype(np.float32)
+    wave = wave[: wave.size // 256 * 256]
+    return jnp.asarray(wave[None, :, None])
+
+
+class TestRateControl:
+    @pytest.mark.parametrize("target", [32.0, 64.0])
+    def test_hits_target_bitrate(self, codec, clip, target):
+        res = rate.encode_with_target_bitrate(codec, clip, target)
+        assert abs(res.kbps - target) <= 0.10 * target
+        # the packed bytes decode
+        from audiocodec_tpu.io import bitstream
+
+        codes, bark, meta = bitstream.unpack(res.packed)
+        out = codec.decode_bitstream(
+            jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
+            threshold_scale=meta["threshold_scale"],
+        )
+        assert out.shape[1] == clip.shape[1] + 2 * 256
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_lower_bitrate_lower_quality(self, codec, clip):
+        from audiocodec_tpu.io import bitstream
+
+        def snr_at(kbps):
+            res = rate.encode_with_target_bitrate(codec, clip, kbps)
+            codes, bark, meta = bitstream.unpack(res.packed)
+            out = codec.decode_bitstream(
+                jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
+                threshold_scale=meta["threshold_scale"],
+            )
+            a = np.asarray(clip[0, :, 0], dtype=np.float64)
+            b = np.asarray(out[0, 256 : 256 + clip.shape[1], 0],
+                           dtype=np.float64)
+            return 10 * np.log10((a**2).sum() / ((a - b) ** 2).sum())
+
+        assert snr_at(96.0) > snr_at(24.0)
+
+    def test_ms_rate_control(self, codec, clip):
+        stereo = jnp.concatenate([clip, clip * 0.97], axis=-1)
+        res = rate.encode_with_target_bitrate(
+            codec, stereo, 64.0, ms=True
+        )
+        assert abs(res.kbps - 64.0) <= 0.10 * 64.0
+        assert res.bark16.shape[-1] == 1  # single-channel sidecar
+
+    def test_single_clip_enforced(self, codec, clip):
+        batch = jnp.concatenate([clip, clip], axis=0)
+        with pytest.raises(ValueError, match="single clip"):
+            rate.encode_with_target_bitrate(codec, batch, 64.0)
