@@ -243,6 +243,63 @@ def config3_full_encode_decode(quick):
     }
 
 
+def config3b_full_encode_decode_bf16(quick):
+    """The speed configuration: bfloat16 compute with native-bf16 DCT
+    matmuls (f32 accumulation) — the reference offers a bf16 path too."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiocodec_tpu.codec import Codec
+
+    sr, n = 44100, 1024
+    codec = Codec.create(
+        sr, filters_n=n, bark_bands_n=64,
+        compute_dtype=jnp.bfloat16, fast_bf16=True,
+    )
+    dur = 2.0 if quick else 10.0
+    t = np.arange(int(sr * dur)) / sr
+    rng = np.random.default_rng(0)
+    wave = (
+        0.4 * np.sin(2 * np.pi * 440 * t)
+        + 0.05 * rng.normal(size=t.size)
+    ).astype(np.float32)
+    wave = wave[: wave.size // n * n]
+    batch = 2 if quick else 32
+    x = jnp.asarray(
+        np.tile(wave[None, :, None], (batch, 1, 1)), dtype=jnp.bfloat16
+    )
+
+    out = np.asarray(
+        jax.jit(codec.round_trip_quantized)(x).astype(jnp.float32)
+    )[:, n:-n]
+    snr = snr_db(np.asarray(x.astype(jnp.float32)), out)
+
+    def make_chain(length):
+        @jax.jit
+        def chain(c, x0):
+            def body(acc, i):
+                xi = x0 * (1.0 + 0.001 * i.astype(jnp.bfloat16))
+                out = c.round_trip_quantized(xi)
+                return acc + jnp.sum(jnp.abs(out).astype(jnp.float32)), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(length))
+            return acc
+        return lambda: float(chain(codec, x))
+
+    if quick:
+        dt = timed(make_chain(2)) / 2
+    else:
+        dt = slope_timed(make_chain, 6, 18)
+    audio_s = batch * wave.size / sr
+    thr = audio_s / dt
+    return {
+        "config": "full_encode_decode_bf16",
+        "snr_db": float(round(snr, 2)),
+        "throughput_audio_s_per_s": round(thr, 1),
+        "vs_reference_cpu": round(thr / REFERENCE["full_encode_decode"], 1),
+        "pass": bool(snr > 10.0),
+    }
+
+
 def config4_corpus(quick):
     import jax
     import jax.numpy as jnp
@@ -349,6 +406,7 @@ CONFIGS = [
     config1_mdct_roundtrip,
     config2_psycho_twotone,
     config3_full_encode_decode,
+    config3b_full_encode_decode_bf16,
     config4_corpus,
     config5_streaming,
 ]
