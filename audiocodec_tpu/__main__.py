@@ -67,6 +67,11 @@ def cmd_encode(args):
                 "--ms is not supported together with --chunk-blocks "
                 "(joint stereo is a .acz feature for now)"
             )
+        if args.kbps:
+            raise ValueError(
+                "--kbps is not supported together with --chunk-blocks "
+                "(rate control is a .acz feature for now)"
+            )
         chunk = args.chunk_blocks * args.filters_n
         usable = x.shape[1] - x.shape[1] % chunk
         if usable == 0:
@@ -87,15 +92,26 @@ def cmd_encode(args):
         )
         return 0
 
-    tscale = 1.0
     if args.kbps:
         from audiocodec_tpu import rate as _rate
 
         result = _rate.encode_with_target_bitrate(
             codec, x, args.kbps, drown=args.drown, ms=args.ms
         )
-        codes, bark, tscale = result.codes, result.bark16, result.threshold_scale
-    elif args.ms:
+        # the trial's packed bytes ARE the container — write them verbatim
+        # so the measured kbps is exactly the on-disk file's
+        with open(args.output, "wb") as f:
+            f.write(result.packed)
+        size = len(result.packed)
+        raw = data.size * 2
+        print(
+            f"{args.input}: {data.shape[1]} samples @ {rate} Hz, "
+            f"{data.shape[2]} ch -> {args.output} ({size} bytes, "
+            f"{result.kbps:.0f} kbit/s, scale {result.threshold_scale:.2f})"
+        )
+        return 0
+
+    if args.ms:
         codes, bark = codec.encode_bitstream_ms(x, drown=args.drown)
     else:
         codes, bark = codec.encode_bitstream(x, drown=args.drown)
@@ -110,7 +126,6 @@ def cmd_encode(args):
         window_type=args.window if args.window != "none" else None,
         compute_dtype=str(jnp.dtype(codec.mdct.compute_dtype)),
         ms=args.ms,
-        threshold_scale=tscale,
     )
     raw = data.size * 2  # vs 16-bit PCM
     print(
@@ -147,7 +162,10 @@ def cmd_decode(args):
     codec = _build_codec(meta["sample_rate"], args)
     tscale = meta.get("threshold_scale", 1.0)
     if meta.get("ms"):
-        wave = _decode_ms(codec, codes, bark, tscale)
+        wave = codec.decode_bitstream_ms(
+            jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
+            threshold_scale=tscale,
+        )
     else:
         wave = codec.decode_bitstream(
             jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
@@ -182,20 +200,6 @@ def cmd_roundtrip(args):
     native.write_wav(args.output, rec, rate)
     print(f"{args.input} -> {args.output}: SNR {snr:.2f} dB")
     return 0
-
-
-def _decode_ms(codec, codes, bark, tscale):
-    import jax.numpy as jnp
-
-    from audiocodec_tpu import quantize as _quantize
-
-    thr = codec._ms_threshold(jnp.asarray(bark, dtype=jnp.bfloat16))
-    thr = thr * jnp.asarray(tscale, dtype=codec.mdct.compute_dtype)
-    spec_ms = _quantize.dequantize(
-        jnp.asarray(codes), _quantize.step_size(thr),
-        dtype=codec.mdct.compute_dtype,
-    )
-    return codec.decode(codec.from_mid_side(spec_ms))
 
 
 def _decode_stream(args):

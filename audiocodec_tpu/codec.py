@@ -172,17 +172,10 @@ class Codec:
         :param x: stereo waveform [B, S, 2].
         :return: (codes [B, blocks+1, N, 2], bark16 [B, blocks+1, bark, 1]).
         """
-        if x.shape[-1] != 2:
-            raise ValueError("joint stereo needs exactly 2 channels")
-        spectrum = self.mdct.transform(x)
-        tonality = self.psycho.tonality(spectrum)
-        bark = self.psycho.global_masking_intensity_in_bark(
-            spectrum, tonality, drown
+        spec_ms, bark16, threshold = self.analyze_for_quantization(
+            self.mdct.transform(x), drown, ms=True
         )
-        bark16 = jnp.min(bark, axis=-1, keepdims=True).astype(jnp.bfloat16)
-        codes, _ = _quantize.quantize(
-            self.to_mid_side(spectrum), self._ms_threshold(bark16)
-        )
+        codes, _ = _quantize.quantize(spec_ms, threshold)
         return codes, bark16
 
     def _ms_threshold(self, bark16_min: jax.Array) -> jax.Array:
@@ -191,9 +184,13 @@ class Codec:
         )
         return jnp.broadcast_to(thr, thr.shape[:-1] + (2,))
 
-    def decode_bitstream_ms(self, codes: jax.Array, bark16: jax.Array) -> jax.Array:
+    def decode_bitstream_ms(self, codes: jax.Array, bark16: jax.Array,
+                            threshold_scale=1.0) -> jax.Array:
         """Inverse of :meth:`encode_bitstream_ms` -> L/R waveform."""
-        delta = _quantize.step_size(self._ms_threshold(bark16))
+        thr = self._ms_threshold(bark16) * jnp.asarray(
+            threshold_scale, dtype=self.mdct.compute_dtype
+        )
+        delta = _quantize.step_size(thr)
         spec_ms = _quantize.dequantize(
             codes, delta, dtype=self.mdct.compute_dtype
         )
@@ -215,6 +212,36 @@ class Codec:
         """
         return self.quantize_frames(self.mdct.transform(x), drown)
 
+    def analyze_for_quantization(self, frames: jax.Array, drown=0.0,
+                                 ms: bool = False):
+        """The bitstream-compatibility-critical analysis, in ONE place:
+        tonality -> Bark masking intensity -> bf16-rounded sidecar ->
+        threshold (and the mid/side rotation + min-channel sidecar when
+        ``ms``). Everything that quantizes for a bitstream (.acz, .acs,
+        rate control) goes through here so encoder and decoder can never
+        derive different step sizes.
+
+        :return: (quantizable spectrum, bark16 sidecar, base threshold).
+        """
+        tonality = self.psycho.tonality(frames)
+        bark = self.psycho.global_masking_intensity_in_bark(
+            frames, tonality, drown
+        )
+        if ms:
+            if frames.shape[-1] != 2:
+                raise ValueError("joint stereo needs exactly 2 channels")
+            bark16 = jnp.min(bark, axis=-1, keepdims=True).astype(
+                jnp.bfloat16
+            )
+            return self.to_mid_side(frames), bark16, self._ms_threshold(
+                bark16
+            )
+        bark16 = bark.astype(jnp.bfloat16)
+        threshold = self.psycho.bark_intensity_to_threshold(
+            bark16.astype(self.mdct.compute_dtype)
+        )
+        return frames, bark16, threshold
+
     def quantize_frames(self, frames: jax.Array, drown=0.0,
                         threshold_scale=1.0):
         """Spectral frames -> (codes, bf16 Bark sidecar); the frame-level
@@ -225,15 +252,13 @@ class Codec:
             unbounded, which makes it the rate-control knob (see rate.py);
             the decoder must apply the same scale.
         """
-        tonality = self.psycho.tonality(frames)
-        bark = self.psycho.global_masking_intensity_in_bark(
-            frames, tonality, drown
+        spec_q, bark16, threshold = self.analyze_for_quantization(
+            frames, drown
         )
-        bark16 = bark.astype(jnp.bfloat16)
-        threshold = self.psycho.bark_intensity_to_threshold(
-            bark16.astype(self.mdct.compute_dtype)
-        ) * jnp.asarray(threshold_scale, dtype=self.mdct.compute_dtype)
-        codes, _ = _quantize.quantize(frames, threshold)
+        threshold = threshold * jnp.asarray(
+            threshold_scale, dtype=self.mdct.compute_dtype
+        )
+        codes, _ = _quantize.quantize(spec_q, threshold)
         return codes, bark16
 
     def decode_bitstream(self, codes: jax.Array, bark16: jax.Array,

@@ -54,29 +54,16 @@ def encode_with_target_bitrate(
     """
     if x.shape[0] != 1:
         raise ValueError("rate control operates on a single clip")
+    if not (np.isfinite(target_kbps) and target_kbps > 0):
+        raise ValueError(f"target_kbps must be positive, got {target_kbps}")
     sample_rate = codec.psycho.sample_rate
     seconds = x.shape[1] / sample_rate
 
-    # one-time analysis; trials only re-quantize + re-pack
-    spectrum = codec.mdct.transform(x)
-    if ms:
-        spectrum_q = codec.to_mid_side(spectrum)
-    else:
-        spectrum_q = spectrum
-    tonality = codec.psycho.tonality(spectrum)
-    bark = codec.psycho.global_masking_intensity_in_bark(
-        spectrum, tonality, drown
+    # one-time analysis (the bitstream-critical derivation lives in ONE
+    # place — Codec.analyze_for_quantization); trials only re-quantize+pack
+    spectrum_q, bark16, base_threshold = codec.analyze_for_quantization(
+        codec.mdct.transform(x), drown, ms=ms
     )
-    if ms:
-        bark = jnp.min(bark, axis=-1, keepdims=True)
-    bark16 = bark.astype(jnp.bfloat16)
-    base_threshold = codec.psycho.bark_intensity_to_threshold(
-        bark16.astype(codec.mdct.compute_dtype)
-    )
-    if ms:
-        base_threshold = jnp.broadcast_to(
-            base_threshold, base_threshold.shape[:-1] + (2,)
-        )
 
     quantize_trial = jax.jit(
         lambda scale: _quantize.quantize(

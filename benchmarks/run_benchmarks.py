@@ -295,7 +295,11 @@ def config3b_full_encode_decode_bf16(quick):
         "config": "full_encode_decode_bf16",
         "snr_db": float(round(snr, 2)),
         "throughput_audio_s_per_s": round(thr, 1),
-        "vs_reference_cpu": round(thr / REFERENCE["full_encode_decode"], 1),
+        # the reference was only ever measured in f32 on CPU; no bf16
+        # reference number exists, so label the denominator honestly
+        "vs_reference_cpu_f32": round(
+            thr / REFERENCE["full_encode_decode"], 1
+        ),
         "pass": bool(snr > 10.0),
     }
 
