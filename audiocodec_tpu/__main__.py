@@ -248,12 +248,15 @@ def cmd_info(args):
 
         with stream_container.StreamReader(args.input) as r:
             meta, n_chunks = dict(r.meta), r.n_chunks
+            blocks = sum(r.chunk_blocks(i) for i in range(n_chunks))
         size = os.path.getsize(args.input)
+        seconds = blocks * meta["filters_n"] / meta["sample_rate"]
+        kbps = size * 8 / max(seconds, 1e-9) / 1000
         print(f"{args.input} (.acs stream):")
         for k, v in meta.items():
             print(f"  {k}: {v}")
-        print(f"  chunks: {n_chunks}")
-        print(f"  size: {size} bytes")
+        print(f"  chunks: {n_chunks}  blocks: {blocks}  (~{seconds:.2f} s)")
+        print(f"  size: {size} bytes  (~{kbps:.0f} kbit/s)")
         return 0
 
     codes, bark, meta = bitstream.load(args.input)

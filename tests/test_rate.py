@@ -74,3 +74,29 @@ class TestRateControl:
         batch = jnp.concatenate([clip, clip], axis=0)
         with pytest.raises(ValueError, match="single clip"):
             rate.encode_with_target_bitrate(codec, batch, 64.0)
+
+    def test_ms_rate_controlled_file_decodes_via_library(self, codec, clip):
+        """The full ms + rate-control path through pack/unpack and the
+        PUBLIC decode_bitstream_ms(threshold_scale=...) API."""
+        from audiocodec_tpu.io import bitstream
+
+        stereo = jnp.concatenate([clip, clip * 0.97], axis=-1)
+        res = rate.encode_with_target_bitrate(codec, stereo, 48.0, ms=True)
+        codes, bark, meta = bitstream.unpack(res.packed)
+        assert meta["threshold_scale"] == pytest.approx(
+            res.threshold_scale, rel=1e-12
+        )
+        out = codec.decode_bitstream_ms(
+            jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
+            threshold_scale=meta["threshold_scale"],
+        )
+        a = np.asarray(stereo[0, :, :], dtype=np.float64)
+        b = np.asarray(out[0, 256 : 256 + stereo.shape[1], :],
+                       dtype=np.float64)
+        snr = 10 * np.log10((a**2).sum() / ((a - b) ** 2).sum())
+        assert snr > 3.0  # 48 kbps stereo is coarse but must be coherent
+
+    def test_bad_target_rejected(self, codec, clip):
+        for bad in (0.0, -5.0, float("nan")):
+            with pytest.raises(ValueError, match="positive"):
+                rate.encode_with_target_bitrate(codec, clip, bad)
