@@ -242,3 +242,19 @@ class TestEnergy:
             jnp.sum(restored[:, filters_n:-filters_n] ** 2)
         )
         assert math.isclose(e_in, e_out, rel_tol=1e-9)
+
+
+class TestLargeBlocks:
+    @pytest.mark.parametrize("filters_n", [2048, 4096])
+    def test_large_n_round_trip(self, filters_n):
+        """Block sizes beyond the Pallas limit run on the XLA path with
+        full perfect reconstruction (AAC-style long blocks)."""
+        mdct = MDCT.create(filters_n)
+        rng = np.random.default_rng(filters_n)
+        wave = jnp.asarray(
+            rng.uniform(-1, 1, size=(1, 3 * filters_n, 1)),
+            dtype=jnp.float32,
+        )
+        rt = mdct.inverse_transform(mdct.transform(wave))
+        err = float(jnp.max(jnp.abs(wave - rt[:, filters_n:-filters_n])))
+        assert err < 2e-5
