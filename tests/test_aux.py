@@ -51,3 +51,26 @@ class TestCheckify:
         bad = debug.find_nonfinite(tree)
         assert len(bad) == 1
         assert list(bad.values()) == [2]
+
+
+class TestProfiling:
+    def test_time_fn_returns_positive_seconds(self):
+        from audiocodec_tpu.utils import profiling
+
+        x = jnp.ones((64, 64))
+        f = jax.jit(lambda a: a @ a)
+        dt = profiling.time_fn(f, x, iters=2)
+        assert 0 < dt < 10.0
+
+    def test_trace_context_writes_files(self, tmp_path):
+        from audiocodec_tpu.utils import profiling
+
+        log_dir = str(tmp_path / "trace")
+        with profiling.trace(log_dir):
+            jnp.sum(jnp.ones((32, 32))).block_until_ready()
+        import os
+
+        found = []
+        for root, _, files in os.walk(log_dir):
+            found.extend(files)
+        assert found  # profiler artifacts exist

@@ -109,3 +109,30 @@ class TestRiceProperties:
         blob = native.rice_encode(codes)
         got = native.rice_decode(blob, codes.size)
         np.testing.assert_array_equal(got, codes)
+
+
+class TestStreamingProperties:
+    @_settings
+    @given(
+        blocks=st.integers(min_value=2, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        data=st.data(),
+    )
+    def test_any_chunking_matches_batch(self, blocks, seed, data):
+        """Streaming through ANY valid chunk size equals the batch
+        transform (the carried-block invariant, property-tested)."""
+        from audiocodec_tpu import streaming
+        from audiocodec_tpu.mdct import MDCT
+
+        divisors = [d for d in range(1, blocks + 1) if blocks % d == 0]
+        chunk = data.draw(st.sampled_from(divisors))
+        mdct = MDCT.create(16)
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (1, blocks * 16, 1)), dtype=jnp.float32
+        )
+        got = streaming.stream_transform(mdct, x, chunk)
+        want = mdct.transform(x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6
+        )
