@@ -16,18 +16,45 @@ import os
 import sys
 
 
-def _build_codec(sample_rate, args):
+def _build_codec(sample_rate, args, compute_dtype=None):
     import jax.numpy as jnp
 
     from audiocodec_tpu.codec import Codec
 
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     return Codec.create(
         sample_rate=sample_rate,
         filters_n=args.filters_n,
         bark_bands_n=args.bark_bands_n,
         alpha=args.alpha,
         window_type=args.window if args.window != "none" else None,
-        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        compute_dtype=compute_dtype,
+    )
+
+
+def _dtype_from_meta(meta):
+    """Map a container's recorded compute_dtype to the decode dtype.
+
+    The bit-identical-step-size invariant (CLAUDE.md) requires decoding in
+    the EXACT dtype the encoder derived thresholds in — silently
+    downgrading float64 to float32 would change step sizes. float64
+    containers additionally need x64 enabled before any trace.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    name = meta["compute_dtype"]
+    if name == "bfloat16":
+        return jnp.bfloat16
+    if name == "float32":
+        return jnp.float32
+    if name == "float64":
+        jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    raise ValueError(
+        f"container records unsupported compute_dtype {name!r}; "
+        "expected one of bfloat16/float32/float64"
     )
 
 
@@ -158,8 +185,7 @@ def cmd_decode(args):
     args.window = meta["window_type"] or "none"
     # the bitstream records the encoder's compute dtype; the decoder MUST
     # match it so both derive identical quantization steps
-    args.bf16 = meta["compute_dtype"] == "bfloat16"
-    codec = _build_codec(meta["sample_rate"], args)
+    codec = _build_codec(meta["sample_rate"], args, _dtype_from_meta(meta))
     tscale = meta.get("threshold_scale", 1.0)
     if meta.get("ms"):
         wave = codec.decode_bitstream_ms(
@@ -215,8 +241,7 @@ def _decode_stream(args):
     args.bark_bands_n = meta["bark_bands_n"]
     args.alpha = meta["alpha"]
     args.window = meta["window_type"] or "none"
-    args.bf16 = meta["compute_dtype"] == "bfloat16"
-    codec = _build_codec(meta["sample_rate"], args)
+    codec = _build_codec(meta["sample_rate"], args, _dtype_from_meta(meta))
     n = meta["filters_n"]
     # preallocate from the chunk headers so peak memory stays ~1x the
     # decoded waveform (the point of the streaming container)

@@ -123,8 +123,31 @@ class StreamReader:
             )
             if any(not 8 + hlen <= off < index_off for off in self._index):
                 raise ValueError("chunk offsets out of bounds")
+            self._validate_meta()
         except (struct.error, json.JSONDecodeError, UnicodeDecodeError) as e:
             raise ValueError(f"corrupt ACS stream: {e}") from None
+
+    def _validate_meta(self) -> None:
+        """Sanity-bound the untrusted JSON header before any field is used
+        to size a decode allocation (a corrupt header must not be able to
+        demand memory unrelated to the file's actual size)."""
+        m = self.meta
+        if not isinstance(m, dict):
+            raise ValueError("stream header is not an object")
+        for key, lo, hi in (
+            ("filters_n", 2, 1 << 16),
+            ("bark_bands_n", 1, 1 << 16),
+            ("channels", 1, 64),
+            ("sample_rate", 1, 10_000_000),
+        ):
+            v = m.get(key)
+            if not isinstance(v, int) or not lo <= v <= hi:
+                raise ValueError(
+                    f"stream header field {key}={v!r} out of bounds "
+                    f"[{lo}, {hi}] — corrupt stream"
+                )
+        if m["filters_n"] % 2 != 0:
+            raise ValueError("stream header filters_n must be even")
 
     @property
     def n_chunks(self) -> int:
@@ -171,9 +194,22 @@ class StreamReader:
         n = self.meta["filters_n"]
         bark_n = self.meta["bark_bands_n"]
         ch = self.meta["channels"]
+        # Rice coding spends >= 1 bit per value, so a chunk can hold at most
+        # 8*clen values — reject size combinations the payload cannot carry
+        # before allocating the decode buffer.
+        if blocks * n * ch > 8 * clen:
+            raise ValueError(
+                f"chunk {i} header demands {blocks * n * ch} values from a "
+                f"{clen}-byte payload — corrupt stream"
+            )
         codes = native.rice_decode(code_bytes, blocks * n * ch).reshape(
             blocks, n, ch
         )
+        if blocks * bark_n * ch > 8 * blen:
+            raise ValueError(
+                f"chunk {i} header demands {blocks * bark_n * ch} sidecar "
+                f"values from a {blen}-byte payload — corrupt stream"
+            )
         bark = _bitstream.decode_bark_sidecar(
             bark_bytes, (blocks, bark_n, ch), block_axis=0
         )

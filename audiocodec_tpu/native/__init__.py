@@ -305,36 +305,46 @@ def rice_decode(data: bytes, n: int, group: int = RICE_GROUP) -> np.ndarray:
 
 
 def _rice_decode_py(buf: np.ndarray, n: int, group: int) -> np.ndarray:
-    """Slow but dependency-free Rice decoder (portability fallback)."""
+    """Slow but dependency-free Rice decoder (portability fallback).
+
+    Truncated input raises ValueError('corrupt rice stream') — the same
+    error contract as the native decoder — never an IndexError, and never
+    a silently-truncated raw-bit read."""
     bits = np.unpackbits(buf)
+    nbits = bits.size
     pos = 0
     out = np.empty(n, dtype=np.int32)
     i = 0
+
+    def take(count):
+        nonlocal pos
+        if pos + count > nbits:
+            raise ValueError("corrupt rice stream")
+        v = 0
+        for b in bits[pos : pos + count]:
+            v = (v << 1) | int(b)
+        pos += count
+        return v
+
     while i < n:
-        k = 0
-        for b in bits[pos : pos + 4]:
-            k = (k << 1) | int(b)
-        pos += 4
+        k = take(4)
         end = min(i + group, n)
         while i < end:
             q = 0
-            while bits[pos]:
+            while True:
+                if pos >= nbits:
+                    raise ValueError("corrupt rice stream")
+                if not bits[pos]:
+                    break
                 q += 1
                 pos += 1
                 if q > 48:
                     raise ValueError("corrupt rice stream")
             pos += 1  # stop bit
             if q == 48:  # escape: 32 raw bits
-                u = 0
-                for b in bits[pos : pos + 32]:
-                    u = (u << 1) | int(b)
-                pos += 32
+                u = take(32)
             else:
-                rem = 0
-                for b in bits[pos : pos + k]:
-                    rem = (rem << 1) | int(b)
-                pos += k
-                u = (q << k) | rem
+                u = (q << k) | take(k)
             out[i] = (u >> 1) ^ -(u & 1)
             i += 1
     return out
