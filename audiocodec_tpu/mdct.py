@@ -47,7 +47,7 @@ from audiocodec_tpu.utils import dtypes as _dtypes
     data_fields=[
         "wa_r", "wb", "wc", "ffr", "p", "q", "r", "s_r",
         "dct_mat_fwd", "dct_mat_inv",
-        "fused_fwd_prev", "fused_fwd_cur", "fused_inv_prev", "fused_inv_cur",
+        "pfwd_wa", "pfwd_wb", "pfwd_mat", "pinv_wa", "pinv_wb", "pinv_mat",
     ],
     meta_fields=[
         "filters_n", "window_type", "compute_dtype", "fast_bf16",
@@ -87,12 +87,15 @@ class MDCT:
     # into these copies so no separate full-array scaling pass exists.
     dct_mat_fwd: jax.Array
     dct_mat_inv: jax.Array
-    # Pallas-path fused matrices (fold x DCT x scale collapsed into
-    # y[n] = x[n-1] @ prev + x[n] @ cur); None unless use_pallas.
-    fused_fwd_prev: object
-    fused_fwd_cur: object
-    fused_inv_prev: object
-    fused_inv_cur: object
+    # Pallas-path parameters (swizzled-basis fold weights [1, N] and the
+    # row/column-permuted scaled DCT matrix [N, N] per direction — see
+    # ops/pallas_mdct.py); None unless use_pallas.
+    pfwd_wa: object
+    pfwd_wb: object
+    pfwd_mat: object
+    pinv_wa: object
+    pinv_wb: object
+    pinv_mat: object
 
     @classmethod
     def create(
@@ -114,14 +117,14 @@ class MDCT:
             )
         dtype = _dtypes.canonicalize_compute_dtype(compute_dtype)
         if use_pallas and (
-            filters_n % 128 != 0
-            or filters_n > 1024
+            filters_n % 256 != 0
+            or filters_n > 4096
             or dtype == jnp.dtype(jnp.float64)
         ):
             raise ValueError(
-                "use_pallas requires filters_n to be a multiple of 128 and "
-                "<= 1024 (two [N, N] fused matrices must fit VMEM) and a "
-                "non-float64 compute dtype; got filters_n="
+                "use_pallas requires filters_n to be a multiple of 256 "
+                "(half-lane slicing at the 128-lane boundary) and <= 4096, "
+                "and a non-float64 compute dtype; got filters_n="
                 f"{filters_n}, compute_dtype={dtype}"
             )
         coeffs = _folding.make_fold_coefficients(filters_n, window_type)
@@ -133,28 +136,32 @@ class MDCT:
         if use_pallas:
             from audiocodec_tpu.ops import pallas_mdct as _pallas
 
-            # same bf16 policy as the XLA path: keep the matrices in f32
-            # and upcast around the matmul, unless fast_bf16 opts into
+            # same bf16 policy as the XLA path: keep the parameters in f32
+            # and upcast around the kernel, unless fast_bf16 opts into
             # native bf16 matmuls
             fused_dtype = (
                 dtype
                 if dtype != jnp.dtype(jnp.bfloat16) or fast_bf16
                 else jnp.dtype(jnp.float32)
             )
-            fp, fc = _pallas.fused_forward_matrices(filters_n, window_type)
-            ip, ic = _pallas.fused_inverse_matrices(filters_n, window_type)
+            fwa, fwb, fm = _pallas.forward_params(filters_n, window_type)
+            iva, ivb, im = _pallas.inverse_params(filters_n, window_type)
             fused = dict(
-                fused_fwd_prev=jnp.asarray(fp, dtype=fused_dtype),
-                fused_fwd_cur=jnp.asarray(fc, dtype=fused_dtype),
-                fused_inv_prev=jnp.asarray(ip, dtype=fused_dtype),
-                fused_inv_cur=jnp.asarray(ic, dtype=fused_dtype),
+                pfwd_wa=jnp.asarray(fwa, dtype=fused_dtype),
+                pfwd_wb=jnp.asarray(fwb, dtype=fused_dtype),
+                pfwd_mat=jnp.asarray(fm, dtype=fused_dtype),
+                pinv_wa=jnp.asarray(iva, dtype=fused_dtype),
+                pinv_wb=jnp.asarray(ivb, dtype=fused_dtype),
+                pinv_mat=jnp.asarray(im, dtype=fused_dtype),
             )
         else:
             fused = dict(
-                fused_fwd_prev=None,
-                fused_fwd_cur=None,
-                fused_inv_prev=None,
-                fused_inv_cur=None,
+                pfwd_wa=None,
+                pfwd_wb=None,
+                pfwd_mat=None,
+                pinv_wa=None,
+                pinv_wb=None,
+                pinv_mat=None,
             )
         if dct_precision not in _dct.PRECISIONS:
             raise ValueError(
@@ -216,10 +223,15 @@ class MDCT:
                 from audiocodec_tpu.ops import pallas_mdct as _pallas
 
                 rows = xb.reshape(batches_n * channels_n, blocks_n, n)
-                y = _pallas.mdct_forward_pallas(
-                    rows.astype(self.fused_fwd_prev.dtype),
-                    self.fused_fwd_prev,
-                    self.fused_fwd_cur,
+                # The swizzle (flip of the lower half-lanes) fuses into the
+                # transpose/reshape above — it is what lets the kernel fold
+                # without lane reversals (ops/pallas_mdct.py docstring).
+                xs = _pallas.swizzle(rows.astype(self.pfwd_mat.dtype))
+                y = _pallas.fold_matmul(
+                    xs,
+                    self.pfwd_wa,
+                    self.pfwd_wb,
+                    self.pfwd_mat,
                     self.dct_precision,
                 ).astype(self.compute_dtype).reshape(
                     batches_n, channels_n, blocks_n + 1, n
@@ -260,11 +272,16 @@ class MDCT:
                 from audiocodec_tpu.ops import pallas_mdct as _pallas
 
                 rows = yb.reshape(batches_n * channels_n, blocks_n, n)
-                out = _pallas.mdct_inverse_pallas(
-                    rows.astype(self.fused_inv_prev.dtype),
-                    self.fused_inv_prev,
-                    self.fused_inv_cur,
-                    self.dct_precision,
+                # Kernel output is in the swizzled layout; the un-swizzle
+                # fuses into the merge-blocks reshape/transpose below.
+                out = _pallas.swizzle(
+                    _pallas.matmul_scatter(
+                        rows.astype(self.pinv_mat.dtype),
+                        self.pinv_wa,
+                        self.pinv_wb,
+                        self.pinv_mat,
+                        self.dct_precision,
+                    )
                 ).astype(self.compute_dtype).reshape(
                     batches_n, channels_n, blocks_n + 1, n
                 )

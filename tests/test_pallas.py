@@ -1,5 +1,6 @@
 """Fused Pallas MDCT kernel tests (interpreter mode on CPU; the same
-kernels compile for real TPU — exercised by bench/verify on hardware)."""
+kernels compile for real TPU — exercised by bench + the opt-in `-m tpu`
+hardware lane)."""
 
 import jax
 import jax.numpy as jnp
@@ -8,6 +9,7 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from audiocodec_tpu.mdct import MDCT
+from audiocodec_tpu.ops import pallas_mdct as pallas_mdct
 
 
 @pytest.fixture(scope="module")
@@ -22,9 +24,9 @@ class TestPallasForward:
         [
             (1, 3, 1),  # single tile (blocks+1 < tile)
             (2, 7, 2),  # multi-row
-            (1, 63, 1),  # one frame short of a full tile
-            (1, 64, 1),  # blocks+1 == tile+1 -> 2 tiles, last has 1 frame
-            (2, 130, 2),  # interior + ragged tail tiles
+            (1, 127, 1),  # one frame short of a full tile
+            (1, 128, 1),  # blocks+1 == tile+1 -> 2 tiles, last has 1 frame
+            (2, 230, 2),  # interior + ragged tail tiles
         ],
     )
     def test_matches_xla_path(self, pair, shape):
@@ -41,9 +43,42 @@ class TestPallasForward:
             np.asarray(got), np.asarray(want), atol=1e-6
         )
 
+    @pytest.mark.parametrize("n", [512, 1024])
+    def test_larger_blocks(self, n):
+        m, mp = MDCT.create(n), MDCT.create(n, use_pallas=True)
+        rng = np.random.default_rng(n)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 5 * n, 1)), dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = mp.transform(x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(m.transform(x)), atol=1e-6
+        )
+
+
+class TestPallasLongBlocks:
+    """N=2048: the resident-matrix path at sizes past the old 16 MB-budget
+    regime (matrix 16 MB f32; kept in VMEM via explicit vmem_limit)."""
+
+    def test_n2048_forward_inverse(self):
+        n, blocks = 2048, 3
+        m, mp = MDCT.create(n), MDCT.create(n, use_pallas=True)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, blocks * n, 1)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = mp.transform(x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(m.transform(x)), atol=1e-6
+        )
+        y = jnp.asarray(rng.uniform(-0.5, 0.5, (1, blocks, n, 1)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            gi = mp.inverse_transform(y)
+        np.testing.assert_allclose(
+            np.asarray(gi), np.asarray(m.inverse_transform(y)), atol=1e-3
+        )
+
 
 class TestPallasInverse:
-    @pytest.mark.parametrize("blocks", [3, 63, 64, 130])
+    @pytest.mark.parametrize("blocks", [3, 127, 128, 230])
     def test_matches_xla_path(self, pair, blocks):
         m, mp = pair
         rng = np.random.default_rng(blocks)
@@ -53,9 +88,8 @@ class TestPallasInverse:
         with pltpu.force_tpu_interpret_mode():
             got = mp.inverse_transform(y)
         want = m.inverse_transform(y)
-        # the fused single-matmul path rounds differently from the
-        # two-step DCT+unfold; values are O(10) (sqrt(4N) folded in),
-        # so this is ~1e-5 relative f32 noise
+        # values are O(10) (sqrt(4N) folded into the matrix), so this is
+        # ~1e-5 relative f32 rounding between the two matmul orderings
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-4
         )
@@ -76,10 +110,12 @@ class TestPallasRoundTrip:
 
 class TestPallasValidation:
     def test_bad_filters_n_rejected(self):
-        with pytest.raises(ValueError, match="multiple of 128"):
+        with pytest.raises(ValueError, match="multiple of 256"):
             MDCT.create(192, use_pallas=True)
-        with pytest.raises(ValueError, match="multiple of 128"):
-            MDCT.create(2048, use_pallas=True)
+        with pytest.raises(ValueError, match="multiple of 256"):
+            MDCT.create(128, use_pallas=True)
+        with pytest.raises(ValueError, match="4096"):
+            MDCT.create(8192, use_pallas=True)
 
     def test_float64_rejected(self):
         with pytest.raises(ValueError, match="float64"):
@@ -88,8 +124,8 @@ class TestPallasValidation:
 
 class TestPallasGradients:
     def test_vjp_matches_xla_path(self, pair):
-        """The custom VJP (same kernel, transposed matrices, block flips)
-        must agree with the autodiff gradient of the XLA path."""
+        """The custom VJP (the mirror kernel on the block-reversed
+        cotangent) must agree with the autodiff gradient of the XLA path."""
         m, mp = pair
         rng = np.random.default_rng(9)
         x = jnp.asarray(
@@ -104,6 +140,24 @@ class TestPallasGradients:
             g_pal = jax.grad(lambda x: loss(mp, x))(x)
         np.testing.assert_allclose(
             np.asarray(g_pal), np.asarray(g_xla), atol=2e-5
+        )
+
+    def test_inverse_vjp_matches_xla_path(self, pair):
+        m, mp = pair
+        rng = np.random.default_rng(10)
+        y = jnp.asarray(
+            rng.uniform(-0.5, 0.5, (1, 5, 256, 1)), dtype=jnp.float32
+        )
+
+        def loss(mm, y):
+            return jnp.sum(mm.inverse_transform(y) ** 2)
+
+        g_xla = jax.grad(lambda y: loss(m, y))(y)
+        with pltpu.force_tpu_interpret_mode():
+            g_pal = jax.grad(lambda y: loss(mp, y))(y)
+        # inverse values are O(10); gradient is 2*sqrt(4N)-scaled
+        np.testing.assert_allclose(
+            np.asarray(g_pal), np.asarray(g_xla), atol=2e-3
         )
 
     def test_vjp_through_round_trip(self, pair):
