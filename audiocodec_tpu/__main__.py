@@ -89,16 +89,6 @@ def cmd_encode(args):
     if args.chunk_blocks:
         from audiocodec_tpu.io import stream_container
 
-        if args.ms:
-            raise ValueError(
-                "--ms is not supported together with --chunk-blocks "
-                "(joint stereo is a .acz feature for now)"
-            )
-        if args.kbps:
-            raise ValueError(
-                "--kbps is not supported together with --chunk-blocks "
-                "(rate control is a .acz feature for now)"
-            )
         chunk = args.chunk_blocks * args.filters_n
         usable = x.shape[1] - x.shape[1] % chunk
         if usable == 0:
@@ -106,16 +96,28 @@ def cmd_encode(args):
                 f"input shorter than one chunk ({chunk} samples); lower "
                 "--chunk-blocks"
             )
-        n_chunks = stream_container.encode_stream(
-            codec, x[:, :usable], args.output,
-            chunk_blocks=args.chunk_blocks, drown=args.drown,
-        )
+        extra = ""
+        if args.kbps:
+            n_chunks, tscale, kbps = (
+                stream_container.encode_stream_with_target_bitrate(
+                    codec, x[:, :usable], args.output,
+                    chunk_blocks=args.chunk_blocks,
+                    target_kbps=args.kbps, drown=args.drown, ms=args.ms,
+                )
+            )
+            extra = f", {kbps:.0f} kbit/s, scale {tscale:.2f}"
+        else:
+            n_chunks = stream_container.encode_stream(
+                codec, x[:, :usable], args.output,
+                chunk_blocks=args.chunk_blocks, drown=args.drown,
+                ms=args.ms,
+            )
         size = os.path.getsize(args.output)
         raw = usable * x.shape[2] * 2
         print(
             f"{args.input}: {usable} samples @ {rate} Hz -> {args.output} "
             f"(.acs stream, {n_chunks} chunks, {size} bytes, "
-            f"{raw / size:.1f}x smaller than 16-bit PCM)"
+            f"{raw / size:.1f}x smaller than 16-bit PCM{extra})"
         )
         return 0
 

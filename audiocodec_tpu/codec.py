@@ -172,11 +172,7 @@ class Codec:
         :param x: stereo waveform [B, S, 2].
         :return: (codes [B, blocks+1, N, 2], bark16 [B, blocks+1, bark, 1]).
         """
-        spec_ms, bark16, threshold = self.analyze_for_quantization(
-            self.mdct.transform(x), drown, ms=True
-        )
-        codes, _ = _quantize.quantize(spec_ms, threshold)
-        return codes, bark16
+        return self.quantize_frames(self.mdct.transform(x), drown, ms=True)
 
     def _ms_threshold(self, bark16_min: jax.Array) -> jax.Array:
         thr = self.psycho.bark_intensity_to_threshold(
@@ -243,17 +239,20 @@ class Codec:
         return frames, bark16, threshold
 
     def quantize_frames(self, frames: jax.Array, drown=0.0,
-                        threshold_scale=1.0):
+                        threshold_scale=1.0, ms: bool = False):
         """Spectral frames -> (codes, bf16 Bark sidecar); the frame-level
-        half of encode_bitstream, shared with the streaming container.
+        half of encode_bitstream[_ms], shared with the streaming container.
 
         :param threshold_scale: multiplies the quantization thresholds
             (> 1 = coarser codes / fewer bits). Unlike ``drown`` it is
             unbounded, which makes it the rate-control knob (see rate.py);
             the decoder must apply the same scale.
+        :param ms: joint mid/side coding (stereo frames only) — quantizes
+            the rotated spectra against the conservative min-channel
+            threshold (see encode_bitstream_ms).
         """
         spec_q, bark16, threshold = self.analyze_for_quantization(
-            frames, drown
+            frames, drown, ms=ms
         )
         threshold = threshold * jnp.asarray(
             threshold_scale, dtype=self.mdct.compute_dtype

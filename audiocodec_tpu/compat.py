@@ -12,10 +12,12 @@ This module lets that code run on TPU by switching only the import::
     from audiocodec_tpu.compat import MDCTransformer, PsychoacousticModel
 
 Constructor signatures match the reference exactly
-(audiocodec/mdctransformer.py:13-14, psychoacoustic.py:14-15), including
-the ``precompute_dtype`` argument — accepted and ignored, because this
-framework always precomputes in float64 on the host (the reference's
-default). Dtypes may be passed as jnp dtypes, numpy dtypes, or strings.
+(audiocodec/mdctransformer.py:13-14, psychoacoustic.py:13-15). The
+``precompute_dtype`` argument is pinned: this framework ALWAYS precomputes
+in float64 on the host (the reference's default) and downcasts once;
+passing a lower-precision precompute_dtype emits a UserWarning instead of
+silently changing numerics. Dtypes may be passed as jnp dtypes, numpy
+dtypes, or strings.
 
 One semantic difference is unavoidable: JAX has no global RNG, so
 ``add_noise`` here draws from an internal counter-based key stream seeded
@@ -27,6 +29,7 @@ pipelines — or use the native API (audiocodec_tpu.PsychoacousticModel).
 from __future__ import annotations
 
 import itertools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +38,26 @@ from audiocodec_tpu import mdct as _mdct
 from audiocodec_tpu import psycho as _psycho
 
 _instance_counter = itertools.count()
+
+
+def _check_precompute_dtype(precompute_dtype):
+    """This framework always precomputes in float64 on the host (the
+    reference's *default*, mdctransformer.py:14). A non-default request is
+    honored in spirit — results are at least as accurate — but the exact
+    low-precision rounding of e.g. a float32 precompute is not reproduced,
+    so say so loudly rather than silently."""
+    if precompute_dtype is None:
+        return
+    name = getattr(precompute_dtype, "name", None) or str(precompute_dtype)
+    if "float64" in name or "f64" in name:
+        return
+    warnings.warn(
+        f"precompute_dtype={name!r} requested, but audiocodec_tpu always "
+        "precomputes constants in float64 on the host and downcasts once "
+        "to compute_dtype; a reduced-precision precompute is not "
+        "reproduced bit-for-bit (it would only be less accurate).",
+        stacklevel=3,
+    )
 
 
 def _canonical(dtype):
@@ -50,7 +73,7 @@ class MDCTransformer:
 
     def __init__(self, filters_n=1024, window_type="vorbis",
                  compute_dtype=jnp.float32, precompute_dtype=None):
-        del precompute_dtype  # always float64 on host, as in the reference
+        _check_precompute_dtype(precompute_dtype)
         self._m = _mdct.MDCT.create(
             filters_n=filters_n,
             window_type=window_type,
@@ -58,6 +81,38 @@ class MDCTransformer:
         )
         self.filters_n = filters_n
         self.window_type = window_type
+
+    @property
+    def H(self):
+        """[2, filters_n, filters_n] analysis polyphase tensor, the exact
+        attribute the reference exposes (mdctransformer.py:58):
+        y[n] = x[n] @ H[0] + x[n-1] @ H[1], unscaled. Built lazily from the
+        sparse fold's dense oracle — the compute path never materializes it.
+        """
+        from audiocodec_tpu.ops import folding as _folding
+
+        h0, h1 = _folding.dense_fold_matrices(
+            self.filters_n, self.window_type
+        )
+        return jnp.asarray(
+            jnp.stack([jnp.asarray(h0), jnp.asarray(h1)]),
+            dtype=self._m.compute_dtype,
+        )
+
+    @property
+    def H_inv(self):
+        """[2, filters_n, filters_n] synthesis polyphase tensor
+        (mdctransformer.py:59): out[n] = z[n] @ H_inv[0] + z[n-1] @ H_inv[1].
+        """
+        from audiocodec_tpu.ops import folding as _folding
+
+        g0, g1 = _folding.dense_unfold_matrices(
+            self.filters_n, self.window_type
+        )
+        return jnp.asarray(
+            jnp.stack([jnp.asarray(g0), jnp.asarray(g1)]),
+            dtype=self._m.compute_dtype,
+        )
 
     def transform(self, x):
         return self._m.transform(jnp.asarray(x))
@@ -73,7 +128,7 @@ class PsychoacousticModel:
     def __init__(self, sample_rate, filter_bands_n=1024, bark_bands_n=64,
                  alpha=0.6, compute_dtype=jnp.float32,
                  precompute_dtype=None):
-        del precompute_dtype
+        _check_precompute_dtype(precompute_dtype)
         self._p = _psycho.PsychoacousticModel.create(
             sample_rate,
             filter_bands_n=filter_bands_n,

@@ -36,7 +36,8 @@ class StreamWriter:
     """Append encoded chunks to a seekable stream file."""
 
     def __init__(self, path: str, *, sample_rate, filters_n, bark_bands_n,
-                 alpha, window_type, channels, compute_dtype="float32"):
+                 alpha, window_type, channels, compute_dtype="float32",
+                 ms: bool = False, threshold_scale: float = 1.0):
         self.meta = {
             "sample_rate": int(sample_rate),
             "filters_n": int(filters_n),
@@ -45,6 +46,10 @@ class StreamWriter:
             "window_type": window_type,
             "channels": int(channels),
             "compute_dtype": str(compute_dtype),
+            # quantization-affecting knobs MUST ride the container so the
+            # decoder derives bit-identical step sizes (CLAUDE.md invariant)
+            "ms": bool(ms),
+            "threshold_scale": float(threshold_scale),
         }
         self._f = open(path, "wb")
         header = json.dumps(self.meta).encode()
@@ -148,6 +153,14 @@ class StreamReader:
                 )
         if m["filters_n"] % 2 != 0:
             raise ValueError("stream header filters_n must be even")
+        ts = m.get("threshold_scale", 1.0)
+        if not isinstance(ts, (int, float)) or not 0 < ts < 2**32:
+            raise ValueError(
+                f"stream header threshold_scale={ts!r} out of bounds — "
+                "corrupt stream"
+            )
+        if m.get("ms", False) and m["channels"] != 2:
+            raise ValueError("stream header: ms coding requires 2 channels")
 
     @property
     def n_chunks(self) -> int:
@@ -194,6 +207,8 @@ class StreamReader:
         n = self.meta["filters_n"]
         bark_n = self.meta["bark_bands_n"]
         ch = self.meta["channels"]
+        # joint stereo stores the single min-channel Bark sidecar
+        bark_ch = 1 if self.meta.get("ms", False) else ch
         # Rice coding spends >= 1 bit per value, so a chunk can hold at most
         # 8*clen values — reject size combinations the payload cannot carry
         # before allocating the decode buffer.
@@ -205,13 +220,13 @@ class StreamReader:
         codes = native.rice_decode(code_bytes, blocks * n * ch).reshape(
             blocks, n, ch
         )
-        if blocks * bark_n * ch > 8 * blen:
+        if blocks * bark_n * bark_ch > 8 * blen:
             raise ValueError(
-                f"chunk {i} header demands {blocks * bark_n * ch} sidecar "
-                f"values from a {blen}-byte payload — corrupt stream"
+                f"chunk {i} header demands {blocks * bark_n * bark_ch} "
+                f"sidecar values from a {blen}-byte payload — corrupt stream"
             )
         bark = _bitstream.decode_bark_sidecar(
-            bark_bytes, (blocks, bark_n, ch), block_axis=0
+            bark_bytes, (blocks, bark_n, bark_ch), block_axis=0
         )
         return codes, bark
 
@@ -229,12 +244,15 @@ class StreamReader:
 
 
 def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
-                  drown=0.0) -> int:
+                  drown=0.0, ms: bool = False,
+                  threshold_scale: float = 1.0) -> int:
     """Encode a long waveform to a seekable stream with bounded memory.
 
     Uses the streaming MDCT (one carried block across chunks) and per-chunk
     masking + quantization against the bfloat16-rounded Bark intensity —
-    the same encoder/decoder step-size agreement as .acz.
+    the same encoder/decoder step-size agreement as .acz, including joint
+    mid/side stereo (``ms``) and the stream-global rate-control scale
+    (``threshold_scale``), both persisted in the header.
 
     :param x: [1, samples, channels], samples a multiple of chunk_blocks*N.
     :return: number of chunks written.
@@ -248,6 +266,8 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
     b, s, c = x.shape
     if b != 1:
         raise ValueError("encode_stream takes a single clip")
+    if ms and c != 2:
+        raise ValueError("joint mid/side coding needs a stereo input")
     chunk = chunk_blocks * n
     if s % chunk != 0:
         raise ValueError(f"samples {s} must be a multiple of {chunk}")
@@ -261,17 +281,120 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         window_type=mdct.window_type,
         channels=c,
         compute_dtype=str(jnp.dtype(mdct.compute_dtype)),
+        ms=ms,
+        threshold_scale=threshold_scale,
     ) as w:
         carry = streaming.mdct_stream_init(mdct, 1, c)
         for start in range(0, s, chunk):
             carry, frames = streaming.mdct_stream_step(
                 mdct, carry, x[:, start : start + chunk]
             )
-            w.append(*codec.quantize_frames(frames, drown))
+            w.append(*codec.quantize_frames(
+                frames, drown, threshold_scale=threshold_scale, ms=ms
+            ))
         last = streaming.mdct_stream_flush(mdct, carry)
-        w.append(*codec.quantize_frames(last, drown))
+        w.append(*codec.quantize_frames(
+            last, drown, threshold_scale=threshold_scale, ms=ms
+        ))
         n_chunks = len(w._index)
     return n_chunks
+
+
+def encode_stream_with_target_bitrate(
+    codec, x, path: str, chunk_blocks: int = 256, *,
+    target_kbps: float, drown=0.0, ms: bool = False,
+    sample_chunks: int = 8, tolerance: float = 0.08,
+    log2_scale_range=(-4.0, 10.0),
+):
+    """Rate-controlled stream encode: pick ONE stream-global threshold
+    scale from a strided sample of the signal (the vmapped trial search of
+    rate.py), then stream-encode everything with it. The scale rides the
+    header, so the decoder honors it chunk by chunk.
+
+    Hour-long inputs never pay full-length rate trials — only the sampled
+    chunks are searched. The sampler targets the payload budget (the
+    stream's fixed framing overhead is known beforehand and subtracted);
+    if content drift still leaves the measured rate off by more than
+    ``tolerance``, ONE corrective re-encode runs with the scale adjusted
+    along the sampled size/scale curve. The returned kbps is the actual
+    file's.
+
+    :return: (n_chunks, threshold_scale, measured_kbps).
+    """
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiocodec_tpu import rate as _rate
+
+    n = codec.mdct.filters_n
+    chunk = chunk_blocks * n
+    s = x.shape[1]
+    seconds = s / codec.psycho.sample_rate
+    n_chunks_est = s // chunk + 1  # + flush chunk
+    # fixed framing: magic+header, per-chunk 16 B, index 8 B/chunk, trailer
+    overhead_bytes = 300 + 24 * n_chunks_est + 16
+    overhead_kbps = overhead_bytes * 8 / seconds / 1000
+    payload_target = max(0.5, target_kbps - overhead_kbps)
+
+    take = min(max(1, sample_chunks), max(1, s // chunk))
+    starts = np.linspace(0, s // chunk - 1, take).astype(int) * chunk
+    sample = jnp.concatenate(
+        [x[:, st : st + chunk] for st in starts], axis=1
+    )
+
+    def search(tgt):
+        return _rate.encode_with_target_bitrate(
+            codec, sample, tgt, drown=drown, ms=ms
+        ).threshold_scale
+
+    def full_encode(scale):
+        n_chunks = encode_stream(
+            codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
+            threshold_scale=scale,
+        )
+        return n_chunks, os.path.getsize(path) * 8 / seconds / 1000
+
+    # First scale from the sampled curve, then (only if off-target) secant
+    # iterations on the ACTUAL stream: payload bits are locally linear in
+    # log2(scale), so two stream points nail the next scale. The sampled
+    # curve alone under-counts the chunked sidecar (deltas restart per
+    # chunk), which is exactly the bias the secant removes.
+    scale = search(payload_target)
+    n_chunks, kbps = full_encode(scale)
+    attempts = [(scale, kbps, n_chunks)]
+    while (
+        abs(kbps - target_kbps) > tolerance * target_kbps
+        and len(attempts) < 4
+    ):
+        payload = max(kbps - overhead_kbps, 0.25)
+        want = max(target_kbps - overhead_kbps, 0.25)
+        if len(attempts) == 1:
+            # one-point correction via the sampled curve's local shape
+            scale = search(max(0.5, payload_target * want / payload))
+        else:
+            (s1, k1, _), (s2, k2, _) = attempts[-2], attempts[-1]
+            p1 = max(k1 - overhead_kbps, 0.25)
+            p2 = max(k2 - overhead_kbps, 0.25)
+            if abs(np.log(p2 / p1)) < 1e-6:
+                break  # at the entropy floor; no scale can help
+            slope = (np.log2(s2) - np.log2(s1)) / np.log(p2 / p1)
+            scale = float(
+                2.0 ** (np.log2(s2) + slope * np.log(want / p2))
+            )
+            scale = min(max(scale, 2.0 ** log2_scale_range[0]),
+                        2.0 ** log2_scale_range[1])
+        n_chunks, kbps = full_encode(scale)
+        attempts.append((scale, kbps, n_chunks))
+
+    best = min(attempts, key=lambda a: abs(a[1] - target_kbps))
+    if best is not attempts[-1]:
+        scale = best[0]
+        n_chunks, kbps = full_encode(scale)
+    else:
+        scale, kbps, n_chunks = best
+    return n_chunks, scale, kbps
 
 
 def decode_stream(codec, path: str, start_chunk: int = 0):
@@ -287,17 +410,32 @@ def decode_stream(codec, path: str, start_chunk: int = 0):
 
     mdct = codec.mdct
 
-    def dequant(codes, bark):
-        threshold = codec.psycho.bark_intensity_to_threshold(
-            jnp.asarray(bark, dtype=mdct.compute_dtype)[None]
+    def make_dequant(meta):
+        """Mirror EXACTLY the encoder's threshold derivation (ms min-channel
+        sidecar, stream-global scale) so step sizes are bit-identical."""
+        ms = bool(meta.get("ms", False))
+        tscale = jnp.asarray(
+            meta.get("threshold_scale", 1.0), dtype=mdct.compute_dtype
         )
-        delta = _quantize.step_size(threshold)
-        return _quantize.dequantize(
-            jnp.asarray(codes)[None], delta, dtype=mdct.compute_dtype
-        )
+
+        def dequant(codes, bark):
+            if ms:
+                threshold = codec._ms_threshold(jnp.asarray(bark)[None])
+            else:
+                threshold = codec.psycho.bark_intensity_to_threshold(
+                    jnp.asarray(bark, dtype=mdct.compute_dtype)[None]
+                )
+            delta = _quantize.step_size(threshold * tscale)
+            spec = _quantize.dequantize(
+                jnp.asarray(codes)[None], delta, dtype=mdct.compute_dtype
+            )
+            return codec.from_mid_side(spec) if ms else spec
+
+        return dequant
 
     with StreamReader(path) as r:
         ch = r.meta["channels"]
+        dequant = make_dequant(r.meta)
         carry = streaming.imdct_stream_init(mdct, 1, ch)
         if start_chunk > 0:
             prev = dequant(*r.read_chunk(start_chunk - 1))[:, -1:]

@@ -5,13 +5,19 @@ transport budgets, this module finds the threshold scale gamma whose
 packed size hits a target bitrate: scaling every quantization step by
 gamma > 1 coarsens codes monotonically (fewer bits, gracefully degrading
 fidelity starting with the least audible content — the perceptual model
-keeps ordering the damage). A bisection over log2(gamma) against the
-ACTUAL packed size (entropy coding included) converges in ~8 encodes;
-only quantize+pack re-run per trial — the MDCT/threshold pass is computed
-once.
+keeps ordering the damage).
+
+TPU-shaped search instead of a serial bisection: all scale trials of a
+round are one vmapped quantize (a single device pass), sizes come from
+actually packing each trial on the host (entropy coding included), and a
+second vmapped round refines each clip inside its own bracketing interval.
+Two device passes replace ~10 sequential ones, and a whole batch of clips
+is rate-controlled at once — each clip converging to its own scale.
 
     result = rate.encode_with_target_bitrate(codec, x, target_kbps=96)
     result.codes, result.bark16, result.threshold_scale, result.kbps
+
+    results = rate.encode_with_target_bitrate_batch(codec, xs, 96.0)
 """
 
 from __future__ import annotations
@@ -35,6 +41,127 @@ class RateControlResult:
     packed: bytes
 
 
+def _meta(codec, ms):
+    return dict(
+        sample_rate=codec.psycho.sample_rate,
+        filters_n=codec.mdct.filters_n,
+        bark_bands_n=codec.psycho.bark_bands_n,
+        alpha=codec.psycho.alpha,
+        window_type=codec.mdct.window_type,
+        compute_dtype=str(jnp.dtype(codec.mdct.compute_dtype)),
+        ms=ms,
+    )
+
+
+def encode_with_target_bitrate_batch(
+    codec,
+    x,
+    target_kbps: float,
+    drown=0.0,
+    tolerance: float = 0.05,
+    trials_per_round: int = 8,
+    log2_scale_range=(-4.0, 10.0),
+    ms: bool = False,
+) -> list:
+    """Rate-control every clip of a batch to ``target_kbps``.
+
+    :param x: waveform [B, samples, channels]; every clip gets its own
+        threshold scale (bitrate is a per-clip property).
+    :return: list of B :class:`RateControlResult`.
+    """
+    if not (np.isfinite(target_kbps) and target_kbps > 0):
+        raise ValueError(f"target_kbps must be positive, got {target_kbps}")
+    batch = x.shape[0]
+    seconds = x.shape[1] / codec.psycho.sample_rate
+    dtype = codec.mdct.compute_dtype
+
+    # One-time analysis (the bitstream-critical derivation lives in ONE
+    # place — Codec.analyze_for_quantization); trials only re-quantize+pack.
+    spectrum_q, bark16, base_threshold = codec.analyze_for_quantization(
+        codec.mdct.transform(x), drown, ms=ms
+    )
+
+    @jax.jit
+    def quantize_trials(scales):
+        """scales [K, B] -> codes [K, B, blocks, N, C]: every trial of the
+        round in one device pass (vmap over the scale axis; each clip sees
+        its own column)."""
+
+        def one(scale_b):
+            thr = base_threshold * scale_b[:, None, None, None].astype(dtype)
+            return _quantize.quantize(spectrum_q, thr)[0]
+
+        return jax.vmap(one)(scales)
+
+    meta = _meta(codec, ms)
+    bark_np = np.asarray(bark16)
+
+    def sizes(log2_scales):
+        """Pack every (trial, clip) and return kbps [K, B]."""
+        codes = np.asarray(quantize_trials(jnp.exp2(jnp.asarray(log2_scales))))
+        kbps = np.empty(log2_scales.shape)
+        for k in range(log2_scales.shape[0]):
+            for b in range(batch):
+                packed = _bitstream.pack(
+                    codes[k, b : b + 1],
+                    bark_np[b : b + 1],
+                    threshold_scale=float(2.0 ** log2_scales[k, b]),
+                    **meta,
+                )
+                kbps[k, b] = len(packed) * 8 / seconds / 1000
+        return kbps
+
+    k_trials = max(4, trials_per_round)
+    lo, hi = log2_scale_range
+    # Round 1: a shared log-spaced grid brackets each clip's target.
+    grid1 = np.broadcast_to(
+        np.linspace(lo, hi, k_trials)[:, None], (k_trials, batch)
+    ).copy()
+    kbps1 = sizes(grid1)
+
+    # Round 2: per-clip refinement inside the bracketing interval (kbps is
+    # monotone nonincreasing in the scale).
+    grid2 = np.empty_like(grid1)
+    for b in range(batch):
+        above = np.where(kbps1[:, b] >= target_kbps)[0]
+        below = np.where(kbps1[:, b] <= target_kbps)[0]
+        g_lo = grid1[above[-1], b] if above.size else lo
+        g_hi = grid1[below[0], b] if below.size else hi
+        if g_hi < g_lo:
+            g_lo, g_hi = g_hi, g_lo
+        grid2[:, b] = np.linspace(g_lo, g_hi, k_trials)
+    kbps2 = sizes(grid2)
+
+    all_grids = np.concatenate([grid1, grid2], axis=0)
+    all_kbps = np.concatenate([kbps1, kbps2], axis=0)
+
+    # Final pass: every clip's winning scale in ONE device pass.
+    k_best = np.argmin(np.abs(all_kbps - target_kbps), axis=0)
+    win_scales = 2.0 ** all_grids[k_best, np.arange(batch)]
+    win_codes = np.asarray(
+        quantize_trials(jnp.asarray(win_scales, jnp.float32)[None, :])[0]
+    )
+    results = []
+    for b in range(batch):
+        packed = _bitstream.pack(
+            win_codes[b : b + 1],
+            bark_np[b : b + 1],
+            threshold_scale=float(win_scales[b]),
+            **meta,
+        )
+        results.append(
+            RateControlResult(
+                codes=win_codes[b : b + 1],
+                bark16=bark_np[b : b + 1],
+                threshold_scale=float(win_scales[b]),
+                kbps=len(packed) * 8 / seconds / 1000,
+                packed=packed,
+            )
+        )
+    del tolerance  # argmin over both rounds is at least as close
+    return results
+
+
 def encode_with_target_bitrate(
     codec,
     x,
@@ -45,72 +172,24 @@ def encode_with_target_bitrate(
     log2_scale_range=(-4.0, 10.0),
     ms: bool = False,
 ) -> RateControlResult:
-    """Bisect the threshold scale until the packed bitrate is within
-    ``tolerance`` of ``target_kbps`` (or the best achievable at the range
-    edges — a silent clip cannot be inflated to 320 kbps).
+    """Single-clip rate control (the batch path with B=1).
 
-    :param x: waveform [1, samples, channels] (single clip — bitrate is a
-        per-clip property).
+    :param x: waveform [1, samples, channels].
+    :param max_iters: total trial budget (split over the two vmapped
+        rounds; kept for API compatibility with the serial bisection).
     """
     if x.shape[0] != 1:
-        raise ValueError("rate control operates on a single clip")
-    if not (np.isfinite(target_kbps) and target_kbps > 0):
-        raise ValueError(f"target_kbps must be positive, got {target_kbps}")
-    sample_rate = codec.psycho.sample_rate
-    seconds = x.shape[1] / sample_rate
-
-    # one-time analysis (the bitstream-critical derivation lives in ONE
-    # place — Codec.analyze_for_quantization); trials only re-quantize+pack
-    spectrum_q, bark16, base_threshold = codec.analyze_for_quantization(
-        codec.mdct.transform(x), drown, ms=ms
-    )
-
-    quantize_trial = jax.jit(
-        lambda scale: _quantize.quantize(
-            spectrum_q,
-            base_threshold
-            * jnp.asarray(scale, dtype=codec.mdct.compute_dtype),
-        )[0]
-    )
-
-    meta = dict(
-        sample_rate=sample_rate,
-        filters_n=codec.mdct.filters_n,
-        bark_bands_n=codec.psycho.bark_bands_n,
-        alpha=codec.psycho.alpha,
-        window_type=codec.mdct.window_type,
-        compute_dtype=str(jnp.dtype(codec.mdct.compute_dtype)),
-        ms=ms,
-    )
-
-    def trial(log2_scale):
-        scale = float(2.0**log2_scale)
-        codes = np.asarray(quantize_trial(scale))
-        packed = _bitstream.pack(
-            codes, bark16, threshold_scale=scale, **meta
+        raise ValueError(
+            "encode_with_target_bitrate takes a single clip; use "
+            "encode_with_target_bitrate_batch for batches"
         )
-        kbps = len(packed) * 8 / seconds / 1000
-        return codes, packed, scale, kbps
-
-    lo, hi = log2_scale_range
-    best = None
-    for _ in range(max_iters):
-        mid = 0.5 * (lo + hi)
-        codes, packed, scale, kbps = trial(mid)
-        if best is None or abs(kbps - target_kbps) < abs(
-            best.kbps - target_kbps
-        ):
-            best = RateControlResult(
-                codes=codes,
-                bark16=np.asarray(bark16),
-                threshold_scale=scale,
-                kbps=kbps,
-                packed=packed,
-            )
-        if abs(kbps - target_kbps) <= tolerance * target_kbps:
-            break
-        if kbps > target_kbps:
-            lo = mid  # too many bits: raise thresholds
-        else:
-            hi = mid
-    return best
+    return encode_with_target_bitrate_batch(
+        codec,
+        x,
+        target_kbps,
+        drown=drown,
+        tolerance=tolerance,
+        trials_per_round=max(4, (max_iters + 1) // 2),
+        log2_scale_range=log2_scale_range,
+        ms=ms,
+    )[0]

@@ -107,6 +107,29 @@ class TestShimExtras:
         )
         assert pa.alpha == 0.6
 
+    def test_low_precision_precompute_warns(self):
+        import pytest
+
+        with pytest.warns(UserWarning, match="float64"):
+            MDCTransformer(64, precompute_dtype="float32")
+        with pytest.warns(UserWarning, match="float64"):
+            PsychoacousticModel(44100, precompute_dtype=np.float32)
+
+    def test_polyphase_tensor_surface(self):
+        """Reference users read mdct.H / mdct.H_inv (mdctransformer.py:58-59):
+        [2, N, N], compute dtype, and mutually inverse two-tap operators.
+        Exact numeric parity vs the reference's tensors is asserted in
+        tests/test_reference_parity.py."""
+        n = 64
+        m = MDCTransformer(n, window_type="sine")
+        H, H_inv = np.asarray(m.H), np.asarray(m.H_inv)
+        assert H.shape == (2, n, n) and H_inv.shape == (2, n, n)
+        assert H.dtype == np.float32
+        # two-tap convolution of H with H_inv is the identity delayed by
+        # one block: sum_k H[k] @ H_inv[1-k] == I (perfect reconstruction)
+        mid = H[0] @ H_inv[1] + H[1] @ H_inv[0]
+        np.testing.assert_allclose(mid, np.eye(n), atol=1e-5)
+
     def test_add_noise_without_key(self):
         pa = PsychoacousticModel(44100, filter_bands_n=64)
         x = jnp.zeros((1, 2, 64, 1), dtype=jnp.float32)

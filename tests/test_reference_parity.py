@@ -60,6 +60,23 @@ class TestMDCTParity:
         # relative to that O(10) magnitude.
         np.testing.assert_allclose(x_mine, x_ref, atol=2e-5)
 
+    @pytest.mark.parametrize("window_type", ["vorbis", "sine"])
+    def test_polyphase_tensors_match(self, window_type):
+        """compat.MDCTransformer.H / .H_inv equal the reference's tensors
+        (mdctransformer.py:58-59) — the attribute surface reference users
+        read directly."""
+        from audiocodec_tpu.compat import MDCTransformer as ShimMDCT
+
+        n = 64
+        ref = RefMDCT(n, window_type=window_type)
+        shim = ShimMDCT(n, window_type=window_type)
+        np.testing.assert_allclose(
+            np.asarray(shim.H), ref.H.numpy(), atol=2e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(shim.H_inv), ref.H_inv.numpy(), atol=2e-6
+        )
+
     def test_round_trip_snr_within_tolerance(self, random_wave):
         """Round-trip SNR within 0.1 dB of the reference (BASELINE.md)."""
         n = 64

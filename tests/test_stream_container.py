@@ -133,3 +133,95 @@ class TestContainerRoundTrip:
         import os as _os
 
         assert _os.path.getsize(b) < _os.path.getsize(a)
+
+
+@pytest.fixture(scope="module")
+def stereo_signal():
+    rng = np.random.default_rng(7)
+    t = np.arange(24 * 64) / 16000
+    left = 0.5 * np.sin(2 * np.pi * 500 * t) + 0.1 * rng.normal(size=t.size)
+    right = 0.45 * np.sin(2 * np.pi * 500 * t) + 0.1 * rng.normal(size=t.size)
+    wave = np.stack([left, right], axis=-1).astype(np.float32)
+    return jnp.asarray(np.clip(wave, -1, 1)[None])
+
+
+class TestStreamFeatureParity:
+    """.acs carries everything .acz does: joint stereo + rate control
+    (VERDICT r1 #5 — BASELINE config 5 is an hour of stereo streaming)."""
+
+    def test_ms_stream_matches_monolithic_ms(self, codec, stereo_signal,
+                                             tmp_path):
+        path = str(tmp_path / "ms.acs")
+        sc.encode_stream(codec, stereo_signal, path, chunk_blocks=8, ms=True)
+        with sc.StreamReader(path) as r:
+            assert r.meta["ms"] is True
+            # the min-channel sidecar is single-channel, codes are M/S
+            codes, bark = r.read_chunk(0)
+            assert codes.shape == (8, 64, 2)
+            assert bark.shape == (8, 16, 1)
+        streamed = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
+        )
+        codes, bark16 = codec.encode_bitstream_ms(stereo_signal)
+        mono = np.asarray(codec.decode_bitstream_ms(codes, bark16))
+        np.testing.assert_allclose(streamed, mono, atol=1e-5)
+
+    def test_threshold_scale_persisted_and_honored(self, codec,
+                                                   stereo_signal, tmp_path):
+        """Scaled stream decodes bit-identically to the .acz path with the
+        same scale — the step-size invariant under rate control."""
+        path = str(tmp_path / "scaled.acs")
+        sc.encode_stream(
+            codec, stereo_signal, path, chunk_blocks=8, threshold_scale=3.5
+        )
+        with sc.StreamReader(path) as r:
+            assert r.meta["threshold_scale"] == 3.5
+        streamed = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
+        )
+        frames = codec.mdct.transform(stereo_signal)
+        codes, bark16 = codec.quantize_frames(frames, threshold_scale=3.5)
+        mono = np.asarray(
+            codec.decode_bitstream(codes, bark16, threshold_scale=3.5)
+        )
+        np.testing.assert_allclose(streamed, mono, atol=1e-5)
+
+    @pytest.mark.skipif(
+        not native.available(), reason="rate control packs via Rice"
+    )
+    def test_rate_controlled_stream(self, codec, tmp_path):
+        rng = np.random.default_rng(1)
+        t = np.arange(96 * 64) / 16000
+        wave = np.stack(
+            [
+                0.4 * np.sin(2 * np.pi * 440 * t)
+                + 0.1 * rng.normal(size=t.size),
+                0.4 * np.sin(2 * np.pi * 660 * t)
+                + 0.1 * rng.normal(size=t.size),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        x = jnp.asarray(np.clip(wave, -1, 1)[None])
+        path = str(tmp_path / "rc.acs")
+        # target chosen inside the achievable range for this tiny stream
+        # (floor ~99 kbps: sidecar + 1-bit/value Rice minimum + framing)
+        n_chunks, tscale, kbps = sc.encode_stream_with_target_bitrate(
+            codec, x, path, chunk_blocks=8, target_kbps=150.0, ms=True,
+        )
+        assert n_chunks == 13
+        assert tscale > 0
+        # sampled-scale estimate on stationary content: within 15%
+        assert abs(kbps - 150.0) <= 0.15 * 150.0
+        # and it decodes
+        out = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
+        )
+        assert out.shape[1] == (96 + 2) * 64  # blocks+1 framing, twice
+        assert np.all(np.isfinite(out))
+
+    def test_ms_needs_stereo(self, codec, signal, tmp_path):
+        with pytest.raises(ValueError, match="stereo"):
+            sc.encode_stream(
+                codec, signal, str(tmp_path / "x.acs"), chunk_blocks=8,
+                ms=True,
+            )
