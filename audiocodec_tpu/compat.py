@@ -78,6 +78,9 @@ class MDCTransformer:
             filters_n=filters_n,
             window_type=window_type,
             compute_dtype=_canonical(compute_dtype),
+            # the shim's contract is strictest reference numerics, so it
+            # stays on the XLA path rather than the "auto" kernel default
+            use_pallas=False,
         )
         self.filters_n = filters_n
         self.window_type = window_type

@@ -65,6 +65,15 @@ class MDCT:
     :param fast_bf16: with bfloat16 compute, run the DCT matmul natively in
         bf16 with f32 accumulation instead of upcasting (faster, slightly
         less accurate than the reference's upcast policy).
+    :param use_pallas: which directions run the fused Pallas kernels
+        (ops/pallas_mdct.py). ``"auto"`` (create-time default) resolves to
+        ``"inverse"`` on a real TPU backend when eligible (N a multiple of
+        256, N <= 1024, non-float64) and ``False`` otherwise — the inverse
+        kernel beats the XLA path at every measured N <= 1024 standalone
+        config while the forward ties-to-trails (docs/DESIGN.md §3).
+        ``True`` = both directions, ``"forward"``/``"inverse"`` = that
+        direction only, ``False`` = pure-XLA. Composed pipelines (Codec)
+        default to False: inside one fused program XLA wins overall.
     """
 
     filters_n: int
@@ -104,7 +113,7 @@ class MDCT:
         window_type="vorbis",
         compute_dtype=jnp.float32,
         fast_bf16: bool = False,
-        use_pallas: bool = False,
+        use_pallas="auto",
         dct_precision: str = "highest",
     ) -> "MDCT":
         """Precompute fold weights and the DCT matrix (float64 on host, then
@@ -116,24 +125,48 @@ class MDCT:
                 f"even, got {filters_n}"
             )
         dtype = _dtypes.canonicalize_compute_dtype(compute_dtype)
-        if use_pallas and (
-            filters_n % 256 != 0
-            or filters_n > 4096
-            or dtype == jnp.dtype(jnp.float64)
-        ):
+        if use_pallas not in (False, True, "auto", "forward", "inverse"):
+            raise ValueError(
+                "use_pallas must be one of False, True, 'auto', 'forward', "
+                f"'inverse'; got {use_pallas!r}"
+            )
+        eligible = (
+            filters_n % 256 == 0
+            and filters_n <= 4096
+            and dtype != jnp.dtype(jnp.float64)
+        )
+        if use_pallas == "auto":
+            # Resolve once at create time (stored resolved, so serialized
+            # configs replay deterministically): the inverse kernel wins
+            # every measured standalone N<=1024 TPU config; the forward
+            # does not (docs/DESIGN.md §3). Anything but a real TPU backend
+            # can't run Mosaic kernels at speed.
+            use_pallas = (
+                "inverse"
+                if eligible
+                and filters_n <= 1024
+                and jax.default_backend() == "tpu"
+                else False
+            )
+        elif use_pallas and not eligible:
             raise ValueError(
                 "use_pallas requires filters_n to be a multiple of 256 "
                 "(half-lane slicing at the 128-lane boundary) and <= 4096, "
                 "and a non-float64 compute dtype; got filters_n="
                 f"{filters_n}, compute_dtype={dtype}"
             )
+        pallas_fwd = use_pallas in (True, "forward")
+        pallas_inv = use_pallas in (True, "inverse")
         coeffs = _folding.make_fold_coefficients(filters_n, window_type)
         mat_dtype = (
             jnp.float64 if dtype == jnp.dtype(jnp.float64) else jnp.float32
         )
         as_compute = lambda v: jnp.asarray(v, dtype=dtype)
-        fused = {}
-        if use_pallas:
+        fused = dict(
+            pfwd_wa=None, pfwd_wb=None, pfwd_mat=None,
+            pinv_wa=None, pinv_wb=None, pinv_mat=None,
+        )
+        if pallas_fwd or pallas_inv:
             from audiocodec_tpu.ops import pallas_mdct as _pallas
 
             # same bf16 policy as the XLA path: keep the parameters in f32
@@ -144,25 +177,20 @@ class MDCT:
                 if dtype != jnp.dtype(jnp.bfloat16) or fast_bf16
                 else jnp.dtype(jnp.float32)
             )
-            fwa, fwb, fm = _pallas.forward_params(filters_n, window_type)
-            iva, ivb, im = _pallas.inverse_params(filters_n, window_type)
-            fused = dict(
-                pfwd_wa=jnp.asarray(fwa, dtype=fused_dtype),
-                pfwd_wb=jnp.asarray(fwb, dtype=fused_dtype),
-                pfwd_mat=jnp.asarray(fm, dtype=fused_dtype),
-                pinv_wa=jnp.asarray(iva, dtype=fused_dtype),
-                pinv_wb=jnp.asarray(ivb, dtype=fused_dtype),
-                pinv_mat=jnp.asarray(im, dtype=fused_dtype),
-            )
-        else:
-            fused = dict(
-                pfwd_wa=None,
-                pfwd_wb=None,
-                pfwd_mat=None,
-                pinv_wa=None,
-                pinv_wb=None,
-                pinv_mat=None,
-            )
+            if pallas_fwd:
+                fwa, fwb, fm = _pallas.forward_params(filters_n, window_type)
+                fused.update(
+                    pfwd_wa=jnp.asarray(fwa, dtype=fused_dtype),
+                    pfwd_wb=jnp.asarray(fwb, dtype=fused_dtype),
+                    pfwd_mat=jnp.asarray(fm, dtype=fused_dtype),
+                )
+            if pallas_inv:
+                iva, ivb, im = _pallas.inverse_params(filters_n, window_type)
+                fused.update(
+                    pinv_wa=jnp.asarray(iva, dtype=fused_dtype),
+                    pinv_wb=jnp.asarray(ivb, dtype=fused_dtype),
+                    pinv_mat=jnp.asarray(im, dtype=fused_dtype),
+                )
         if dct_precision not in _dct.PRECISIONS:
             raise ValueError(
                 f"dct_precision must be one of {sorted(_dct.PRECISIONS)}, "
@@ -219,7 +247,7 @@ class MDCT:
             xb = jnp.transpose(x, (0, 2, 1)).reshape(
                 batches_n, channels_n, blocks_n, n
             )
-            if self.use_pallas:
+            if self.use_pallas in (True, "forward"):
                 from audiocodec_tpu.ops import pallas_mdct as _pallas
 
                 rows = xb.reshape(batches_n * channels_n, blocks_n, n)
@@ -268,7 +296,7 @@ class MDCT:
             raise ValueError("need at least one spectral frame to invert")
         with jax.named_scope("mdct_inverse_transform"):
             yb = jnp.transpose(mdct_amplitudes, (0, 3, 1, 2))
-            if self.use_pallas:
+            if self.use_pallas in (True, "inverse"):
                 from audiocodec_tpu.ops import pallas_mdct as _pallas
 
                 rows = yb.reshape(batches_n * channels_n, blocks_n, n)

@@ -231,12 +231,12 @@ def _call(x, num_out, wa, wb, mat, precision, mode):
         kernel,
         grid=(rows, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # signal; row-indexed DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # signal; row-indexed DMA
             pl.BlockSpec((1, n), lambda r, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda r, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # matrix; DMA'd once
+            pl.BlockSpec(memory_space=pl.ANY),  # matrix; DMA'd once
         ],
         out_specs=pl.BlockSpec(
             (1, tb, n), lambda r, t: (r, t, 0), memory_space=pltpu.VMEM

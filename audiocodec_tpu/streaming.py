@@ -13,7 +13,10 @@ exactly one block of carried state per boundary. This module provides:
   offline encode (BASELINE config 5: 1 h stereo) at bounded memory.
 
 Chunk-streamed output is bit-identical to the batch transform: the frames
-are the same mathematical objects, just produced K blocks at a time. By
+are the same mathematical objects, just produced K blocks at a time. (The
+streaming kernels always take the XLA fold/DCT path; bit-identity is with
+the XLA batch transform. An MDCT whose ``use_pallas`` resolved to a fused
+kernel direction agrees to kernel-vs-XLA rounding, not bit-exactly.) By
 construction the stream is also resumable: (carry block, block offset) is
 the entire codec state at any chunk boundary — checkpoint those two and
 re-enter anywhere (the framework's failure-recovery story; the reference

@@ -137,11 +137,17 @@ def config1_mdct_roundtrip(quick):
     else:
         dt = slope_timed(make_chain, 6, 18)
     audio_s = batch * wave.size / sr
+    thr = audio_s / dt
+    # Gate: PR error at the reference's own tolerance, plus (non-quick,
+    # where slope timing is trustworthy) the >=100x BASELINE multiplier.
+    ok = bool(err < 1e-5)
+    if not quick:
+        ok = ok and thr >= 100.0 * REFERENCE["mdct_roundtrip"]
     return {
         "config": "mdct_roundtrip",
         "pr_max_abs_error": err,
-        "throughput_audio_s_per_s": round(audio_s / dt, 1),
-        "pass": bool(err < 1e-5),
+        "throughput_audio_s_per_s": round(thr, 1),
+        "pass": ok,
     }
 
 
@@ -234,12 +240,18 @@ def config3_full_encode_decode(quick):
         dt = slope_timed(make_chain, 6, 18)
     audio_s = batch * wave.size / sr
     thr = audio_s / dt
+    # Gates derived from recorded nominals minus a small margin (RESULTS.md:
+    # 18.96 dB, 1106x): a real quality regression (>0.5 dB) or a perf
+    # regression below the 100x BASELINE target fails loudly.
+    ok = bool(snr > (15.0 if quick else 18.5))
+    if not quick:
+        ok = ok and thr >= 100.0 * REFERENCE["full_encode_decode"]
     return {
         "config": "full_encode_decode",
         "snr_db": float(round(snr, 2)),
         "throughput_audio_s_per_s": round(thr, 1),
         "vs_reference_cpu": round(thr / REFERENCE["full_encode_decode"], 1),
-        "pass": bool(snr > 15.0),
+        "pass": ok,
     }
 
 
@@ -300,7 +312,10 @@ def config3b_full_encode_decode_bf16(quick):
         "vs_reference_cpu_f32": round(
             thr / REFERENCE["full_encode_decode"], 1
         ),
-        "pass": bool(snr > 10.0),
+        # nominal 17.37 dB (RESULTS.md) minus a ~0.5 dB margin; quick mode
+        # runs a different (shorter) signal so only the catastrophic gate
+        # applies there
+        "pass": bool(snr > (10.0 if quick else 16.8)),
     }
 
 

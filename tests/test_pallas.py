@@ -121,6 +121,49 @@ class TestPallasValidation:
         with pytest.raises(ValueError, match="float64"):
             MDCT.create(256, use_pallas=True, compute_dtype=jnp.float64)
 
+    def test_bad_value_rejected(self):
+        with pytest.raises(ValueError, match="use_pallas must be one of"):
+            MDCT.create(256, use_pallas="both")
+
+
+class TestUsePallasModes:
+    def test_auto_resolves_false_off_tpu(self):
+        """On this CPU test backend, 'auto' must resolve to the XLA path
+        (Mosaic kernels only run at speed on a real TPU)."""
+        m = MDCT.create(1024)  # default use_pallas="auto"
+        assert m.use_pallas is False
+        assert m.pfwd_mat is None and m.pinv_mat is None
+        # ineligible sizes never raise under auto
+        assert MDCT.create(192).use_pallas is False
+        assert MDCT.create(
+            256, compute_dtype=jnp.float64
+        ).use_pallas is False
+
+    def test_directional_modes(self):
+        mf = MDCT.create(256, use_pallas="forward")
+        assert mf.pfwd_mat is not None and mf.pinv_mat is None
+        mi = MDCT.create(256, use_pallas="inverse")
+        assert mi.pfwd_mat is None and mi.pinv_mat is not None
+        mb = MDCT.create(256, use_pallas=True)
+        assert mb.pfwd_mat is not None and mb.pinv_mat is not None
+
+    def test_inverse_only_mode_matches_xla(self):
+        """'inverse' (the auto-on-TPU resolution) runs XLA forward and the
+        kernel inverse; both directions must agree with the pure-XLA MDCT."""
+        m = MDCT.create(256, use_pallas=False)
+        mi = MDCT.create(256, use_pallas="inverse")
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 6 * 256, 1)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(mi.transform(x)), np.asarray(m.transform(x))
+        )
+        y = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 6, 256, 1)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = mi.inverse_transform(y)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(m.inverse_transform(y)), atol=1e-4
+        )
+
 
 class TestPallasGradients:
     def test_vjp_matches_xla_path(self, pair):

@@ -1,0 +1,210 @@
+"""Opt-in hardware lane: numerics on the REAL TPU (``pytest -m tpu``).
+
+These are the checks CPU interpret mode cannot see:
+
+* Mosaic codegen of the fused MDCT kernels (the interpreter executes the
+  same Python, not the compiled kernel), and
+* the hardware-PRNG noise kernel — interpret mode's ``prng_random_bits``
+  returns zeros, so its distribution is ONLY verifiable here (the 6-sigma
+  calibration mirrors reference audiocodec/psychoacoustic.py:151-167).
+
+Deselected by default (pyproject addopts). Invocation on this machine:
+
+    python -m pytest tests/ -m tpu -q
+
+Compiles route through .jax_cache (see conftest); a cold first run can take
+minutes per program on the remote-attached device, subsequent runs seconds.
+Shapes are kept small: these are numerics gates, not benchmarks (bench.py
+and benchmarks/ own the perf story).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module", autouse=True)
+def require_tpu():
+    if jax.default_backend() in ("cpu",):
+        pytest.skip("hardware lane requires a real TPU backend")
+
+
+@pytest.fixture(scope="module")
+def mdct_pair():
+    from audiocodec_tpu.mdct import MDCT
+
+    return MDCT.create(1024), MDCT.create(1024, use_pallas=True)
+
+
+class TestPallasKernelsOnHardware:
+    """Compiled Mosaic kernels vs the XLA path, matched precision."""
+
+    def test_forward_matches_xla(self, mdct_pair):
+        m, mp = mdct_pair
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (2, 16 * 1024, 1)), dtype=jnp.float32
+        )
+        want = np.asarray(jax.jit(m.transform)(x))
+        got = np.asarray(jax.jit(mp.transform)(x))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_inverse_matches_xla(self, mdct_pair):
+        m, mp = mdct_pair
+        rng = np.random.default_rng(1)
+        y = jnp.asarray(
+            rng.uniform(-0.5, 0.5, (2, 16, 1024, 1)), dtype=jnp.float32
+        )
+        want = np.asarray(jax.jit(m.inverse_transform)(y))
+        got = np.asarray(jax.jit(mp.inverse_transform)(y))
+        # output values are O(10) (sqrt(4N) folded into the matrix)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_round_trip_perfect_reconstruction(self, mdct_pair):
+        _, mp = mdct_pair
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (1, 12 * 1024, 1)), dtype=jnp.float32
+        )
+        rt = jax.jit(lambda x: mp.inverse_transform(mp.transform(x)))(x)
+        err = float(jnp.max(jnp.abs(x - rt[:, 1024:-1024])))
+        assert err < 1e-5
+
+    def test_gradient_matches_xla(self, mdct_pair):
+        m, mp = mdct_pair
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (1, 8 * 1024, 1)), dtype=jnp.float32
+        )
+
+        def loss(mm, x):
+            return jnp.sum(mm.transform(x) ** 2)
+
+        g_xla = np.asarray(jax.jit(jax.grad(lambda x: loss(m, x)))(x))
+        g_pal = np.asarray(jax.jit(jax.grad(lambda x: loss(mp, x)))(x))
+        np.testing.assert_allclose(g_pal, g_xla, atol=2e-5)
+
+
+class TestAutoDefault:
+    def test_auto_resolves_to_inverse_kernel_here(self):
+        from audiocodec_tpu.mdct import MDCT
+
+        m = MDCT.create(1024)  # use_pallas="auto"
+        assert m.use_pallas == "inverse"
+        assert m.pfwd_mat is None and m.pinv_mat is not None
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (1, 8 * 1024, 1)), dtype=jnp.float32
+        )
+        rt = jax.jit(lambda x: m.inverse_transform(m.transform(x)))(x)
+        err = float(jnp.max(jnp.abs(x - rt[:, 1024:-1024])))
+        assert err < 1e-5
+
+
+class TestHardwarePrngNoise:
+    """Moments and calibration of the Box-Muller noise kernel — the test
+    interpret mode cannot run (prng_random_bits is zeros there)."""
+
+    @staticmethod
+    def _noise(seed):
+        from audiocodec_tpu.ops.pallas_noise import add_masked_noise_pallas
+
+        shape = (8, 64, 1024, 1)  # 524288 samples
+
+        @jax.jit
+        def f(seed):
+            return add_masked_noise_pallas(
+                jnp.zeros(shape, jnp.float32),
+                jnp.ones(shape, jnp.float32),
+                seed,
+            )
+
+        return np.asarray(f(seed)).ravel()
+
+    def test_moments_match_sigma_over_6(self):
+        z = self._noise(0)
+        n = z.size
+        sigma = 1.0 / 6.0
+        # mean: 5-sigma band of the sample-mean estimator
+        assert abs(z.mean()) < 5 * sigma / np.sqrt(n)
+        # std: estimator sd ~ sigma/sqrt(2n) ~ 0.1%; allow 1%
+        assert abs(z.std() / sigma - 1.0) < 0.01
+        # 3-sigma exceedance: the reference's calibration comment promises
+        # ~0.2%-0.3% of samples outside threshold (2*Phi(-3) = 0.27%)
+        frac = float((np.abs(z) > 3 * sigma).mean())
+        assert 0.0020 < frac < 0.0035
+        # normality beyond variance: kurtosis of N(0,1) is 3
+        kurt = float(((z / z.std()) ** 4).mean())
+        assert abs(kurt - 3.0) < 0.1
+
+    def test_seed_reproducibility(self):
+        a, b, c = self._noise(7), self._noise(7), self._noise(8)
+        np.testing.assert_array_equal(a, b)
+        assert np.abs(a - c).max() > 1e-3
+
+    def test_threshold_scales_sigma(self):
+        """Per-element sigma tracks the threshold (sigma = threshold/6)."""
+        from audiocodec_tpu.ops.pallas_noise import add_masked_noise_pallas
+
+        shape = (8, 64, 1024, 1)
+        thr = np.zeros(shape, np.float32)
+        thr[:4] = 0.5
+        thr[4:] = 2.0
+
+        @jax.jit
+        def f(thr):
+            return add_masked_noise_pallas(
+                jnp.zeros(shape, jnp.float32), thr, 3
+            )
+
+        z = np.asarray(f(jnp.asarray(thr)))
+        assert abs(z[:4].std() / (0.5 / 6) - 1.0) < 0.02
+        assert abs(z[4:].std() / (2.0 / 6) - 1.0) < 0.02
+
+
+class TestQuantizedQualityOnHardware:
+    """SNR gates for the production paths, on-device end to end."""
+
+    @staticmethod
+    def _two_tone(sr, dur, dtype):
+        t = np.arange(int(sr * dur)) / sr
+        rng = np.random.default_rng(0)
+        wave = (
+            0.4 * np.sin(2 * np.pi * 440 * t)
+            + 0.3 * np.sin(2 * np.pi * 1320 * t)
+            + 0.05 * rng.normal(size=t.size)
+        ).astype(np.float32)
+        wave = wave[: wave.size // 1024 * 1024]
+        return jnp.asarray(wave[None, :, None], dtype=dtype)
+
+    @staticmethod
+    def _snr(x, y):
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        return 10 * np.log10((x**2).sum() / max(((x - y) ** 2).sum(), 1e-30))
+
+    def test_f32_quantized_snr(self):
+        from audiocodec_tpu.codec import Codec
+
+        codec = Codec.create(44100, filters_n=1024, bark_bands_n=64)
+        x = self._two_tone(44100, 2.0, jnp.float32)
+        out = np.asarray(jax.jit(codec.round_trip_quantized)(x))[:, 1024:-1024]
+        # nominal 18.96 dB on this workload (benchmarks/RESULTS.md) minus
+        # a ~0.5 dB margin
+        assert self._snr(np.asarray(x), out) > 18.4
+
+    def test_bf16_fast_quantized_snr(self):
+        from audiocodec_tpu.codec import Codec
+
+        codec = Codec.create(
+            44100, filters_n=1024, bark_bands_n=64,
+            compute_dtype=jnp.bfloat16, fast_bf16=True,
+        )
+        x = self._two_tone(44100, 2.0, jnp.bfloat16)
+        out = np.asarray(
+            jax.jit(codec.round_trip_quantized)(x).astype(jnp.float32)
+        )[:, 1024:-1024]
+        assert self._snr(np.asarray(x.astype(jnp.float32)), out) > 16.0
