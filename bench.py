@@ -56,7 +56,9 @@ def main():
     duration_s = 10.0
     filters_n = 1024
     batch = 32
-    iters_short, iters_long = 8, 24
+    # ~1.7 ms/iter f32 / ~1.0 ms bf16: a 64-iteration slope delta is
+    # ~60-110 ms of device time, well above the tunnel's RTT fluctuation
+    iters_short, iters_long = 16, 80
 
     samples = int(sample_rate * duration_s) // filters_n * filters_n
     rng = np.random.default_rng(0)

@@ -80,14 +80,19 @@ def timed(fn, iters=3):
     return max(best - _rtt(), best * 0.1)
 
 
-def slope_timed(make_chain, l_short=6, l_long=18):
+def slope_timed(make_chain, l_short=6, l_long=18, min_delta_s=0.05):
     """Per-iteration device time via two chain lengths: the difference
     cancels the fluctuating per-call tunnel RTT exactly.
 
+    The tunnel RTT fluctuates by up to a few ms between calls, so the
+    slope is only trustworthy when the long chain is measurably longer
+    than the short one. If the delta lands under ``min_delta_s`` (cheap
+    per-iteration work), the chain lengths escalate 4x until the device
+    time dominates the noise — otherwise a ~0 delta would report absurd
+    throughput.
+
     :param make_chain: length -> zero-arg callable ending in a readback.
     """
-    short, long_ = make_chain(l_short), make_chain(l_long)
-    short(), long_()  # warm / compile
 
     def best_of(fn, reps=3):
         best = float("inf")
@@ -97,7 +102,14 @@ def slope_timed(make_chain, l_short=6, l_long=18):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return max((best_of(long_) - best_of(short)) / (l_long - l_short), 1e-9)
+    for _ in range(6):
+        short, long_ = make_chain(l_short), make_chain(l_long)
+        short(), long_()  # warm / compile
+        t_s, t_l = best_of(short), best_of(long_)
+        if t_l - t_s >= min_delta_s:
+            return (t_l - t_s) / (l_long - l_short)
+        l_short, l_long = l_short * 4, l_long * 4
+    return max((t_l - t_s) / (l_long - l_short), 1e-9)
 
 
 def config1_mdct_roundtrip(quick):
@@ -135,7 +147,8 @@ def config1_mdct_roundtrip(quick):
     if quick:  # smoke test: slope of tiny chains is noise-dominated
         dt = timed(make_chain(2)) / 2
     else:
-        dt = slope_timed(make_chain, 6, 18)
+        # ~40 us/iter: start long so the slope delta clears the RTT noise
+        dt = slope_timed(make_chain, 512, 2048)
     audio_s = batch * wave.size / sr
     thr = audio_s / dt
     # Gate: PR error at the reference's own tolerance, plus (non-quick,
@@ -192,7 +205,8 @@ def config2_psycho_twotone(quick):
     if quick:
         dt = timed(make_chain(2)) / 2
     else:
-        dt = slope_timed(make_chain, 6, 18)
+        # ~100 us/iter single-clip chain: start long (see slope_timed)
+        dt = slope_timed(make_chain, 256, 1024)
     return {
         "config": "psycho_twotone",
         "masker_to_floor_ratio": round(near_masker / quiet_floor, 1),
