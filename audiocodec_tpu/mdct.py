@@ -48,6 +48,7 @@ from audiocodec_tpu.utils import dtypes as _dtypes
         "wa_r", "wb", "wc", "ffr", "p", "q", "r", "s_r",
         "dct_mat_fwd", "dct_mat_inv",
         "pfwd_wa", "pfwd_wb", "pfwd_mat", "pinv_wa", "pinv_wb", "pinv_mat",
+        "dense_fwd_cur", "dense_fwd_prev", "dense_inv_cur", "dense_inv_prev",
     ],
     meta_fields=[
         "filters_n", "window_type", "compute_dtype", "fast_bf16",
@@ -105,6 +106,16 @@ class MDCT:
     pinv_wa: object
     pinv_wb: object
     pinv_mat: object
+    # Dense two-matmul parameters, used at dct_precision="default": the
+    # fold collapses into the matmuls (cur @ (H0 M) + prev @ (H1 M)) —
+    # 2x the matmul FLOPs but ZERO lane-reversal passes, and at one-pass
+    # precision the flip pass costs ~3x what the extra FLOPs do (measured
+    # fwd 0.72 -> 0.42 ms, inv 0.75 -> 0.33 ms at B=32/10 s/N=1024 on
+    # v5e). None unless that mode is active.
+    dense_fwd_cur: object
+    dense_fwd_prev: object
+    dense_inv_cur: object
+    dense_inv_prev: object
 
     @classmethod
     def create(
@@ -137,14 +148,17 @@ class MDCT:
         )
         if use_pallas == "auto":
             # Resolve once at create time (stored resolved, so serialized
-            # configs replay deterministically): the inverse kernel wins
-            # every measured standalone N<=1024 TPU config; the forward
-            # does not (docs/DESIGN.md §3). Anything but a real TPU backend
-            # can't run Mosaic kernels at speed.
+            # configs replay deterministically): at multi-pass matmul
+            # precision the inverse kernel wins every measured standalone
+            # N<=1024 TPU config; the forward does not, and at "default"
+            # precision the dense two-matmul XLA path beats the kernel
+            # (docs/DESIGN.md §3). Anything but a real TPU backend can't
+            # run Mosaic kernels at speed.
             use_pallas = (
                 "inverse"
                 if eligible
                 and filters_n <= 1024
+                and dct_precision != "default"
                 and jax.default_backend() == "tpu"
                 else False
             )
@@ -196,6 +210,29 @@ class MDCT:
                 f"dct_precision must be one of {sorted(_dct.PRECISIONS)}, "
                 f"got {dct_precision!r}"
             )
+        # Dense two-matmul mode: at one-pass ("default") matmul precision
+        # the 2x-FLOP fold-into-matmul formulation beats the sparse fold's
+        # lane-reversal passes; at multi-pass precisions the extra FLOPs
+        # dominate and the sparse fold stays. Pallas directions override.
+        dense = dict(
+            dense_fwd_cur=None, dense_fwd_prev=None,
+            dense_inv_cur=None, dense_inv_prev=None,
+        )
+        if dct_precision == "default" and dtype != jnp.dtype(jnp.float64):
+            h0, h1 = _folding.dense_fold_matrices(filters_n, window_type)
+            g0, g1 = _folding.dense_unfold_matrices(filters_n, window_type)
+            m64 = _dct.dct4_matrix(filters_n)
+            s = math.sqrt(4.0 * filters_n)
+            if not pallas_fwd:
+                dense.update(
+                    dense_fwd_cur=jnp.asarray(h0 @ m64 / s, dtype=mat_dtype),
+                    dense_fwd_prev=jnp.asarray(h1 @ m64 / s, dtype=mat_dtype),
+                )
+            if not pallas_inv:
+                dense.update(
+                    dense_inv_cur=jnp.asarray(m64 @ g0 * s, dtype=mat_dtype),
+                    dense_inv_prev=jnp.asarray(m64 @ g1 * s, dtype=mat_dtype),
+                )
         return cls(
             filters_n=filters_n,
             window_type=window_type,
@@ -220,6 +257,7 @@ class MDCT:
                 dtype=mat_dtype,
             ),
             **fused,
+            **dense,
         )
 
     # -- analysis ----------------------------------------------------------
@@ -263,6 +301,19 @@ class MDCT:
                     self.dct_precision,
                 ).astype(self.compute_dtype).reshape(
                     batches_n, channels_n, blocks_n + 1, n
+                )
+            elif self.dense_fwd_cur is not None:
+                # dense two-matmul: y[n] = x[n] @ (H0 M) + x[n-1] @ (H1 M)
+                # (blocks+1 framing comes from the zero end/front pads)
+                zero = jnp.zeros_like(xb[:, :, :1])
+                cur = jnp.concatenate([xb, zero], axis=2)
+                prev = jnp.concatenate([zero, xb], axis=2)
+                y = _dct.dct4(
+                    cur, self.dense_fwd_cur, fast_bf16=self.fast_bf16,
+                    precision=self.dct_precision,
+                ) + _dct.dct4(
+                    prev, self.dense_fwd_prev, fast_bf16=self.fast_bf16,
+                    precision=self.dct_precision,
                 )
             else:
                 folded = _folding.fold(
@@ -312,6 +363,18 @@ class MDCT:
                     )
                 ).astype(self.compute_dtype).reshape(
                     batches_n, channels_n, blocks_n + 1, n
+                )
+            elif self.dense_inv_cur is not None:
+                # dense two-matmul: out[n] = y[n] @ (M G0) + y[n-1] @ (M G1)
+                zero = jnp.zeros_like(yb[:, :, :1])
+                cur = jnp.concatenate([yb, zero], axis=2)
+                prev = jnp.concatenate([zero, yb], axis=2)
+                out = _dct.dct4(
+                    cur, self.dense_inv_cur, fast_bf16=self.fast_bf16,
+                    precision=self.dct_precision,
+                ) + _dct.dct4(
+                    prev, self.dense_inv_prev, fast_bf16=self.fast_bf16,
+                    precision=self.dct_precision,
                 )
             else:
                 z = _dct.dct4(

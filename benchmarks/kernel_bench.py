@@ -53,11 +53,11 @@ def main():
         # (name, n, dtype, fast_bf16, precision, chain_lens)
         # chain lengths scale inversely with per-iteration time so the
         # long-short difference stays well above tunnel-RTT fluctuation
-        ("f32_highest_n1024", 1024, jnp.float32, False, "highest", (6, 18)),
-        ("f32_default_n1024", 1024, jnp.float32, False, "default", (8, 40)),
-        ("bf16_fast_n1024", 1024, jnp.bfloat16, True, "default", (24, 144)),
-        ("f32_highest_n2048", 2048, jnp.float32, False, "highest", (6, 18)),
-        ("f32_highest_n4096", 4096, jnp.float32, False, "highest", (6, 18)),
+        ("f32_highest_n1024", 1024, jnp.float32, False, "highest", (32, 128)),
+        ("f32_default_n1024", 1024, jnp.float32, False, "default", (64, 256)),
+        ("bf16_fast_n1024", 1024, jnp.bfloat16, True, "default", (96, 384)),
+        ("f32_highest_n2048", 2048, jnp.float32, False, "highest", (24, 96)),
+        ("f32_highest_n4096", 4096, jnp.float32, False, "highest", (16, 64)),
     ]
     only = {s for s in args.only.split(",") if s}
     for name, n, dtype, fast, prec, chain_lens in configs:

@@ -258,3 +258,75 @@ class TestLargeBlocks:
         rt = mdct.inverse_transform(mdct.transform(wave))
         err = float(jnp.max(jnp.abs(wave - rt[:, filters_n:-filters_n])))
         assert err < 2e-5
+
+
+class TestDenseDefaultPath:
+    """dct_precision="default" activates the dense two-matmul formulation
+    (fold collapsed into the matmuls — no lane-reversal passes). On the CPU
+    test backend DEFAULT precision is exact f32, so dense and sparse agree
+    to f32 roundoff."""
+
+    @pytest.mark.parametrize("filters_n", [64, 256])
+    def test_matches_sparse_path(self, filters_n):
+        m = MDCT.create(filters_n)  # highest -> sparse fold
+        md = MDCT.create(filters_n, dct_precision="default")
+        assert md.dense_fwd_cur is not None and md.dense_inv_cur is not None
+        assert m.dense_fwd_cur is None
+        rng = np.random.default_rng(filters_n)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (2, 7 * filters_n, 2)), jnp.float32
+        )
+        np.testing.assert_allclose(
+            np.asarray(md.transform(x)), np.asarray(m.transform(x)),
+            atol=1e-6,
+        )
+        y = jnp.asarray(
+            rng.uniform(-0.5, 0.5, (2, 7, filters_n, 2)), jnp.float32
+        )
+        # inverse values are O(10) (sqrt(4N) folded in)
+        np.testing.assert_allclose(
+            np.asarray(md.inverse_transform(y)),
+            np.asarray(m.inverse_transform(y)),
+            atol=5e-5,
+        )
+
+    def test_perfect_reconstruction(self):
+        md = MDCT.create(256, dct_precision="default")
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 9 * 256, 1)), jnp.float32)
+        rt = md.inverse_transform(md.transform(x))
+        assert float(jnp.max(jnp.abs(x - rt[:, 256:-256]))) < 1e-5
+
+    def test_gradients_flow(self):
+        md = MDCT.create(64, dct_precision="default")
+        x = jnp.ones((1, 4 * 64, 1), jnp.float32) * 0.3
+        g = jax.grad(
+            lambda x: jnp.sum(md.inverse_transform(md.transform(x)) ** 2)
+        )(x)
+        assert bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.max(jnp.abs(g))) > 0
+
+    def test_bf16_dense(self):
+        md = MDCT.create(
+            256, compute_dtype=jnp.bfloat16, fast_bf16=True,
+            dct_precision="default",
+        )
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 5 * 256, 1)), jnp.bfloat16)
+        rt = md.inverse_transform(md.transform(x))
+        err = float(
+            jnp.max(jnp.abs((x - rt[:, 256:-256]).astype(jnp.float32)))
+        )
+        assert err < 0.1  # bf16 budget (reference measured ~2e-2 max err)
+
+    def test_float64_stays_sparse(self):
+        md = MDCT.create(64, compute_dtype=jnp.float64,
+                         dct_precision="default")
+        assert md.dense_fwd_cur is None
+
+    def test_pallas_direction_takes_precedence(self):
+        md = MDCT.create(256, use_pallas="inverse",
+                         dct_precision="default")
+        # pallas owns the inverse; dense covers only the forward
+        assert md.dense_fwd_cur is not None
+        assert md.dense_inv_cur is None
