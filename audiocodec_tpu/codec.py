@@ -66,6 +66,13 @@ class Codec:
                 bark_bands_n=bark_bands_n,
                 alpha=alpha,
                 compute_dtype=compute_dtype,
+                # one precision knob for the whole pipeline: the Bark
+                # contractions follow the DCT's precision ladder (their
+                # ~1e-3 relative threshold error at "default" is inaudible
+                # next to quantization noise; step sizes stay consistent
+                # on both ends because decode reads the transmitted
+                # sidecar, never re-derives thresholds)
+                bark_precision=dct_precision,
             ),
         )
 

@@ -143,7 +143,7 @@ def _quiet_threshold_intensity(
     ],
     meta_fields=[
         "sample_rate", "filter_bands_n", "bark_bands_n", "alpha",
-        "compute_dtype", "max_bark",
+        "compute_dtype", "max_bark", "bark_precision",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -159,6 +159,11 @@ class PsychoacousticModel:
         (1.0 = linear; 0.6 default).
     :param compute_dtype: float64, float32 (default) or bfloat16; float16 is
         rejected — insufficient exponent range for the 1e-14 intensity floor.
+    :param bark_precision: matmul precision of the Bark-domain
+        contractions (W / spreading / W_inv): "highest" (default — true-f32
+        thresholds), "high", or "default" (one bf16 pass, ~1e-3 relative
+        threshold error — inaudible next to quantization noise; the
+        production quantized path's setting via Codec's dct_precision).
     """
 
     sample_rate: float
@@ -167,6 +172,7 @@ class PsychoacousticModel:
     alpha: float
     compute_dtype: object
     max_bark: float
+    bark_precision: str
     W: jax.Array
     W_inv: jax.Array
     quiet_threshold_intensity: jax.Array
@@ -181,7 +187,15 @@ class PsychoacousticModel:
         bark_bands_n: int = 64,
         alpha: float = 0.6,
         compute_dtype=jnp.float32,
+        bark_precision: str = "highest",
     ) -> "PsychoacousticModel":
+        from audiocodec_tpu.ops import dct as _dct
+
+        if bark_precision not in _dct.PRECISIONS:
+            raise ValueError(
+                f"bark_precision must be one of {sorted(_dct.PRECISIONS)}, "
+                f"got {bark_precision!r}"
+            )
         dtype = _dtypes.canonicalize_compute_dtype(compute_dtype)
         max_bark = float(freq2bark(sample_rate / 2.0))
         # dB floor implied by the intensity floor: amplitude_to_dB(1e-14)
@@ -197,6 +211,7 @@ class PsychoacousticModel:
             alpha=float(alpha),
             compute_dtype=dtype,
             max_bark=max_bark,
+            bark_precision=bark_precision,
             W=as_compute(W),
             W_inv=as_compute(W_inv),
             quiet_threshold_intensity=as_compute(
@@ -211,6 +226,12 @@ class PsychoacousticModel:
         )
 
     # -- dB utilities --------------------------------------------------------
+
+    @property
+    def _matmul_precision(self):
+        from audiocodec_tpu.ops import dct as _dct
+
+        return _dct.PRECISIONS[self.bark_precision]
 
     @property
     def _eps(self):
@@ -303,7 +324,7 @@ class PsychoacousticModel:
             "nbic,ij->nbjc",
             amp_alpha,
             self.spreading_matrix,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=self._matmul_precision,
         ).astype(self.compute_dtype)
         masked = spread * offset_factor
         return jnp.power(jnp.maximum(self._eps, masked), 1.0 / alpha)
@@ -394,7 +415,7 @@ class PsychoacousticModel:
             "nbic,ij->nbjc",
             mdct_amplitudes**2,
             self.W,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=self._matmul_precision,
         ).astype(self.compute_dtype)
 
     def _bark_intensity_to_freq_ampl(self, bark_intensity) -> jax.Array:
@@ -404,6 +425,6 @@ class PsychoacousticModel:
             "nbic,ij->nbjc",
             bark_intensity,
             self.W_inv,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=self._matmul_precision,
         ).astype(self.compute_dtype)
         return jnp.sqrt(jnp.maximum(self._eps, intensity))

@@ -281,6 +281,10 @@ def config3b_full_encode_decode_bf16(quick):
     codec = Codec.create(
         sr, filters_n=n, bark_bands_n=64,
         compute_dtype=jnp.bfloat16, fast_bf16=True,
+        # the recommended bf16 deployment: dense two-matmul formulation —
+        # faster AND more accurate than the sparse bf16 fold (the folded
+        # intermediate no longer rounds to bf16 before the matmul)
+        dct_precision="default",
     )
     dur = 2.0 if quick else 10.0
     t = np.arange(int(sr * dur)) / sr
@@ -326,10 +330,12 @@ def config3b_full_encode_decode_bf16(quick):
         "vs_reference_cpu_f32": round(
             thr / REFERENCE["full_encode_decode"], 1
         ),
-        # nominal 17.37 dB (RESULTS.md) minus a ~0.5 dB margin; quick mode
-        # runs a different (shorter) signal so only the catastrophic gate
-        # applies there
-        "pass": bool(snr > (10.0 if quick else 16.8)),
+        # the dense bf16 path scores ~= the f32 quantized SNR (the bf16
+        # fold-rounding it removes dominated the old 17.37 dB nominal);
+        # floor = old nominal, to be tightened once the new nominal is
+        # recorded. Quick mode runs a different (shorter) signal so only
+        # the catastrophic gate applies there.
+        "pass": bool(snr > (10.0 if quick else 17.0)),
     }
 
 

@@ -169,3 +169,48 @@ class TestDctPrecisionKnob:
         a = np.asarray(m1.transform(x))
         b = np.asarray(m2.transform(x))
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+class TestBarkPrecisionKnob:
+    def test_codec_threads_precision_to_psycho(self):
+        from audiocodec_tpu.codec import Codec
+
+        c = Codec.create(44100, filters_n=64, bark_bands_n=16,
+                         dct_precision="default")
+        assert c.psycho.bark_precision == "default"
+        assert Codec.create(
+            44100, filters_n=64, bark_bands_n=16
+        ).psycho.bark_precision == "highest"
+
+    def test_invalid_rejected(self):
+        import pytest as _pytest
+
+        from audiocodec_tpu.psycho import PsychoacousticModel
+
+        with _pytest.raises(ValueError, match="bark_precision"):
+            PsychoacousticModel.create(44100, bark_precision="fast")
+
+    def test_threshold_matches_across_precisions_on_cpu(self):
+        """On CPU every precision level is exact f32, so the knob must not
+        change the math — only the lowering."""
+        import jax.numpy as _jnp
+
+        from audiocodec_tpu.mdct import MDCT
+        from audiocodec_tpu.psycho import PsychoacousticModel
+
+        m = MDCT.create(64)
+        rng = np.random.default_rng(5)
+        x = _jnp.asarray(rng.uniform(-0.8, 0.8, (1, 10 * 64, 1)),
+                         _jnp.float32)
+        spec = m.transform(x)
+        thr = []
+        for p in ("highest", "default"):
+            pa = PsychoacousticModel.create(
+                16000, filter_bands_n=64, bark_bands_n=16, bark_precision=p
+            )
+            thr.append(
+                np.asarray(
+                    pa.global_masking_threshold(spec, pa.tonality(spec))
+                )
+            )
+        np.testing.assert_allclose(thr[0], thr[1], rtol=1e-6)
