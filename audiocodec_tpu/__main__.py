@@ -16,13 +16,14 @@ import os
 import sys
 
 
-def _build_codec(sample_rate, args, compute_dtype=None):
+def _build_codec(sample_rate, args, compute_dtype=None, bark_precision=None):
     import jax.numpy as jnp
 
     from audiocodec_tpu.codec import Codec
 
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    precision = getattr(args, "precision", "highest")
     return Codec.create(
         sample_rate=sample_rate,
         filters_n=args.filters_n,
@@ -30,6 +31,10 @@ def _build_codec(sample_rate, args, compute_dtype=None):
         alpha=args.alpha,
         window_type=args.window if args.window != "none" else None,
         compute_dtype=compute_dtype,
+        dct_precision=precision,
+        # decode paths pass the container-recorded value: it is
+        # step-size-critical (Bark sidecar expands through W_inv)
+        bark_precision=bark_precision,
     )
 
 
@@ -155,6 +160,7 @@ def cmd_encode(args):
         window_type=args.window if args.window != "none" else None,
         compute_dtype=str(jnp.dtype(codec.mdct.compute_dtype)),
         ms=args.ms,
+        bark_precision=codec.psycho.bark_precision,
     )
     raw = data.size * 2  # vs 16-bit PCM
     print(
@@ -187,7 +193,10 @@ def cmd_decode(args):
     args.window = meta["window_type"] or "none"
     # the bitstream records the encoder's compute dtype; the decoder MUST
     # match it so both derive identical quantization steps
-    codec = _build_codec(meta["sample_rate"], args, _dtype_from_meta(meta))
+    codec = _build_codec(
+        meta["sample_rate"], args, _dtype_from_meta(meta),
+        bark_precision=meta.get("bark_precision", "highest"),
+    )
     tscale = meta.get("threshold_scale", 1.0)
     if meta.get("ms"):
         wave = codec.decode_bitstream_ms(
@@ -243,7 +252,10 @@ def _decode_stream(args):
     args.bark_bands_n = meta["bark_bands_n"]
     args.alpha = meta["alpha"]
     args.window = meta["window_type"] or "none"
-    codec = _build_codec(meta["sample_rate"], args, _dtype_from_meta(meta))
+    codec = _build_codec(
+        meta["sample_rate"], args, _dtype_from_meta(meta),
+        bark_precision=meta.get("bark_precision", "highest"),
+    )
     n = meta["filters_n"]
     # preallocate from the chunk headers so peak memory stays ~1x the
     # decoded waveform (the point of the streaming container)
@@ -315,6 +327,14 @@ def main(argv=None) -> int:
         )
         p.add_argument("--drown", type=float, default=0.0)
         p.add_argument("--bf16", action="store_true")
+        p.add_argument(
+            "--precision", choices=["highest", "high", "default"],
+            default="highest",
+            help="matmul precision ladder for the whole pipeline; "
+                 "'default' (one bf16 pass) is ~3x faster at unchanged "
+                 "quantized quality and is recorded in the container so "
+                 "decoders reproduce identical step sizes",
+        )
         p.add_argument(
             "--kbps", type=float, default=0.0,
             help="target bitrate (rate control via threshold scaling; "

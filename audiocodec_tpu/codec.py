@@ -50,7 +50,16 @@ class Codec:
         fast_bf16: bool = False,
         use_pallas: bool = False,
         dct_precision: str = "highest",
+        bark_precision: str | None = None,
     ) -> "Codec":
+        """Build the codec pytree.
+
+        :param bark_precision: matmul precision of the psychoacoustic
+            Bark contractions; defaults to ``dct_precision`` (one knob for
+            the whole pipeline). Decoders of transmitted bitstreams must
+            use the precision recorded in the container — it is
+            step-size-critical (the Bark sidecar expands through W_inv).
+        """
         return cls(
             mdct=MDCT.create(
                 filters_n=filters_n,
@@ -66,13 +75,16 @@ class Codec:
                 bark_bands_n=bark_bands_n,
                 alpha=alpha,
                 compute_dtype=compute_dtype,
-                # one precision knob for the whole pipeline: the Bark
-                # contractions follow the DCT's precision ladder (their
-                # ~1e-3 relative threshold error at "default" is inaudible
-                # next to quantization noise; step sizes stay consistent
-                # on both ends because decode reads the transmitted
-                # sidecar, never re-derives thresholds)
-                bark_precision=dct_precision,
+                # one precision knob for the whole pipeline by default:
+                # the Bark contractions follow the DCT's precision ladder
+                # (their ~1e-3 relative threshold error at "default" is
+                # inaudible next to quantization noise). Containers record
+                # the encoder's bark_precision so decoders reconstruct
+                # bit-identical step sizes.
+                bark_precision=(
+                    dct_precision if bark_precision is None
+                    else bark_precision
+                ),
             ),
         )
 

@@ -49,12 +49,17 @@ def decode_bark_sidecar(data: bytes, shape, block_axis: int):
 def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
          window_type, compute_dtype: str = "float32",
          entropy: str = "auto", ms: bool = False,
-         threshold_scale: float = 1.0) -> bytes:
+         threshold_scale: float = 1.0,
+         bark_precision: str = "highest") -> bytes:
     """Serialize encoder output to bytes.
 
     :param entropy: "rice" (native Rice/Golomb coder — smallest), "zlib"
         (narrowest-int codes through the container's deflate), or "auto"
         (rice when the native library is available).
+    :param bark_precision: matmul precision the encoder derived thresholds
+        with — bitstream-critical like compute_dtype: the decoder expands
+        the Bark sidecar through the same W_inv contraction and must use
+        the identical lowering to reproduce bit-identical step sizes.
     """
     from audiocodec_tpu import native
 
@@ -104,6 +109,7 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
         dtype=np.asarray([str(compute_dtype)]),
         ms=np.asarray([1 if ms else 0], dtype=np.int64),
         tscale=np.asarray([threshold_scale], dtype=np.float64),
+        barkprec=np.asarray([bark_precision]),
         **members,
     )
     return buf.getvalue()
@@ -136,6 +142,9 @@ def unpack(data: bytes):
         dtype = str(z["dtype"][0]) if "dtype" in z.files else "float32"
         ms = bool(int(z["ms"][0])) if "ms" in z.files else False
         tscale = float(z["tscale"][0]) if "tscale" in z.files else 1.0
+        barkprec = (
+            str(z["barkprec"][0]) if "barkprec" in z.files else "highest"
+        )
     meta = {
         "sample_rate": int(meta_arr[0]),
         "filters_n": int(meta_arr[1]),
@@ -146,6 +155,7 @@ def unpack(data: bytes):
         "compute_dtype": dtype,
         "ms": ms,
         "threshold_scale": tscale,
+        "bark_precision": barkprec,
     }
     return codes, bark, meta
 

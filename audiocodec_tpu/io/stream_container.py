@@ -37,7 +37,8 @@ class StreamWriter:
 
     def __init__(self, path: str, *, sample_rate, filters_n, bark_bands_n,
                  alpha, window_type, channels, compute_dtype="float32",
-                 ms: bool = False, threshold_scale: float = 1.0):
+                 ms: bool = False, threshold_scale: float = 1.0,
+                 bark_precision: str = "highest"):
         self.meta = {
             "sample_rate": int(sample_rate),
             "filters_n": int(filters_n),
@@ -50,6 +51,7 @@ class StreamWriter:
             # decoder derives bit-identical step sizes (CLAUDE.md invariant)
             "ms": bool(ms),
             "threshold_scale": float(threshold_scale),
+            "bark_precision": str(bark_precision),
         }
         self._f = open(path, "wb")
         header = json.dumps(self.meta).encode()
@@ -161,6 +163,13 @@ class StreamReader:
             )
         if m.get("ms", False) and m["channels"] != 2:
             raise ValueError("stream header: ms coding requires 2 channels")
+        if m.get("bark_precision", "highest") not in (
+            "highest", "high", "default"
+        ):
+            raise ValueError(
+                "stream header bark_precision must be one of "
+                "highest/high/default — corrupt stream"
+            )
 
     @property
     def n_chunks(self) -> int:
@@ -283,6 +292,7 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         compute_dtype=str(jnp.dtype(mdct.compute_dtype)),
         ms=ms,
         threshold_scale=threshold_scale,
+        bark_precision=codec.psycho.bark_precision,
     ) as w:
         carry = streaming.mdct_stream_init(mdct, 1, c)
         for start in range(0, s, chunk):

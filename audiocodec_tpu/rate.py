@@ -50,6 +50,7 @@ def _meta(codec, ms):
         window_type=codec.mdct.window_type,
         compute_dtype=str(jnp.dtype(codec.mdct.compute_dtype)),
         ms=ms,
+        bark_precision=codec.psycho.bark_precision,
     )
 
 

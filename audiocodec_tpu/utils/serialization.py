@@ -32,6 +32,7 @@ def codec_config(codec: Codec) -> dict:
         "fast_bf16": codec.mdct.fast_bf16,
         "use_pallas": codec.mdct.use_pallas,
         "dct_precision": codec.mdct.dct_precision,
+        "bark_precision": codec.psycho.bark_precision,
     }
 
 
@@ -45,6 +46,7 @@ def load_codec(path: str) -> Codec:
         cfg = json.load(f)
     dtype = _DTYPE_NAMES[cfg.pop("compute_dtype")]
     cfg.setdefault("dct_precision", "highest")  # older checkpoints
+    cfg.setdefault("bark_precision", None)  # None -> follow dct_precision
     return Codec.create(compute_dtype=dtype, **cfg)
 
 

@@ -288,3 +288,70 @@ class TestStreamFeatureCLI:
         assert abs(kbps - 120.0) <= 0.15 * 120.0
         rec = str(tmp_path / "rc.wav")
         assert cli.main(["decode", acs, rec]) == 0
+
+
+class TestPrecisionRecorded:
+    """bark_precision is step-size-critical (the Bark sidecar expands
+    through W_inv on decode) and must ride every container."""
+
+    def test_pack_records_and_defaults(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        codes = rng.integers(-9, 9, size=(1, 3, 64, 1), dtype=np.int32)
+        bark = jnp.asarray(
+            rng.uniform(1e-10, 1e-3, (1, 3, 16, 1)), dtype=jnp.bfloat16
+        )
+        common = dict(sample_rate=16000, filters_n=64, bark_bands_n=16,
+                      alpha=0.6, window_type="vorbis")
+        _, _, meta = bitstream.unpack(
+            bitstream.pack(codes, bark, bark_precision="default", **common)
+        )
+        assert meta["bark_precision"] == "default"
+        _, _, meta = bitstream.unpack(bitstream.pack(codes, bark, **common))
+        assert meta["bark_precision"] == "highest"
+
+    def test_cli_encode_precision_decodes_with_recorded(
+        self, wav_file, tmp_path, monkeypatch
+    ):
+        """encode --precision default -> the .acz records it and decode
+        rebuilds the codec with the recorded bark precision."""
+        path, x, rate = wav_file
+        out = str(tmp_path / "p.acz")
+        assert cli.main(
+            ["encode", path, out, "--filters-n", "256",
+             "--bark-bands-n", "32", "--precision", "default"]
+        ) == 0
+        _, _, meta = bitstream.load(out)
+        assert meta["bark_precision"] == "default"
+
+        built = {}
+        from audiocodec_tpu.codec import Codec
+
+        orig = Codec.create.__func__
+
+        def spy(cls, *a, **kw):
+            c = orig(cls, *a, **kw)
+            built["codec"] = c
+            return c
+
+        monkeypatch.setattr(Codec, "create", classmethod(spy))
+        dec = str(tmp_path / "p.wav")
+        assert cli.main(["decode", out, dec]) == 0
+        assert built["codec"].psycho.bark_precision == "default"
+        wave, wrate = read_wav(dec)
+        assert wrate == rate and wave.shape[1] > 0
+
+    def test_stream_header_records_precision(self, wav_file, tmp_path):
+        path, x, rate = wav_file
+        out = str(tmp_path / "p.acs")
+        assert cli.main(
+            ["encode", path, out, "--filters-n", "256", "--bark-bands-n",
+             "32", "--chunk-blocks", "16", "--precision", "default"]
+        ) == 0
+        from audiocodec_tpu.io import stream_container
+
+        with stream_container.StreamReader(out) as r:
+            assert r.meta["bark_precision"] == "default"
+        dec = str(tmp_path / "p2.wav")
+        assert cli.main(["decode", out, dec]) == 0
