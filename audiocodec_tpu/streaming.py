@@ -13,10 +13,12 @@ exactly one block of carried state per boundary. This module provides:
   offline encode (BASELINE config 5: 1 h stereo) at bounded memory.
 
 Chunk-streamed output is bit-identical to the batch transform: the frames
-are the same mathematical objects, just produced K blocks at a time. (The
-streaming kernels always take the XLA fold/DCT path; bit-identity is with
-the XLA batch transform. An MDCT whose ``use_pallas`` resolved to a fused
-kernel direction agrees to kernel-vs-XLA rounding, not bit-exactly.) By
+are the same mathematical objects, just produced K blocks at a time. The
+streaming steps follow the MDCT's XLA formulation — sparse fold at
+multi-pass precision, dense two-matmul at dct_precision="default" — so
+bit-identity holds in both modes. (An MDCT whose ``use_pallas`` resolved
+to a fused kernel direction agrees to kernel-vs-XLA rounding there, not
+bit-exactly.) By
 construction the stream is also resumable: (carry block, block offset) is
 the entire codec state at any chunk boundary — checkpoint those two and
 re-enter anywhere (the framework's failure-recovery story; the reference
@@ -94,12 +96,24 @@ def mdct_stream_step(mdct: MDCT, carry, chunk):
     k = samples // n
     xb = jnp.transpose(chunk, (0, 2, 1)).reshape(b, c, k, n)
     ext = jnp.concatenate([carry[:, :, None, :], xb], axis=2)  # [B,C,K+1,N]
-    folded = jnp.concatenate(
-        [_to_next(mdct, ext[:, :, :-1]), _to_cur(mdct, ext[:, :, 1:])],
-        axis=-1,
-    )
-    frames = _dct.dct4(folded, mdct.dct_mat_fwd, fast_bf16=mdct.fast_bf16,
-                       precision=mdct.dct_precision)
+    if mdct.dense_fwd_cur is not None:
+        # dense two-matmul formulation — same numbers as the batch
+        # transform in this mode (mdct.py): y = cur @ A0 + prev @ A1
+        frames = _dct.dct4(
+            ext[:, :, 1:], mdct.dense_fwd_cur, fast_bf16=mdct.fast_bf16,
+            precision=mdct.dct_precision,
+        ) + _dct.dct4(
+            ext[:, :, :-1], mdct.dense_fwd_prev, fast_bf16=mdct.fast_bf16,
+            precision=mdct.dct_precision,
+        )
+    else:
+        folded = jnp.concatenate(
+            [_to_next(mdct, ext[:, :, :-1]), _to_cur(mdct, ext[:, :, 1:])],
+            axis=-1,
+        )
+        frames = _dct.dct4(folded, mdct.dct_mat_fwd,
+                           fast_bf16=mdct.fast_bf16,
+                           precision=mdct.dct_precision)
     return xb[:, :, -1], jnp.transpose(frames, (0, 2, 3, 1))
 
 
@@ -108,7 +122,12 @@ def mdct_stream_flush(mdct: MDCT, carry):
 
     :return: [B, 1, N, C] — matches the batch transform's last (+1) frame.
     """
-    h = mdct.filters_n // 2
+    if mdct.dense_fwd_cur is not None:
+        frame = _dct.dct4(
+            carry[:, :, None, :], mdct.dense_fwd_prev,
+            fast_bf16=mdct.fast_bf16, precision=mdct.dct_precision,
+        )
+        return jnp.transpose(frame, (0, 2, 3, 1))
     lower = _to_next(mdct, carry)  # [B, C, N/2]
     folded = jnp.concatenate([lower, jnp.zeros_like(lower)], axis=-1)
     frame = _dct.dct4(
@@ -139,6 +158,20 @@ def imdct_stream_step(mdct: MDCT, carry, frames):
     n = mdct.filters_n
     b, k, _, c = frames.shape
     yb = jnp.transpose(frames, (0, 3, 1, 2))
+    if mdct.dense_inv_cur is not None:
+        # dense mode: the carry is the previous chunk's last RAW spectral
+        # frame (pre-matmul) instead of its DCT — the step/flush API is
+        # carry-opaque, and zeros init works for both representations.
+        ext = jnp.concatenate([carry[:, :, None, :], yb], axis=2)
+        out = _dct.dct4(
+            ext[:, :, 1:], mdct.dense_inv_cur, fast_bf16=mdct.fast_bf16,
+            precision=mdct.dct_precision,
+        ) + _dct.dct4(
+            ext[:, :, :-1], mdct.dense_inv_prev, fast_bf16=mdct.fast_bf16,
+            precision=mdct.dct_precision,
+        )
+        samples = jnp.transpose(out.reshape(b, c, k * n), (0, 2, 1))
+        return yb[:, :, -1], samples
     z = _dct.dct4(yb, mdct.dct_mat_inv, fast_bf16=mdct.fast_bf16,
                   precision=mdct.dct_precision)
     ext = jnp.concatenate([carry[:, :, None, :], z], axis=2)  # [B,C,K+1,N]
@@ -149,6 +182,12 @@ def imdct_stream_step(mdct: MDCT, carry, frames):
 
 def imdct_stream_flush(mdct: MDCT, carry):
     """Final N output samples after the last chunk: the carry's tail-out."""
+    if mdct.dense_inv_cur is not None:
+        out = _dct.dct4(
+            carry, mdct.dense_inv_prev, fast_bf16=mdct.fast_bf16,
+            precision=mdct.dct_precision,
+        )
+        return jnp.transpose(out, (0, 2, 1))
     out = _out_prev(mdct, carry)  # [B, C, N]
     return jnp.transpose(out, (0, 2, 1))
 

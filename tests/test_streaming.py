@@ -95,3 +95,59 @@ class TestStreamingRoundTrip:
         x = _wave(b=1, blocks=5, c=1)
         with pytest.raises(ValueError, match="multiple of"):
             streaming.stream_transform(mdct, x, chunk_blocks=2)
+
+
+class TestStreamDenseMode:
+    """dct_precision="default" MDCTs carry the dense two-matmul
+    formulation; the streaming steps must follow it so stream == batch
+    holds bit-exactly in that mode too."""
+
+    @pytest.fixture()
+    def mdct_dense(self):
+        m = MDCT.create(64, dct_precision="default")
+        assert m.dense_fwd_cur is not None
+        return m
+
+    @pytest.mark.parametrize("chunk_blocks", [1, 3, 4, 12])
+    def test_transform_bit_identical(self, mdct_dense, chunk_blocks):
+        x = _wave(seed=7)
+        batch = np.asarray(mdct_dense.transform(x))
+        streamed = np.asarray(
+            streaming.stream_transform(mdct_dense, x, chunk_blocks)
+        )
+        np.testing.assert_allclose(streamed, batch, atol=1e-6)
+
+    @pytest.mark.parametrize("chunk_blocks", [1, 2, 4])
+    def test_inverse_bit_identical(self, mdct_dense, chunk_blocks):
+        rng = np.random.default_rng(8)
+        y = jnp.asarray(
+            rng.uniform(-0.5, 0.5, size=(2, 8, 64, 2)), dtype=jnp.float32
+        )
+        batch = np.asarray(mdct_dense.inverse_transform(y))
+        streamed = np.asarray(
+            streaming.stream_inverse_transform(mdct_dense, y, chunk_blocks)
+        )
+        np.testing.assert_allclose(streamed, batch, atol=1e-5)
+
+    def test_step_flush_round_trip(self, mdct_dense):
+        """Manual step/flush loop through BOTH directions reconstructs."""
+        m = mdct_dense
+        x = _wave(b=1, blocks=6, c=1, seed=9)
+        enc = streaming.mdct_stream_init(m, 1, 1)
+        frames = []
+        for start in range(0, 6 * 64, 3 * 64):
+            enc, f = streaming.mdct_stream_step(m, enc, x[:, start:start + 3 * 64])
+            frames.append(f)
+        frames.append(streaming.mdct_stream_flush(m, enc))
+        y = jnp.concatenate(frames, axis=1)
+
+        dec = streaming.imdct_stream_init(m, 1, 1)
+        outs = []
+        for start in range(0, y.shape[1], 2):
+            dec, s = streaming.imdct_stream_step(m, dec, y[:, start:start + 2])
+            outs.append(s)
+        outs.append(streaming.imdct_stream_flush(m, dec))
+        rt = np.concatenate([np.asarray(o) for o in outs], axis=1)
+        # rt has (blocks+2)*N samples (blocks+1 framing applied twice)
+        err = np.abs(np.asarray(x)[0, :, 0] - rt[0, 64:-64, 0]).max()
+        assert err < 1e-5

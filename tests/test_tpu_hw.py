@@ -196,6 +196,22 @@ class TestQuantizedQualityOnHardware:
         # a ~0.5 dB margin
         assert self._snr(np.asarray(x), out) > 18.4
 
+    def test_dense_default_production_path_snr(self):
+        """The production path (dct_precision="default": dense two-matmul
+        MDCT + one-pass Bark contractions) must hold the f32 quality gate
+        on the real device, where DEFAULT really is a single bf16 pass."""
+        from audiocodec_tpu.codec import Codec
+
+        codec = Codec.create(
+            44100, filters_n=1024, bark_bands_n=64, dct_precision="default"
+        )
+        assert codec.mdct.dense_fwd_cur is not None
+        assert codec.psycho.bark_precision == "default"
+        x = self._two_tone(44100, 2.0, jnp.float32)
+        out = np.asarray(jax.jit(codec.round_trip_quantized)(x))[:, 1024:-1024]
+        # measured 18.93 dB on this workload (vs 18.96 at HIGHEST)
+        assert self._snr(np.asarray(x), out) > 18.4
+
     def test_bf16_fast_quantized_snr(self):
         from audiocodec_tpu.codec import Codec
 
