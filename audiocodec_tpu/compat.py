@@ -32,6 +32,8 @@ import itertools
 import warnings
 
 import jax
+import functools
+
 import jax.numpy as jnp
 
 from audiocodec_tpu import mdct as _mdct
@@ -85,12 +87,13 @@ class MDCTransformer:
         self.filters_n = filters_n
         self.window_type = window_type
 
-    @property
+    @functools.cached_property
     def H(self):
         """[2, filters_n, filters_n] analysis polyphase tensor, the exact
         attribute the reference exposes (mdctransformer.py:58):
-        y[n] = x[n] @ H[0] + x[n-1] @ H[1], unscaled. Built lazily from the
-        sparse fold's dense oracle — the compute path never materializes it.
+        y[n] = x[n] @ H[0] + x[n-1] @ H[1], unscaled. Built lazily on first
+        access (the compute path never materializes it), then cached like
+        the reference's stored attribute.
         """
         from audiocodec_tpu.ops import folding as _folding
 
@@ -102,7 +105,7 @@ class MDCTransformer:
             dtype=self._m.compute_dtype,
         )
 
-    @property
+    @functools.cached_property
     def H_inv(self):
         """[2, filters_n, filters_n] synthesis polyphase tensor
         (mdctransformer.py:59): out[n] = z[n] @ H_inv[0] + z[n-1] @ H_inv[1].

@@ -325,9 +325,11 @@ def encode_stream_with_target_bitrate(
     chunks are searched. The sampler targets the payload budget (the
     stream's fixed framing overhead is known beforehand and subtracted);
     if content drift still leaves the measured rate off by more than
-    ``tolerance``, ONE corrective re-encode runs with the scale adjusted
-    along the sampled size/scale curve. The returned kbps is the actual
-    file's.
+    ``tolerance``, up to THREE corrective re-encodes run with the scale
+    adjusted along the measured size/scale curve (plus one final
+    best-restore re-encode if the last attempt was not the closest), so
+    the worst case is five full streaming passes. The returned kbps is
+    the actual file's.
 
     :return: (n_chunks, threshold_scale, measured_kbps).
     """
@@ -449,15 +451,20 @@ def decode_stream(codec, path: str, start_chunk: int = 0):
         carry = streaming.imdct_stream_init(mdct, 1, ch)
         if start_chunk > 0:
             prev = dequant(*r.read_chunk(start_chunk - 1))[:, -1:]
-            # prime the carry with the DCT of the previous chunk's last frame
-            from audiocodec_tpu.ops import dct as _dct
-
             yb = jnp.transpose(prev, (0, 3, 1, 2))
-            z = _dct.dct4(
-                yb, mdct.dct_mat_inv, fast_bf16=mdct.fast_bf16,
-                precision=mdct.dct_precision,
-            )
-            carry = z[:, :, -1]
+            if mdct.dense_inv_cur is not None:
+                # dense mode carries the previous RAW spectral frame
+                # (imdct_stream_step applies dense_inv_prev itself)
+                carry = yb[:, :, -1]
+            else:
+                # sparse mode carries the DCT of the previous frame
+                from audiocodec_tpu.ops import dct as _dct
+
+                z = _dct.dct4(
+                    yb, mdct.dct_mat_inv, fast_bf16=mdct.fast_bf16,
+                    precision=mdct.dct_precision,
+                )
+                carry = z[:, :, -1]
         for i in range(start_chunk, r.n_chunks):
             frames = dequant(*r.read_chunk(i))
             carry, samples = streaming.imdct_stream_step(mdct, carry, frames)

@@ -135,6 +135,12 @@ def apply(
     :param quantized: round the latent to the grid (deterministic
         inference; mutually exclusive with ``key``).
     """
+    if key is not None and quantized:
+        raise ValueError(
+            "apply(key=..., quantized=True) is ambiguous: pass key for the "
+            "training-time noise relaxation OR quantized=True for rounded "
+            "discrete-code inference, not both"
+        )
     z = encode_frames(params, frames)
     if key is not None:
         z = z + jax.random.uniform(

@@ -68,6 +68,8 @@ def encode_with_target_bitrate_batch(
 
     :param x: waveform [B, samples, channels]; every clip gets its own
         threshold scale (bitrate is a per-clip property).
+    :param tolerance: relative bitrate error under which round 1's grid is
+        accepted for every clip and the refinement round is skipped.
     :return: list of B :class:`RateControlResult`.
     """
     if not (np.isfinite(target_kbps) and target_kbps > 0):
@@ -120,27 +122,36 @@ def encode_with_target_bitrate_batch(
     ).copy()
     kbps1 = sizes(grid1)
 
-    # Round 2: per-clip refinement inside the bracketing interval (kbps is
-    # monotone nonincreasing in the scale).
-    grid2 = np.empty_like(grid1)
-    for b in range(batch):
-        above = np.where(kbps1[:, b] >= target_kbps)[0]
-        below = np.where(kbps1[:, b] <= target_kbps)[0]
-        g_lo = grid1[above[-1], b] if above.size else lo
-        g_hi = grid1[below[0], b] if below.size else hi
-        if g_hi < g_lo:
-            g_lo, g_hi = g_hi, g_lo
-        grid2[:, b] = np.linspace(g_lo, g_hi, k_trials)
-    kbps2 = sizes(grid2)
-
-    all_grids = np.concatenate([grid1, grid2], axis=0)
-    all_kbps = np.concatenate([kbps1, kbps2], axis=0)
+    # Early exit: when round 1 already lands every clip within tolerance
+    # of the target, skip the refinement round's device pass + packing.
+    best1 = np.min(np.abs(kbps1 - target_kbps), axis=0)
+    if bool((best1 <= tolerance * target_kbps).all()):
+        all_grids, all_kbps = grid1, kbps1
+    else:
+        # Round 2: per-clip refinement inside the bracketing interval
+        # (kbps is monotone nonincreasing in the scale).
+        grid2 = np.empty_like(grid1)
+        for b in range(batch):
+            above = np.where(kbps1[:, b] >= target_kbps)[0]
+            below = np.where(kbps1[:, b] <= target_kbps)[0]
+            g_lo = grid1[above[-1], b] if above.size else lo
+            g_hi = grid1[below[0], b] if below.size else hi
+            if g_hi < g_lo:
+                g_lo, g_hi = g_hi, g_lo
+            grid2[:, b] = np.linspace(g_lo, g_hi, k_trials)
+        kbps2 = sizes(grid2)
+        all_grids = np.concatenate([grid1, grid2], axis=0)
+        all_kbps = np.concatenate([kbps1, kbps2], axis=0)
 
     # Final pass: every clip's winning scale in ONE device pass.
     k_best = np.argmin(np.abs(all_kbps - target_kbps), axis=0)
     win_scales = 2.0 ** all_grids[k_best, np.arange(batch)]
+    # cast the winning scale straight to the compute dtype — routing it
+    # through float32 would desync a float64 codec's final codes from the
+    # full-precision threshold_scale the container records (the decoder
+    # casts that recorded f64 value to the compute dtype the same way)
     win_codes = np.asarray(
-        quantize_trials(jnp.asarray(win_scales, jnp.float32)[None, :])[0]
+        quantize_trials(jnp.asarray(win_scales, dtype)[None, :])[0]
     )
     results = []
     for b in range(batch):
@@ -159,7 +170,6 @@ def encode_with_target_bitrate_batch(
                 packed=packed,
             )
         )
-    del tolerance  # argmin over both rounds is at least as close
     return results
 
 

@@ -47,6 +47,15 @@ def load_codec(path: str) -> Codec:
     dtype = _DTYPE_NAMES[cfg.pop("compute_dtype")]
     cfg.setdefault("dct_precision", "highest")  # older checkpoints
     cfg.setdefault("bark_precision", None)  # None -> follow dct_precision
+    # use_pallas is saved RESOLVED ("auto" became a concrete direction on
+    # the machine that saved it); Mosaic kernels only run on a real TPU,
+    # so loading that config elsewhere falls back to the XLA path. The
+    # kernel choice is a perf knob, never quantization-affecting (step
+    # sizes derive from thresholds + sidecars, not the transform lowering).
+    import jax
+
+    if cfg.get("use_pallas") and jax.default_backend() != "tpu":
+        cfg["use_pallas"] = False
     return Codec.create(compute_dtype=dtype, **cfg)
 
 

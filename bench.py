@@ -29,7 +29,13 @@ Methodology notes (this is a remote-attached TPU):
   (t(L2) - t(L1)) / (L2 - L1) cancels the per-call constant exactly.
 
 Reference baseline: TF 2.21 on 1 CPU core measures ~92 audio-seconds/sec on
-this exact chain (BASELINE.md). Target: >= 100x on TPU v5e-1.
+its full lossy-encode chain — MDCT -> threshold -> NOISE INJECTION ->
+inverse (BASELINE.md; the reference has no quantizer, so noise injection
+IS its encode). vs_baseline therefore compares lossy-encode capability
+for capability, not op for op: this framework's quantized chain replaces
+the noise stage with real integer coding. Like-for-like numbers for the
+noise-injection chain itself are in benchmarks/RESULTS.md (~950x f32
+HIGHEST). Target: >= 100x on TPU v5e-1.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

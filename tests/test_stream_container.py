@@ -225,3 +225,45 @@ class TestStreamFeatureParity:
                 codec, signal, str(tmp_path / "x.acs"), chunk_blocks=8,
                 ms=True,
             )
+
+
+class TestDensePrecisionStream:
+    """dct_precision="default" codecs (dense two-matmul MDCT) must seek
+    correctly: the carry re-priming uses the RAW previous frame in dense
+    mode, not its DCT (regression: double-DCT corrupted the overlap)."""
+
+    @pytest.fixture(scope="class")
+    def dense_codec(self):
+        return Codec.create(
+            16000, filters_n=64, bark_bands_n=16, dct_precision="default"
+        )
+
+    def test_round_trip(self, dense_codec, signal, tmp_path):
+        path = str(tmp_path / "d.acs")
+        sc.encode_stream(dense_codec, signal, path, chunk_blocks=8)
+        out = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(dense_codec, path)],
+            axis=1,
+        )
+        x = np.asarray(signal)
+        rec = out[:, 64:-64]
+        snr = 10 * np.log10(
+            (x**2).sum() / max(((x - rec) ** 2).sum(), 1e-30)
+        )
+        assert snr > 10
+
+    def test_seek_matches_full_decode(self, dense_codec, signal, tmp_path):
+        path = str(tmp_path / "ds.acs")
+        sc.encode_stream(dense_codec, signal, path, chunk_blocks=8)
+        full = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(dense_codec, path)],
+            axis=1,
+        )
+        partial = np.concatenate(
+            [
+                np.asarray(c)
+                for c in sc.decode_stream(dense_codec, path, start_chunk=2)
+            ],
+            axis=1,
+        )
+        np.testing.assert_allclose(partial, full[:, 16 * 64 :], atol=1e-6)

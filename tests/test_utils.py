@@ -31,9 +31,15 @@ class TestCodecSerialization:
         )
         path = str(tmp_path / "c.json")
         serialization.save_codec(path, codec)
+        # the config records the resolved kernel choice...
+        assert serialization.codec_config(codec)["use_pallas"] is True
         restored = serialization.load_codec(path)
         assert restored.mdct.window_type is None
-        assert restored.mdct.use_pallas
+        # ...but loading on a backend that can't run Mosaic (this CPU test
+        # backend) falls back to the XLA path instead of crashing at the
+        # first transform — the kernel choice is a perf knob, never
+        # quantization-affecting.
+        assert restored.mdct.use_pallas is False
 
 
 class TestStreamStateSerialization:
