@@ -9,9 +9,11 @@ the framework, TPU-first: pure-pytree parameters, MXU-shaped matmuls,
 mesh-sharded training steps.
 """
 
+from audiocodec_tpu.models import post_filter  # noqa: F401
 from audiocodec_tpu.models.spectral_ae import (  # noqa: F401
     SpectralAE,
     init_params,
     make_train_step,
     perceptual_loss,
 )
+from audiocodec_tpu.models.post_filter import PostFilter  # noqa: F401

@@ -174,3 +174,110 @@ class TestTraining:
         # init lands ~-2.4 dB, 100 steps converge to ~0 dB on this tiny
         # config (the NMR term doesn't chase waveform SNR past that)
         assert snr(p) > snr(params) + 2.0
+
+
+class TestPostFilter:
+    """MDCT-domain neural post-filter (models/post_filter.py)."""
+
+    @pytest.fixture(scope="class")
+    def pf_cfg(self):
+        from audiocodec_tpu.models import post_filter as pf
+
+        return pf.PostFilter(filters_n=64, hidden_n=64)
+
+    def test_identity_at_init(self, codec, pf_cfg):
+        """Zero-initialized head: the untrained filter is exactly the
+        identity, so it can never regress the codec."""
+        from audiocodec_tpu.models import post_filter as pf
+
+        params = pf.init_params(jax.random.key(0), pf_cfg)
+        rng = np.random.default_rng(0)
+        spec_q = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 5, 64, 1)),
+                             jnp.float32)
+        delta = jnp.asarray(rng.uniform(1e-6, 1e-3, (1, 5, 64, 1)),
+                            jnp.float32)
+        out = pf.apply(pf_cfg, params, spec_q, delta)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(spec_q))
+
+    @staticmethod
+    def _tonal(batch, seed, blocks=8, n=64, sr=16000):
+        """Random two-tone mixtures: the low-bitrate enhancement regime the
+        filter targets (quantization noise is the ONLY noise, so the
+        temporal-context averaging has structure to exploit)."""
+        rng = np.random.default_rng(seed)
+        t = np.arange(blocks * n)
+        f = rng.uniform(300, 3000, (batch, 2))
+        a = rng.uniform(0.2, 0.4, (batch, 2))
+        ph = rng.uniform(0, 2 * np.pi, (batch, 2))
+        x = sum(
+            a[:, i : i + 1]
+            * np.sin(2 * np.pi * f[:, i : i + 1] / sr * t[None] + ph[:, i : i + 1])
+            for i in range(2)
+        )
+        return jnp.asarray(x[:, :, None], jnp.float32)
+
+    def test_training_improves_quantized_snr(self, codec):
+        """The deliverable: at a coarse (low-bitrate) quantization scale,
+        the trained filter's decode beats the raw quantized decode on
+        held-out audio."""
+        import optax as _optax
+
+        from audiocodec_tpu import quantize as _q
+        from audiocodec_tpu.models import post_filter as pf
+
+        cfg = pf.PostFilter(filters_n=64, hidden_n=128)
+        scale = 8.0
+        mesh = make_mesh(n_devices=1)
+        step, opt = pf.make_train_step(
+            codec, cfg, mesh, optimizer=_optax.adam(1e-3),
+            threshold_scale=scale,
+        )
+        params = pf.init_params(jax.random.key(0), cfg)
+        opt_state = opt.init(params)
+        for i in range(300):
+            x = jax.device_put(
+                self._tonal(8, i), _mesh.waveform_sharding(mesh)
+            )
+            params, opt_state, loss = step(params, opt_state, x)
+        assert np.isfinite(float(loss))
+
+        held = self._tonal(4, 9999)
+        spec = codec.mdct.transform(held)
+        thr = codec.psycho.global_masking_threshold(
+            spec, codec.psycho.tonality(spec)
+        ) * scale
+        codes, delta = _q.quantize(spec, thr)
+
+        def snr(decoded):
+            out = np.asarray(decoded)[:, 64:-64]
+            ref = np.asarray(held)
+            return 10 * np.log10(
+                (ref**2).sum() / max(((ref - out) ** 2).sum(), 1e-30)
+            )
+
+        raw = snr(codec.decode_quantized(codes, delta))
+        enhanced = snr(pf.decode_enhanced(codec, cfg, params, codes, delta))
+        # 400 steps measured +0.54 dB, 900 steps +0.70; 300 steps clears
+        # +0.3 with margin
+        assert enhanced > raw + 0.3, (raw, enhanced)
+
+    def test_sharded_matches_unsharded(self, codec, pf_cfg):
+        from audiocodec_tpu.models import post_filter as pf
+
+        params = pf.init_params(jax.random.key(1), pf_cfg)
+        x = _wave(batch=4)
+
+        def loss(p, x):
+            return pf.enhancement_loss(codec, pf_cfg, p, x)
+
+        ref = float(loss(params, x))
+        mesh = make_mesh(n_devices=8, sp=2)
+        xs = jax.device_put(x, _mesh.waveform_sharding(mesh))
+        sh = float(
+            jax.jit(
+                loss,
+                in_shardings=(_mesh.replicated(mesh),
+                              _mesh.waveform_sharding(mesh)),
+            )(params, xs)
+        )
+        np.testing.assert_allclose(sh, ref, rtol=1e-6)
