@@ -32,6 +32,14 @@ class PrefetchingCorpusLoader:
     :param prefetch: max batches decoded + transferred ahead (>= 1).
     :param sharding: optional jax sharding for device placement (e.g.
         parallel.mesh.waveform_sharding(mesh)); default: default device.
+    :param wire_dtype: "float32" (default) or "int16". int16 HALVES the
+        host->device bytes — the usual ingest bottleneck — by shipping
+        PCM16-scale integers and converting to float on the chip (the
+        consumer divides by 32768). For corpora decoded from 16-bit PCM
+        (the normal case) the round trip is bit-exact: the decoder's
+        float values are pcm/32768, so re-scaling recovers the original
+        integers. Float-sourced WAVs lose sub-16-bit detail — keep
+        float32 there.
     :yields: (device array [b, frames, channels], status int32 [b]).
     """
 
@@ -45,7 +53,12 @@ class PrefetchingCorpusLoader:
         prefetch: int = 2,
         sharding=None,
         decode_threads: int = 0,
+        wire_dtype: str = "float32",
     ):
+        if wire_dtype not in ("float32", "int16"):
+            raise ValueError(
+                f"wire_dtype must be 'float32' or 'int16', got {wire_dtype!r}"
+            )
         self._paths = list(paths)
         self._clip_seconds = clip_seconds
         self._sample_rate = sample_rate
@@ -54,6 +67,7 @@ class PrefetchingCorpusLoader:
         self._prefetch = max(1, prefetch)
         self._sharding = sharding
         self._decode_threads = decode_threads
+        self._wire_dtype = wire_dtype
 
     def _producer(self, q, stop, errbox):
         try:
@@ -66,6 +80,12 @@ class PrefetchingCorpusLoader:
                     channels=self._channels,
                     n_threads=self._decode_threads,
                 )
+                if self._wire_dtype == "int16":
+                    import numpy as np
+
+                    host = np.clip(
+                        np.rint(host * 32768.0), -32768, 32767
+                    ).astype(np.int16)
                 if self._sharding is not None:
                     dev = jax.device_put(host, self._sharding)
                 else:
@@ -130,9 +150,23 @@ def encode_corpus_streaming(codec, paths, mesh=None, **loader_kwargs):
     encoder = _corpus.make_corpus_encoder(codec, mesh, quantized=True)
     dp = mesh.shape["dp"]
 
+    import functools
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _dequant_wire(b):
+        # int16 wire -> compute-dtype amplitudes, on-device (the whole
+        # point: the tunnel carried half the bytes)
+        return (b.astype(jnp.float32) * (1.0 / 32768.0)).astype(
+            codec.mdct.compute_dtype
+        )
+
     results = []
     n = codec.mdct.filters_n
     for batch, status in PrefetchingCorpusLoader(paths, **loader_kwargs):
+        if jnp.issubdtype(batch.dtype, jnp.integer):
+            batch = _dequant_wire(batch)
         # clip_seconds need not be block-aligned; trim to whole MDCT blocks
         usable = batch.shape[1] - batch.shape[1] % n
         if usable == 0:

@@ -371,6 +371,24 @@ def config4_corpus(quick):
 
     dt_ingest = timed(run_corpus, iters=2)
 
+    # int16 wire (parallel/pipeline.py wire_dtype): half the H2D bytes,
+    # dequantized to float on-device inside the encode program
+    @jax.jit
+    def encode_i16(b):
+        x = (b.astype(jnp.float32) * (1.0 / 32768.0))
+        return codec.encode_quantized(x)[:2]
+
+    base_i16 = np.clip(np.rint(base * 32768.0), -32768, 32767).astype(
+        np.int16
+    )
+
+    def run_corpus_i16():
+        for start in range(0, clips_n, batch):
+            codes, delta = encode_i16(base_i16)
+        return float(jnp.sum(jnp.abs(delta)))
+
+    dt_ingest_i16 = timed(run_corpus_i16, iters=2)
+
     # device-resident throughput: batches pre-staged, scan-chained
     steps = clips_n // batch
     xs = jnp.asarray(
@@ -394,6 +412,7 @@ def config4_corpus(quick):
         "clips": clips_n,
         "throughput_audio_s_per_s": round(audio_s / dt_dev, 1),
         "ingest_bound_audio_s_per_s": round(audio_s / dt_ingest, 1),
+        "ingest_int16_wire_audio_s_per_s": round(audio_s / dt_ingest_i16, 1),
         "pass": True,
     }
 
@@ -472,6 +491,11 @@ def main():
         res = cfg(args.quick)
         results.append(res)
         print(json.dumps(res), flush=True)
+
+    if only:
+        # partial runs must not clobber the full RESULTS.md table
+        print("(--only run: RESULTS.md left untouched)")
+        return
 
     md = ["# Benchmark results", "", f"Backend: {jax.default_backend()}, "
           f"device: {jax.devices()[0].device_kind}", ""]

@@ -86,3 +86,46 @@ class TestLoaderLifecycle:
         it.close()
         counts = [sum(b.shape[0] for b, _ in loader) for _ in range(2)]
         assert counts == [10, 10]
+
+
+class TestInt16Wire:
+    """wire_dtype="int16" halves H2D bytes; PCM16-sourced corpora decode
+    bit-exactly after the on-device rescale."""
+
+    def test_loader_yields_int16(self, corpus):
+        paths, _ = corpus
+        loader = PrefetchingCorpusLoader(
+            paths, clip_seconds=4 * 64 / 16000, sample_rate=16000,
+            batch_size=4, wire_dtype="int16",
+        )
+        batch, status = next(iter(loader))
+        assert batch.dtype == np.int16
+        assert (np.asarray(status) == 0).all()
+
+    def test_invalid_wire_dtype(self, corpus):
+        paths, _ = corpus
+        with pytest.raises(ValueError, match="wire_dtype"):
+            PrefetchingCorpusLoader(
+                paths, clip_seconds=1.0, sample_rate=16000,
+                wire_dtype="int8",
+            )
+
+    def test_streaming_encode_matches_float_wire(self, corpus):
+        """For PCM16 sources the int16 wire must produce IDENTICAL codes
+        to the float32 wire (the WAVs on disk are 16-bit, so the float
+        pipeline's values are pcm/32768 exactly)."""
+        paths, _ = corpus
+        codec = Codec.create(16000, filters_n=64, bark_bands_n=16)
+        mesh = _mesh.make_mesh(n_devices=2)
+        kwargs = dict(
+            mesh=mesh, clip_seconds=4 * 64 / 16000, sample_rate=16000,
+            batch_size=4,
+        )
+        ref = encode_corpus_streaming(codec, paths, **kwargs)
+        i16 = encode_corpus_streaming(
+            codec, paths, wire_dtype="int16", **kwargs
+        )
+        assert len(ref) == len(i16)
+        for (c0, d0, _), (c1, d1, _) in zip(ref, i16):
+            np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+            np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
