@@ -115,36 +115,76 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
     return buf.getvalue()
 
 
+def _checked_shape(raw, payload_bytes, what):
+    """Validate an untrusted shape member before allocating: positive dims
+    and a total the Rice payload can actually carry (>= 1 bit per value) —
+    otherwise a tampered container demands a terabyte allocation before
+    any decode error can fire."""
+    shape = tuple(int(v) for v in raw)
+    if len(shape) != 4 or any(d <= 0 for d in shape):
+        raise ValueError(f"corrupt container: bad {what} {shape}")
+    total = 1
+    for d in shape:
+        total *= d
+    if total > 8 * max(payload_bytes, 1):
+        raise ValueError(
+            f"corrupt container: {what} demands {total} values from a "
+            f"{payload_bytes}-byte payload"
+        )
+    return shape, total
+
+
 def unpack(data: bytes):
-    """Deserialize -> (codes int32, bark bfloat16, meta dict)."""
+    """Deserialize -> (codes int32, bark bfloat16, meta dict).
+
+    Raises ValueError on corrupt input (bad archive, missing members,
+    tampered shapes) — never a raw zipfile/KeyError/MemoryError."""
+    import zipfile
+
     import ml_dtypes
 
-    with np.load(_io.BytesIO(data), allow_pickle=False) as z:
-        if "rice" in z.files:
-            from audiocodec_tpu import native
+    try:
+        ctx = np.load(_io.BytesIO(data), allow_pickle=False)
+    except (zipfile.BadZipFile, OSError, EOFError) as e:
+        raise ValueError(f"corrupt .acz container: {e}") from e
+    try:
+        return _unpack_members(ctx, ml_dtypes)
+    except KeyError as e:
+        raise ValueError(f"corrupt .acz container: missing member {e}") from e
+    finally:
+        ctx.close()
 
-            shape = tuple(int(v) for v in z["shape"])
-            codes = native.rice_decode(
-                z["rice"].tobytes(), int(np.prod(shape))
-            ).reshape(shape)
-        else:
-            codes = z["codes"].astype(np.int32)
-        if "bark_rice" in z.files:
-            bshape = tuple(int(v) for v in z["bark_shape"])
-            bark = decode_bark_sidecar(
-                z["bark_rice"].tobytes(), bshape, block_axis=1
-            )
-        else:
-            bark = z["bark"].view(ml_dtypes.bfloat16)
-        meta_arr = z["meta"]
-        window = str(z["window"][0]) or None
-        alpha = float(z["alphaw"][0])
-        dtype = str(z["dtype"][0]) if "dtype" in z.files else "float32"
-        ms = bool(int(z["ms"][0])) if "ms" in z.files else False
-        tscale = float(z["tscale"][0]) if "tscale" in z.files else 1.0
-        barkprec = (
-            str(z["barkprec"][0]) if "barkprec" in z.files else "highest"
+
+def _unpack_members(z, ml_dtypes):
+    if "rice" in z.files:
+        from audiocodec_tpu import native
+
+        shape, total = _checked_shape(
+            z["shape"], z["rice"].nbytes, "codes shape"
         )
+        codes = native.rice_decode(
+            z["rice"].tobytes(), total
+        ).reshape(shape)
+    else:
+        codes = z["codes"].astype(np.int32)
+    if "bark_rice" in z.files:
+        bshape, _ = _checked_shape(
+            z["bark_shape"], z["bark_rice"].nbytes, "bark shape"
+        )
+        bark = decode_bark_sidecar(
+            z["bark_rice"].tobytes(), bshape, block_axis=1
+        )
+    else:
+        bark = z["bark"].view(ml_dtypes.bfloat16)
+    meta_arr = z["meta"]
+    window = str(z["window"][0]) or None
+    alpha = float(z["alphaw"][0])
+    dtype = str(z["dtype"][0]) if "dtype" in z.files else "float32"
+    ms = bool(int(z["ms"][0])) if "ms" in z.files else False
+    tscale = float(z["tscale"][0]) if "tscale" in z.files else 1.0
+    barkprec = (
+        str(z["barkprec"][0]) if "barkprec" in z.files else "highest"
+    )
     meta = {
         "sample_rate": int(meta_arr[0]),
         "filters_n": int(meta_arr[1]),
@@ -157,6 +197,14 @@ def unpack(data: bytes):
         "threshold_scale": tscale,
         "bark_precision": barkprec,
     }
+    if not (0 < meta["sample_rate"] <= 10_000_000):
+        raise ValueError("corrupt container: sample_rate out of bounds")
+    if not (2 <= meta["filters_n"] <= 1 << 16) or meta["filters_n"] % 2:
+        raise ValueError("corrupt container: filters_n out of bounds")
+    if not (1 <= meta["bark_bands_n"] <= 1 << 16):
+        raise ValueError("corrupt container: bark_bands_n out of bounds")
+    if not (1 <= meta["channels"] <= 64):
+        raise ValueError("corrupt container: channels out of bounds")
     return codes, bark, meta
 
 

@@ -355,3 +355,74 @@ class TestPrecisionRecorded:
             assert r.meta["bark_precision"] == "default"
         dec = str(tmp_path / "p2.wav")
         assert cli.main(["decode", out, dec]) == 0
+
+
+class TestCorruptAcz:
+    """Corrupt .acz inputs must surface as ValueError — never a raw
+    BadZipFile/KeyError traceback or a tampered-shape terabyte allocation."""
+
+    @staticmethod
+    def _valid():
+        import jax.numpy as jnp
+
+        codes = np.zeros((1, 2, 64, 1), np.int32)
+        bark = jnp.zeros((1, 2, 16, 1), jnp.bfloat16)
+        return bitstream.pack(
+            codes, bark, sample_rate=16000, filters_n=64, bark_bands_n=16,
+            alpha=0.6, window_type="vorbis",
+        )
+
+    def test_not_an_archive(self):
+        with pytest.raises(ValueError, match="corrupt .acz"):
+            bitstream.unpack(b"PK\x03\x04" + b"x" * 50)
+
+    def test_missing_members(self):
+        import io
+
+        buf = io.BytesIO()
+        np.savez(buf, foo=np.zeros(3))
+        with pytest.raises(ValueError, match="corrupt .acz"):
+            bitstream.unpack(buf.getvalue())
+
+    @staticmethod
+    def _tamper(data, **replacements):
+        import io
+
+        z = np.load(io.BytesIO(data))
+        members = {k: z[k] for k in z.files}
+        members.update(replacements)
+        buf = io.BytesIO()
+        np.savez_compressed(buf, **members)
+        return buf.getvalue()
+
+    def test_tampered_shape_rejected_before_allocation(self):
+        from audiocodec_tpu import native
+
+        if not native.available():
+            pytest.skip("shape members only exist on the rice path")
+        data = self._tamper(
+            self._valid(),
+            shape=np.asarray([1, 2**40, 64, 1], dtype=np.int64),
+        )
+        with pytest.raises(ValueError, match="demands"):
+            bitstream.unpack(data)
+
+    def test_tampered_bark_shape_rejected(self):
+        from audiocodec_tpu import native
+
+        if not native.available():
+            pytest.skip("shape members only exist on the rice path")
+        data = self._tamper(
+            self._valid(),
+            bark_shape=np.asarray([1, 2**40, 16, 1], dtype=np.int64),
+        )
+        with pytest.raises(ValueError, match="demands"):
+            bitstream.unpack(data)
+
+    def test_tampered_meta_bounds(self):
+        data = self._tamper(
+            self._valid(),
+            meta=np.asarray([16000, 3, 16, 1], dtype=np.int64),  # odd N
+        )
+        with pytest.raises(ValueError, match="filters_n"):
+            bitstream.unpack(data)
