@@ -134,11 +134,31 @@ def _checked_shape(raw, payload_bytes, what):
     return shape, total
 
 
+def _bounded_member(z, name, data_len):
+    """Read an npz member only after bounding its DECLARED uncompressed
+    size (the zip central directory field an attacker controls) against
+    what deflate can actually have produced from this container —
+    otherwise a ~1 MB bomb makes np.load allocate terabytes before any
+    validation runs. DEFLATE tops out near 1030:1."""
+    zf = getattr(z, "zip", None)
+    if zf is not None:
+        info = zf.NameToInfo.get(name + ".npy")
+        if info is not None and info.file_size > max(
+            2048 * data_len, 1 << 20
+        ):
+            raise ValueError(
+                f"corrupt .acz container: member {name} declares "
+                f"{info.file_size} bytes from a {data_len}-byte container"
+            )
+    return z[name]
+
+
 def unpack(data: bytes):
     """Deserialize -> (codes int32, bark bfloat16, meta dict).
 
-    Raises ValueError on corrupt input (bad archive, missing members,
-    tampered shapes) — never a raw zipfile/KeyError/MemoryError."""
+    Raises ValueError on corrupt input (bad archive, missing or truncated
+    or tampered members) — never a raw zipfile/KeyError/IndexError, and
+    never a huge allocation driven by attacker-declared sizes."""
     import zipfile
 
     import ml_dtypes
@@ -147,15 +167,19 @@ def unpack(data: bytes):
         ctx = np.load(_io.BytesIO(data), allow_pickle=False)
     except (zipfile.BadZipFile, OSError, EOFError) as e:
         raise ValueError(f"corrupt .acz container: {e}") from e
+    if not hasattr(ctx, "files"):  # a bare .npy payload, not an archive
+        raise ValueError("corrupt .acz container: not an npz archive")
     try:
-        return _unpack_members(ctx, ml_dtypes)
+        return _unpack_members(ctx, ml_dtypes, len(data))
     except KeyError as e:
         raise ValueError(f"corrupt .acz container: missing member {e}") from e
+    except (IndexError, TypeError) as e:
+        raise ValueError(f"corrupt .acz container: malformed member ({e})") from e
     finally:
         ctx.close()
 
 
-def _unpack_members(z, ml_dtypes):
+def _unpack_members(z, ml_dtypes, data_len):
     if "rice" in z.files:
         from audiocodec_tpu import native
 
@@ -166,7 +190,9 @@ def _unpack_members(z, ml_dtypes):
             z["rice"].tobytes(), total
         ).reshape(shape)
     else:
-        codes = z["codes"].astype(np.int32)
+        codes = _bounded_member(z, "codes", data_len).astype(np.int32)
+        if codes.ndim != 4:
+            raise ValueError("corrupt container: codes must be 4-D")
     if "bark_rice" in z.files:
         bshape, _ = _checked_shape(
             z["bark_shape"], z["bark_rice"].nbytes, "bark shape"
@@ -175,7 +201,9 @@ def _unpack_members(z, ml_dtypes):
             z["bark_rice"].tobytes(), bshape, block_axis=1
         )
     else:
-        bark = z["bark"].view(ml_dtypes.bfloat16)
+        bark = _bounded_member(z, "bark", data_len).view(ml_dtypes.bfloat16)
+        if bark.ndim != 4:
+            raise ValueError("corrupt container: bark must be 4-D")
     meta_arr = z["meta"]
     window = str(z["window"][0]) or None
     alpha = float(z["alphaw"][0])
@@ -205,6 +233,24 @@ def _unpack_members(z, ml_dtypes):
         raise ValueError("corrupt container: bark_bands_n out of bounds")
     if not (1 <= meta["channels"] <= 64):
         raise ValueError("corrupt container: channels out of bounds")
+    # cross-check payload shapes against the validated meta so a
+    # shape/meta mismatch fails HERE, not as a raw shape error deep
+    # inside the decoder's jit trace
+    bark_ch = 1 if ms else meta["channels"]
+    if (
+        codes.shape[2] != meta["filters_n"]
+        or codes.shape[3] != meta["channels"]
+        or bark.shape[2] != meta["bark_bands_n"]
+        or bark.shape[3] != bark_ch
+        or bark.shape[1] != codes.shape[1]
+        or bark.shape[0] != codes.shape[0]
+    ):
+        raise ValueError(
+            f"corrupt container: payload shapes codes{codes.shape} / "
+            f"bark{bark.shape} do not match header "
+            f"(N={meta['filters_n']}, bark={meta['bark_bands_n']}, "
+            f"ch={meta['channels']}, ms={ms})"
+        )
     return codes, bark, meta
 
 

@@ -11,8 +11,11 @@ the transmitted sidecar), so the filter is conditioned on the exact noise
 magnitude of every bin.
 
 TPU shape choices match the autoencoder family: the band axis is the only
-contraction (each layer is one [B·T·C, ·] @ [·, H] MXU matmul; blocks stay
-a batch dim, so ``sp`` sharding needs no halo). The output head is
+contraction (each layer is one [B·T·C, ·] @ [·, H] MXU matmul; blocks
+stay a batch dim). Unlike the autoencoder, the ±1-frame temporal context
+shifts along the blocks axis, so ``sp`` sharding incurs a one-frame halo
+(a GSPMD-inserted collective-permute — the same class as the MDCT fold's
+own halo, and equally cheap). The output head is
 ZERO-initialized: the untrained filter is exactly the identity, so
 enhancement can only be learned, never regressed into by init noise.
 """

@@ -15,12 +15,22 @@ consumer, so the chip never waits on the host in steady state.
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 
 import jax
+import jax.numpy as jnp
 
 from audiocodec_tpu import native
+
+
+@functools.partial(jax.jit, static_argnames="dtype")
+def _dequant_wire(b, dtype):
+    """int16 wire -> compute-dtype amplitudes, on-device (the point of
+    the wire: the link carried half the bytes). Module-level so the
+    compiled program is cached across encode_corpus_streaming calls."""
+    return (b.astype(jnp.float32) * (1.0 / 32768.0)).astype(dtype)
 
 
 class PrefetchingCorpusLoader:
@@ -150,23 +160,11 @@ def encode_corpus_streaming(codec, paths, mesh=None, **loader_kwargs):
     encoder = _corpus.make_corpus_encoder(codec, mesh, quantized=True)
     dp = mesh.shape["dp"]
 
-    import functools
-
-    import jax.numpy as jnp
-
-    @jax.jit
-    def _dequant_wire(b):
-        # int16 wire -> compute-dtype amplitudes, on-device (the whole
-        # point: the tunnel carried half the bytes)
-        return (b.astype(jnp.float32) * (1.0 / 32768.0)).astype(
-            codec.mdct.compute_dtype
-        )
-
     results = []
     n = codec.mdct.filters_n
     for batch, status in PrefetchingCorpusLoader(paths, **loader_kwargs):
         if jnp.issubdtype(batch.dtype, jnp.integer):
-            batch = _dequant_wire(batch)
+            batch = _dequant_wire(batch, jnp.dtype(codec.mdct.compute_dtype))
         # clip_seconds need not be block-aligned; trim to whole MDCT blocks
         usable = batch.shape[1] - batch.shape[1] % n
         if usable == 0:
@@ -177,8 +175,6 @@ def encode_corpus_streaming(codec, paths, mesh=None, **loader_kwargs):
         batch = batch[:, :usable]
         real = batch.shape[0]
         if real % dp != 0:
-            import jax.numpy as jnp
-
             pad = _mesh.pad_batch_to(real, dp) - real
             batch = jnp.concatenate(
                 [batch, jnp.zeros((pad,) + batch.shape[1:], batch.dtype)]
