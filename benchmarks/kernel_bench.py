@@ -69,6 +69,9 @@ def main():
             rng.uniform(-0.8, 0.8, (b, blocks * n, 1)), dtype=dtype
         )
         row = {"config": name, "batch": b, "blocks": blocks}
+        # "xla" is whatever formulation MDCT.create picks at that
+        # precision: sparse fold at highest/high, dense two-matmul at
+        # "default" (docs/DESIGN.md §3b) — i.e. the path a user gets.
         for use_pallas in (False, True):
             m = MDCT.create(
                 n, compute_dtype=dtype, fast_bf16=fast,
