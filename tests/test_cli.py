@@ -426,3 +426,21 @@ class TestCorruptAcz:
         )
         with pytest.raises(ValueError, match="filters_n"):
             bitstream.unpack(data)
+
+
+class TestRateControlWithPrecision:
+    def test_kbps_encode_records_precision(self, wav_file, tmp_path):
+        """Rate-controlled encode at default precision: the trial-packed
+        container (written verbatim) must still record bark_precision."""
+        path, x, rate = wav_file
+        out = str(tmp_path / "rc.acz")
+        assert cli.main(
+            ["encode", path, out, "--filters-n", "256", "--bark-bands-n",
+             "32", "--precision", "default", "--kbps", "96"]
+        ) == 0
+        _, _, meta = bitstream.load(out)
+        assert meta["bark_precision"] == "default"
+        dec = str(tmp_path / "rc.wav")
+        assert cli.main(["decode", out, dec]) == 0
+        wave, wrate = read_wav(dec)
+        assert wrate == rate and wave.shape[1] > 0
