@@ -456,6 +456,12 @@ def config5_streaming(quick):
         )
     )
     dt = timed(lambda: float(stream_rt(codec, x)), iters=2)
+    # production-precision variant: the streaming steps follow the dense
+    # two-matmul formulation at dct_precision="default"
+    codec_d = Codec.create(
+        sr, filters_n=n, bark_bands_n=64, dct_precision="default"
+    )
+    dt_d = timed(lambda: float(stream_rt(codec_d, x)), iters=2)
     audio_s = samples / sr
     return {
         "config": "streaming_longform",
@@ -463,6 +469,7 @@ def config5_streaming(quick):
         "channels": 2,
         "throughput_audio_s_per_s": round(audio_s / dt, 1),
         "realtime_factor": round(audio_s / dt, 1),
+        "default_precision_audio_s_per_s": round(audio_s / dt_d, 1),
         "pass": True,
     }
 
