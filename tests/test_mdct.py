@@ -330,3 +330,17 @@ class TestDenseDefaultPath:
         # pallas owns the inverse; dense covers only the forward
         assert md.dense_fwd_cur is not None
         assert md.dense_inv_cur is None
+
+
+class TestDenseAllWindows:
+    @pytest.mark.parametrize("window_type", ["vorbis", "sine", None])
+    def test_dense_pr_every_window(self, window_type):
+        """The dense formulation inherits each window's completion rule
+        exactly (H0/H1 are built from the same coefficients)."""
+        md = MDCT.create(128, window_type=window_type,
+                         dct_precision="default")
+        assert md.dense_fwd_cur is not None
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 8 * 128, 1)), jnp.float32)
+        rt = md.inverse_transform(md.transform(x))
+        assert float(jnp.max(jnp.abs(x - rt[:, 128:-128]))) < 1e-5
