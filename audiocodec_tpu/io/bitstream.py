@@ -134,23 +134,31 @@ def _checked_shape(raw, payload_bytes, what):
     return shape, total
 
 
-def _bounded_member(z, name, data_len):
+def _bounded_member(z, name, data_len, max_bytes=None):
     """Read an npz member only after bounding its DECLARED uncompressed
     size (the zip central directory field an attacker controls) against
     what deflate can actually have produced from this container —
     otherwise a ~1 MB bomb makes np.load allocate terabytes before any
-    validation runs. DEFLATE tops out near 1030:1."""
+    validation runs. DEFLATE tops out near 1030:1. ``max_bytes`` gives
+    header-like members (meta, window, shapes, …) a tight absolute cap:
+    they are a few hundred bytes by construction, so even the deflate
+    ratio bound is far too generous for them."""
+    cap = max(2048 * data_len, 1 << 20) if max_bytes is None else max_bytes
     zf = getattr(z, "zip", None)
     if zf is not None:
         info = zf.NameToInfo.get(name + ".npy")
-        if info is not None and info.file_size > max(
-            2048 * data_len, 1 << 20
-        ):
+        if info is not None and info.file_size > cap:
             raise ValueError(
                 f"corrupt .acz container: member {name} declares "
                 f"{info.file_size} bytes from a {data_len}-byte container"
             )
     return z[name]
+
+
+# Absolute size cap for header-like members; generous for the largest
+# legitimate one (a dtype/window string array is < 200 bytes, shapes are
+# 4 int64s) yet 5 orders of magnitude below the advisor's measured bomb.
+_SMALL_MEMBER_CAP = 1 << 16
 
 
 def unpack(data: bytes):
@@ -160,12 +168,16 @@ def unpack(data: bytes):
     or tampered members) — never a raw zipfile/KeyError/IndexError, and
     never a huge allocation driven by attacker-declared sizes."""
     import zipfile
+    import zlib
 
     import ml_dtypes
 
     try:
         ctx = np.load(_io.BytesIO(data), allow_pickle=False)
-    except (zipfile.BadZipFile, OSError, EOFError) as e:
+    except (
+        zipfile.BadZipFile, zlib.error, OSError, EOFError,
+        NotImplementedError,  # tampered version-needed / compression fields
+    ) as e:
         raise ValueError(f"corrupt .acz container: {e}") from e
     if not hasattr(ctx, "files"):  # a bare .npy payload, not an archive
         raise ValueError("corrupt .acz container: not an npz archive")
@@ -175,43 +187,53 @@ def unpack(data: bytes):
         raise ValueError(f"corrupt .acz container: missing member {e}") from e
     except (IndexError, TypeError) as e:
         raise ValueError(f"corrupt .acz container: malformed member ({e})") from e
+    except (
+        zipfile.BadZipFile, zlib.error, OSError, EOFError,
+        NotImplementedError,  # tampered compression-method field
+    ) as e:
+        # lazy member reads re-enter zipfile: a corrupted member payload
+        # (bad CRC, truncated deflate stream) surfaces HERE, not at np.load
+        raise ValueError(f"corrupt .acz container: bad member data ({e})") from e
     finally:
         ctx.close()
 
 
 def _unpack_members(z, ml_dtypes, data_len):
+    def small(name):
+        return _bounded_member(z, name, data_len, _SMALL_MEMBER_CAP)
+
     if "rice" in z.files:
         from audiocodec_tpu import native
 
+        rice = _bounded_member(z, "rice", data_len)
         shape, total = _checked_shape(
-            z["shape"], z["rice"].nbytes, "codes shape"
+            small("shape"), rice.nbytes, "codes shape"
         )
-        codes = native.rice_decode(
-            z["rice"].tobytes(), total
-        ).reshape(shape)
+        codes = native.rice_decode(rice.tobytes(), total).reshape(shape)
     else:
         codes = _bounded_member(z, "codes", data_len).astype(np.int32)
         if codes.ndim != 4:
             raise ValueError("corrupt container: codes must be 4-D")
     if "bark_rice" in z.files:
+        bark_rice = _bounded_member(z, "bark_rice", data_len)
         bshape, _ = _checked_shape(
-            z["bark_shape"], z["bark_rice"].nbytes, "bark shape"
+            small("bark_shape"), bark_rice.nbytes, "bark shape"
         )
         bark = decode_bark_sidecar(
-            z["bark_rice"].tobytes(), bshape, block_axis=1
+            bark_rice.tobytes(), bshape, block_axis=1
         )
     else:
         bark = _bounded_member(z, "bark", data_len).view(ml_dtypes.bfloat16)
         if bark.ndim != 4:
             raise ValueError("corrupt container: bark must be 4-D")
-    meta_arr = z["meta"]
-    window = str(z["window"][0]) or None
-    alpha = float(z["alphaw"][0])
-    dtype = str(z["dtype"][0]) if "dtype" in z.files else "float32"
-    ms = bool(int(z["ms"][0])) if "ms" in z.files else False
-    tscale = float(z["tscale"][0]) if "tscale" in z.files else 1.0
+    meta_arr = small("meta")
+    window = str(small("window")[0]) or None
+    alpha = float(small("alphaw")[0])
+    dtype = str(small("dtype")[0]) if "dtype" in z.files else "float32"
+    ms = bool(int(small("ms")[0])) if "ms" in z.files else False
+    tscale = float(small("tscale")[0]) if "tscale" in z.files else 1.0
     barkprec = (
-        str(z["barkprec"][0]) if "barkprec" in z.files else "highest"
+        str(small("barkprec")[0]) if "barkprec" in z.files else "highest"
     )
     meta = {
         "sample_rate": int(meta_arr[0]),

@@ -174,7 +174,11 @@ def perceptual_loss(
     decoded = codec.mdct.inverse_transform(recon)
     n = codec.mdct.filters_n
     wave_mse = jnp.mean((decoded[:, n:-n] - x) ** 2)
-    nmr = jnp.mean(((recon - spec) / threshold) ** 2)
+    # Near-silent bins sit at the quiet floor (~1e-9 amplitude); an
+    # unfloored NMR denominator there blows up the loss and diverges
+    # training (observed on post_filter — see post_filter.py's floor).
+    thr_f = jnp.maximum(threshold, 1e-5)
+    nmr = jnp.mean(((recon - spec) / thr_f) ** 2)
     return wave_mse + nmr_weight * nmr
 
 

@@ -46,7 +46,12 @@ def load_codec(path: str) -> Codec:
         cfg = json.load(f)
     dtype = _DTYPE_NAMES[cfg.pop("compute_dtype")]
     cfg.setdefault("dct_precision", "highest")  # older checkpoints
-    cfg.setdefault("bark_precision", None)  # None -> follow dct_precision
+    # Configs saved before bark_precision existed were written by codecs
+    # that ALWAYS ran the Bark matmuls at HIGHEST regardless of
+    # dct_precision; defaulting to None (follow dct_precision) would
+    # rebuild a codec with different thresholds/step sizes than the one
+    # that wrote the checkpoint and corrupt decode of its bitstreams.
+    cfg.setdefault("bark_precision", "highest")
     # use_pallas is saved RESOLVED ("auto" became a concrete direction on
     # the machine that saved it); Mosaic kernels only run on a real TPU,
     # so loading that config elsewhere falls back to the XLA path. The

@@ -427,6 +427,42 @@ class TestCorruptAcz:
         with pytest.raises(ValueError, match="filters_n"):
             bitstream.unpack(data)
 
+    @pytest.mark.parametrize(
+        "member", ["meta", "window", "alphaw", "tscale", "barkprec", "shape"]
+    )
+    def test_oversized_small_member_rejected_before_allocation(self, member):
+        """Header-like members are a few hundred bytes by construction; a
+        zlib-bombed one (small compressed, huge declared size) must be
+        rejected from the declared size alone — before np.load
+        materializes it (advisor: 1.5 MB container -> 1.6 GB alloc)."""
+        from audiocodec_tpu import native
+
+        if member == "shape" and not native.available():
+            pytest.skip("shape member only exists on the rice path")
+        # 1 MB of zeros deflates to ~1 KB but declares 1 MB — over the
+        # 64 KB small-member cap, yet cheap for the test to build.
+        bomb = np.zeros(1 << 17, dtype=np.int64)
+        data = self._tamper(self._valid(), **{member: bomb})
+        with pytest.raises(ValueError, match="declares"):
+            bitstream.unpack(data)
+
+    def test_corrupted_member_payload_is_valueerror(self):
+        """Bit flips inside member payloads surface as ValueError (the
+        unpack contract), not a raw zipfile.BadZipFile 'Bad CRC-32'
+        escaping from the lazy member read inside _unpack_members."""
+        valid = self._valid()
+        raised = 0
+        # Sweep flip positions across the archive body (skipping the
+        # magic); every flip must either decode or raise ValueError.
+        for flip in range(8, len(valid) - 32, 7):
+            data = bytearray(valid)
+            data[flip] ^= 0xFF
+            try:
+                bitstream.unpack(bytes(data))
+            except ValueError:
+                raised += 1
+        assert raised > 0  # the sweep actually exercised corruption paths
+
 
 class TestRateControlWithPrecision:
     def test_kbps_encode_records_precision(self, wav_file, tmp_path):

@@ -42,6 +42,28 @@ class TestCodecSerialization:
         assert restored.mdct.use_pallas is False
 
 
+class TestLegacyConfigCompat:
+    def test_pre_bark_precision_config_defaults_to_highest(self, tmp_path):
+        """Configs saved before bark_precision existed were written by
+        codecs that always ran Bark matmuls at HIGHEST; rebuilding them
+        must preserve that (not follow dct_precision), or thresholds and
+        step sizes diverge from the bitstreams that codec produced."""
+        import json
+
+        cfg = {
+            "sample_rate": 16000, "filters_n": 256, "bark_bands_n": 32,
+            "alpha": 0.6, "window_type": "vorbis",
+            "compute_dtype": "float32", "fast_bf16": False,
+            "use_pallas": False, "dct_precision": "default",
+        }
+        path = str(tmp_path / "legacy.json")
+        with open(path, "w") as f:
+            json.dump(cfg, f)
+        restored = serialization.load_codec(path)
+        assert restored.psycho.bark_precision == "highest"
+        assert restored.mdct.dct_precision == "default"
+
+
 class TestStreamStateSerialization:
     def test_stream_resume_across_checkpoint(self, tmp_path):
         codec = Codec.create(16000, filters_n=64, bark_bands_n=16)
