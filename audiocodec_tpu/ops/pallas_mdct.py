@@ -27,10 +27,17 @@ This version restores 1x FLOPs by moving every flip OUT of the kernel:
 
   whose lower half the XLA epilogue un-flips while merging blocks.
 
-Each kernel reads the signal from HBM exactly once and writes the output
-exactly once; the one-block halo (x[n-1] / z[n-1]) rides VMEM scratch
-across the sequential grid. FLOPs equal the bare DCT matmul — the XLA
-path's — with its fold/unfold HBM passes eliminated.
+Each kernel reads the signal from HBM exactly once (plus a tiny aligned
+halo window per tile) and writes the output exactly once. The one-block
+halo (x[n-1] / z[n-1]) is NOT carried through scratch across a sequential
+grid — that design serialized every tile behind a blocking DMA and lost to
+XLA at one-pass precision. Instead each tile is fully independent: the
+previous block is *read again* through a second, overlapping input
+BlockSpec (an aligned 8/16-row window ending at the tile start), and the
+synthesis recomputes the one halo frame's matmul (1/tb extra FLOPs).
+Independence lets Mosaic's standard pipeline double-buffer every
+input/output block, so DMA hides behind the MXU. FLOPs equal the bare DCT
+matmul — the XLA path's — with its fold/unfold HBM passes eliminated.
 
 The two kernels are each other's transpose: the VJP of fold->matmul is
 matmul->scatter on the block-reversed cotangent with a column-swapped M^T
@@ -104,29 +111,13 @@ def _shift_add(v, h):
     return v[:, :h] + v[:, h:]
 
 
-def _kernel(
-    x_hbm, wa_ref, wb_ref, m_hbm, out_ref, m_s, cur_s, halo_s, sem_m, sem,
-    *, mode, tb, blocks_n, n_tiles, h, precision, out_dtype
-):
-    """Shared skeleton: the [N, N] matrix is DMA'd into VMEM scratch ONCE
-    (first grid step) and stays resident — v5e-class chips have 128 MB of
-    VMEM, so even N=4096 f32 (64 MB) fits; routing it through scratch
-    instead of a blocked input also avoids the pipeline's double buffering.
-    Per block-tile t: DMA [tb, N] of input, one [tb, N] @ [N, N] matmul,
-    and the per-lane fold (analysis) / scatter (synthesis).
-
-    The one-block halo exploits sequential grid execution: scratch persists
-    across steps, so the previous tile's last block (analysis: signal;
-    synthesis: z) is saved at the end of each tile — zero extra HBM traffic.
-    Mosaic DMA slices on the second-to-last dim must be 8-row aligned in
-    offset AND size; the wrapper pads the blocks axis so they always are.
-    """
+def _load_matrix(m_hbm, m_s, sem_m):
+    """DMA the [N, N] matrix into VMEM scratch once, on the first grid
+    step; scratch persists across the (sequential on one core) grid, so
+    every later step reads it for free. Routing it through scratch instead
+    of a blocked input also avoids the pipeline's double buffering, which
+    would not fit at N=4096 f32 (2 x 64 MB)."""
     r, t = pl.program_id(0), pl.program_id(1)
-    # The wrapper zero-pads the blocks axis PAST num_out (the final output
-    # frame's missing current block reads a real zero block), so no
-    # in-kernel row masking is ever needed. All DMA sizes stay 8/16-row
-    # aligned; the last tile just reads fewer rows.
-    last_size = min(tb, blocks_n - (n_tiles - 1) * tb)  # static
 
     @pl.when(jnp.logical_and(r == 0, t == 0))
     def _():
@@ -134,104 +125,118 @@ def _kernel(
         cp.start()
         cp.wait()
 
-    if n_tiles > 1 and last_size == tb:
-        cp = pltpu.make_async_copy(
-            x_hbm.at[r, pl.ds(t * tb, tb), :], cur_s, sem
-        )
-        cp.start()
-        cp.wait()
-    else:
-        if n_tiles > 1:
 
-            @pl.when(t < n_tiles - 1)
-            def _():
-                cp = pltpu.make_async_copy(
-                    x_hbm.at[r, pl.ds(t * tb, tb), :], cur_s, sem
-                )
-                cp.start()
-                cp.wait()
+def _fwd_kernel(
+    x_ref, halo_ref, wa_ref, wb_ref, m_hbm, out_ref, m_s, sem_m,
+    *, h, align, precision, out_dtype
+):
+    """Analysis tile: per-lane fold (VPU), then one matmul (MXU).
 
-        @pl.when(t == n_tiles - 1)
-        def _():
-            cp = pltpu.make_async_copy(
-                x_hbm.at[r, pl.ds((n_tiles - 1) * tb, last_size), :],
-                cur_s.at[pl.ds(0, last_size), :],
-                sem,
-            )
-            cp.start()
-            cp.wait()
+    Every tile is independent: the one-block halo x[t*tb - 1] arrives
+    through ``halo_ref`` — an aligned 8/16-row window of the SAME input
+    array ending at the tile start (overlapping BlockSpec) — instead of
+    scratch carried across a serialized grid. Mosaic's standard pipeline
+    therefore double-buffers all tile DMAs behind the matmul."""
+    _load_matrix(m_hbm, m_s, sem_m)
+    t = pl.program_id(1)
+    cur = x_ref[0]
+    prev_last = halo_ref[0, align - 1 : align, :]
+    prev_last = jnp.where(t == 0, jnp.zeros_like(prev_last), prev_last)
+    prev = jnp.concatenate([prev_last, cur[:-1]], axis=0)
+    ta = prev * wa_ref[0:1, :]
+    tc = cur * wb_ref[0:1, :]
+    folded = jnp.concatenate([_shift_add(ta, h), _shift_add(tc, h)], axis=1)
+    out_ref[0] = jnp.dot(
+        folded,
+        m_s[:, :],
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(out_dtype)
 
-    @pl.when(t == 0)
-    def _():
-        halo_s[0:1, :] = jnp.zeros_like(halo_s[0:1, :])
 
-    if mode == _FOLD_MM:
-        # Per-lane fold (VPU), then one matmul (MXU).
-        cur = cur_s[:, :]
-        prev = jnp.concatenate([halo_s[0:1, :], cur[0 : tb - 1, :]], axis=0)
-        ta = prev * wa_ref[0:1, :]
-        tc = cur * wb_ref[0:1, :]
-        folded = jnp.concatenate(
-            [_shift_add(ta, h), _shift_add(tc, h)], axis=1
-        )
-        halo_s[0:1, :] = cur[tb - 1 : tb, :]
-        out_ref[0, :, :] = jnp.dot(
-            folded,
-            m_s[:, :],
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        ).astype(out_dtype)
-    else:
-        # One matmul (MXU), then the per-lane scatter (VPU).
-        z = jnp.dot(
-            cur_s[:, :],
-            m_s[:, :],
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        ).astype(cur_s.dtype)
-        zp = jnp.concatenate([halo_s[0:1, :], z[0 : tb - 1, :]], axis=0)
-        u = jnp.concatenate([z[:, :h], zp[:, h:]], axis=1)
-        a = u * wa_ref[0:1, :]
-        b = u * wb_ref[0:1, :]
-        out_ref[0, :, :] = jnp.concatenate(
-            [_shift_add(a, h), _shift_add(b, h)], axis=1
-        ).astype(out_dtype)
-        halo_s[0:1, :] = z[tb - 1 : tb, :]
+def _inv_kernel(
+    y_ref, halo_ref, va_ref, vb_ref, m_hbm, out_ref, m_s, sem_m,
+    *, h, align, precision, out_dtype
+):
+    """Synthesis tile: one matmul (MXU), then the per-lane scatter (VPU).
+
+    The halo frame z[t*tb - 1] is RECOMPUTED from its spectrum row (one
+    extra [1, N] @ [N, N] matmul, 1/tb overhead) rather than carried in
+    scratch — same independence/pipelining rationale as _fwd_kernel."""
+    _load_matrix(m_hbm, m_s, sem_m)
+    t = pl.program_id(1)
+    z = jnp.dot(
+        y_ref[0],
+        m_s[:, :],
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(y_ref.dtype)
+    zh = jnp.dot(
+        halo_ref[0, align - 1 : align, :],
+        m_s[:, :],
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(y_ref.dtype)
+    zh = jnp.where(t == 0, jnp.zeros_like(zh), zh)
+    zp = jnp.concatenate([zh, z[:-1]], axis=0)
+    u = jnp.concatenate([z[:, :h], zp[:, h:]], axis=1)
+    a = u * va_ref[0:1, :]
+    b = u * vb_ref[0:1, :]
+    out_ref[0] = jnp.concatenate(
+        [_shift_add(a, h), _shift_add(b, h)], axis=1
+    ).astype(out_dtype)
 
 
 def _tile_size(itemsize, num_out):
-    """Block-tile rows: 128 keeps the [tb, N] @ [N, N] matmul on full MXU
-    tiles; small inputs shrink to the aligned cover of their frames."""
+    """Block-tile rows: 512 amortizes per-step grid overhead and keeps the
+    [tb, N] @ [N, N] matmul on large MXU passes; small inputs shrink to
+    the aligned cover of their frames."""
     align = 16 if itemsize == 2 else 8
-    return min(128, -(-num_out // align) * align)
+    return min(512, -(-num_out // align) * align)
 
 
 def _vmem_limit(n, tb, itemsize):
-    """Explicit scoped-VMEM budget: resident matrix + input window + halo
-    + double-buffered output block + weights, plus compiler slack. Mosaic's
-    default limit is a conservative 16 MB; the hardware has 128 MB."""
-    need = (n * n + 4 * tb * n + 16 * n) * itemsize + (16 << 20)
+    """Explicit scoped-VMEM budget: resident matrix + double-buffered
+    input/output tiles + halo windows + weights, plus compiler slack.
+    Mosaic's default limit is a conservative 16 MB; the hardware has
+    128 MB."""
+    need = (n * n + 4 * tb * n + 64 * n) * itemsize + (16 << 20)
     return min(int(need), 127 << 20)
 
 
 def _call(x, num_out, wa, wb, mat, precision, mode):
     rows, blocks_n, n = x.shape  # blocks_n = padded count >= num_out
     h = n // 2
-    tb = _tile_size(x.dtype.itemsize, num_out)
+    itemsize = x.dtype.itemsize
+    align = 16 if itemsize == 2 else 8
+    tb = _tile_size(itemsize, num_out)
     n_tiles = pl.cdiv(num_out, tb)
+    tpb = tb // align  # tile size in halo-window units
     # Mosaic supports only DEFAULT and HIGHEST dot precisions; 'high'
     # falls back to 'highest' inside kernels (accurate, slightly slower).
     if precision == "high":
         precision = "highest"
+    body = _fwd_kernel if mode == _FOLD_MM else _inv_kernel
     kernel = functools.partial(
-        _kernel, mode=mode, tb=tb, blocks_n=blocks_n, n_tiles=n_tiles,
-        h=h, precision=_dct.PRECISIONS[precision], out_dtype=x.dtype,
+        body, h=h, align=align, precision=_dct.PRECISIONS[precision],
+        out_dtype=x.dtype,
     )
     return pl.pallas_call(
         kernel,
         grid=(rows, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # signal; row-indexed DMA
+            # the tile; auto-pipelined (double-buffered) by Mosaic
+            pl.BlockSpec(
+                (1, tb, n), lambda r, t: (r, t, 0), memory_space=pltpu.VMEM
+            ),
+            # the SAME array again: an aligned window whose last row is
+            # block t*tb - 1 (the halo); clamped to 0 and zero-substituted
+            # in-kernel for the first tile
+            pl.BlockSpec(
+                (1, align, n),
+                lambda r, t: (r, jnp.maximum(t * tpb - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, n), lambda r, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda r, t: (0, 0),
@@ -244,20 +249,17 @@ def _call(x, num_out, wa, wb, mat, precision, mode):
         out_shape=jax.ShapeDtypeStruct((rows, num_out, n), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((n, n), x.dtype),   # resident matrix
-            pltpu.VMEM((tb, n), x.dtype),  # current input window
-            pltpu.VMEM((8, n), x.dtype),   # halo block (8-row tile-padded)
             pltpu.SemaphoreType.DMA,       # matrix DMA
-            pltpu.SemaphoreType.DMA,       # input-window DMA
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(n, tb, x.dtype.itemsize),
+            vmem_limit_bytes=_vmem_limit(n, tb, itemsize),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * num_out * n * n,
-            bytes_accessed=x.dtype.itemsize * rows * (blocks_n + num_out) * n,
+            bytes_accessed=itemsize * rows * (blocks_n + num_out) * n,
             transcendentals=0,
         ),
-    )(x, wa, wb, mat)
+    )(x, x, wa, wb, mat)
 
 
 def _pad_blocks(rows_arr):
