@@ -250,6 +250,51 @@ class StreamReader:
 
 
 # -- codec integration ---------------------------------------------------------
+#
+# The per-chunk device work is jit-compiled (cached on the codec pytree's
+# structure + chunk shape): eager pallas/op dispatch on this rig is
+# pathological (CLAUDE.md platform notes), and an hour-long CLI encode runs
+# thousands of chunk steps. Chunk shapes are constant across a stream
+# (uniform chunks + one flush frame), so each stream costs at most two
+# compiles per direction.
+
+
+def _jit_encode_chunk():
+    import functools
+
+    import jax
+
+    from audiocodec_tpu import streaming
+
+    @functools.partial(jax.jit, static_argnames=("ms",))
+    def step(codec, carry, x_chunk, drown, threshold_scale, ms):
+        carry, frames = streaming.mdct_stream_step(
+            codec.mdct, carry, x_chunk
+        )
+        codes, bark16 = codec.quantize_frames(
+            frames, drown, threshold_scale=threshold_scale, ms=ms
+        )
+        return carry, codes, bark16
+
+    @functools.partial(jax.jit, static_argnames=("ms",))
+    def flush(codec, carry, drown, threshold_scale, ms):
+        last = streaming.mdct_stream_flush(codec.mdct, carry)
+        codes, bark16 = codec.quantize_frames(
+            last, drown, threshold_scale=threshold_scale, ms=ms
+        )
+        return codes, bark16
+
+    return step, flush
+
+
+_ENCODE_CHUNK = None
+
+
+def _encode_chunk_fns():
+    global _ENCODE_CHUNK
+    if _ENCODE_CHUNK is None:
+        _ENCODE_CHUNK = _jit_encode_chunk()
+    return _ENCODE_CHUNK
 
 
 def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
@@ -294,18 +339,15 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         threshold_scale=threshold_scale,
         bark_precision=codec.psycho.bark_precision,
     ) as w:
+        step, flush = _encode_chunk_fns()
         carry = streaming.mdct_stream_init(mdct, 1, c)
         for start in range(0, s, chunk):
-            carry, frames = streaming.mdct_stream_step(
-                mdct, carry, x[:, start : start + chunk]
+            carry, codes, bark16 = step(
+                codec, carry, x[:, start : start + chunk], drown,
+                threshold_scale, ms,
             )
-            w.append(*codec.quantize_frames(
-                frames, drown, threshold_scale=threshold_scale, ms=ms
-            ))
-        last = streaming.mdct_stream_flush(mdct, carry)
-        w.append(*codec.quantize_frames(
-            last, drown, threshold_scale=threshold_scale, ms=ms
-        ))
+            w.append(codes, bark16)
+        w.append(*flush(codec, carry, drown, threshold_scale, ms))
         n_chunks = len(w._index)
     return n_chunks
 
@@ -409,65 +451,95 @@ def encode_stream_with_target_bitrate(
     return n_chunks, scale, kbps
 
 
+def _dequant_frames(codec, codes, bark, tscale, ms):
+    """Mirror EXACTLY the encoder's threshold derivation (ms min-channel
+    sidecar, stream-global scale) so step sizes are bit-identical."""
+    import jax.numpy as jnp
+
+    from audiocodec_tpu import quantize as _quantize
+
+    dtype = codec.mdct.compute_dtype
+    if ms:
+        threshold = codec._ms_threshold(jnp.asarray(bark)[None])
+    else:
+        threshold = codec.psycho.bark_intensity_to_threshold(
+            jnp.asarray(bark, dtype=dtype)[None]
+        )
+    delta = _quantize.step_size(
+        threshold * jnp.asarray(tscale, dtype=dtype)
+    )
+    spec = _quantize.dequantize(jnp.asarray(codes)[None], delta, dtype=dtype)
+    return codec.from_mid_side(spec) if ms else spec
+
+
+def _jit_decode_chunk():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from audiocodec_tpu import streaming
+
+    @functools.partial(jax.jit, static_argnames=("ms",))
+    def step(codec, carry, codes, bark, tscale, ms):
+        frames = _dequant_frames(codec, codes, bark, tscale, ms)
+        carry, samples = streaming.imdct_stream_step(
+            codec.mdct, carry, frames
+        )
+        return carry, samples
+
+    @functools.partial(jax.jit, static_argnames=("ms",))
+    def seek_carry(codec, codes, bark, tscale, ms):
+        mdct = codec.mdct
+        prev = _dequant_frames(codec, codes, bark, tscale, ms)[:, -1:]
+        yb = jnp.transpose(prev, (0, 3, 1, 2))
+        if mdct.dense_inv_cur is not None:
+            # dense mode carries the previous RAW spectral frame
+            # (imdct_stream_step applies dense_inv_prev itself)
+            return yb[:, :, -1]
+        # sparse mode carries the DCT of the previous frame
+        from audiocodec_tpu.ops import dct as _dct
+
+        z = _dct.dct4(
+            yb, mdct.dct_mat_inv, fast_bf16=mdct.fast_bf16,
+            precision=mdct.dct_precision,
+        )
+        return z[:, :, -1]
+
+    return step, seek_carry
+
+
+_DECODE_CHUNK = None
+
+
+def _decode_chunk_fns():
+    global _DECODE_CHUNK
+    if _DECODE_CHUNK is None:
+        _DECODE_CHUNK = _jit_decode_chunk()
+    return _DECODE_CHUNK
+
+
 def decode_stream(codec, path: str, start_chunk: int = 0):
     """Generator of waveform chunks from an .acs stream (seekable).
 
     Starting mid-stream only needs the previous chunk's last frame for the
     overlap-add carry; the first yielded chunk is then sample-exact.
     """
-    import jax.numpy as jnp
-
-    from audiocodec_tpu import quantize as _quantize
     from audiocodec_tpu import streaming
 
     mdct = codec.mdct
-
-    def make_dequant(meta):
-        """Mirror EXACTLY the encoder's threshold derivation (ms min-channel
-        sidecar, stream-global scale) so step sizes are bit-identical."""
-        ms = bool(meta.get("ms", False))
-        tscale = jnp.asarray(
-            meta.get("threshold_scale", 1.0), dtype=mdct.compute_dtype
-        )
-
-        def dequant(codes, bark):
-            if ms:
-                threshold = codec._ms_threshold(jnp.asarray(bark)[None])
-            else:
-                threshold = codec.psycho.bark_intensity_to_threshold(
-                    jnp.asarray(bark, dtype=mdct.compute_dtype)[None]
-                )
-            delta = _quantize.step_size(threshold * tscale)
-            spec = _quantize.dequantize(
-                jnp.asarray(codes)[None], delta, dtype=mdct.compute_dtype
-            )
-            return codec.from_mid_side(spec) if ms else spec
-
-        return dequant
-
+    step, seek_carry = _decode_chunk_fns()
     with StreamReader(path) as r:
         ch = r.meta["channels"]
-        dequant = make_dequant(r.meta)
+        ms = bool(r.meta.get("ms", False))
+        tscale = float(r.meta.get("threshold_scale", 1.0))
         carry = streaming.imdct_stream_init(mdct, 1, ch)
         if start_chunk > 0:
-            prev = dequant(*r.read_chunk(start_chunk - 1))[:, -1:]
-            yb = jnp.transpose(prev, (0, 3, 1, 2))
-            if mdct.dense_inv_cur is not None:
-                # dense mode carries the previous RAW spectral frame
-                # (imdct_stream_step applies dense_inv_prev itself)
-                carry = yb[:, :, -1]
-            else:
-                # sparse mode carries the DCT of the previous frame
-                from audiocodec_tpu.ops import dct as _dct
-
-                z = _dct.dct4(
-                    yb, mdct.dct_mat_inv, fast_bf16=mdct.fast_bf16,
-                    precision=mdct.dct_precision,
-                )
-                carry = z[:, :, -1]
+            codes, bark = r.read_chunk(start_chunk - 1)
+            carry = seek_carry(codec, codes, bark, tscale, ms)
         for i in range(start_chunk, r.n_chunks):
-            frames = dequant(*r.read_chunk(i))
-            carry, samples = streaming.imdct_stream_step(mdct, carry, frames)
+            codes, bark = r.read_chunk(i)
+            carry, samples = step(codec, carry, codes, bark, tscale, ms)
             yield samples
         tail = streaming.imdct_stream_flush(mdct, carry)
         yield tail

@@ -72,6 +72,43 @@ class TestContainerRoundTrip:
             partial, full[:, 16 * 64 :], atol=1e-6
         )
 
+    def test_jitted_chunk_path_bit_identical_to_eager(
+        self, codec, signal, tmp_path
+    ):
+        """encode_stream's jitted per-chunk step must produce the exact
+        bytes of an eager per-chunk loop (the pre-jit implementation): the
+        container path is bitstream-critical, so compiling it may not
+        change a single code."""
+        from audiocodec_tpu import streaming
+
+        path = str(tmp_path / "jit.acs")
+        sc.encode_stream(codec, signal, path, chunk_blocks=8)
+
+        eager_path = str(tmp_path / "eager.acs")
+        mdct = codec.mdct
+        chunk = 8 * mdct.filters_n
+        with sc.StreamWriter(
+            eager_path,
+            sample_rate=codec.psycho.sample_rate,
+            filters_n=mdct.filters_n,
+            bark_bands_n=codec.psycho.bark_bands_n,
+            alpha=codec.psycho.alpha,
+            window_type=mdct.window_type,
+            channels=1,
+            compute_dtype=str(jnp.dtype(mdct.compute_dtype)),
+        ) as w:
+            carry = streaming.mdct_stream_init(mdct, 1, 1)
+            for start in range(0, signal.shape[1], chunk):
+                carry, frames = streaming.mdct_stream_step(
+                    mdct, carry, signal[:, start : start + chunk]
+                )
+                w.append(*codec.quantize_frames(frames, 0.0))
+            last = streaming.mdct_stream_flush(mdct, carry)
+            w.append(*codec.quantize_frames(last, 0.0))
+
+        with open(path, "rb") as f1, open(eager_path, "rb") as f2:
+            assert f1.read() == f2.read()
+
     def test_bad_magic_raises(self, tmp_path):
         path = str(tmp_path / "x.acs")
         with open(path, "wb") as f:
