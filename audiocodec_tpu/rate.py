@@ -99,19 +99,51 @@ def encode_with_target_bitrate_batch(
     meta = _meta(codec, ms)
     bark_np = np.asarray(bark16)
 
+    # K x B trial packs between the two device passes were the measured
+    # host bottleneck at batch scale (a 64-clip batch at 8 trials = 512+
+    # sequential packs). The native Rice coder and zlib both release the
+    # GIL, so a thread pool turns that into a cores-wide fan-out; the
+    # pure-Python Rice fallback degrades gracefully to serial speed.
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(
+        max_workers=min(32, (_os.cpu_count() or 4))
+    )
+    try:
+        return _search(
+            pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
+            target_kbps, tolerance, trials_per_round, log2_scale_range,
+        )
+    finally:
+        pool.shutdown(wait=False)
+
+
+def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
+            target_kbps, tolerance, trials_per_round, log2_scale_range):
+    def _pack_one(codes_b, bark_b, scale):
+        return _bitstream.pack(
+            codes_b, bark_b, threshold_scale=scale, **meta
+        )
+
     def sizes(log2_scales):
-        """Pack every (trial, clip) and return kbps [K, B]."""
+        """Pack every (trial, clip) concurrently; return kbps [K, B]."""
         codes = np.asarray(quantize_trials(jnp.exp2(jnp.asarray(log2_scales))))
-        kbps = np.empty(log2_scales.shape)
-        for k in range(log2_scales.shape[0]):
-            for b in range(batch):
-                packed = _bitstream.pack(
-                    codes[k, b : b + 1],
-                    bark_np[b : b + 1],
-                    threshold_scale=float(2.0 ** log2_scales[k, b]),
-                    **meta,
+        k_n = log2_scales.shape[0]
+        pairs = [(k, b) for k in range(k_n) for b in range(batch)]
+        packs = pool.map(
+            lambda kb: len(
+                _pack_one(
+                    codes[kb[0], kb[1] : kb[1] + 1],
+                    bark_np[kb[1] : kb[1] + 1],
+                    float(2.0 ** log2_scales[kb[0], kb[1]]),
                 )
-                kbps[k, b] = len(packed) * 8 / seconds / 1000
+            ),
+            pairs,
+        )
+        kbps = np.empty(log2_scales.shape)
+        for (k, b), nbytes in zip(pairs, packs):
+            kbps[k, b] = nbytes * 8 / seconds / 1000
         return kbps
 
     k_trials = max(4, trials_per_round)
@@ -153,24 +185,26 @@ def encode_with_target_bitrate_batch(
     win_codes = np.asarray(
         quantize_trials(jnp.asarray(win_scales, dtype)[None, :])[0]
     )
-    results = []
-    for b in range(batch):
-        packed = _bitstream.pack(
-            win_codes[b : b + 1],
-            bark_np[b : b + 1],
+    final_packs = list(
+        pool.map(
+            lambda b: _pack_one(
+                win_codes[b : b + 1],
+                bark_np[b : b + 1],
+                float(win_scales[b]),
+            ),
+            range(batch),
+        )
+    )
+    return [
+        RateControlResult(
+            codes=win_codes[b : b + 1],
+            bark16=bark_np[b : b + 1],
             threshold_scale=float(win_scales[b]),
-            **meta,
+            kbps=len(final_packs[b]) * 8 / seconds / 1000,
+            packed=final_packs[b],
         )
-        results.append(
-            RateControlResult(
-                codes=win_codes[b : b + 1],
-                bark16=bark_np[b : b + 1],
-                threshold_scale=float(win_scales[b]),
-                kbps=len(packed) * 8 / seconds / 1000,
-                packed=packed,
-            )
-        )
-    return results
+        for b in range(batch)
+    ]
 
 
 def encode_with_target_bitrate(
