@@ -120,6 +120,52 @@ int64_t decode_samples(const WavInfo& info, float* out, int64_t max_frames) {
   return frames;
 }
 
+// Decode interleaved samples straight to int16 wire values (the PCM16
+// scale the device-side dequant divides by 32768). For PCM16 sources this
+// is a straight copy — no float round trip at all; wider formats round to
+// the nearest 16-bit value. Returns frames decoded.
+int64_t decode_samples_i16(const WavInfo& info, int16_t* out,
+                           int64_t max_frames) {
+  const int bytes_per = info.bits / 8;
+  const int64_t frames_avail =
+      static_cast<int64_t>(info.data_len) / (bytes_per * info.channels);
+  const int64_t frames = frames_avail < max_frames ? frames_avail : max_frames;
+  const int64_t values = frames * info.channels;
+  const uint8_t* p = info.data;
+
+  auto clamp16 = [](int64_t v) -> int16_t {
+    if (v > 32767) v = 32767;
+    if (v < -32768) v = -32768;
+    return static_cast<int16_t>(v);
+  };
+
+  if (info.format == 3) {  // float32 in [-1, 1]
+    for (int64_t i = 0; i < values; ++i) {
+      float f;
+      std::memcpy(&f, p + i * 4, 4);
+      double v = static_cast<double>(f) * 32768.0;
+      out[i] = clamp16(static_cast<int64_t>(v < 0 ? v - 0.5 : v + 0.5));
+    }
+  } else if (info.bits == 16) {
+    std::memcpy(out, p, static_cast<size_t>(values) * 2);
+  } else if (info.bits == 24) {
+    for (int64_t i = 0; i < values; ++i) {
+      const uint8_t* s = p + i * 3;
+      int32_t v = static_cast<int32_t>(s[0]) | (static_cast<int32_t>(s[1]) << 8) |
+                  (static_cast<int32_t>(s[2]) << 16);
+      if (v & 0x800000) v -= 0x1000000;
+      out[i] = clamp16((static_cast<int64_t>(v) + 128) >> 8);
+    }
+  } else {  // 32-bit PCM
+    for (int64_t i = 0; i < values; ++i) {
+      int32_t v;
+      std::memcpy(&v, p + i * 4, 4);
+      out[i] = clamp16((static_cast<int64_t>(v) + 32768) >> 16);
+    }
+  }
+  return frames;
+}
+
 int read_file(const char* path, std::vector<uint8_t>* buf) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
@@ -134,6 +180,58 @@ int read_file(const char* path, std::vector<uint8_t>* buf) {
   size_t got = std::fread(buf->data(), 1, buf->size(), f);
   std::fclose(f);
   return got == buf->size() ? 0 : -1;
+}
+
+// Shared corpus loader over the output sample type: decode n_paths files
+// in parallel into out[n_paths, clip_frames, channels] (row-major). Each
+// clip is truncated or zero-padded to exactly clip_frames.
+template <typename T>
+int64_t load_corpus_generic(const char** paths, int64_t n_paths, T* out,
+                            int64_t clip_frames, int32_t channels,
+                            int32_t n_threads, int32_t* status,
+                            int64_t (*decode)(const WavInfo&, T*, int64_t)) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 4;
+  }
+  std::atomic<int64_t> next(0), ok_count(0);
+  const int64_t clip_values = clip_frames * channels;
+
+  auto worker = [&]() {
+    std::vector<uint8_t> buf;
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_paths) break;
+      T* dst = out + i * clip_values;
+      std::memset(dst, 0, static_cast<size_t>(clip_values) * sizeof(T));
+      buf.clear();
+      if (read_file(paths[i], &buf) != 0) {
+        status[i] = -1;
+        continue;
+      }
+      WavInfo info;
+      int rc = parse_wav(buf.data(), buf.size(), &info);
+      if (rc != 0) {
+        status[i] = rc;
+        continue;
+      }
+      if (static_cast<int32_t>(info.channels) != channels) {
+        status[i] = -5;  // channel mismatch
+        continue;
+      }
+      decode(info, dst, clip_frames);
+      status[i] = 0;
+      ok_count.fetch_add(1);
+    }
+  };
+
+  std::vector<std::thread> pool;
+  int32_t threads = n_threads < n_paths ? n_threads
+                                        : static_cast<int32_t>(n_paths);
+  pool.reserve(static_cast<size_t>(threads));
+  for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return ok_count.load();
 }
 
 }  // namespace
@@ -163,48 +261,20 @@ int acx_decode_wav(const char* path, float* out, int64_t capacity_frames,
 int64_t acx_load_corpus(const char** paths, int64_t n_paths, float* out,
                         int64_t clip_frames, int32_t channels,
                         int32_t n_threads, int32_t* status) {
-  if (n_threads <= 0) {
-    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
-    if (n_threads <= 0) n_threads = 4;
-  }
-  std::atomic<int64_t> next(0), ok_count(0);
-  const int64_t clip_values = clip_frames * channels;
+  return load_corpus_generic<float>(paths, n_paths, out, clip_frames,
+                                    channels, n_threads, status,
+                                    decode_samples);
+}
 
-  auto worker = [&]() {
-    std::vector<uint8_t> buf;
-    for (;;) {
-      int64_t i = next.fetch_add(1);
-      if (i >= n_paths) break;
-      float* dst = out + i * clip_values;
-      std::memset(dst, 0, static_cast<size_t>(clip_values) * 4);
-      buf.clear();
-      if (read_file(paths[i], &buf) != 0) {
-        status[i] = -1;
-        continue;
-      }
-      WavInfo info;
-      int rc = parse_wav(buf.data(), buf.size(), &info);
-      if (rc != 0) {
-        status[i] = rc;
-        continue;
-      }
-      if (static_cast<int32_t>(info.channels) != channels) {
-        status[i] = -5;  // channel mismatch
-        continue;
-      }
-      decode_samples(info, dst, clip_frames);
-      status[i] = 0;
-      ok_count.fetch_add(1);
-    }
-  };
-
-  std::vector<std::thread> pool;
-  int32_t threads = n_threads < n_paths ? n_threads
-                                        : static_cast<int32_t>(n_paths);
-  pool.reserve(static_cast<size_t>(threads));
-  for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
-  for (auto& th : pool) th.join();
-  return ok_count.load();
+// Same, but decoding straight to the int16 H2D wire (see decode_samples_i16):
+// for PCM16 corpora this is memcpy-speed and skips the float round trip
+// (decode->float->rint->clip->int16) that bound ingest on 1-core hosts.
+int64_t acx_load_corpus_i16(const char** paths, int64_t n_paths, int16_t* out,
+                            int64_t clip_frames, int32_t channels,
+                            int32_t n_threads, int32_t* status) {
+  return load_corpus_generic<int16_t>(paths, n_paths, out, clip_frames,
+                                      channels, n_threads, status,
+                                      decode_samples_i16);
 }
 
 // Write interleaved float32 [-1, 1] as PCM (width 2 or 4 bytes).

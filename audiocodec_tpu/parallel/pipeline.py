@@ -83,19 +83,17 @@ class PrefetchingCorpusLoader:
         try:
             for start in range(0, len(self._paths), self._batch_size):
                 chunk = self._paths[start : start + self._batch_size]
+                # int16 wire decodes STRAIGHT to PCM16 integers in C++
+                # (memcpy for PCM16 sources) — no float round trip, no
+                # host-side re-quantization passes
                 host, status = native.load_corpus(
                     chunk,
                     clip_seconds=self._clip_seconds,
                     sample_rate=self._sample_rate,
                     channels=self._channels,
                     n_threads=self._decode_threads,
+                    dtype=self._wire_dtype,
                 )
-                if self._wire_dtype == "int16":
-                    import numpy as np
-
-                    host = np.clip(
-                        np.rint(host * 32768.0), -32768, 32767
-                    ).astype(np.int16)
                 if self._sharding is not None:
                     dev = jax.device_put(host, self._sharding)
                 else:
@@ -143,11 +141,120 @@ class PrefetchingCorpusLoader:
         return -(-len(self._paths) // self._batch_size)
 
 
-def encode_corpus_streaming(codec, paths, mesh=None, **loader_kwargs):
+def build_corpus_cache(paths, cache_path: str, *, clip_seconds: float,
+                       sample_rate: int, channels: int = 1,
+                       batch_size: int = 64, decode_threads: int = 0):
+    """Preprocess a WAV corpus into a raw int16 PCM cache for repeat
+    epochs: decode once (native, multithreaded, straight to the wire
+    format), then every later epoch memmaps page-cached PCM — zero WAV
+    parsing, zero conversion, only the H2D transfer remains.
+
+    Writes ``cache_path`` (.npy, [clips, frames, channels] int16) plus a
+    ``<cache_path>.meta.npz`` sidecar (per-clip decode status + framing).
+
+    :return: status int32 [n] (0 = ok per clip).
+    """
+    import numpy as np
+
+    frames = int(clip_seconds * sample_rate)
+    n = len(paths)
+    arr = np.lib.format.open_memmap(
+        cache_path, mode="w+", dtype=np.int16, shape=(n, frames, channels)
+    )
+    status_all = np.empty(n, dtype=np.int32)
+    for start in range(0, n, batch_size):
+        chunk = list(paths[start : start + batch_size])
+        host, status = native.load_corpus(
+            chunk, clip_seconds=clip_seconds, sample_rate=sample_rate,
+            channels=channels, n_threads=decode_threads, dtype="int16",
+        )
+        arr[start : start + len(chunk)] = host
+        status_all[start : start + len(chunk)] = status
+    arr.flush()
+    np.savez(
+        cache_path + ".meta.npz",
+        status=status_all,
+        sample_rate=np.asarray([sample_rate], dtype=np.int64),
+        clip_seconds=np.asarray([clip_seconds], dtype=np.float64),
+    )
+    return status_all
+
+
+class CachedCorpusLoader:
+    """Iterate device-resident batches from a prebuilt PCM cache (see
+    :func:`build_corpus_cache`) — the repeat-epoch fast path. Same
+    iterator contract as :class:`PrefetchingCorpusLoader`: yields
+    (device batch, status int32 [b]) with a background prefetch thread
+    overlapping page-cache reads + H2D with device compute."""
+
+    def __init__(self, cache_path: str, batch_size: int = 64,
+                 prefetch: int = 2, sharding=None):
+        import numpy as np
+
+        self._arr = np.load(cache_path, mmap_mode="r")
+        meta = np.load(cache_path + ".meta.npz")
+        self._status = meta["status"]
+        self._batch_size = batch_size
+        self._prefetch = max(1, prefetch)
+        self._sharding = sharding
+
+    def _producer(self, q, stop, errbox):
+        try:
+            n = self._arr.shape[0]
+            for start in range(0, n, self._batch_size):
+                host = self._arr[start : start + self._batch_size]
+                status = self._status[start : start + self._batch_size]
+                if self._sharding is not None:
+                    dev = jax.device_put(host, self._sharding)
+                else:
+                    dev = jax.device_put(host)
+                while not stop.is_set():
+                    try:
+                        q.put((dev, status), timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except Exception as e:
+            errbox.append(e)
+        finally:
+            try:
+                q.put(None, timeout=5.0)
+            except queue.Full:
+                pass
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self._prefetch)
+        stop = threading.Event()
+        errbox: list = []
+        thread = threading.Thread(
+            target=self._producer, args=(q, stop, errbox), daemon=True
+        )
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    if errbox:
+                        raise errbox[0]
+                    return
+                yield item
+        finally:
+            stop.set()
+
+    def __len__(self):
+        return -(-self._arr.shape[0] // self._batch_size)
+
+
+def encode_corpus_streaming(codec, paths, mesh=None, cache_path=None,
+                            **loader_kwargs):
     """End-to-end prefetched corpus encode: paths -> per-batch codes.
 
     Combines the background loader with the sharded encoder; decode/H2D of
-    batch k+1 overlaps the chip encoding batch k.
+    batch k+1 overlaps the chip encoding batch k. With ``cache_path`` set
+    (a :func:`build_corpus_cache` artifact), batches come from the PCM
+    memmap instead of per-epoch WAV decoding.
 
     :return: list of (codes, delta, status) per batch (device-resident).
     """
@@ -160,9 +267,17 @@ def encode_corpus_streaming(codec, paths, mesh=None, **loader_kwargs):
     encoder = _corpus.make_corpus_encoder(codec, mesh, quantized=True)
     dp = mesh.shape["dp"]
 
+    if cache_path is not None:
+        for k in ("clip_seconds", "sample_rate", "channels", "wire_dtype",
+                  "decode_threads"):
+            loader_kwargs.pop(k, None)  # framing lives in the cache
+        loader = CachedCorpusLoader(cache_path, **loader_kwargs)
+    else:
+        loader = PrefetchingCorpusLoader(paths, **loader_kwargs)
+
     results = []
     n = codec.mdct.filters_n
-    for batch, status in PrefetchingCorpusLoader(paths, **loader_kwargs):
+    for batch, status in loader:
         if jnp.issubdtype(batch.dtype, jnp.integer):
             batch = _dequant_wire(batch, jnp.dtype(codec.mdct.compute_dtype))
         # clip_seconds need not be block-aligned; trim to whole MDCT blocks

@@ -95,6 +95,31 @@ class TestCorpusLoader:
         )
         assert status[0] == -1
 
+    def test_int16_wire_load_bit_exact_for_pcm16(self, tmp_path):
+        """dtype='int16' decodes PCM16 sources to the exact stored
+        integers (memcpy path — no float round trip), identical to
+        re-quantizing the float path onto the wire."""
+        paths = []
+        for i in range(4):
+            p, _ = _make_wav(tmp_path, f"w{i}.wav", frames=3000, seed=100 + i)
+            paths.append(p)
+        f32, st_f = native.load_corpus(
+            paths, clip_seconds=0.25, sample_rate=16000, channels=1
+        )
+        i16, st_i = native.load_corpus(
+            paths, clip_seconds=0.25, sample_rate=16000, channels=1,
+            dtype="int16",
+        )
+        assert i16.dtype == np.int16 and (st_i == 0).all()
+        want = np.clip(np.rint(f32 * 32768.0), -32768, 32767).astype(np.int16)
+        np.testing.assert_array_equal(i16, want)
+
+    def test_int16_wire_bad_dtype_rejected(self):
+        with pytest.raises(ValueError, match="dtype"):
+            native.load_corpus(
+                [], clip_seconds=0.1, sample_rate=16000, dtype="int8"
+            )
+
 
 class TestRiceCoding:
     def test_roundtrip_geometric(self):

@@ -129,3 +129,48 @@ class TestInt16Wire:
         for (c0, d0, _), (c1, d1, _) in zip(ref, i16):
             np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
             np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
+class TestCorpusCache:
+    """build_corpus_cache + CachedCorpusLoader: the repeat-epoch path —
+    one native decode ever, then memmapped PCM batches."""
+
+    def test_cache_roundtrip_and_encode_parity(self, corpus, tmp_path):
+        from audiocodec_tpu.parallel.pipeline import (
+            CachedCorpusLoader,
+            build_corpus_cache,
+        )
+
+        paths, _ = corpus
+        cache = str(tmp_path / "corpus_cache.npy")
+        status = build_corpus_cache(
+            paths, cache, clip_seconds=4 * 64 / 16000, sample_rate=16000,
+            batch_size=4,
+        )
+        assert (status == 0).all()
+
+        # cached batches == live int16-wire batches, bit for bit
+        live = PrefetchingCorpusLoader(
+            paths, clip_seconds=4 * 64 / 16000, sample_rate=16000,
+            batch_size=4, wire_dtype="int16",
+        )
+        cached = CachedCorpusLoader(cache, batch_size=4)
+        assert len(cached) == len(live)
+        for (lb, ls), (cb, cs) in zip(live, cached):
+            np.testing.assert_array_equal(np.asarray(lb), np.asarray(cb))
+            np.testing.assert_array_equal(np.asarray(ls), np.asarray(cs))
+
+        # end-to-end: encode through the cache == encode from WAVs
+        codec = Codec.create(16000, filters_n=64, bark_bands_n=16)
+        mesh = _mesh.make_mesh(n_devices=2)
+        kwargs = dict(mesh=mesh, batch_size=4)
+        ref = encode_corpus_streaming(
+            codec, paths, clip_seconds=4 * 64 / 16000, sample_rate=16000,
+            wire_dtype="int16", **kwargs,
+        )
+        got = encode_corpus_streaming(
+            codec, paths, cache_path=cache, **kwargs
+        )
+        for (c0, d0, _), (c1, d1, _) in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+            np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
