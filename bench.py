@@ -169,10 +169,16 @@ def main():
                 "path": path,
                 "f32_quantized_value": round(thr_f32, 1),
                 "f32_vs_baseline": round(thr_f32 / BASELINE_AUDIO_SEC_PER_SEC, 2),
+                # NOTE: these SNRs are for THIS file's workload (10 s
+                # 440+1320 Hz two-tone + noise, B=32, N=1024). They are
+                # intentionally different numbers from RESULTS.md config
+                # 3b (its 10 s 440 Hz sine + noise signal scores bf16
+                # ~17.4 dB) — same codec, different test signal.
                 "snr_db": {
                     "f32": round(float(snr_f32), 2),
                     "bf16": round(float(snr_bf16), 2),
                 },
+                "snr_signal": "two-tone(440,1320)+noise 10s B=32 N=1024",
             }
         )
     )

@@ -23,6 +23,38 @@ class TestMultihost:
     def test_process_local_batch(self):
         assert multihost.process_local_batch(64) == 64  # single process
 
+    def test_two_process_distributed_smoke(self):
+        """The non-no-op branch of multihost.initialize: two local
+        processes form a jax.distributed job over a localhost coordinator
+        (4 virtual CPU devices each), build the 8-device global mesh, and
+        agree on a cross-process sharded reduction."""
+        import os
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        script = os.path.join(os.path.dirname(__file__), "_multihost_child.py")
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, script, str(i), str(port)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                env=env,
+                text=True,
+            )
+            for i in (0, 1)
+        ]
+        outs = [p.communicate(timeout=180)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out
+            assert "MULTIHOST_OK 8" in out, out
+
 
 class TestCheckify:
     def test_clean_pipeline_passes(self):

@@ -83,6 +83,34 @@ class TestQuantizedPath:
         ref = wave[:, filters_n:-filters_n]
         assert snr_db(ref, inner) > 20.0
 
+    def test_quantized_nmr_gate(self):
+        """Noise-to-mask ratio of the quantized path: mean((err/thr)^2)
+        is ~1/9 by construction (step = 2*thr/sqrt(3) -> uniform noise of
+        power thr^2/9). A psychoacoustic regression that moves noise above
+        the masking threshold at CONSTANT power blows this up while raw
+        SNR stays put — so this gate sees what the SNR gates cannot."""
+        filters_n = 256
+        codec = Codec.create(16000, filters_n=filters_n, bark_bands_n=32)
+        rng = np.random.default_rng(7)
+        t = np.arange(40 * filters_n) / 16000
+        wave = jnp.asarray(
+            np.clip(
+                0.5 * np.sin(2 * np.pi * 700 * t)
+                + 0.1 * rng.normal(size=t.size),
+                -1, 1,
+            ).astype(np.float32)[None, :, None]
+        )
+        spec = codec.mdct.transform(wave)
+        tonality = codec.psycho.tonality(spec)
+        threshold = codec.psycho.global_masking_threshold(spec, tonality)
+        codes, delta = quantize.quantize(spec, threshold)
+        err = quantize.dequantize(codes, delta) - spec
+        nmr = float(jnp.mean((err / threshold) ** 2))
+        # nominal ~0.11; ceiling at ~2x nominal, floor guards against a
+        # degenerate all-zero-codes regression reporting nmr ~ 0.33
+        # (err = spec >> thr would instead explode upward)
+        assert 0.01 < nmr < 0.25, nmr
+
     def test_quantized_noise_comparable_to_injection(self):
         """Quantization noise power is calibrated to the noise-injection
         path: SNRs should be within a few dB of each other."""
