@@ -89,12 +89,15 @@ class TestPallasKernelsOnHardware:
 
 
 class TestAutoDefault:
-    def test_auto_resolves_to_inverse_kernel_here(self):
+    def test_auto_resolves_to_both_kernels_here(self):
+        """Round 3: the independent-tile kernels beat XLA in BOTH
+        directions at multi-pass precision (docs/DESIGN.md §3), so auto
+        resolves to True on hardware."""
         from audiocodec_tpu.mdct import MDCT
 
         m = MDCT.create(1024)  # use_pallas="auto"
-        assert m.use_pallas == "inverse"
-        assert m.pfwd_mat is None and m.pinv_mat is not None
+        assert m.use_pallas is True
+        assert m.pfwd_mat is not None and m.pinv_mat is not None
         rng = np.random.default_rng(5)
         x = jnp.asarray(
             rng.uniform(-1, 1, (1, 8 * 1024, 1)), dtype=jnp.float32
@@ -102,6 +105,47 @@ class TestAutoDefault:
         rt = jax.jit(lambda x: m.inverse_transform(m.transform(x)))(x)
         err = float(jnp.max(jnp.abs(x - rt[:, 1024:-1024])))
         assert err < 1e-5
+
+    def test_auto_stands_down_for_f32_default(self):
+        from audiocodec_tpu.mdct import MDCT
+
+        assert MDCT.create(1024, dct_precision="default").use_pallas is False
+        assert MDCT.create(
+            1024, compute_dtype=jnp.bfloat16, fast_bf16=True,
+            dct_precision="default",
+        ).use_pallas is True
+
+
+class TestLongBlocksOnHardware:
+    """N=2048 Mosaic codegen at the bf16 hi/lo split tier ('high') —
+    the tier that exists because native HIGHEST exceeds scoped VMEM
+    past N=1024 (ops/pallas_mdct._mxu)."""
+
+    def test_n2048_high_round_trip(self):
+        from audiocodec_tpu.mdct import MDCT
+
+        mp = MDCT.create(2048, use_pallas=True, dct_precision="high")
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (1, 6 * 2048, 1)), dtype=jnp.float32
+        )
+        rt = jax.jit(lambda x: mp.inverse_transform(mp.transform(x)))(x)
+        err = float(jnp.max(jnp.abs(x - rt[:, 2048:-2048])))
+        assert err < 1e-3, err
+
+    def test_n2048_high_matches_xla(self):
+        from audiocodec_tpu.mdct import MDCT
+
+        m = MDCT.create(2048, dct_precision="high", use_pallas=False)
+        mp = MDCT.create(2048, use_pallas=True, dct_precision="high")
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (1, 6 * 2048, 1)), dtype=jnp.float32
+        )
+        want = np.asarray(jax.jit(m.transform)(x))
+        got = np.asarray(jax.jit(mp.transform)(x))
+        # different 3-pass lowerings (XLA HIGH vs explicit bf16 split)
+        np.testing.assert_allclose(got, want, atol=1e-4)
 
 
 class TestHardwarePrngNoise:
