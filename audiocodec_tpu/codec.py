@@ -48,12 +48,17 @@ class Codec:
         window_type="vorbis",
         compute_dtype=jnp.float32,
         fast_bf16: bool = False,
-        use_pallas: bool = False,
+        use_pallas="auto",
         dct_precision: str = "highest",
         bark_precision: str | None = None,
     ) -> "Codec":
         """Build the codec pytree.
 
+        :param use_pallas: defaults to ``"auto"`` — the composed pipeline
+            measures faster WITH the round-3 kernels wherever auto turns
+            them on (round_trip_quantized 2.71 vs 3.15 ms at f32 HIGHEST,
+            0.78 vs 0.85 ms bf16-fast on v5e — docs/DESIGN.md §3), so the
+            flagship path ships on them.
         :param bark_precision: matmul precision of the psychoacoustic
             Bark contractions; defaults to ``dct_precision`` (one knob for
             the whole pipeline). Decoders of transmitted bitstreams must

@@ -67,14 +67,18 @@ class MDCT:
         bf16 with f32 accumulation instead of upcasting (faster, slightly
         less accurate than the reference's upcast policy).
     :param use_pallas: which directions run the fused Pallas kernels
-        (ops/pallas_mdct.py). ``"auto"`` (create-time default) resolves to
-        ``"inverse"`` on a real TPU backend when eligible (N a multiple of
-        256, N <= 1024, non-float64) and ``False`` otherwise — the inverse
-        kernel beats the XLA path at every measured N <= 1024 standalone
-        config while the forward ties-to-trails (docs/DESIGN.md §3).
-        ``True`` = both directions, ``"forward"``/``"inverse"`` = that
-        direction only, ``False`` = pure-XLA. Composed pipelines (Codec)
-        default to False: inside one fused program XLA wins overall.
+        (ops/pallas_mdct.py). ``"auto"`` (create-time default) resolves on
+        a real TPU backend to ``True`` (both directions) wherever the
+        round-3 kernels measure faster than XLA — multi-pass precisions
+        (highest/high) at eligible N, and the bf16 ``fast_bf16`` path at
+        "default" — and ``False`` otherwise; in particular f32 at
+        ``dct_precision="default"`` stays XLA (the dense two-matmul wins:
+        Mosaic's dot sustains ~66 TF/s vs XLA's ~175 on this shape —
+        docs/DESIGN.md §3). ``True`` = both directions,
+        ``"forward"``/``"inverse"`` = that direction only, ``False`` =
+        pure-XLA. Composed pipelines inherit the same measured win
+        (round_trip_quantized 2.71 vs 3.15 ms at f32 HIGHEST, 0.78 vs
+        0.85 ms bf16-fast — docs/DESIGN.md §3).
     """
 
     filters_n: int
@@ -141,33 +145,48 @@ class MDCT:
                 "use_pallas must be one of False, True, 'auto', 'forward', "
                 f"'inverse'; got {use_pallas!r}"
             )
+        if dct_precision not in _dct.PRECISIONS:
+            raise ValueError(
+                f"dct_precision must be one of {sorted(_dct.PRECISIONS)}, "
+                f"got {dct_precision!r}"
+            )
+        # Hardware eligibility: N a lane-friendly multiple of 256, capped
+        # by measured Mosaic scoped-VMEM ceilings. "highest" caps at
+        # N=1024: Mosaic internally decomposes the VMEM-resident f32
+        # matrix to ~7x its bytes (measured 114.6 MiB at N=2048 vs the
+        # ~95 MiB cap). "high"/"default" pre-split into bf16 residents
+        # (no decomposition) and reach N=2048 — at N=4096 the residents
+        # plus Mosaic's tb-independent scoped overhead still demand
+        # 114.3 MiB even at 32-row tiles, so 4096 stays on XLA.
+        n_cap = 1024 if dct_precision == "highest" else 2048
         eligible = (
             filters_n % 256 == 0
-            and filters_n <= 4096
+            and filters_n <= n_cap
             and dtype != jnp.dtype(jnp.float64)
         )
         if use_pallas == "auto":
             # Resolve once at create time (stored resolved, so serialized
-            # configs replay deterministically): at multi-pass matmul
-            # precision the inverse kernel wins every measured standalone
-            # N<=1024 TPU config; the forward does not, and at "default"
-            # precision the dense two-matmul XLA path beats the kernel
-            # (docs/DESIGN.md §3). Anything but a real TPU backend can't
-            # run Mosaic kernels at speed.
+            # configs replay deterministically) to the measured winners
+            # (docs/DESIGN.md §3): both directions at multi-pass
+            # precision, and at one-pass "default" only the bf16
+            # fast_bf16 path (f32-default is where Mosaic's dot loses to
+            # XLA's dense two-matmul). Anything but a real TPU backend
+            # can't run Mosaic kernels at speed.
+            wins = dct_precision != "default" or (
+                dtype == jnp.dtype(jnp.bfloat16) and fast_bf16
+            )
             use_pallas = (
-                "inverse"
-                if eligible
-                and filters_n <= 1024
-                and dct_precision != "default"
-                and jax.default_backend() == "tpu"
-                else False
+                eligible and wins and jax.default_backend() == "tpu"
             )
         elif use_pallas and not eligible:
             raise ValueError(
                 "use_pallas requires filters_n to be a multiple of 256 "
-                "(half-lane slicing at the 128-lane boundary) and <= 4096, "
-                "and a non-float64 compute dtype; got filters_n="
-                f"{filters_n}, compute_dtype={dtype}"
+                "(half-lane slicing at the 128-lane boundary) and <= "
+                f"{n_cap} (2048 for high/default precision; 1024 at "
+                "highest — the kernels' matrix residents exceed Mosaic's "
+                "scoped VMEM beyond these, measured), and a non-float64 "
+                f"compute dtype; got filters_n={filters_n}, "
+                f"compute_dtype={dtype}, dct_precision={dct_precision!r}"
             )
         pallas_fwd = use_pallas in (True, "forward")
         pallas_inv = use_pallas in (True, "inverse")
@@ -205,11 +224,6 @@ class MDCT:
                     pinv_wb=jnp.asarray(ivb, dtype=fused_dtype),
                     pinv_mat=jnp.asarray(im, dtype=fused_dtype),
                 )
-        if dct_precision not in _dct.PRECISIONS:
-            raise ValueError(
-                f"dct_precision must be one of {sorted(_dct.PRECISIONS)}, "
-                f"got {dct_precision!r}"
-            )
         # Dense two-matmul mode: at one-pass ("default") matmul precision
         # the 2x-FLOP fold-into-matmul formulation beats the sparse fold's
         # lane-reversal passes; at multi-pass precisions the extra FLOPs

@@ -44,15 +44,18 @@ matmul->scatter on the block-reversed cotangent with a column-swapped M^T
 (and vice versa), so both are fully differentiable via jax.custom_vjp
 (pallas_call has no autodiff; the op is linear).
 
-Large blocks: the [N, N] matrix is DMA'd into VMEM scratch once per launch
-and stays resident for the whole grid (v5e-class VMEM is 128 MB — Mosaic's
-default 16 MB scoped limit is just conservative, so the call passes an
-explicit vmem_limit_bytes). Even N=4096 f32 (64 MB) stays resident; routing
-the matrix through scratch instead of a blocked input also avoids the
-pipeline's double buffering, which would double its footprint.
+Large blocks: the matrix residents (f32 at 'highest', bf16 hi/lo at
+'high', single bf16 at 'default' — see _mxu) are DMA'd into VMEM scratch
+once per launch and stay resident for the whole grid (v5e-class VMEM is
+128 MB — Mosaic's default 16 MB scoped limit is just conservative, so the
+call passes an explicit vmem_limit_bytes); routing them through scratch
+instead of blocked inputs also avoids the pipeline's double buffering,
+which would double their footprint. Measured hardware ceilings cap
+eligibility at N=1024 ('highest') / N=2048 ('high'/'default') — enforced
+with reasons in mdct.MDCT.create.
 
 Layout: channel-folded rows [rows = B*C, blocks, N]. N must be a multiple
-of 256 (half-lanes slice at h = N/2, a 128-lane boundary) and <= 4096.
+of 256 (half-lanes slice at h = N/2, a 128-lane boundary).
 
 Reference parity: this computes exactly the reference's transform
 (audiocodec/mdctransformer.py:62-153) including the blocks+1 framing; the
@@ -111,33 +114,74 @@ def _shift_add(v, h):
     return v[:, :h] + v[:, h:]
 
 
-def _load_matrix(m_hbm, m_s, sem_m):
-    """DMA the [N, N] matrix into VMEM scratch once, on the first grid
-    step; scratch persists across the (sequential on one core) grid, so
-    every later step reads it for free. Routing it through scratch instead
-    of a blocked input also avoids the pipeline's double buffering, which
-    would not fit at N=4096 f32 (2 x 64 MB)."""
+def _load_matrices(m_hbms, m_scratches, sems):
+    """DMA the [N, N] matrix (or its bf16 hi/lo split) into VMEM scratch
+    once, on the first grid step; scratch persists across the (sequential
+    on one core) grid, so every later step reads it for free. Routing it
+    through scratch instead of a blocked input also avoids the pipeline's
+    double buffering, which would not fit at N=4096 (2 x 64 MB f32)."""
     r, t = pl.program_id(0), pl.program_id(1)
 
     @pl.when(jnp.logical_and(r == 0, t == 0))
     def _():
-        cp = pltpu.make_async_copy(m_hbm, m_s, sem_m)
-        cp.start()
-        cp.wait()
+        for m_hbm, m_s, sem in zip(m_hbms, m_scratches, sems):
+            cp = pltpu.make_async_copy(m_hbm, m_s, sem)
+            cp.start()
+            cp.wait()
+
+
+def _mxu(u, m_scratches, prec_mode):
+    """The kernel's matmul, per precision tier.
+
+    'highest' uses Mosaic's native HIGHEST dot on the f32-resident matrix
+    — but Mosaic's internal hi/lo decomposition of a VMEM-resident [N, N]
+    f32 operand costs ~7x the matrix bytes of scoped VMEM (measured
+    114.6 MiB demanded at N=2048 vs the 95.5 MiB cap), so that tier is
+    hardware-eligible only at N <= 1024. 'high' sidesteps the
+    decomposition entirely: the matrix arrives PRE-SPLIT as two bf16
+    residents (hi + lo, same total bytes as f32) and the product runs as
+    three explicit one-pass bf16 matmuls with f32 accumulation
+    (xh@mh + xh@ml + xl@mh — the classic 3-pass split, ~1e-6 relative),
+    which is also ~2x faster than the 6-pass native HIGHEST. 'default'
+    is one bf16 pass against a single bf16 resident."""
+    if prec_mode == "highest":
+        return jnp.dot(
+            u, m_scratches[0][:, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    if prec_mode == "default":
+        return jnp.dot(
+            u.astype(jnp.bfloat16), m_scratches[0][:, :],
+            preferred_element_type=jnp.float32,
+        )
+    mh, ml = m_scratches[0][:, :], m_scratches[1][:, :]
+    uh = u.astype(jnp.bfloat16)
+    y = jnp.dot(uh, mh, preferred_element_type=jnp.float32) + jnp.dot(
+        uh, ml, preferred_element_type=jnp.float32
+    )
+    if u.dtype != jnp.bfloat16:  # bf16 inputs have no low part
+        ul = (u - uh.astype(u.dtype)).astype(jnp.bfloat16)
+        y = y + jnp.dot(ul, mh, preferred_element_type=jnp.float32)
+    return y
 
 
 def _fwd_kernel(
-    x_ref, halo_ref, wa_ref, wb_ref, m_hbm, out_ref, m_s, sem_m,
-    *, h, align, precision, out_dtype
+    x_ref, halo_ref, wa_ref, wb_ref, *rest,
+    n_mats, h, align, prec_mode, out_dtype
 ):
-    """Analysis tile: per-lane fold (VPU), then one matmul (MXU).
+    """Analysis tile: per-lane fold (VPU), then the matmul tier (MXU).
 
     Every tile is independent: the one-block halo x[t*tb - 1] arrives
     through ``halo_ref`` — an aligned 8/16-row window of the SAME input
     array ending at the tile start (overlapping BlockSpec) — instead of
     scratch carried across a serialized grid. Mosaic's standard pipeline
     therefore double-buffers all tile DMAs behind the matmul."""
-    _load_matrix(m_hbm, m_s, sem_m)
+    m_hbms = rest[:n_mats]
+    out_ref = rest[n_mats]
+    m_scratches = rest[n_mats + 1 : 2 * n_mats + 1]
+    sems = rest[2 * n_mats + 1 :]
+    _load_matrices(m_hbms, m_scratches, sems)
     t = pl.program_id(1)
     cur = x_ref[0]
     prev_last = halo_ref[0, align - 1 : align, :]
@@ -146,36 +190,26 @@ def _fwd_kernel(
     ta = prev * wa_ref[0:1, :]
     tc = cur * wb_ref[0:1, :]
     folded = jnp.concatenate([_shift_add(ta, h), _shift_add(tc, h)], axis=1)
-    out_ref[0] = jnp.dot(
-        folded,
-        m_s[:, :],
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    ).astype(out_dtype)
+    out_ref[0] = _mxu(folded, m_scratches, prec_mode).astype(out_dtype)
 
 
 def _inv_kernel(
-    y_ref, halo_ref, va_ref, vb_ref, m_hbm, out_ref, m_s, sem_m,
-    *, h, align, precision, out_dtype
+    y_ref, halo_ref, va_ref, vb_ref, *rest,
+    n_mats, h, align, prec_mode, out_dtype
 ):
-    """Synthesis tile: one matmul (MXU), then the per-lane scatter (VPU).
-
-    The halo frame z[t*tb - 1] is RECOMPUTED from its spectrum row (one
-    extra [1, N] @ [N, N] matmul, 1/tb overhead) rather than carried in
+    """Synthesis tile: the matmul tier (MXU), then the per-lane scatter
+    (VPU). The halo frame z[t*tb - 1] is RECOMPUTED from its spectrum row
+    (one extra [1, N] matmul, 1/tb overhead) rather than carried in
     scratch — same independence/pipelining rationale as _fwd_kernel."""
-    _load_matrix(m_hbm, m_s, sem_m)
+    m_hbms = rest[:n_mats]
+    out_ref = rest[n_mats]
+    m_scratches = rest[n_mats + 1 : 2 * n_mats + 1]
+    sems = rest[2 * n_mats + 1 :]
+    _load_matrices(m_hbms, m_scratches, sems)
     t = pl.program_id(1)
-    z = jnp.dot(
-        y_ref[0],
-        m_s[:, :],
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    ).astype(y_ref.dtype)
-    zh = jnp.dot(
-        halo_ref[0, align - 1 : align, :],
-        m_s[:, :],
-        preferred_element_type=jnp.float32,
-        precision=precision,
+    z = _mxu(y_ref[0], m_scratches, prec_mode).astype(y_ref.dtype)
+    zh = _mxu(
+        halo_ref[0, align - 1 : align, :], m_scratches, prec_mode
     ).astype(y_ref.dtype)
     zh = jnp.where(t == 0, jnp.zeros_like(zh), zh)
     zp = jnp.concatenate([zh, z[:-1]], axis=0)
@@ -187,21 +221,51 @@ def _inv_kernel(
     ).astype(out_dtype)
 
 
-def _tile_size(itemsize, num_out):
-    """Block-tile rows: 512 amortizes per-step grid overhead and keeps the
-    [tb, N] @ [N, N] matmul on large MXU passes; small inputs shrink to
-    the aligned cover of their frames."""
+# Scoped-VMEM planning, calibrated against real compiler rejections:
+# v5e VMEM is 128 MiB; the request below leaves the platform its reserve.
+# Beyond the matrix residents, measured scoped-stack demand runs ~25x the
+# [tb, N] tile bytes (double-buffered in/out tiles + fold/matmul
+# temporaries — a 4096-'high' compile demanded 113 MB at tb=112 with
+# 67 MB of residents), so tiles shrink against a 28x planning multiplier.
+_VMEM_REQUEST = 100 << 20
+_VMEM_PLAN = 88 << 20
+_TILE_COST = 28
+
+
+def _tile_size(itemsize, num_out, n, mat_bytes, precision):
+    """Block-tile rows: 512 amortizes per-step grid overhead and keeps
+    the [tb, N] @ [N, N] matmul on large MXU passes; small inputs shrink
+    to the aligned cover of their frames, and large N shrinks tb so the
+    residents + pipeline buffers + temporaries stay inside scoped VMEM.
+    At 'highest', Mosaic internally decomposes the f32 resident to ~7x
+    its bytes (the reason that tier caps at N=1024 — see _mxu)."""
     align = 16 if itemsize == 2 else 8
-    return min(512, -(-num_out // align) * align)
+    eff_mat = 7 * mat_bytes if precision == "highest" else mat_bytes
+    tb = min(512, -(-num_out // align) * align)
+    while (
+        tb > align
+        and eff_mat + _TILE_COST * tb * n * itemsize + (8 << 20) > _VMEM_PLAN
+    ):
+        # halve in ALIGNED units — Mosaic requires sublane-dim blocks in
+        # multiples of 8 (f32) / 16 (bf16)
+        tb = max(align, (tb // 2) // align * align)
+    return tb
 
 
-def _vmem_limit(n, tb, itemsize):
-    """Explicit scoped-VMEM budget: resident matrix + double-buffered
-    input/output tiles + halo windows + weights, plus compiler slack.
-    Mosaic's default limit is a conservative 16 MB; the hardware has
-    128 MB."""
-    need = (n * n + 4 * tb * n + 64 * n) * itemsize + (16 << 20)
-    return min(int(need), 127 << 20)
+def _split_mats(mat, precision):
+    """The per-tier matrix residents (see _mxu): f32 as-is at 'highest',
+    bf16 hi/lo split at 'high', single bf16 at 'default'. The split runs
+    in XLA before the kernel — O(N^2) elementwise, fused and negligible
+    next to the transform."""
+    if precision == "highest":
+        return (mat,)
+    mh = mat.astype(jnp.bfloat16)
+    if precision == "default":
+        return (mh,)
+    ml = (mat.astype(jnp.float32) - mh.astype(jnp.float32)).astype(
+        jnp.bfloat16
+    )
+    return (mh, ml)
 
 
 def _call(x, num_out, wa, wb, mat, precision, mode):
@@ -209,16 +273,14 @@ def _call(x, num_out, wa, wb, mat, precision, mode):
     h = n // 2
     itemsize = x.dtype.itemsize
     align = 16 if itemsize == 2 else 8
-    tb = _tile_size(itemsize, num_out)
+    mats = _split_mats(mat, precision)
+    mat_bytes = sum(int(m.size) * m.dtype.itemsize for m in mats)
+    tb = _tile_size(itemsize, num_out, n, mat_bytes, precision)
     n_tiles = pl.cdiv(num_out, tb)
     tpb = tb // align  # tile size in halo-window units
-    # Mosaic supports only DEFAULT and HIGHEST dot precisions; 'high'
-    # falls back to 'highest' inside kernels (accurate, slightly slower).
-    if precision == "high":
-        precision = "highest"
     body = _fwd_kernel if mode == _FOLD_MM else _inv_kernel
     kernel = functools.partial(
-        body, h=h, align=align, precision=_dct.PRECISIONS[precision],
+        body, n_mats=len(mats), h=h, align=align, prec_mode=precision,
         out_dtype=x.dtype,
     )
     return pl.pallas_call(
@@ -241,25 +303,28 @@ def _call(x, num_out, wa, wb, mat, precision, mode):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda r, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # matrix; DMA'd once
+        ] + [
+            pl.BlockSpec(memory_space=pl.ANY)  # matrices; DMA'd once
+            for _ in mats
         ],
         out_specs=pl.BlockSpec(
             (1, tb, n), lambda r, t: (r, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((rows, num_out, n), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((n, n), x.dtype),   # resident matrix
-            pltpu.SemaphoreType.DMA,       # matrix DMA
+            pltpu.VMEM((n, n), m.dtype) for m in mats  # residents
+        ] + [
+            pltpu.SemaphoreType.DMA for _ in mats      # their DMAs
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(n, tb, itemsize),
+            vmem_limit_bytes=_VMEM_REQUEST,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * rows * num_out * n * n,
+            flops=2 * rows * num_out * n * n * (3 if precision == "high" else 1),
             bytes_accessed=itemsize * rows * (blocks_n + num_out) * n,
             transcendentals=0,
         ),
-    )(x, x, wa, wb, mat)
+    )(x, x, wa, wb, *mats)
 
 
 def _pad_blocks(rows_arr):

@@ -56,25 +56,46 @@ class TestPallasForward:
 
 
 class TestPallasLongBlocks:
-    """N=2048: the resident-matrix path at sizes past the old 16 MB-budget
-    regime (matrix 16 MB f32; kept in VMEM via explicit vmem_limit)."""
+    """N=2048 runs at dct_precision="high": the bf16 hi/lo pre-split
+    residents sidestep Mosaic's f32 operand decomposition, whose scoped
+    VMEM demand caps the "highest" tier at N=1024 (pallas_mdct._mxu)."""
 
-    def test_n2048_forward_inverse(self):
+    def test_n2048_forward_inverse_high_precision(self):
         n, blocks = 2048, 3
-        m, mp = MDCT.create(n), MDCT.create(n, use_pallas=True)
+        m = MDCT.create(n, dct_precision="high")
+        mp = MDCT.create(n, use_pallas=True, dct_precision="high")
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.uniform(-1, 1, (1, blocks * n, 1)), jnp.float32)
         with pltpu.force_tpu_interpret_mode():
             got = mp.transform(x)
+        # "high" tiers differ in lowering (XLA 3-pass vs the kernel's
+        # explicit bf16 hi/lo split) — agreement to the split's ~1e-5
+        # relative error, not bit-exact
         np.testing.assert_allclose(
-            np.asarray(got), np.asarray(m.transform(x)), atol=1e-6
+            np.asarray(got), np.asarray(m.transform(x)), atol=1e-4
         )
         y = jnp.asarray(rng.uniform(-0.5, 0.5, (1, blocks, n, 1)), jnp.float32)
         with pltpu.force_tpu_interpret_mode():
             gi = mp.inverse_transform(y)
         np.testing.assert_allclose(
-            np.asarray(gi), np.asarray(m.inverse_transform(y)), atol=1e-3
+            np.asarray(gi), np.asarray(m.inverse_transform(y)), atol=5e-3
         )
+
+    def test_n2048_highest_rejected_with_reason(self):
+        with pytest.raises(ValueError, match="scoped VMEM"):
+            MDCT.create(2048, use_pallas=True)  # dct_precision="highest"
+
+    def test_high_precision_round_trip(self):
+        """The manual bf16x3 split must still reconstruct: PR error at
+        the split tier's tolerance."""
+        n = 512
+        mp = MDCT.create(n, use_pallas=True, dct_precision="high")
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 6 * n, 1)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            rt = mp.inverse_transform(mp.transform(x))
+        err = float(jnp.max(jnp.abs(x - rt[:, n:-n])))
+        assert err < 1e-3, err
 
 
 class TestPallasInverse:
@@ -114,8 +135,10 @@ class TestPallasValidation:
             MDCT.create(192, use_pallas=True)
         with pytest.raises(ValueError, match="multiple of 256"):
             MDCT.create(128, use_pallas=True)
-        with pytest.raises(ValueError, match="4096"):
-            MDCT.create(8192, use_pallas=True)
+        with pytest.raises(ValueError, match="1024"):
+            MDCT.create(8192, use_pallas=True)  # "highest" caps at 1024
+        with pytest.raises(ValueError, match="2048"):
+            MDCT.create(4096, use_pallas=True, dct_precision="high")
 
     def test_float64_rejected(self):
         with pytest.raises(ValueError, match="float64"):
