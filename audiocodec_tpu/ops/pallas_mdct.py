@@ -222,14 +222,22 @@ def _inv_kernel(
 
 
 # Scoped-VMEM planning, calibrated against real compiler rejections:
-# v5e VMEM is 128 MiB; the request below leaves the platform its reserve.
-# Beyond the matrix residents, measured scoped-stack demand runs ~25x the
-# [tb, N] tile bytes (double-buffered in/out tiles + fold/matmul
-# temporaries — a 4096-'high' compile demanded 113 MB at tb=112 with
-# 67 MB of residents), so tiles shrink against a 28x planning multiplier.
-_VMEM_REQUEST = 100 << 20
+# v5e VMEM is 128 MiB. Beyond the matrix residents, measured scoped-stack
+# demand runs ~25x the [tb, N] tile bytes (double-buffered in/out tiles +
+# fold/matmul temporaries — a 4096-'high' compile demanded 113 MB at
+# tb=112 with 67 MB of residents), so tiles shrink against a 28x planning
+# multiplier. The vmem_limit REQUEST is sized per call from the same
+# model, NOT a flat maximum: over-requesting starves the surrounding XLA
+# program of VMEM — a flat 100 MiB request measurably halved the
+# composed bf16 pipeline's throughput around an otherwise-identical
+# kernel.
 _VMEM_PLAN = 88 << 20
 _TILE_COST = 28
+
+
+def _vmem_request(eff_mat, tb, n, itemsize):
+    need = eff_mat + _TILE_COST * tb * n * itemsize + (8 << 20)
+    return min(int(need), 100 << 20)
 
 
 def _tile_size(itemsize, num_out, n, mat_bytes, precision):
@@ -275,6 +283,7 @@ def _call(x, num_out, wa, wb, mat, precision, mode):
     align = 16 if itemsize == 2 else 8
     mats = _split_mats(mat, precision)
     mat_bytes = sum(int(m.size) * m.dtype.itemsize for m in mats)
+    eff_mat = 7 * mat_bytes if precision == "highest" else mat_bytes
     tb = _tile_size(itemsize, num_out, n, mat_bytes, precision)
     n_tiles = pl.cdiv(num_out, tb)
     tpb = tb // align  # tile size in halo-window units
@@ -317,7 +326,7 @@ def _call(x, num_out, wa, wb, mat, precision, mode):
             pltpu.SemaphoreType.DMA for _ in mats      # their DMAs
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_REQUEST,
+            vmem_limit_bytes=_vmem_request(eff_mat, tb, n, itemsize),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * num_out * n * n * (3 if precision == "high" else 1),
