@@ -199,10 +199,17 @@ class CachedCorpusLoader:
         self._sharding = sharding
 
     def _producer(self, q, stop, errbox):
+        import numpy as np
+
         try:
             n = self._arr.shape[0]
             for start in range(0, n, self._batch_size):
-                host = self._arr[start : start + self._batch_size]
+                # materialize the memmap slice before the sharded put:
+                # device_put of a raw memmap view takes a ~10x slower
+                # transfer path than a regular contiguous array (measured)
+                host = np.ascontiguousarray(
+                    self._arr[start : start + self._batch_size]
+                )
                 status = self._status[start : start + self._batch_size]
                 if self._sharding is not None:
                     dev = jax.device_put(host, self._sharding)
