@@ -279,6 +279,137 @@ def _decode_stream(args):
     return 0
 
 
+def cmd_corpus(args):
+    """Bulk-encode a directory of WAVs into per-clip .acz bitstreams:
+    native thread-pool decode (straight to the int16 wire) -> prefetched
+    H2D -> mesh-sharded batched encode -> thread-pooled packing. With
+    --cache, the decoded corpus persists as a raw PCM .npy so repeat runs
+    skip WAV parsing entirely (parallel/pipeline.build_corpus_cache)."""
+    import functools
+    import glob as _glob
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiocodec_tpu.io import bitstream
+    from audiocodec_tpu.parallel import mesh as _mesh
+    from audiocodec_tpu.parallel.pipeline import (
+        CachedCorpusLoader,
+        PrefetchingCorpusLoader,
+        build_corpus_cache,
+    )
+
+    paths = sorted(
+        p
+        for pat in ("*.wav", "*.WAV")
+        for p in _glob.glob(os.path.join(args.indir, pat))
+    )
+    if not paths:
+        raise ValueError(f"no .wav files under {args.indir}")
+    os.makedirs(args.outdir, exist_ok=True)
+
+    codec = _build_codec(args.sample_rate, args)
+    if args.ms and args.channels != 2:
+        raise ValueError("--ms (joint mid/side) needs --channels 2")
+    mesh = _mesh.make_mesh()
+    wsh = _mesh.waveform_sharding(mesh)
+    n = args.filters_n
+    # batches must tile the mesh's dp axis: round the batch size up and
+    # pad the path list so every batch (incl. the last) is full; the pad
+    # entries decode as errors past the real clip count and are never
+    # packed (the loop below stops at len(paths)).
+    dp = mesh.shape["dp"]
+    batch = _mesh.pad_batch_to(args.batch, dp)
+    pad_n = (-len(paths)) % batch
+    all_paths = paths + [
+        os.path.join(args.indir, "__acx_pad_nonexistent__.wav")
+    ] * pad_n
+
+    @functools.partial(jax.jit, static_argnames=("ms",))
+    def encode_batch(b, ms):
+        x = (b.astype(jnp.float32) * (1.0 / 32768.0)).astype(
+            codec.mdct.compute_dtype
+        )
+        usable = x.shape[1] - x.shape[1] % n
+        frames = codec.mdct.transform(x[:, :usable])
+        return codec.quantize_frames(frames, args.drown, ms=ms)
+
+    if args.cache:
+        if not os.path.exists(args.cache):
+            status = build_corpus_cache(
+                all_paths, args.cache, clip_seconds=args.clip_seconds,
+                sample_rate=args.sample_rate, channels=args.channels,
+                batch_size=batch,
+            )
+            print(
+                f"built PCM cache {args.cache} "
+                f"({int((status[: len(paths)] == 0).sum())}/{len(paths)} "
+                "clips ok)"
+            )
+        loader = CachedCorpusLoader(
+            args.cache, batch_size=batch, sharding=wsh
+        )
+    else:
+        loader = PrefetchingCorpusLoader(
+            all_paths, clip_seconds=args.clip_seconds,
+            sample_rate=args.sample_rate, channels=args.channels,
+            batch_size=batch, sharding=wsh, wire_dtype="int16",
+        )
+
+    meta = dict(
+        sample_rate=args.sample_rate,
+        filters_n=n,
+        bark_bands_n=args.bark_bands_n,
+        alpha=args.alpha,
+        window_type=args.window if args.window != "none" else None,
+        compute_dtype=str(jnp.dtype(codec.mdct.compute_dtype)),
+        ms=args.ms,
+        bark_precision=codec.psycho.bark_precision,
+    )
+
+    def pack_one(idx, codes, bark):
+        stem = os.path.splitext(os.path.basename(paths[idx]))[0]
+        out = os.path.join(args.outdir, stem + ".acz")
+        return bitstream.save(out, codes[None], bark[None], **meta)
+
+    ok = failed = total_bytes = 0
+    base = 0
+    with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as ex:
+        for dev, status in loader:
+            codes, bark = encode_batch(dev, args.ms)
+            codes_h = np.asarray(codes)
+            bark_h = np.asarray(bark)
+            jobs = []
+            for j in range(codes_h.shape[0]):
+                idx = base + j
+                if idx >= len(paths):
+                    break
+                if status[j] != 0:
+                    failed += 1
+                    print(
+                        f"skip {paths[idx]}: decode error {int(status[j])}",
+                        file=sys.stderr,
+                    )
+                    continue
+                jobs.append(
+                    ex.submit(pack_one, idx, codes_h[j], bark_h[j])
+                )
+            for f in jobs:
+                total_bytes += f.result()
+                ok += 1
+            base += codes_h.shape[0]
+    seconds = ok * args.clip_seconds
+    kbps = total_bytes * 8 / max(seconds, 1e-9) / 1000
+    print(
+        f"encoded {ok}/{len(paths)} clips -> {args.outdir} "
+        f"({total_bytes} bytes, ~{kbps:.0f} kbit/s avg)"
+        + (f"; {failed} failed" if failed else "")
+    )
+    return 0 if ok else 1
+
+
 def cmd_info(args):
     from audiocodec_tpu.io import bitstream
 
@@ -367,6 +498,23 @@ def main(argv=None) -> int:
     p.add_argument("output")
     add_model_args(p)
     p.set_defaults(fn=cmd_roundtrip)
+
+    p = sub.add_parser(
+        "corpus", help="bulk-encode a directory of WAVs to .acz files"
+    )
+    p.add_argument("indir")
+    p.add_argument("outdir")
+    p.add_argument("--sample-rate", type=int, required=True,
+                   help="corpus sample rate (no resampling is performed)")
+    p.add_argument("--clip-seconds", type=float, default=10.0,
+                   help="uniform framing: clips truncate/zero-pad to this")
+    p.add_argument("--channels", type=int, default=1)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--cache", default="",
+                   help="raw-PCM cache .npy path: built on first run, "
+                        "memmapped on repeat runs (skips WAV decoding)")
+    add_model_args(p)
+    p.set_defaults(fn=cmd_corpus)
 
     p = sub.add_parser("info", help="inspect an .acz bitstream")
     p.add_argument("input")

@@ -236,8 +236,13 @@ _TILE_COST = 28
 
 
 def _vmem_request(eff_mat, tb, n, itemsize):
-    need = eff_mat + _TILE_COST * tb * n * itemsize + (8 << 20)
-    return min(int(need), 100 << 20)
+    # The non-resident scoped demand has a FLAT floor (~12-14 MB of
+    # fixed pipeline/temporary structures, observed at N=2048 'high'
+    # with an 8-row tile demanding 28.05 MiB against 17.6 MiB of
+    # residents) in addition to the tile-proportional ~28x term; take
+    # whichever is larger so tiny-tile launches don't under-request.
+    tiles = max(_TILE_COST * tb * n * itemsize, 14 << 20)
+    return min(int(eff_mat + tiles + (8 << 20)), 100 << 20)
 
 
 def _tile_size(itemsize, num_out, n, mat_bytes, precision):
@@ -281,6 +286,12 @@ def _call(x, num_out, wa, wb, mat, precision, mode):
     h = n // 2
     itemsize = x.dtype.itemsize
     align = 16 if itemsize == 2 else 8
+    if mat.dtype == jnp.bfloat16:
+        # bf16 operands admit exactly ONE matmul pass — higher precision
+        # tiers are identical math through Mosaic's (more scoped-VMEM-
+        # hungry, and for 'highest' decomposition-heavy) lowerings, so
+        # canonicalize to the single-pass tier.
+        precision = "default"
     mats = _split_mats(mat, precision)
     mat_bytes = sum(int(m.size) * m.dtype.itemsize for m in mats)
     eff_mat = 7 * mat_bytes if precision == "highest" else mat_bytes

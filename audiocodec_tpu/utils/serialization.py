@@ -61,7 +61,18 @@ def load_codec(path: str) -> Codec:
 
     if cfg.get("use_pallas") and jax.default_backend() != "tpu":
         cfg["use_pallas"] = False
-    return Codec.create(compute_dtype=dtype, **cfg)
+    try:
+        return Codec.create(compute_dtype=dtype, **cfg)
+    except ValueError:
+        if not cfg.get("use_pallas"):
+            raise
+        # A checkpoint can carry a use_pallas choice the CURRENT
+        # eligibility rules reject (round-2 configs allowed kernel sizes
+        # that round 3's measured hardware ceilings exclude). The kernel
+        # choice is a perf knob, never quantization-affecting, so degrade
+        # to the XLA path instead of refusing the checkpoint.
+        cfg["use_pallas"] = False
+        return Codec.create(compute_dtype=dtype, **cfg)
 
 
 def save_stream_state(path: str, enc_carry, dec_carry=None, offset=0) -> None:

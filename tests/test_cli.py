@@ -1,5 +1,7 @@
 """CLI + bitstream round-trip tests (encode -> decode -> SNR)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -462,6 +464,45 @@ class TestCorruptAcz:
             except ValueError:
                 raised += 1
         assert raised > 0  # the sweep actually exercised corruption paths
+
+
+class TestCorpusCommand:
+    def test_bulk_encode_with_cache(self, tmp_path):
+        """corpus: WAV dir -> per-clip .acz files; the cache round trips
+        (second run skips WAV decode) and every output decodes."""
+        from audiocodec_tpu import native
+        from audiocodec_tpu.io.wav import write_wav
+
+        if not native.available():
+            pytest.skip("corpus encode needs the native Rice coder")
+        indir = tmp_path / "wavs"
+        outdir = tmp_path / "out"
+        indir.mkdir()
+        rng = np.random.default_rng(0)
+        rate, frames = 16000, 4 * 256
+        for i in range(5):
+            x = rng.uniform(-0.7, 0.7, (frames, 1)).astype(np.float32)
+            write_wav(str(indir / f"clip{i}.wav"), x, rate)
+
+        cache = str(tmp_path / "corpus.npy")
+        argv = [
+            "corpus", str(indir), str(outdir),
+            "--sample-rate", str(rate),
+            "--clip-seconds", str(frames / rate),
+            "--batch", "2", "--filters-n", "256", "--bark-bands-n", "32",
+            "--cache", cache,
+        ]
+        assert cli.main(argv) == 0
+        outs = sorted(os.listdir(outdir))
+        assert outs == [f"clip{i}.acz" for i in range(5)]
+        # every artifact is a decodable bitstream with the right framing
+        codes, bark, meta = bitstream.load(str(outdir / outs[0]))
+        assert meta["filters_n"] == 256 and codes.shape[2] == 256
+        # repeat run uses the cache (and must not change the outputs)
+        before = (outdir / outs[1]).read_bytes()
+        assert os.path.exists(cache)
+        assert cli.main(argv) == 0
+        assert (outdir / outs[1]).read_bytes() == before
 
 
 class TestRateControlWithPrecision:

@@ -64,6 +64,30 @@ class TestLegacyConfigCompat:
         assert restored.mdct.dct_precision == "default"
 
 
+class TestIneligibleKernelConfigDowngrade:
+    def test_stale_use_pallas_size_downgrades_to_xla(self, tmp_path):
+        """A checkpoint whose use_pallas choice the current hardware
+        eligibility rules reject (round-2 allowed kernel sizes round 3
+        excludes) must load with the XLA path, not refuse — the kernel
+        choice is a perf knob, never quantization-affecting."""
+        import json
+
+        cfg = {
+            "sample_rate": 48000, "filters_n": 2048, "bark_bands_n": 64,
+            "alpha": 0.6, "window_type": "vorbis",
+            "compute_dtype": "float32", "fast_bf16": False,
+            # highest-precision kernels cap at N=1024 now
+            "use_pallas": True, "dct_precision": "highest",
+            "bark_precision": "highest",
+        }
+        path = str(tmp_path / "stale.json")
+        with open(path, "w") as f:
+            json.dump(cfg, f)
+        restored = serialization.load_codec(path)
+        assert restored.mdct.use_pallas is False
+        assert restored.mdct.filters_n == 2048
+
+
 class TestStreamStateSerialization:
     def test_stream_resume_across_checkpoint(self, tmp_path):
         codec = Codec.create(16000, filters_n=64, bark_bands_n=16)
