@@ -299,6 +299,7 @@ def cmd_corpus(args):
         CachedCorpusLoader,
         PrefetchingCorpusLoader,
         build_corpus_cache,
+        validate_corpus_cache,
     )
 
     paths = sorted(
@@ -327,11 +328,13 @@ def cmd_corpus(args):
         os.path.join(args.indir, "__acx_pad_nonexistent__.wav")
     ] * pad_n
 
+    from audiocodec_tpu.parallel.pipeline import _dequant_wire
+
     @functools.partial(jax.jit, static_argnames=("ms",))
     def encode_batch(b, ms):
-        x = (b.astype(jnp.float32) * (1.0 / 32768.0)).astype(
-            codec.mdct.compute_dtype
-        )
+        # the ONE int16-wire dequant definition (pipeline._dequant_wire):
+        # it is bit-critical, so the CLI must not carry its own copy
+        x = _dequant_wire(b, jnp.dtype(codec.mdct.compute_dtype))
         usable = x.shape[1] - x.shape[1] % n
         frames = codec.mdct.transform(x[:, :usable])
         return codec.quantize_frames(frames, args.drown, ms=ms)
@@ -348,6 +351,12 @@ def cmd_corpus(args):
                 f"({int((status[: len(paths)] == 0).sum())}/{len(paths)} "
                 "clips ok)"
             )
+        # a stale/mismatched cache must fail loudly, not pack one clip's
+        # audio under another clip's name (the cache is positional)
+        validate_corpus_cache(
+            args.cache, all_paths, clip_seconds=args.clip_seconds,
+            sample_rate=args.sample_rate, channels=args.channels,
+        )
         loader = CachedCorpusLoader(
             args.cache, batch_size=batch, sharding=wsh
         )

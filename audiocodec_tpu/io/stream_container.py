@@ -315,8 +315,14 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
 
     from audiocodec_tpu import streaming
 
+    from audiocodec_tpu.utils import dtypes as _dtypes
+
     mdct = codec.mdct
     n = mdct.filters_n
+    # dtype check BEFORE the device commit: jnp.asarray would silently
+    # canonicalize e.g. float64 -> float32, defeating the framework-wide
+    # no-implicit-casting contract this function previously enforced
+    _dtypes.check_input_dtype(x, mdct.compute_dtype, "encode_stream input")
     # Commit the signal to the device ONCE: chunk slices of a host numpy
     # array would otherwise ride jit's implicit-transfer path, which on
     # remote-attached backends is ~30x slower than an explicit put.

@@ -391,9 +391,15 @@ def _rice_decode_py(buf: np.ndarray, n: int, group: int) -> np.ndarray:
             m = bits_w.size - k + 1
             if m <= 0:
                 raise ValueError("corrupt rice stream")
-            v = np.zeros(m, dtype=np.int64)
+            # int32 suffices (k <= 16 -> values < 2^16) and bounds the
+            # per-table footprint to 4 B/bit; cap the cache so a stream
+            # cycling through many k values cannot pile up one table per
+            # k per window (17 x window-bits would be hundreds of MB)
+            if len(state["vk"]) >= 4:
+                state["vk"].clear()
+            v = np.zeros(m, dtype=np.int32)
             for j in range(k):
-                v += bits_w[j : j + m].astype(np.int64) << (k - 1 - j)
+                v += bits_w[j : j + m].astype(np.int32) << (k - 1 - j)
             state["vk"][k] = v
         return v
 

@@ -16,6 +16,7 @@
 // Supported formats: PCM 16/24/32-bit and IEEE float32, any channel count.
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -122,8 +123,15 @@ int64_t decode_samples(const WavInfo& info, float* out, int64_t max_frames) {
 
 // Decode interleaved samples straight to int16 wire values (the PCM16
 // scale the device-side dequant divides by 32768). For PCM16 sources this
-// is a straight copy — no float round trip at all; wider formats round to
-// the nearest 16-bit value. Returns frames decoded.
+// is a straight copy — no float round trip at all. Wider formats MIRROR
+// the float re-quantization path bit-exactly (decode to float32, scale by
+// 32768, round half-to-even like np.rint, clip): the same corpus must
+// encode to the same bitstream whether or not the C++ library built, and
+// identically to the pre-direct-decode releases. All the float32
+// intermediates below are exact (power-of-two scalings of <=24-bit
+// integers), so only the final nearbyintf rounds — in the default
+// to-nearest-even mode, matching np.rint. NaN samples map to 0 (defined,
+// where a raw int cast would be UB).
 int64_t decode_samples_i16(const WavInfo& info, int16_t* out,
                            int64_t max_frames) {
   const int bytes_per = info.bits / 8;
@@ -133,34 +141,37 @@ int64_t decode_samples_i16(const WavInfo& info, int16_t* out,
   const int64_t values = frames * info.channels;
   const uint8_t* p = info.data;
 
-  auto clamp16 = [](int64_t v) -> int16_t {
-    if (v > 32767) v = 32767;
-    if (v < -32768) v = -32768;
-    return static_cast<int16_t>(v);
+  auto to_i16 = [](float f) -> int16_t {
+    float r = std::nearbyintf(f * 32768.0f);
+    if (std::isnan(r)) return 0;
+    if (r > 32767.0f) return 32767;
+    if (r < -32768.0f) return -32768;
+    return static_cast<int16_t>(r);
   };
 
   if (info.format == 3) {  // float32 in [-1, 1]
     for (int64_t i = 0; i < values; ++i) {
       float f;
       std::memcpy(&f, p + i * 4, 4);
-      double v = static_cast<double>(f) * 32768.0;
-      out[i] = clamp16(static_cast<int64_t>(v < 0 ? v - 0.5 : v + 0.5));
+      out[i] = to_i16(f);
     }
   } else if (info.bits == 16) {
     std::memcpy(out, p, static_cast<size_t>(values) * 2);
   } else if (info.bits == 24) {
+    constexpr float kScale = 1.0f / 8388608.0f;
     for (int64_t i = 0; i < values; ++i) {
       const uint8_t* s = p + i * 3;
       int32_t v = static_cast<int32_t>(s[0]) | (static_cast<int32_t>(s[1]) << 8) |
                   (static_cast<int32_t>(s[2]) << 16);
       if (v & 0x800000) v -= 0x1000000;
-      out[i] = clamp16((static_cast<int64_t>(v) + 128) >> 8);
+      out[i] = to_i16(static_cast<float>(v) * kScale);
     }
   } else {  // 32-bit PCM
+    constexpr float kScale = 1.0f / 2147483648.0f;
     for (int64_t i = 0; i < values; ++i) {
       int32_t v;
       std::memcpy(&v, p + i * 4, 4);
-      out[i] = clamp16((static_cast<int64_t>(v) + 32768) >> 16);
+      out[i] = to_i16(static_cast<float>(v) * kScale);
     }
   }
   return frames;

@@ -176,8 +176,66 @@ def build_corpus_cache(paths, cache_path: str, *, clip_seconds: float,
         status=status_all,
         sample_rate=np.asarray([sample_rate], dtype=np.int64),
         clip_seconds=np.asarray([clip_seconds], dtype=np.float64),
+        channels=np.asarray([channels], dtype=np.int64),
+        # identity of the corpus the cache was built from — consumers
+        # validate against it so a stale cache can never silently pair
+        # the wrong audio with a clip (see validate_corpus_cache)
+        paths_hash=np.asarray([_paths_digest(paths)]),
     )
     return status_all
+
+
+def _paths_digest(paths) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in paths:
+        h.update(str(p).encode())
+        h.update(b"\0")
+    return h.hexdigest()
+
+
+def validate_corpus_cache(cache_path: str, paths, *, clip_seconds: float,
+                          sample_rate: int, channels: int = 1) -> None:
+    """Raise ValueError unless the cache at ``cache_path`` was built from
+    EXACTLY this corpus and framing. A silently-reused stale cache would
+    pack one clip's audio under another clip's name (the cache is
+    positional) — fail loudly instead and tell the user to rebuild."""
+    import numpy as np
+
+    arr = np.load(cache_path, mmap_mode="r")
+    meta = np.load(cache_path + ".meta.npz")
+    frames = int(clip_seconds * sample_rate)
+    problems = []
+    if "paths_hash" not in meta.files:
+        problems.append("cache predates corpus-identity validation")
+    elif str(meta["paths_hash"][0]) != _paths_digest(paths):
+        problems.append("file list differs from the one the cache holds")
+    if arr.shape[0] != len(paths):
+        problems.append(
+            f"cache holds {arr.shape[0]} clips, invocation has {len(paths)}"
+        )
+    if arr.shape[1] != frames:
+        problems.append(
+            f"cache framing {arr.shape[1]} frames != requested {frames}"
+        )
+    if arr.shape[2] != channels:
+        problems.append(
+            f"cache channels {arr.shape[2]} != requested {channels}"
+        )
+    if "sample_rate" in meta.files and int(meta["sample_rate"][0]) != int(
+        sample_rate
+    ):
+        problems.append(
+            f"cache sample_rate {int(meta['sample_rate'][0])} != "
+            f"requested {sample_rate}"
+        )
+    if problems:
+        raise ValueError(
+            f"PCM cache {cache_path} does not match this corpus/invocation "
+            f"({'; '.join(problems)}); delete it (and its .meta.npz) to "
+            "rebuild"
+        )
 
 
 class CachedCorpusLoader:
@@ -275,9 +333,22 @@ def encode_corpus_streaming(codec, paths, mesh=None, cache_path=None,
     dp = mesh.shape["dp"]
 
     if cache_path is not None:
-        for k in ("clip_seconds", "sample_rate", "channels", "wire_dtype",
-                  "decode_threads"):
-            loader_kwargs.pop(k, None)  # framing lives in the cache
+        framing = {
+            k: loader_kwargs.pop(k)
+            for k in ("clip_seconds", "sample_rate", "channels")
+            if k in loader_kwargs
+        }
+        loader_kwargs.pop("wire_dtype", None)
+        loader_kwargs.pop("decode_threads", None)
+        if {"clip_seconds", "sample_rate"} <= framing.keys():
+            # catch a stale/mismatched cache loudly (it is positional:
+            # silently wrong pairing would encode the wrong audio)
+            validate_corpus_cache(
+                cache_path, paths,
+                clip_seconds=framing["clip_seconds"],
+                sample_rate=framing["sample_rate"],
+                channels=framing.get("channels", 1),
+            )
         loader = CachedCorpusLoader(cache_path, **loader_kwargs)
     else:
         loader = PrefetchingCorpusLoader(paths, **loader_kwargs)

@@ -503,11 +503,19 @@ def config4_corpus(quick):
     # loaded process states (37 ms to ~2 s for the same 56 MB batch,
     # measured), so treat all ingest rows as rig-transport numbers.
     one = np.ascontiguousarray(np.load(cache_file, mmap_mode="r")[:batch])
-    jax.device_put(one, wsh).block_until_ready()
-    t_put = min(
-        timed(lambda: jax.device_put(one, wsh).block_until_ready(), iters=3)
-        for _ in range(2)
-    )
+
+    # honest completion signal: block_until_ready does NOT guarantee
+    # device completion on this remote backend (CLAUDE.md) — end in a
+    # scalar readback that cannot exist before the transfer landed
+    @jax.jit
+    def _touch(a):
+        return jnp.sum(a[:, :: max(1, a.shape[1] // 8)].astype(jnp.float32))
+
+    def _staged_put():
+        return float(_touch(jax.device_put(one, wsh)))
+
+    _staged_put()
+    t_put = min(timed(_staged_put, iters=3) for _ in range(2))
     put_ceiling = (batch * samples / sr) / t_put
     os.unlink(cache_file)
     os.unlink(cache_file + ".meta.npz")

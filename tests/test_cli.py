@@ -505,6 +505,44 @@ class TestCorpusCommand:
         assert (outdir / outs[1]).read_bytes() == before
 
 
+    def test_stale_cache_rejected(self, tmp_path):
+        """A cache built for a DIFFERENT file list (here: a clip added
+        afterwards) must fail loudly — a positional cache silently paired
+        with the wrong names would write clip B's audio into a.acz."""
+        from audiocodec_tpu import native
+        from audiocodec_tpu.io.wav import write_wav
+
+        if not native.available():
+            pytest.skip("corpus encode needs the native Rice coder")
+        indir = tmp_path / "wavs"
+        outdir = tmp_path / "out"
+        indir.mkdir()
+        rng = np.random.default_rng(1)
+        rate, frames = 16000, 4 * 256
+        for name in ("b.wav", "c.wav"):
+            write_wav(
+                str(indir / name),
+                rng.uniform(-0.7, 0.7, (frames, 1)).astype(np.float32),
+                rate,
+            )
+        cache = str(tmp_path / "c.npy")
+        argv = [
+            "corpus", str(indir), str(outdir),
+            "--sample-rate", str(rate),
+            "--clip-seconds", str(frames / rate),
+            "--batch", "2", "--filters-n", "256", "--bark-bands-n", "32",
+            "--cache", cache,
+        ]
+        assert cli.main(argv) == 0
+        # the corpus changes; reusing the cache must be refused
+        write_wav(
+            str(indir / "a.wav"),
+            rng.uniform(-0.7, 0.7, (frames, 1)).astype(np.float32),
+            rate,
+        )
+        assert cli.main(argv) == 1  # ValueError -> error exit
+
+
 class TestRateControlWithPrecision:
     def test_kbps_encode_records_precision(self, wav_file, tmp_path):
         """Rate-controlled encode at default precision: the trial-packed

@@ -120,6 +120,42 @@ class TestCorpusLoader:
                 [], clip_seconds=0.1, sample_rate=16000, dtype="int8"
             )
 
+    def test_int16_wire_half_even_parity_for_float_wav(self, tmp_path):
+        """Float-format WAVs must produce the SAME int16 wire through the
+        native direct decode as through the float path re-quantized with
+        np.rint (half-to-even) — including exact half-LSB samples, so the
+        same corpus encodes identically with or without the C++ lib."""
+        import struct
+
+        # includes exact halves 0.5/32768-style values and specials
+        vals = np.asarray(
+            [0.5 / 32768, 1.5 / 32768, -0.5 / 32768, -1.5 / 32768,
+             2.5 / 32768, 0.25, -0.75, 1.5, -2.0, 0.0],
+            np.float32,
+        )
+        frames = vals.size
+        data = vals.tobytes()
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 3, 1, 16000, 64000, 4, 32)
+            + b"data" + struct.pack("<I", len(data))
+        )
+        p = str(tmp_path / "f32.wav")
+        with open(p, "wb") as f:
+            f.write(hdr + data)
+
+        f32, _ = native.load_corpus(
+            [p], clip_seconds=frames / 16000, sample_rate=16000
+        )
+        i16, _ = native.load_corpus(
+            [p], clip_seconds=frames / 16000, sample_rate=16000,
+            dtype="int16",
+        )
+        want = np.clip(np.rint(f32 * 32768.0), -32768, 32767).astype(
+            np.int16
+        )
+        np.testing.assert_array_equal(i16, want)
+
 
 class TestRiceCoding:
     def test_roundtrip_geometric(self):
@@ -150,6 +186,32 @@ class TestRiceCoding:
         codes[::7] *= -1
         codes[13] = 123456789  # force an escape
         data = native.rice_encode(codes)
+        buf = np.frombuffer(data, dtype=np.uint8)
+        got = native._rice_decode_py(buf, codes.size, native.RICE_GROUP)
+        np.testing.assert_array_equal(got, codes)
+
+    def test_python_fallback_multi_window(self):
+        """A stream spanning several of the fallback decoder's 512 KB bit
+        windows, with k-parameter churn and escapes crossing window
+        boundaries, must decode exactly (the windowed tables slide)."""
+        rng = np.random.default_rng(3)
+        parts = []
+        # alternate dense/sparse sections so per-group k varies a lot
+        for i in range(8):
+            if i % 2:
+                parts.append(
+                    rng.integers(-(1 << 20), 1 << 20, 300_000).astype(
+                        np.int32
+                    )
+                )
+            else:
+                parts.append(
+                    (rng.geometric(0.6, 300_000) - 1).astype(np.int32)
+                )
+        codes = np.concatenate(parts)
+        codes[::100_003] = 2**30  # sprinkle escapes everywhere
+        data = native.rice_encode(codes)
+        assert len(data) > 3 * (1 << 19)  # really spans >3 windows
         buf = np.frombuffer(data, dtype=np.uint8)
         got = native._rice_decode_py(buf, codes.size, native.RICE_GROUP)
         np.testing.assert_array_equal(got, codes)

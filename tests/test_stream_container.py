@@ -72,6 +72,16 @@ class TestContainerRoundTrip:
             partial, full[:, 16 * 64 :], atol=1e-6
         )
 
+    def test_wrong_dtype_input_rejected(self, codec, signal, tmp_path):
+        """The no-implicit-casting contract: a float64 signal into an f32
+        codec's stream encoder must raise, not silently downcast (the
+        device-commit asarray must not swallow the check)."""
+        bad = np.asarray(signal, dtype=np.float64)
+        with pytest.raises(TypeError, match="never casts implicitly"):
+            sc.encode_stream(
+                codec, bad, str(tmp_path / "x.acs"), chunk_blocks=8
+            )
+
     def test_jitted_chunk_path_bit_identical_to_eager(
         self, codec, signal, tmp_path
     ):
