@@ -302,13 +302,25 @@ def cmd_corpus(args):
         validate_corpus_cache,
     )
 
-    paths = sorted(
-        p
-        for pat in ("*.wav", "*.WAV")
-        for p in _glob.glob(os.path.join(args.indir, pat))
-    )
+    # dedupe case-variant globs by normalized path: on case-insensitive
+    # filesystems *.wav and *.WAV both match every file, which would
+    # double-encode the whole corpus
+    seen = set()
+    paths = []
+    for pat in ("*.wav", "*.WAV"):
+        for p in _glob.glob(os.path.join(args.indir, pat)):
+            key = os.path.normcase(os.path.abspath(p))
+            if key not in seen:
+                seen.add(key)
+                paths.append(p)
+    paths.sort()
     if not paths:
         raise ValueError(f"no .wav files under {args.indir}")
+    if args.chunk_blocks:
+        raise ValueError(
+            "--chunk-blocks streams a single file to .acs; the corpus "
+            "command writes per-clip .acz containers only"
+        )
     os.makedirs(args.outdir, exist_ok=True)
 
     codec = _build_codec(args.sample_rate, args)
@@ -317,16 +329,13 @@ def cmd_corpus(args):
     mesh = _mesh.make_mesh()
     wsh = _mesh.waveform_sharding(mesh)
     n = args.filters_n
-    # batches must tile the mesh's dp axis: round the batch size up and
-    # pad the path list so every batch (incl. the last) is full; the pad
-    # entries decode as errors past the real clip count and are never
-    # packed (the loop below stops at len(paths)).
+    # batches must tile the mesh's dp axis: round the batch size up; the
+    # loaders zero-pad a short final batch host-side (pad_batches) so
+    # every yielded batch has one shape and shards evenly. The cache is
+    # built over the REAL paths only — its identity hash must not depend
+    # on --batch or the device count.
     dp = mesh.shape["dp"]
     batch = _mesh.pad_batch_to(args.batch, dp)
-    pad_n = (-len(paths)) % batch
-    all_paths = paths + [
-        os.path.join(args.indir, "__acx_pad_nonexistent__.wav")
-    ] * pad_n
 
     from audiocodec_tpu.parallel.pipeline import _dequant_wire
 
@@ -342,29 +351,29 @@ def cmd_corpus(args):
     if args.cache:
         if not os.path.exists(args.cache):
             status = build_corpus_cache(
-                all_paths, args.cache, clip_seconds=args.clip_seconds,
+                paths, args.cache, clip_seconds=args.clip_seconds,
                 sample_rate=args.sample_rate, channels=args.channels,
                 batch_size=batch,
             )
             print(
                 f"built PCM cache {args.cache} "
-                f"({int((status[: len(paths)] == 0).sum())}/{len(paths)} "
-                "clips ok)"
+                f"({int((status == 0).sum())}/{len(paths)} clips ok)"
             )
         # a stale/mismatched cache must fail loudly, not pack one clip's
         # audio under another clip's name (the cache is positional)
         validate_corpus_cache(
-            args.cache, all_paths, clip_seconds=args.clip_seconds,
+            args.cache, paths, clip_seconds=args.clip_seconds,
             sample_rate=args.sample_rate, channels=args.channels,
         )
         loader = CachedCorpusLoader(
-            args.cache, batch_size=batch, sharding=wsh
+            args.cache, batch_size=batch, sharding=wsh, pad_batches=True
         )
     else:
         loader = PrefetchingCorpusLoader(
-            all_paths, clip_seconds=args.clip_seconds,
+            paths, clip_seconds=args.clip_seconds,
             sample_rate=args.sample_rate, channels=args.channels,
             batch_size=batch, sharding=wsh, wire_dtype="int16",
+            pad_batches=True,
         )
 
     meta = dict(
@@ -378,20 +387,46 @@ def cmd_corpus(args):
         bark_precision=codec.psycho.bark_precision,
     )
 
-    def pack_one(idx, codes, bark):
+    def _out_path(idx):
         stem = os.path.splitext(os.path.basename(paths[idx]))[0]
-        out = os.path.join(args.outdir, stem + ".acz")
-        return bitstream.save(out, codes[None], bark[None], **meta)
+        return os.path.join(args.outdir, stem + ".acz")
+
+    def pack_one(idx, codes, bark):
+        return bitstream.save(_out_path(idx), codes[None], bark[None], **meta)
+
+    def write_packed(idx, data):
+        with open(_out_path(idx), "wb") as f:
+            f.write(data)
+        return len(data)
+
+    if args.kbps:
+        from audiocodec_tpu import rate as _rate
 
     ok = failed = total_bytes = 0
     base = 0
     with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as ex:
         for dev, status in loader:
-            codes, bark = encode_batch(dev, args.ms)
-            codes_h = np.asarray(codes)
-            bark_h = np.asarray(bark)
+            if args.kbps:
+                # rate-controlled corpus: every clip of the batch converges
+                # to its own threshold scale targeting --kbps (rate.py's
+                # vmapped two-round search); the search's final packed
+                # container IS the output file, so the written bytes are
+                # exactly the measured-rate bytes
+                x = _dequant_wire(dev, jnp.dtype(codec.mdct.compute_dtype))
+                usable = x.shape[1] - x.shape[1] % n
+                results = _rate.encode_with_target_bitrate_batch(
+                    codec, x[:, :usable], args.kbps,
+                    drown=args.drown, ms=args.ms,
+                )
+                payload = [res.packed for res in results]
+            else:
+                codes, bark = encode_batch(dev, args.ms)
+                codes_h = np.asarray(codes)
+                bark_h = np.asarray(bark)
+                payload = None
+            b_n = len(payload) if payload is not None else codes_h.shape[0]
             jobs = []
-            for j in range(codes_h.shape[0]):
+            for j in range(b_n):
                 idx = base + j
                 if idx >= len(paths):
                     break
@@ -402,13 +437,16 @@ def cmd_corpus(args):
                         file=sys.stderr,
                     )
                     continue
-                jobs.append(
-                    ex.submit(pack_one, idx, codes_h[j], bark_h[j])
-                )
+                if payload is not None:
+                    jobs.append(ex.submit(write_packed, idx, payload[j]))
+                else:
+                    jobs.append(
+                        ex.submit(pack_one, idx, codes_h[j], bark_h[j])
+                    )
             for f in jobs:
                 total_bytes += f.result()
                 ok += 1
-            base += codes_h.shape[0]
+            base += b_n
     seconds = ok * args.clip_seconds
     kbps = total_bytes * 8 / max(seconds, 1e-9) / 1000
     print(

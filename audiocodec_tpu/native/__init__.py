@@ -232,9 +232,13 @@ def load_corpus(
                 continue
             m = min(frames, data.shape[1])
             if dtype == "int16":
-                out[i, :m] = np.clip(
-                    np.rint(data[0, :m] * 32768.0), -32768, 32767
-                ).astype(np.int16)
+                v = np.rint(data[0, :m] * 32768.0)
+                # NaN -> 0 matches the C++ decoder (wavio.cpp
+                # decode_samples_i16); np.clip passes NaN through and
+                # astype(int16) of NaN is platform-defined, which would
+                # break with-vs-without-the-library bit identity
+                v = np.where(np.isnan(v), 0.0, v)
+                out[i, :m] = np.clip(v, -32768, 32767).astype(np.int16)
             else:
                 out[i, :m] = data[0, :m]
         return out, status

@@ -24,6 +24,39 @@ import jax.numpy as jnp
 
 from audiocodec_tpu import native
 
+#: status value marking synthetic zero rows added by ``pad_batches``
+PAD_STATUS = -2
+
+
+def _pad_batch_host(host, status, batch_size):
+    """Zero-pad a short batch to ``batch_size`` rows host-side (before
+    any sharded device_put) and mark the pad rows' status."""
+    import numpy as np
+
+    real = host.shape[0]
+    if real >= batch_size:
+        return host, status
+    host = np.concatenate(
+        [host, np.zeros((batch_size - real,) + host.shape[1:], host.dtype)]
+    )
+    status = np.concatenate(
+        [status, np.full(batch_size - real, PAD_STATUS, dtype=np.int32)]
+    )
+    return host, status
+
+
+def _put_sentinel(q, stop):
+    """Deliver the end-of-stream sentinel with the same bounded-put loop
+    as the batches: a fixed-timeout put could hit queue.Full while the
+    consumer sits in a long device compile and silently drop the
+    sentinel, leaving the consumer blocked in q.get() forever."""
+    while not stop.is_set():
+        try:
+            q.put(None, timeout=0.25)
+            return
+        except queue.Full:
+            continue
+
 
 @functools.partial(jax.jit, static_argnames="dtype")
 def _dequant_wire(b, dtype):
@@ -50,6 +83,11 @@ class PrefetchingCorpusLoader:
         float values are pcm/32768, so re-scaling recovers the original
         integers. Float-sourced WAVs lose sub-16-bit detail — keep
         float32 there.
+    :param pad_batches: zero-pad a short final batch to ``batch_size``
+        on the host BEFORE the sharded device_put (an uneven batch
+        cannot be placed under a dp sharding, and a second batch shape
+        would force a recompile). Pad rows carry status
+        ``PAD_STATUS`` (-2) so consumers skip them.
     :yields: (device array [b, frames, channels], status int32 [b]).
     """
 
@@ -64,6 +102,7 @@ class PrefetchingCorpusLoader:
         sharding=None,
         decode_threads: int = 0,
         wire_dtype: str = "float32",
+        pad_batches: bool = False,
     ):
         if wire_dtype not in ("float32", "int16"):
             raise ValueError(
@@ -78,6 +117,7 @@ class PrefetchingCorpusLoader:
         self._sharding = sharding
         self._decode_threads = decode_threads
         self._wire_dtype = wire_dtype
+        self._pad_batches = pad_batches
 
     def _producer(self, q, stop, errbox):
         try:
@@ -94,6 +134,10 @@ class PrefetchingCorpusLoader:
                     n_threads=self._decode_threads,
                     dtype=self._wire_dtype,
                 )
+                if self._pad_batches:
+                    host, status = _pad_batch_host(
+                        host, status, self._batch_size
+                    )
                 if self._sharding is not None:
                     dev = jax.device_put(host, self._sharding)
                 else:
@@ -111,10 +155,7 @@ class PrefetchingCorpusLoader:
         except Exception as e:  # surface on the consumer side
             errbox.append(e)
         finally:
-            try:
-                q.put(None, timeout=5.0)
-            except queue.Full:
-                pass
+            _put_sentinel(q, stop)
 
     def __iter__(self):
         # each iteration gets its own queue/thread so re-iteration or an
@@ -195,6 +236,23 @@ def _paths_digest(paths) -> str:
     return h.hexdigest()
 
 
+def _load_cache_meta(cache_path: str):
+    """The .meta.npz sidecar, or a loud ValueError. A missing sidecar is
+    the signature of an interrupted build (open_memmap creates the .npy
+    up front; the sidecar is written last) — tell the user to rebuild
+    instead of leaking a FileNotFoundError."""
+    import numpy as np
+
+    try:
+        return np.load(cache_path + ".meta.npz")
+    except FileNotFoundError:
+        raise ValueError(
+            f"PCM cache {cache_path} has no .meta.npz sidecar — the "
+            "cache build was interrupted before completion; delete "
+            f"{cache_path} and rebuild"
+        ) from None
+
+
 def validate_corpus_cache(cache_path: str, paths, *, clip_seconds: float,
                           sample_rate: int, channels: int = 1) -> None:
     """Raise ValueError unless the cache at ``cache_path`` was built from
@@ -204,7 +262,7 @@ def validate_corpus_cache(cache_path: str, paths, *, clip_seconds: float,
     import numpy as np
 
     arr = np.load(cache_path, mmap_mode="r")
-    meta = np.load(cache_path + ".meta.npz")
+    meta = _load_cache_meta(cache_path)
     frames = int(clip_seconds * sample_rate)
     problems = []
     if "paths_hash" not in meta.files:
@@ -246,15 +304,16 @@ class CachedCorpusLoader:
     overlapping page-cache reads + H2D with device compute."""
 
     def __init__(self, cache_path: str, batch_size: int = 64,
-                 prefetch: int = 2, sharding=None):
+                 prefetch: int = 2, sharding=None,
+                 pad_batches: bool = False):
         import numpy as np
 
         self._arr = np.load(cache_path, mmap_mode="r")
-        meta = np.load(cache_path + ".meta.npz")
-        self._status = meta["status"]
+        self._status = _load_cache_meta(cache_path)["status"]
         self._batch_size = batch_size
         self._prefetch = max(1, prefetch)
         self._sharding = sharding
+        self._pad_batches = pad_batches
 
     def _producer(self, q, stop, errbox):
         import numpy as np
@@ -269,6 +328,10 @@ class CachedCorpusLoader:
                     self._arr[start : start + self._batch_size]
                 )
                 status = self._status[start : start + self._batch_size]
+                if self._pad_batches:
+                    host, status = _pad_batch_host(
+                        host, status, self._batch_size
+                    )
                 if self._sharding is not None:
                     dev = jax.device_put(host, self._sharding)
                 else:
@@ -284,10 +347,7 @@ class CachedCorpusLoader:
         except Exception as e:
             errbox.append(e)
         finally:
-            try:
-                q.put(None, timeout=5.0)
-            except queue.Full:
-                pass
+            _put_sentinel(q, stop)
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self._prefetch)
@@ -340,15 +400,22 @@ def encode_corpus_streaming(codec, paths, mesh=None, cache_path=None,
         }
         loader_kwargs.pop("wire_dtype", None)
         loader_kwargs.pop("decode_threads", None)
-        if {"clip_seconds", "sample_rate"} <= framing.keys():
-            # catch a stale/mismatched cache loudly (it is positional:
-            # silently wrong pairing would encode the wrong audio)
-            validate_corpus_cache(
-                cache_path, paths,
-                clip_seconds=framing["clip_seconds"],
-                sample_rate=framing["sample_rate"],
-                channels=framing.get("channels", 1),
+        if not ({"clip_seconds", "sample_rate"} <= framing.keys()):
+            # without the framing there is nothing to validate the cache
+            # against, and an unvalidated positional cache can silently
+            # pair the wrong audio with a clip — refuse instead
+            raise ValueError(
+                "cache_path requires clip_seconds= and sample_rate= so "
+                "the cache can be validated against this corpus"
             )
+        # catch a stale/mismatched cache loudly (it is positional:
+        # silently wrong pairing would encode the wrong audio)
+        validate_corpus_cache(
+            cache_path, paths,
+            clip_seconds=framing["clip_seconds"],
+            sample_rate=framing["sample_rate"],
+            channels=framing.get("channels", 1),
+        )
         loader = CachedCorpusLoader(cache_path, **loader_kwargs)
     else:
         loader = PrefetchingCorpusLoader(paths, **loader_kwargs)

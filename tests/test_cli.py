@@ -559,3 +559,61 @@ class TestRateControlWithPrecision:
         assert cli.main(["decode", out, dec]) == 0
         wave, wrate = read_wav(dec)
         assert wrate == rate and wave.shape[1] > 0
+
+
+class TestCorpusRateControl:
+    def test_bulk_encode_with_kbps(self, tmp_path):
+        """corpus --kbps: each clip converges independently; the written
+        bytes are the rate search's own packed container (so the printed
+        average is the true on-disk rate), and every output decodes with
+        its threshold_scale recorded."""
+        from audiocodec_tpu import native
+        from audiocodec_tpu.io.wav import write_wav
+
+        if not native.available():
+            pytest.skip("corpus encode needs the native Rice coder")
+        indir = tmp_path / "wavs"
+        outdir = tmp_path / "out"
+        indir.mkdir()
+        rng = np.random.default_rng(7)
+        rate, frames = 16000, 8 * 256
+        for i in range(3):
+            t = np.arange(frames) / rate
+            x = (
+                0.4 * np.sin(2 * np.pi * (220 + 110 * i) * t)
+                + 0.05 * rng.standard_normal(frames)
+            ).astype(np.float32)[:, None]
+            write_wav(str(indir / f"clip{i}.wav"), x, rate)
+        argv = [
+            "corpus", str(indir), str(outdir),
+            "--sample-rate", str(rate),
+            "--clip-seconds", str(frames / rate),
+            "--batch", "2", "--filters-n", "256", "--bark-bands-n", "32",
+            "--kbps", "64",
+        ]
+        assert cli.main(argv) == 0
+        outs = sorted(os.listdir(outdir))
+        assert outs == [f"clip{i}.acz" for i in range(3)]
+        for name in outs:
+            codes, bark, meta = bitstream.load(str(outdir / name))
+            assert meta["filters_n"] == 256
+            assert float(meta["threshold_scale"]) > 0.0
+
+    def test_corpus_rejects_chunk_blocks(self, tmp_path):
+        """--chunk-blocks is a single-file .acs streaming option; the
+        corpus command writes per-clip .acz only and must refuse it
+        rather than silently ignore it."""
+        from audiocodec_tpu.io.wav import write_wav
+
+        indir = tmp_path / "wavs"
+        indir.mkdir()
+        write_wav(
+            str(indir / "a.wav"),
+            np.zeros((1024, 1), dtype=np.float32), 16000,
+        )
+        assert cli.main(
+            ["corpus", str(indir), str(tmp_path / "out"),
+             "--sample-rate", "16000", "--clip-seconds", "0.064",
+             "--filters-n", "256", "--bark-bands-n", "32",
+             "--chunk-blocks", "4"]
+        ) == 1  # ValueError -> error exit

@@ -88,3 +88,49 @@ class TestFallbackMode:
             np.asarray(bark2).view(np.uint16),
             np.asarray(bark).view(np.uint16),
         )
+
+
+class TestNaNWireParity:
+    def _nan_wav(self, tmp_path):
+        # hand-built IEEE-float (format 3) WAV: the only on-disk format
+        # that can carry a NaN sample to the decoders
+        import struct
+
+        x = np.zeros(64, dtype="<f4")
+        x[3] = 0.5
+        x[7] = np.nan
+        data = x.tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        p = str(tmp_path / "nan.wav")
+        with open(p, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return p
+
+    def test_fallback_int16_wire_maps_nan_to_zero(self, no_native, tmp_path):
+        """The C++ decoder maps NaN float samples to 0 on the int16 wire
+        (wavio.cpp decode_samples_i16); the pure-Python fallback must
+        match or the same corpus encodes to different bitstreams
+        depending on whether the library built."""
+        p = self._nan_wav(tmp_path)
+        out, status = native.load_corpus(
+            [p], clip_seconds=64 / 8000, sample_rate=8000, dtype="int16"
+        )
+        assert status[0] == 0
+        assert out[0, 7, 0] == 0
+        assert out[0, 3, 0] == 16384
+
+    def test_native_int16_wire_maps_nan_to_zero(self, tmp_path):
+        if not native.available():
+            pytest.skip("native library unavailable")
+        p = self._nan_wav(tmp_path)
+        out, status = native.load_corpus(
+            [p], clip_seconds=64 / 8000, sample_rate=8000, dtype="int16"
+        )
+        assert status[0] == 0
+        assert out[0, 7, 0] == 0
+        assert out[0, 3, 0] == 16384

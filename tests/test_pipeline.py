@@ -169,8 +169,144 @@ class TestCorpusCache:
             wire_dtype="int16", **kwargs,
         )
         got = encode_corpus_streaming(
-            codec, paths, cache_path=cache, **kwargs
+            codec, paths, cache_path=cache, clip_seconds=4 * 64 / 16000,
+            sample_rate=16000, **kwargs,
         )
         for (c0, d0, _), (c1, d1, _) in zip(ref, got):
             np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
             np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
+class TestPadBatches:
+    def test_prefetching_loader_pads_final_batch(self, corpus):
+        from audiocodec_tpu.parallel.pipeline import PAD_STATUS
+
+        paths, _ = corpus  # 10 clips, batch 4 -> final batch is 2 real
+        loader = PrefetchingCorpusLoader(
+            paths, clip_seconds=4 * 64 / 16000, sample_rate=16000,
+            batch_size=4, wire_dtype="int16", pad_batches=True,
+        )
+        batches = list(loader)
+        assert all(b.shape[0] == 4 for b, _ in batches)
+        last_b, last_s = batches[-1]
+        assert list(last_s) == [0, 0, PAD_STATUS, PAD_STATUS]
+        assert not np.asarray(last_b)[2:].any()  # pad rows are zeros
+
+    def test_cached_loader_pads_final_batch(self, corpus, tmp_path):
+        from audiocodec_tpu.parallel.pipeline import (
+            PAD_STATUS,
+            CachedCorpusLoader,
+            build_corpus_cache,
+        )
+
+        paths, _ = corpus
+        cache = str(tmp_path / "pad_cache.npy")
+        build_corpus_cache(
+            paths, cache, clip_seconds=4 * 64 / 16000, sample_rate=16000,
+            batch_size=4,
+        )
+        loader = CachedCorpusLoader(cache, batch_size=4, pad_batches=True)
+        batches = list(loader)
+        assert all(b.shape[0] == 4 for b, _ in batches)
+        assert list(batches[-1][1]) == [0, 0, PAD_STATUS, PAD_STATUS]
+
+
+class TestEndOfStreamSentinel:
+    def test_sentinel_survives_full_queue(self):
+        """The producer's end-of-stream sentinel must wait for queue
+        space instead of dropping after a fixed timeout (a consumer
+        sitting in a long cold compile would then hang forever)."""
+        import queue as _queue
+        import threading
+        import time
+
+        from audiocodec_tpu.parallel.pipeline import _put_sentinel
+
+        q = _queue.Queue(maxsize=1)
+        q.put("batch")  # queue full
+        stop = threading.Event()
+        t = threading.Thread(target=_put_sentinel, args=(q, stop))
+        t.start()
+        time.sleep(0.6)  # longer than the put timeout slice
+        assert q.get() == "batch"
+        assert q.get(timeout=5.0) is None  # sentinel arrived after space
+        t.join(timeout=5.0)
+        assert not t.is_alive()
+
+    def test_sentinel_put_abandons_on_stop(self):
+        import queue as _queue
+        import threading
+
+        from audiocodec_tpu.parallel.pipeline import _put_sentinel
+
+        q = _queue.Queue(maxsize=1)
+        q.put("batch")
+        stop = threading.Event()
+        t = threading.Thread(target=_put_sentinel, args=(q, stop))
+        t.start()
+        stop.set()  # consumer walked away
+        t.join(timeout=5.0)
+        assert not t.is_alive()
+        assert q.get() == "batch"
+        assert q.empty()  # no sentinel forced into an abandoned queue
+
+    def test_slow_consumer_still_terminates(self, corpus):
+        import time
+
+        paths, _ = corpus
+        loader = PrefetchingCorpusLoader(
+            paths, clip_seconds=4 * 64 / 16000, sample_rate=16000,
+            batch_size=4, prefetch=1,
+        )
+        seen = 0
+        for _batch, _status in loader:
+            time.sleep(0.4)  # stall with the queue full
+            seen += 1
+        assert seen == 3
+
+
+class TestCacheRobustness:
+    def test_missing_meta_sidecar_raises_value_error(self, corpus, tmp_path):
+        """An interrupted build leaves the .npy without its sidecar; both
+        the validator and the loader must raise the documented ValueError
+        with rebuild advice, not a raw FileNotFoundError."""
+        import os
+
+        from audiocodec_tpu.parallel.pipeline import (
+            CachedCorpusLoader,
+            build_corpus_cache,
+            validate_corpus_cache,
+        )
+
+        paths, _ = corpus
+        cache = str(tmp_path / "broken.npy")
+        build_corpus_cache(
+            paths, cache, clip_seconds=4 * 64 / 16000, sample_rate=16000,
+        )
+        os.unlink(cache + ".meta.npz")
+        with pytest.raises(ValueError, match="interrupted"):
+            validate_corpus_cache(
+                cache, paths, clip_seconds=4 * 64 / 16000, sample_rate=16000,
+            )
+        with pytest.raises(ValueError, match="interrupted"):
+            CachedCorpusLoader(cache)
+
+    def test_streaming_encode_requires_framing_with_cache(
+        self, corpus, tmp_path
+    ):
+        """cache_path without clip_seconds/sample_rate must refuse: the
+        positional cache cannot be validated against the corpus, and a
+        silent mispairing would encode the wrong audio under a name."""
+        from audiocodec_tpu.parallel.pipeline import build_corpus_cache
+
+        paths, _ = corpus
+        cache = str(tmp_path / "framed.npy")
+        build_corpus_cache(
+            paths, cache, clip_seconds=4 * 64 / 16000, sample_rate=16000,
+        )
+        codec = Codec.create(16000, filters_n=64, bark_bands_n=16)
+        with pytest.raises(ValueError, match="clip_seconds"):
+            encode_corpus_streaming(
+                codec, paths, cache_path=cache, batch_size=4,
+                mesh=_mesh.make_mesh(n_devices=1),
+            )

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from audiocodec_tpu import streaming
 from audiocodec_tpu.codec import Codec
@@ -86,6 +87,39 @@ class TestIneligibleKernelConfigDowngrade:
         restored = serialization.load_codec(path)
         assert restored.mdct.use_pallas is False
         assert restored.mdct.filters_n == 2048
+
+    def test_downgrade_via_create_retry_branch(self, tmp_path, monkeypatch):
+        """Exercise the try/except-ValueError retry in load_codec ITSELF:
+        on the CPU suite the backend guard normally clears use_pallas
+        before Codec.create ever raises, so without pinning the backend
+        to 'tpu' the fallback branch ships untested."""
+        import json
+
+        import jax
+
+        cfg = {
+            "sample_rate": 48000, "filters_n": 2048, "bark_bands_n": 64,
+            "alpha": 0.6, "window_type": "vorbis",
+            "compute_dtype": "float32", "fast_bf16": False,
+            # ineligible: highest-precision kernels cap at N=1024
+            "use_pallas": True, "dct_precision": "highest",
+            "bark_precision": "highest",
+        }
+        path = str(tmp_path / "stale_tpu.json")
+        with open(path, "w") as f:
+            json.dump(cfg, f)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        restored = serialization.load_codec(path)
+        assert restored.mdct.use_pallas is False
+        assert restored.mdct.dct_precision == "highest"
+        # and a config Codec.create rejects for a NON-kernel reason must
+        # still raise, not silently degrade
+        bad = dict(cfg, use_pallas=False, dct_precision="nonsense")
+        bad_path = str(tmp_path / "bad.json")
+        with open(bad_path, "w") as f:
+            json.dump(bad, f)
+        with pytest.raises(ValueError):
+            serialization.load_codec(bad_path)
 
 
 class TestStreamStateSerialization:
