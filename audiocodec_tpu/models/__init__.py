@@ -9,7 +9,7 @@ the framework, TPU-first: pure-pytree parameters, MXU-shaped matmuls,
 mesh-sharded training steps.
 """
 
-from audiocodec_tpu.models import post_filter  # noqa: F401
+from audiocodec_tpu.models import post_filter, rvq  # noqa: F401
 from audiocodec_tpu.models.spectral_ae import (  # noqa: F401
     SpectralAE,
     init_params,

@@ -159,6 +159,7 @@ def perceptual_loss(
     x: jax.Array,
     key,
     nmr_weight: float = 0.1,
+    nmr_floor: float = 1e-3,
 ) -> jax.Array:
     """Waveform MSE + noise-to-mask ratio through the real codec chain.
 
@@ -166,6 +167,16 @@ def perceptual_loss(
     reconstruction error exactly as the codec's quantizer would be judged:
     error below threshold is inaudible and cheap, error above is penalized
     (the perceptual calibration of reference psychoacoustic.py:151-167).
+
+    :param nmr_floor: denominator floor on the threshold, in spectrum
+        amplitude units (default ≈ −60 dB of a full-scale frame). This
+        floor is load-bearing for a GENERATIVE model: at the quiet
+        threshold's own scale (~1e-5) a quiet bin is weighted ~1e8×
+        a tonal bin, so the loss optimum is the decoder that outputs
+        exactly zero everywhere — the bottleneck collapses and training
+        plateaus at 0 dB SNR (measured). A scalar quantizer never sees
+        this because its quiet-bin error is exactly zero by construction;
+        an MLP decoder's can't be.
     """
     spec = codec.mdct.transform(x)
     tonality = codec.psycho.tonality(spec)
@@ -174,10 +185,7 @@ def perceptual_loss(
     decoded = codec.mdct.inverse_transform(recon)
     n = codec.mdct.filters_n
     wave_mse = jnp.mean((decoded[:, n:-n] - x) ** 2)
-    # Near-silent bins sit at the quiet floor (~1e-9 amplitude); an
-    # unfloored NMR denominator there blows up the loss and diverges
-    # training (observed on post_filter — see post_filter.py's floor).
-    thr_f = jnp.maximum(threshold, 1e-5)
+    thr_f = jnp.maximum(threshold, nmr_floor)
     nmr = jnp.mean(((recon - spec) / thr_f) ** 2)
     return wave_mse + nmr_weight * nmr
 
@@ -189,6 +197,7 @@ def make_train_step(
     optimizer=None,
     remat: bool = False,
     nmr_weight: float = 0.1,
+    nmr_floor: float = 1e-3,
 ):
     """Jitted sharded train step: (params, opt_state, x, key) ->
     (params, opt_state, loss).
@@ -204,7 +213,9 @@ def make_train_step(
     repl = _mesh.replicated(mesh)
 
     def loss_fn(params, x, key):
-        return perceptual_loss(codec, cfg, params, x, key, nmr_weight)
+        return perceptual_loss(
+            codec, cfg, params, x, key, nmr_weight, nmr_floor
+        )
 
     if remat:
         loss_fn = jax.checkpoint(loss_fn)
