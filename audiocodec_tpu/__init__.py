@@ -8,8 +8,12 @@ structural analysis of the reference and README.md for the design.
 from audiocodec_tpu.codec import Codec
 from audiocodec_tpu.mdct import MDCT
 from audiocodec_tpu.psycho import PsychoacousticModel
+from audiocodec_tpu.resample import Resampler
 from audiocodec_tpu import quantize
 
 __version__ = "0.1.0"
 
-__all__ = ["Codec", "MDCT", "PsychoacousticModel", "quantize", "__version__"]
+__all__ = [
+    "Codec", "MDCT", "PsychoacousticModel", "Resampler", "quantize",
+    "__version__",
+]

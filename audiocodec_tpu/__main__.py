@@ -69,6 +69,21 @@ def _read(path):
     return native.decode_wav(path)
 
 
+def _maybe_resample(data, rate, target_rate, zeros=16):
+    """Resample decoded float32 audio [B, samples, C] to ``target_rate``
+    if it differs; no-op for 0/None/matching rates. Returns (data, rate)."""
+    if not target_rate or target_rate == rate:
+        return data, rate
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiocodec_tpu.resample import Resampler
+
+    r = Resampler.create(rate, target_rate, zeros=zeros)
+    out = np.asarray(r.resample(jnp.asarray(data, jnp.float32)))
+    return out, target_rate
+
+
 def _trim_to_blocks(data, filters_n):
     samples = data.shape[1] - data.shape[1] % filters_n
     if samples == 0:
@@ -85,6 +100,7 @@ def cmd_encode(args):
     from audiocodec_tpu.io import bitstream
 
     data, rate = _read(args.input)
+    data, rate = _maybe_resample(data, rate, args.resample_to)
     codec = _build_codec(rate, args)
     data = _trim_to_blocks(data, args.filters_n)
     x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
@@ -171,6 +187,22 @@ def cmd_encode(args):
     return 0
 
 
+def cmd_resample(args):
+    """Standalone polyphase sample-rate conversion, wav -> wav."""
+    from audiocodec_tpu import native
+
+    data, rate = _read(args.input)
+    if rate == args.rate:
+        print(f"{args.input} is already at {rate} Hz; copying")
+    out, out_rate = _maybe_resample(data, rate, args.rate, zeros=args.zeros)
+    native.write_wav(args.output, out, out_rate)
+    print(
+        f"{args.input}: {data.shape[1]} samples @ {rate} Hz -> "
+        f"{args.output}: {out.shape[1]} samples @ {out_rate} Hz"
+    )
+    return 0
+
+
 def _is_acs(path):
     with open(path, "rb") as f:
         return f.read(4) == b"ACS1"
@@ -210,10 +242,13 @@ def cmd_decode(args):
         )
     n = meta["filters_n"]
     wave = np.asarray(wave.astype(jnp.float32))[:, n:-n]
-    native.write_wav(args.output, wave, meta["sample_rate"])
+    wave, out_rate = _maybe_resample(
+        wave, meta["sample_rate"], args.resample_to
+    )
+    native.write_wav(args.output, wave, out_rate)
     print(
         f"{args.input} -> {args.output}: {wave.shape[1]} samples @ "
-        f"{meta['sample_rate']} Hz, {wave.shape[2]} ch"
+        f"{out_rate} Hz, {wave.shape[2]} ch"
     )
     return 0
 
@@ -225,6 +260,7 @@ def cmd_roundtrip(args):
     from audiocodec_tpu import native
 
     data, rate = _read(args.input)
+    data, rate = _maybe_resample(data, rate, args.resample_to)
     codec = _build_codec(rate, args)
     data = _trim_to_blocks(data, args.filters_n)
     x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
@@ -271,10 +307,13 @@ def _decode_stream(args):
         wave[:, pos : pos + arr.shape[1]] = arr
         pos += arr.shape[1]
     wave = wave[:, :pos][:, n:-n]
-    native.write_wav(args.output, wave, meta["sample_rate"])
+    wave, out_rate = _maybe_resample(
+        wave, meta["sample_rate"], args.resample_to
+    )
+    native.write_wav(args.output, wave, out_rate)
     print(
         f"{args.input} -> {args.output}: {wave.shape[1]} samples @ "
-        f"{meta['sample_rate']} Hz, {wave.shape[2]} ch (stream)"
+        f"{out_rate} Hz, {wave.shape[2]} ch (stream)"
     )
     return 0
 
@@ -320,6 +359,12 @@ def cmd_corpus(args):
         raise ValueError(
             "--chunk-blocks streams a single file to .acs; the corpus "
             "command writes per-clip .acz containers only"
+        )
+    if args.resample_to:
+        raise ValueError(
+            "--resample-to is a single-file option; preprocess the corpus "
+            "with the `resample` command (the bulk loaders decode at the "
+            "corpus's uniform --sample-rate)"
         )
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -527,6 +572,12 @@ def main(argv=None) -> int:
             help="write a seekable .acs stream with this many MDCT blocks "
                  "per chunk (0 = monolithic .acz)",
         )
+        p.add_argument(
+            "--resample-to", type=int, default=0,
+            help="resample the input to this rate before encoding "
+                 "(polyphase windowed-sinc, ~90 dB stopband; 0 = keep "
+                 "the file's rate)",
+        )
 
     p = sub.add_parser("encode", help="wav -> .acz bitstream")
     p.add_argument("input")
@@ -538,6 +589,11 @@ def main(argv=None) -> int:
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument(
+        "--resample-to", type=int, default=0,
+        help="resample the decoded audio to this rate before writing "
+             "(0 = the stream's native rate)",
+    )
     p.set_defaults(fn=cmd_decode)
 
     p = sub.add_parser("roundtrip", help="wav -> wav through the codec")
@@ -562,6 +618,18 @@ def main(argv=None) -> int:
                         "memmapped on repeat runs (skips WAV decoding)")
     add_model_args(p)
     p.set_defaults(fn=cmd_corpus)
+
+    p = sub.add_parser(
+        "resample", help="polyphase sample-rate conversion, wav -> wav"
+    )
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--rate", type=int, required=True,
+                   help="target sample rate in Hz")
+    p.add_argument("--zeros", type=int, default=16,
+                   help="sinc zero-crossings per side (quality; 16 ~= "
+                        "90 dB stopband)")
+    p.set_defaults(fn=cmd_resample)
 
     p = sub.add_parser("info", help="inspect an .acz bitstream")
     p.add_argument("input")

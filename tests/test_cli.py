@@ -617,3 +617,68 @@ class TestCorpusRateControl:
              "--filters-n", "256", "--bark-bands-n", "32",
              "--chunk-blocks", "4"]
         ) == 1  # ValueError -> error exit
+
+
+class TestResampleCommand:
+    def test_resample_wav(self, wav_file, tmp_path):
+        """resample: 16k -> 48k; the output carries the tone at the new
+        rate (interior SNR vs the analytic tone > 60 dB through the
+        16-bit PCM wav round trip)."""
+        path, x, rate = wav_file
+        out = str(tmp_path / "48k.wav")
+        assert cli.main(["resample", path, out, "--rate", "48000"]) == 0
+        wave, wrate = read_wav(out)
+        wave = np.asarray(wave).reshape(-1, wave.shape[-1])
+        assert wrate == 48000
+        assert wave.shape[0] == x.shape[0] * 3
+        t = np.arange(wave.shape[0]) / 48000
+        ref = (0.5 * np.sin(2 * np.pi * 440 * t)
+               + 0.2 * np.sin(2 * np.pi * 1320 * t))
+        m = slice(4000, wave.shape[0] - 4000)
+        err = ref[m] - wave[m, 0]
+        snr = 10 * np.log10((ref[m] ** 2).sum() / (err**2).sum())
+        assert snr > 60.0
+
+    def test_encode_with_resample_to(self, wav_file, tmp_path):
+        """encode --resample-to converts the input first; the container
+        records the TARGET rate and decodes at it."""
+        path, _, _ = wav_file
+        out = str(tmp_path / "rs.acz")
+        assert cli.main(
+            ["encode", path, out, "--filters-n", "256",
+             "--bark-bands-n", "32", "--resample-to", "32000"]
+        ) == 0
+        _, _, meta = bitstream.load(out)
+        assert meta["sample_rate"] == 32000
+        dec = str(tmp_path / "rs.wav")
+        assert cli.main(["decode", out, dec]) == 0
+        _, wrate = read_wav(dec)
+        assert wrate == 32000
+
+    def test_decode_with_resample_to(self, wav_file, tmp_path):
+        path, _, rate = wav_file
+        out = str(tmp_path / "n.acz")
+        assert cli.main(
+            ["encode", path, out, "--filters-n", "256",
+             "--bark-bands-n", "32"]
+        ) == 0
+        dec = str(tmp_path / "n8k.wav")
+        assert cli.main(
+            ["decode", out, dec, "--resample-to", "8000"]
+        ) == 0
+        wave, wrate = read_wav(dec)
+        assert wrate == 8000
+
+    def test_corpus_rejects_resample_to(self, tmp_path):
+        from audiocodec_tpu.io.wav import write_wav as _ww
+
+        indir = tmp_path / "wavs"
+        indir.mkdir()
+        _ww(str(indir / "a.wav"),
+            np.zeros((1024, 1), dtype=np.float32), 16000)
+        assert cli.main(
+            ["corpus", str(indir), str(tmp_path / "out"),
+             "--sample-rate", "16000", "--clip-seconds", "0.064",
+             "--filters-n", "256", "--bark-bands-n", "32",
+             "--resample-to", "32000"]
+        ) == 1
