@@ -187,6 +187,56 @@ def cmd_encode(args):
     return 0
 
 
+def cmd_eval(args):
+    """Objective quality of a degraded wav vs its reference: SNR,
+    segmental SNR, and noise-to-mask ratio through the codec's own
+    psychoacoustic model (metrics.py)."""
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from audiocodec_tpu import metrics
+
+    ref, rrate = _read(args.reference)
+    deg, drate = _read(args.degraded)
+    if rrate != drate:
+        raise ValueError(
+            f"sample rates differ ({rrate} vs {drate} Hz); bring them "
+            "together first with the `resample` command"
+        )
+    if ref.shape[2] != deg.shape[2]:
+        raise ValueError(
+            f"channel counts differ ({ref.shape[2]} vs {deg.shape[2]})"
+        )
+    common = min(ref.shape[1], deg.shape[1])
+    common -= common % args.filters_n
+    if common == 0:
+        raise ValueError(
+            f"no overlapping audio of at least one MDCT block "
+            f"({args.filters_n} samples)"
+        )
+    codec = _build_codec(rrate, args)
+    dtype = codec.mdct.compute_dtype
+    result = metrics.evaluate(
+        codec,
+        jnp.asarray(ref[:, :common], dtype=dtype),
+        jnp.asarray(deg[:, :common], dtype=dtype),
+    )
+    result["samples"] = common
+    result["sample_rate"] = rrate
+    if args.json:
+        print(_json.dumps(result))
+    else:
+        print(f"{args.degraded} vs {args.reference} "
+              f"({common} samples @ {rrate} Hz):")
+        print(f"  SNR:            {result['snr_db']:8.2f} dB")
+        print(f"  segmental SNR:  {result['seg_snr_db']:8.2f} dB")
+        print(f"  NMR:            {result['nmr_db']:8.2f} dB "
+              f"(mean sq ratio {result['nmr']:.4f}; < 0 dB means the "
+              "error mostly hides under the masking threshold)")
+    return 0
+
+
 def cmd_resample(args):
     """Standalone polyphase sample-rate conversion, wav -> wav."""
     from audiocodec_tpu import native
@@ -534,7 +584,22 @@ def cmd_info(args):
     return 0
 
 
+def _ensure_compile_cache():
+    """Point JAX's persistent compilation cache somewhere sane unless the
+    user already did: on remote-compile TPU rigs a cold compile costs
+    30 s – minutes, and the CLI recompiles identical programs on every
+    invocation without this."""
+    import jax
+
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/audiocodec_tpu/jax"),
+        )
+
+
 def main(argv=None) -> int:
+    _ensure_compile_cache()
     parser = argparse.ArgumentParser(
         prog="audiocodec_tpu",
         description="TPU-native perceptual audio codec",
@@ -618,6 +683,18 @@ def main(argv=None) -> int:
                         "memmapped on repeat runs (skips WAV decoding)")
     add_model_args(p)
     p.set_defaults(fn=cmd_corpus)
+
+    p = sub.add_parser(
+        "eval",
+        help="objective quality (SNR / segmental SNR / NMR) of a "
+             "degraded wav vs its reference",
+    )
+    p.add_argument("reference")
+    p.add_argument("degraded")
+    p.add_argument("--json", action="store_true",
+                   help="one JSON line instead of the table")
+    add_model_args(p)
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser(
         "resample", help="polyphase sample-rate conversion, wav -> wav"

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,6 +74,59 @@ def load_codec(path: str) -> Codec:
         # to the XLA path instead of refusing the checkpoint.
         cfg["use_pallas"] = False
         return Codec.create(compute_dtype=dtype, **cfg)
+
+
+def save_pytree(path: str, tree) -> None:
+    """Persist an arbitrary pytree of arrays (model params, RVQ state,
+    optax optimizer state) as a flat .npz — leaves in tree order.
+
+    bfloat16 leaves ride as uint16 bit patterns (npz has no bf16); the
+    original dtype name is recorded per leaf and restored exactly. The
+    STRUCTURE is deliberately not serialized — load_pytree rebuilds into
+    a caller-supplied template (e.g. ``init_params(...)`` /
+    ``opt.init(params)``), which keeps loading pickle-free and safe on
+    untrusted files.
+    """
+    leaves = jax.tree_util.tree_leaves(tree)
+    payload = {"count": np.asarray([len(leaves)], dtype=np.int64)}
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        payload[f"dtype_{i}"] = np.frombuffer(
+            str(arr.dtype).encode(), dtype=np.uint8
+        )
+        if arr.dtype == jnp.bfloat16:
+            arr = arr.view(np.uint16)
+        payload[f"leaf_{i}"] = arr
+    np.savez(path, **payload)
+
+
+def load_pytree(path: str, template):
+    """Rebuild a pytree saved by :func:`save_pytree` into ``template``'s
+    structure (leaf count must match; shapes/dtypes come from the file).
+
+    :raises ValueError: when the file's leaf count does not match the
+        template — the signature of loading a checkpoint from a different
+        architecture config.
+    """
+    import ml_dtypes
+
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    with np.load(path) as z:
+        n = int(z["count"][0])
+        if n != len(t_leaves):
+            raise ValueError(
+                f"checkpoint has {n} leaves but the template has "
+                f"{len(t_leaves)} — wrong architecture config for this "
+                "checkpoint"
+            )
+        leaves = []
+        for i in range(n):
+            name = bytes(z[f"dtype_{i}"]).decode()
+            arr = z[f"leaf_{i}"]
+            if name == "bfloat16":
+                arr = arr.view(ml_dtypes.bfloat16)
+            leaves.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def save_stream_state(path: str, enc_carry, dec_carry=None, offset=0) -> None:

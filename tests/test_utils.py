@@ -143,3 +143,117 @@ class TestStreamStateSerialization:
         got = np.concatenate([np.asarray(f1), np.asarray(f2)], axis=1)
         want = np.asarray(mdct.transform(x))[:, :-1]
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestPytreeCheckpoint:
+    def test_params_roundtrip_exact(self, tmp_path):
+        from audiocodec_tpu.models import spectral_ae as sae
+
+        cfg = sae.SpectralAE(filters_n=64, hidden_n=32, latent_n=8)
+        params = sae.init_params(jax.random.key(0), cfg)
+        path = str(tmp_path / "params.npz")
+        serialization.save_pytree(path, params)
+        back = serialization.load_pytree(
+            path, sae.init_params(jax.random.key(1), cfg)
+        )
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert a.dtype == b.dtype
+
+    def test_bfloat16_leaves_survive(self, tmp_path):
+        from audiocodec_tpu.models import spectral_ae as sae
+
+        cfg = sae.SpectralAE(filters_n=64, hidden_n=32, latent_n=8)
+        params = sae.init_params(jax.random.key(2), cfg, jnp.bfloat16)
+        path = str(tmp_path / "bf16.npz")
+        serialization.save_pytree(path, params)
+        back = serialization.load_pytree(path, params)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+            assert b.dtype == jnp.bfloat16
+            np.testing.assert_array_equal(
+                np.asarray(a).view(np.uint16), np.asarray(b).view(np.uint16)
+            )
+
+    def test_optimizer_state_roundtrip(self, tmp_path):
+        import optax
+
+        from audiocodec_tpu.models import spectral_ae as sae
+
+        cfg = sae.SpectralAE(filters_n=64, hidden_n=32, latent_n=8)
+        params = sae.init_params(jax.random.key(3), cfg)
+        opt = optax.adam(1e-3)
+        state = opt.init(params)
+        path = str(tmp_path / "opt.npz")
+        serialization.save_pytree(path, state)
+        back = serialization.load_pytree(path, opt.init(params))
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_wrong_template_rejected(self, tmp_path):
+        from audiocodec_tpu.models import spectral_ae as sae
+
+        cfg = sae.SpectralAE(filters_n=64, hidden_n=32, latent_n=8)
+        params = sae.init_params(jax.random.key(4), cfg)
+        path = str(tmp_path / "p.npz")
+        serialization.save_pytree(path, params)
+        with pytest.raises(ValueError, match="leaves"):
+            serialization.load_pytree(path, {"just_one": params["enc_w1"]})
+
+    def test_training_resumes_exactly(self, tmp_path):
+        """checkpoint(params, rvq_state, opt_state) mid-run; continuing
+        from the reload matches continuing in-process bit-for-bit."""
+        import optax
+
+        from audiocodec_tpu.models import rvq as _rvq
+        from audiocodec_tpu.models import spectral_ae as sae
+        from audiocodec_tpu.parallel import mesh as _mesh
+
+        codec = Codec.create(16000, filters_n=64, bark_bands_n=16)
+        cfg = sae.SpectralAE(filters_n=64, hidden_n=32, latent_n=8)
+        rcfg = _rvq.RVQ(stages=2, codebook_size=16, dim=8)
+        mesh = _mesh.make_mesh(n_devices=1)
+        step, opt = _rvq.make_train_step(
+            codec, cfg, rcfg, mesh, optimizer=optax.adam(1e-3)
+        )
+        params = sae.init_params(jax.random.key(5), cfg)
+        st = _rvq.init_state(jax.random.key(6), rcfg)
+        opt_state = opt.init(params)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.uniform(-0.5, 0.5, (2, 8 * 64, 1)), jnp.float32
+        )
+        for i in range(2):
+            params, st, opt_state, _ = step(
+                params, st, opt_state, x, jax.random.key(i), jnp.int32(i)
+            )
+        pp, ps, po = (str(tmp_path / f) for f in ("p.npz", "s.npz", "o.npz"))
+        serialization.save_pytree(pp, params)
+        serialization.save_pytree(ps, st)
+        serialization.save_pytree(po, opt_state)
+
+        def advance(params, st, opt_state):
+            for i in (2, 3):
+                params, st, opt_state, loss = step(
+                    params, st, opt_state, x, jax.random.key(i),
+                    jnp.int32(i),
+                )
+            return params, loss
+
+        cont_params, cont_loss = advance(
+            jax.tree.map(jnp.copy, params),
+            jax.tree.map(jnp.copy, st),
+            jax.tree.map(jnp.copy, opt_state),
+        )
+        r_params = serialization.load_pytree(
+            pp, sae.init_params(jax.random.key(7), cfg)
+        )
+        r_st = serialization.load_pytree(
+            ps, _rvq.init_state(jax.random.key(8), rcfg)
+        )
+        r_opt = serialization.load_pytree(po, opt.init(r_params))
+        res_params, res_loss = advance(r_params, r_st, r_opt)
+        assert float(cont_loss) == float(res_loss)
+        for a, b in zip(
+            jax.tree.leaves(cont_params), jax.tree.leaves(res_params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
