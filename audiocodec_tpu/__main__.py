@@ -187,6 +187,34 @@ def cmd_encode(args):
     return 0
 
 
+def cmd_serve(args):
+    """Run the dynamic-batching codec server (serve.py) until killed."""
+    import time as _time
+
+    from audiocodec_tpu import serve as _serve
+
+    codec = _build_codec(args.sample_rate, args)
+    server = _serve.CodecServer(
+        codec, args.sample_rate,
+        host=args.host, port=args.port, unix_path=args.unix_socket,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+    ).start()
+    where = args.unix_socket or f"{args.host}:{server.port}"
+    print(
+        f"serving {args.sample_rate} Hz / N={args.filters_n} codec on "
+        f"{where} (max batch {args.max_batch}, "
+        f"wait {args.max_wait_ms} ms); Ctrl-C to stop"
+    )
+    try:
+        while True:
+            _time.sleep(1.0)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+    return 0
+
+
 def cmd_eval(args):
     """Objective quality of a degraded wav vs its reference: SNR,
     segmental SNR, and noise-to-mask ratio through the codec's own
@@ -683,6 +711,21 @@ def main(argv=None) -> int:
                         "memmapped on repeat runs (skips WAV decoding)")
     add_model_args(p)
     p.set_defaults(fn=cmd_corpus)
+
+    p = sub.add_parser(
+        "serve",
+        help="serve the codec over TCP/Unix socket with dynamic batching",
+    )
+    p.add_argument("--sample-rate", type=int, required=True,
+                   help="rate this server encodes at (clients must match)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8477)
+    p.add_argument("--unix-socket", default="",
+                   help="serve a Unix domain socket instead of TCP")
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    add_model_args(p)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(
         "eval",

@@ -54,7 +54,12 @@ def read_wav(path: str, dtype=np.float32):
     :return: (data [1, samples, channels] in [-1, 1], sample_rate).
     """
     with open(path, "rb") as f:
-        code, channels, rate, bits, frames = _parse_riff(f.read())
+        return read_wav_bytes(f.read(), dtype)
+
+
+def read_wav_bytes(buf: bytes, dtype=np.float32):
+    """:func:`read_wav` for an in-memory WAV blob (serving ingress)."""
+    code, channels, rate, bits, frames = _parse_riff(buf)
 
     if code == 3 and bits == 32:
         x = np.frombuffer(frames, dtype="<f4").astype(np.float64)
@@ -82,8 +87,21 @@ def read_wav(path: str, dtype=np.float32):
     return x[None, :, :].astype(dtype), rate
 
 
+def write_wav_bytes(data, sample_rate: int, width: int = 2) -> bytes:
+    """:func:`write_wav` to an in-memory WAV blob (serving egress)."""
+    import io
+
+    buf = io.BytesIO()
+    _write_wav_to(buf, data, sample_rate, width)
+    return buf.getvalue()
+
+
 def write_wav(path: str, data, sample_rate: int, width: int = 2) -> None:
     """Write [samples, channels] or [1, samples, channels] in [-1, 1]."""
+    _write_wav_to(path, data, sample_rate, width)
+
+
+def _write_wav_to(dest, data, sample_rate: int, width: int = 2) -> None:
     x = np.asarray(data, dtype=np.float64)
     if x.ndim == 3:
         if x.shape[0] != 1:
@@ -102,7 +120,7 @@ def write_wav(path: str, data, sample_rate: int, width: int = 2) -> None:
     else:
         raise ValueError(f"unsupported sample width: {width} bytes")
 
-    with wave.open(path, "wb") as f:
+    with wave.open(dest, "wb") as f:
         f.setnchannels(x.shape[1])
         f.setsampwidth(width)
         f.setframerate(sample_rate)

@@ -1,0 +1,415 @@
+"""Model-server-style codec serving with dynamic batching.
+
+The reference is a library with no deployment story; a production codec
+on a TPU wants one process owning the chip and many clients feeding it —
+per-request dispatch would waste the accelerator (a single clip encode
+uses a sliver of the MXU and the dispatch/transfer overhead dominates).
+This server applies the standard accelerator-serving recipe, shaped by
+XLA's compilation model:
+
+* **Dynamic batching**: concurrent encode requests are grouped (up to
+  ``max_batch``, waiting at most ``max_wait_ms`` for stragglers) and run
+  as ONE jitted batched call — the same program a benchmark would run.
+* **Shape bucketing**: XLA compiles one program per shape, so arbitrary
+  clip lengths would mean unbounded recompiles. Clips pad up to the next
+  power-of-two MDCT block count and batches pad to power-of-two size:
+  the compile universe is log(len) x log(batch) programs, all cached
+  (in-process AND in JAX's persistent compilation cache).
+* **Exact results despite padding**: an MDCT frame i depends only on
+  blocks i-1 and i, and pad blocks are zeros — so trimming the batched
+  codes to each clip's real ``blocks+1`` frames is BIT-IDENTICAL to
+  encoding the unpadded clip alone through the same jitted program
+  (tested). (Caveat: a DIFFERENT lowering of the encoder — e.g. eager
+  per-op dispatch — can legitimately differ by ±1 code at rounding
+  boundaries; decode is unaffected because step sizes derive from the
+  sidecar, never by re-running the encoder's float chain.)
+* **Host/device overlap**: Rice-packing of containers happens in a host
+  thread pool while the device works on the next batch.
+
+Protocol (length-prefixed binary over TCP or a Unix socket):
+
+  request:  1-byte opcode | u32 big-endian length | payload
+  response: 1-byte status (0=ok, 1=error) | u32 length | payload
+
+  opcode 'E': payload = WAV bytes       -> .acz container bytes
+  opcode 'D': payload = .acz bytes      -> WAV (16-bit PCM) bytes
+  opcode 'Q': payload ignored           -> JSON stats line
+
+Clients: :func:`request` (one-shot) or :class:`Client` (persistent
+connection, many requests).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import socket
+import struct
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiocodec_tpu.io import bitstream
+from audiocodec_tpu.io import wav as _wav
+
+_HDR = struct.Struct(">BI")
+_MAX_PAYLOAD = 1 << 30
+
+
+def _read_exact(sock, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed mid-frame")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _read_frame(sock):
+    op, length = _HDR.unpack(_read_exact(sock, _HDR.size))
+    if length > _MAX_PAYLOAD:
+        raise ValueError(f"frame of {length} bytes exceeds the 1 GiB cap")
+    return op, _read_exact(sock, length)
+
+
+def _write_frame(sock, op: int, payload: bytes) -> None:
+    sock.sendall(_HDR.pack(op, len(payload)) + payload)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+class _Request:
+    __slots__ = ("payload", "event", "status", "response")
+
+    def __init__(self, payload):
+        self.payload = payload
+        self.event = threading.Event()
+        self.status = 1
+        self.response = b"server shutdown"
+
+    def finish(self, status: int, response: bytes):
+        self.status = status
+        self.response = response
+        self.event.set()
+
+
+class CodecServer:
+    """Serve one codec configuration over a socket with dynamic batching.
+
+    :param codec: the :class:`~audiocodec_tpu.codec.Codec` to serve.
+    :param sample_rate: rate encode requests must arrive at (the codec's
+        construction rate); mismatches are rejected with an error frame —
+        resampling policy belongs to the client (`resample` CLI).
+    :param host/port: TCP endpoint; port 0 picks a free port (see
+        ``.port`` after :meth:`start`). ``unix_path`` serves a Unix
+        domain socket instead.
+    :param max_batch: dynamic batch cap (padded to the next power of 2).
+    :param max_wait_ms: how long the batcher waits for stragglers after
+        the first request of a batch arrives.
+    :param min_blocks: smallest length bucket, in MDCT blocks.
+    """
+
+    def __init__(self, codec, sample_rate: int, host: str = "127.0.0.1",
+                 port: int = 0, unix_path: str = "", max_batch: int = 8,
+                 max_wait_ms: float = 5.0, min_blocks: int = 8):
+        self._codec = codec
+        self._rate = sample_rate
+        self._host, self._port0, self._unix = host, port, unix_path
+        self._max_batch = max(1, max_batch)
+        self._max_wait = max_wait_ms / 1000.0
+        self._min_blocks = min_blocks
+        self._encode_q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._sock = None
+        self.port = None
+        self._lock = threading.Lock()
+        self.stats = {
+            "encode_requests": 0, "encode_batches": 0,
+            "decode_requests": 0, "errors": 0,
+        }
+        n = codec.mdct.filters_n
+
+        @jax.jit
+        def _enc(c, x):
+            return c.quantize_frames(c.mdct.transform(x))
+
+        @jax.jit
+        def _dec(c, codes, bark):
+            return c.decode_bitstream(codes, bark)
+
+        self._enc, self._dec = _enc, _dec
+        self._meta = dict(
+            sample_rate=sample_rate,
+            filters_n=n,
+            bark_bands_n=codec.psycho.bark_bands_n,
+            alpha=codec.psycho.alpha,
+            window_type=codec.mdct.window_type,
+            compute_dtype=str(jnp.dtype(codec.mdct.compute_dtype)),
+            ms=False,
+            bark_precision=codec.psycho.bark_precision,
+        )
+
+    # -- lifecycle ---------------------------------------------------
+
+    def start(self):
+        if self._unix:
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._sock.bind(self._unix)
+        else:
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            self._sock.bind((self._host, self._port0))
+            self.port = self._sock.getsockname()[1]
+        self._sock.listen(64)
+        self._sock.settimeout(0.25)
+        for fn in (self._accept_loop, self._batch_loop):
+            t = threading.Thread(target=fn, daemon=True)
+            t.start()
+            self._threads.append(t)
+        return self
+
+    def stop(self):
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=5.0)
+        if self._sock is not None:
+            self._sock.close()
+        # fail any requests still parked in the queue
+        while True:
+            try:
+                self._encode_q.get_nowait().finish(1, b"server shutdown")
+            except queue.Empty:
+                break
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- connection handling ------------------------------------------
+
+    def _accept_loop(self):
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            t = threading.Thread(
+                target=self._serve_conn, args=(conn,), daemon=True
+            )
+            t.start()
+
+    def _serve_conn(self, conn):
+        try:
+            conn.settimeout(None)
+            while not self._stop.is_set():
+                try:
+                    op, payload = _read_frame(conn)
+                except (ConnectionError, OSError):
+                    return
+                if op == ord("E"):
+                    req = _Request(payload)
+                    with self._lock:
+                        self.stats["encode_requests"] += 1
+                    self._encode_q.put(req)
+                    req.event.wait()
+                    _write_frame(conn, req.status, req.response)
+                elif op == ord("D"):
+                    status, resp = self._decode_one(payload)
+                    _write_frame(conn, status, resp)
+                elif op == ord("Q"):
+                    with self._lock:
+                        blob = json.dumps(self.stats).encode()
+                    _write_frame(conn, 0, blob)
+                else:
+                    _write_frame(
+                        conn, 1, f"unknown opcode {op}".encode()
+                    )
+        finally:
+            conn.close()
+
+    # -- decode path (per-request; containers vary too much to batch) --
+
+    def _decode_one(self, payload):
+        try:
+            codes, bark, meta = bitstream.unpack(payload)
+            if meta["sample_rate"] != self._rate or (
+                meta["filters_n"] != self._codec.mdct.filters_n
+            ):
+                raise ValueError(
+                    "container was encoded with a different codec config "
+                    f"(rate {meta['sample_rate']}, N {meta['filters_n']}) "
+                    f"than this server serves ({self._rate}, "
+                    f"{self._codec.mdct.filters_n})"
+                )
+            # bucket the frame count (pad with zero frames) so decode
+            # compiles O(log len) programs, not one per container length;
+            # wave sample k*N..(k+1)*N depends on frames k/k+1 only, so
+            # the trimmed region never sees the pad frames
+            frames = codes.shape[1]
+            bucket = max(self._min_blocks + 1, _next_pow2(frames))
+            if bucket != frames:
+                pad = ((0, 0), (0, bucket - frames), (0, 0), (0, 0))
+                codes = np.pad(codes, pad)
+                bark = np.pad(np.asarray(bark), pad)
+            wave = self._dec(
+                self._codec, jnp.asarray(codes),
+                jnp.asarray(bark, dtype=jnp.bfloat16),
+            )
+            n = self._codec.mdct.filters_n
+            wave = np.asarray(wave.astype(jnp.float32))[
+                :, n : n + (frames - 1) * n
+            ]
+            with self._lock:
+                self.stats["decode_requests"] += 1
+            return 0, _wav.write_wav_bytes(wave[0], self._rate)
+        except Exception as e:  # error -> error frame, connection lives
+            with self._lock:
+                self.stats["errors"] += 1
+            return 1, str(e).encode()
+
+    # -- batched encode path -------------------------------------------
+
+    def _batch_loop(self):
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            while not self._stop.is_set():
+                try:
+                    first = self._encode_q.get(timeout=0.25)
+                except queue.Empty:
+                    continue
+                batch = [first]
+                deadline = time.monotonic() + self._max_wait
+                while len(batch) < self._max_batch:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    try:
+                        batch.append(self._encode_q.get(timeout=left))
+                    except queue.Empty:
+                        break
+                self._run_batch(batch, pool)
+
+    def _run_batch(self, batch, pool):
+        n = self._codec.mdct.filters_n
+        dtype = self._codec.mdct.compute_dtype
+        parsed = []  # (req, wave [s, C], real_blocks) | finished errors
+        for req in batch:
+            try:
+                wave, rate = _wav.read_wav_bytes(req.payload)
+                if rate != self._rate:
+                    raise ValueError(
+                        f"server encodes at {self._rate} Hz, request is "
+                        f"{rate} Hz; resample client-side"
+                    )
+                blocks = wave.shape[1] // n
+                if blocks == 0:
+                    raise ValueError(
+                        f"need at least one MDCT block ({n} samples)"
+                    )
+                parsed.append((req, wave[0, : blocks * n], blocks))
+            except Exception as e:
+                with self._lock:
+                    self.stats["errors"] += 1
+                req.finish(1, str(e).encode())
+        if not parsed:
+            return
+        # one jitted call per (bucket_blocks, channels) group, batch
+        # padded to the next power of two
+        groups: dict = {}
+        for item in parsed:
+            _, wave, blocks = item
+            bucket = max(self._min_blocks, _next_pow2(blocks))
+            groups.setdefault((bucket, wave.shape[-1]), []).append(item)
+        for (bucket, ch), items in groups.items():
+            g = _next_pow2(len(items))
+            x = np.zeros((g, bucket * n, ch), dtype=np.float32)
+            for j, (_, wave, blocks) in enumerate(items):
+                x[j, : blocks * n] = wave
+            try:
+                codes, bark = self._enc(
+                    self._codec, jnp.asarray(x, dtype=dtype)
+                )
+                codes_h, bark_h = np.asarray(codes), np.asarray(bark)
+            except Exception as e:
+                with self._lock:
+                    self.stats["errors"] += 1
+                for req, _, _ in items:
+                    req.finish(1, str(e).encode())
+                continue
+            with self._lock:
+                self.stats["encode_batches"] += 1
+            for j, (req, _, blocks) in enumerate(items):
+                # frames 0..blocks fully determine the unpadded clip: a
+                # frame depends only on blocks i-1, i and the pad blocks
+                # are zeros — trimming is bit-identical to solo encode
+                pool.submit(
+                    self._pack_one, req,
+                    codes_h[j : j + 1, : blocks + 1],
+                    bark_h[j : j + 1, : blocks + 1],
+                )
+
+    def _pack_one(self, req, codes, bark):
+        try:
+            req.finish(0, bitstream.pack(codes, bark, **self._meta))
+        except Exception as e:
+            with self._lock:
+                self.stats["errors"] += 1
+            req.finish(1, str(e).encode())
+
+
+class Client:
+    """Persistent-connection client for :class:`CodecServer`."""
+
+    def __init__(self, host="127.0.0.1", port=None, unix_path=""):
+        if unix_path:
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._sock.connect(unix_path)
+        else:
+            self._sock = socket.create_connection((host, port))
+
+    def _call(self, op: str, payload: bytes) -> bytes:
+        _write_frame(self._sock, ord(op), payload)
+        status, resp = _read_frame(self._sock)
+        if status != 0:
+            raise RuntimeError(
+                f"server error: {resp.decode(errors='replace')}"
+            )
+        return resp
+
+    def encode(self, wav_bytes: bytes) -> bytes:
+        """WAV blob -> .acz container bytes."""
+        return self._call("E", wav_bytes)
+
+    def decode(self, acz_bytes: bytes) -> bytes:
+        """.acz container bytes -> WAV (16-bit PCM) blob."""
+        return self._call("D", acz_bytes)
+
+    def stats(self) -> dict:
+        return json.loads(self._call("Q", b""))
+
+    def close(self):
+        self._sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def request(op: str, payload: bytes, host="127.0.0.1", port=None,
+            unix_path="") -> bytes:
+    """One-shot client call (connect, request, close)."""
+    with Client(host, port, unix_path) as c:
+        return c._call(op, payload)

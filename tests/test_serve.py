@@ -1,0 +1,184 @@
+"""Dynamic-batching codec server (serve.py)."""
+
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiocodec_tpu import serve
+from audiocodec_tpu.codec import Codec
+from audiocodec_tpu.io import bitstream
+from audiocodec_tpu.io.wav import read_wav_bytes, write_wav_bytes
+
+
+N = 64
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def codec():
+    return Codec.create(SR, filters_n=N, bark_bands_n=16)
+
+
+@pytest.fixture()
+def server(codec):
+    with serve.CodecServer(
+        codec, SR, port=0, max_batch=8, max_wait_ms=50.0, min_blocks=4
+    ) as s:
+        yield s
+
+
+def _wav_blob(blocks=8, freq=440, amp=0.5, channels=1, seed=None):
+    t = np.arange(blocks * N) / SR
+    x = amp * np.sin(2 * np.pi * freq * t)
+    if seed is not None:
+        x = x + 0.01 * np.random.default_rng(seed).standard_normal(t.size)
+    x = np.repeat(x[:, None], channels, axis=1).astype(np.float32)
+    return write_wav_bytes(x, SR), x
+
+
+def _jit_encode(codec, x):
+    """The server's exact encode program (one jitted composition).
+
+    Identity claims must compare against the SAME compiled program:
+    jit-composed vs eager-method encode can differ by ±1 code at a
+    rounding boundary (different XLA fusion), which is a different but
+    equally valid encoding — decode derives step sizes from the sidecar,
+    never by re-running the encoder's float chain."""
+    import jax
+
+    @jax.jit
+    def enc(c, x):
+        return c.quantize_frames(c.mdct.transform(x))
+
+    return enc(codec, x)
+
+
+class TestEncodeServing:
+    def test_container_byte_identical_to_offline(self, codec, server):
+        """The served container equals the offline (same-program) encode
+        of the SAME 16-bit-quantized audio — batching is invisible."""
+        blob, _ = _wav_blob(blocks=8)
+        with serve.Client(port=server.port) as c:
+            got = c.encode(blob)
+        wave, rate = read_wav_bytes(blob)
+        x = jnp.asarray(wave, jnp.float32)
+        codes, bark = _jit_encode(codec, x)
+        want = bitstream.pack(
+            codes, bark, sample_rate=SR, filters_n=N,
+            bark_bands_n=16, alpha=codec.psycho.alpha,
+            window_type=codec.mdct.window_type,
+            compute_dtype="float32", ms=False,
+            bark_precision=codec.psycho.bark_precision,
+        )
+        assert got == want
+
+    def test_padding_trim_is_bit_exact(self, codec, server):
+        """A clip whose block count is NOT the bucket size (5 blocks in
+        an 8-block bucket) still produces the unpadded clip's exact
+        codes: an MDCT frame depends only on blocks i-1/i and the pad
+        blocks are zeros."""
+        blob, _ = _wav_blob(blocks=5, freq=700)
+        with serve.Client(port=server.port) as c:
+            got = c.encode(blob)
+        codes, bark, meta = bitstream.unpack(got)
+        assert codes.shape[1] == 6  # blocks+1, not bucket+1
+        wave, _ = read_wav_bytes(blob)
+        w_codes, w_bark = _jit_encode(codec, jnp.asarray(wave, jnp.float32))
+        np.testing.assert_array_equal(codes, np.asarray(w_codes))
+        np.testing.assert_array_equal(
+            np.asarray(bark).view(np.uint16),
+            np.asarray(w_bark).view(np.uint16),
+        )
+
+    def test_concurrent_requests_batch(self, server):
+        """Four concurrent clients with assorted lengths: all answers
+        correct, and the batcher grouped them (fewer batches than
+        requests)."""
+        blobs = [
+            _wav_blob(blocks=b, freq=300 + 100 * i, seed=i)[0]
+            for i, b in enumerate((5, 6, 7, 8))
+        ]
+        results = [None] * len(blobs)
+
+        def worker(i):
+            with serve.Client(port=server.port) as c:
+                results[i] = c.encode(blobs[i])
+
+        threads = [
+            threading.Thread(target=worker, args=(i,))
+            for i in range(len(blobs))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert all(r is not None for r in results)
+        for i, r in enumerate(results):
+            codes, _, _ = bitstream.unpack(r)
+            assert codes.shape[1] == (5, 6, 7, 8)[i] + 1
+        with serve.Client(port=server.port) as c:
+            stats = c.stats()
+        assert stats["encode_requests"] >= 4
+        assert stats["encode_batches"] < stats["encode_requests"]
+
+    def test_decode_round_trip_through_server(self, codec, server):
+        blob, x = _wav_blob(blocks=8, amp=0.4)
+        with serve.Client(port=server.port) as c:
+            acz = c.encode(blob)
+            wav = c.decode(acz)
+        wave, rate = read_wav_bytes(wav)
+        assert rate == SR
+        assert wave.shape[1] == x.shape[0]
+        # served decode == direct decode (through the same 16-bit egress)
+        codes, bark, _ = bitstream.unpack(acz)
+        direct = codec.decode_bitstream(
+            jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16)
+        )
+        direct = np.asarray(direct.astype(jnp.float32))[:, N:-N]
+        expected, _ = read_wav_bytes(write_wav_bytes(direct[0], SR))
+        np.testing.assert_array_equal(wave, expected)
+
+
+class TestServingErrors:
+    def test_error_keeps_connection_alive(self, server):
+        with serve.Client(port=server.port) as c:
+            with pytest.raises(RuntimeError, match="RIFF"):
+                c.encode(b"this is not a wav")
+            # connection still serves afterwards
+            blob, _ = _wav_blob(blocks=4)
+            assert len(c.encode(blob)) > 0
+
+    def test_rate_mismatch_rejected(self, server):
+        t = np.arange(8 * N) / 8000
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[:, None]
+        blob = write_wav_bytes(x, 8000)
+        with serve.Client(port=server.port) as c:
+            with pytest.raises(RuntimeError, match="resample"):
+                c.encode(blob)
+
+    def test_too_short_rejected(self, server):
+        blob = write_wav_bytes(np.zeros((N // 2, 1), np.float32), SR)
+        with serve.Client(port=server.port) as c:
+            with pytest.raises(RuntimeError, match="block"):
+                c.encode(blob)
+
+    def test_decode_of_garbage_rejected(self, server):
+        with serve.Client(port=server.port) as c:
+            with pytest.raises(RuntimeError):
+                c.decode(b"not a container")
+
+    def test_unknown_opcode(self, server):
+        with pytest.raises(RuntimeError, match="opcode"):
+            serve.request("X", b"", port=server.port)
+
+
+class TestUnixSocket:
+    def test_unix_socket_serving(self, codec, tmp_path):
+        path = str(tmp_path / "acx.sock")
+        with serve.CodecServer(codec, SR, unix_path=path, min_blocks=4):
+            blob, _ = _wav_blob(blocks=4)
+            out = serve.request("E", blob, unix_path=path)
+            codes, _, _ = bitstream.unpack(out)
+            assert codes.shape[1] == 5
