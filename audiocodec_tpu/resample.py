@@ -192,3 +192,108 @@ def resample_waveform(
 ) -> jax.Array:
     """One-shot convenience: build a :class:`Resampler` and apply it."""
     return Resampler.create(sr_in, sr_out, **kwargs).resample(x)
+
+
+class StreamingResampler:
+    """Chunked driver for :class:`Resampler` (composes with the .acs
+    streaming pipeline, which also processes audio in bounded chunks).
+
+    Feed arbitrary-length chunks with :meth:`step`; the internal buffer
+    carries the filter history and the rational-phase position, so the
+    concatenated outputs equal the one-shot :meth:`Resampler.resample`
+    of the concatenated inputs exactly (the same tap matrix sees the
+    same window values). :meth:`flush` zero-pads the tail and emits the
+    remaining samples so the total output length is exactly
+    ``out_length(total_input)``.
+
+    The driver is host-side state + the same MXU conv per step; with a
+    fixed chunk size the conv sees at most two distinct shapes (first
+    step and steady state), so jit caching behaves.
+    """
+
+    def __init__(self, resampler: Resampler):
+        self._r = resampler
+        self._buf = None  # [B, buffered, C] numpy in compute dtype
+        self._in_total = 0
+        self._out_total = 0
+
+    def _identity(self):
+        return self._r.up == self._r.down
+
+    def step(self, chunk: jax.Array) -> jax.Array:
+        """Consume a [B, s, C] chunk; return all output samples that are
+        now fully determined (possibly zero-length on short chunks)."""
+        r = self._r
+        if chunk.ndim != 3:
+            raise ValueError(
+                f"expected [batch, samples, channels], got {chunk.shape}"
+            )
+        _dtypes.check_input_dtype(chunk, r.compute_dtype, "chunk")
+        if self._identity():
+            self._in_total += chunk.shape[1]
+            self._out_total += chunk.shape[1]
+            return chunk
+        c_np = np.asarray(chunk)
+        if self._buf is None:
+            # buffer index 0 is stream position u_min (= -pad_left):
+            # block b's window is buf[b*M : b*M + W_in] forever after
+            b, _, ch = c_np.shape
+            self._buf = np.zeros(
+                (b, r.pad_left, ch), dtype=c_np.dtype
+            )
+        self._buf = np.concatenate([self._buf, c_np], axis=1)
+        self._in_total += chunk.shape[1]
+        return self._drain()
+
+    def _drain(self) -> jax.Array:
+        r = self._r
+        n_blocks = (self._buf.shape[1] - r.window_n) // r.down + 1
+        b, _, ch = self._buf.shape
+        if n_blocks <= 0:
+            return jnp.zeros((b, 0, ch), dtype=r.compute_dtype)
+        x_in = self._buf[:, : (n_blocks - 1) * r.down + r.window_n]
+        lhs = jnp.asarray(
+            np.moveaxis(x_in, -1, 1).reshape(b * ch, 1, x_in.shape[1])
+        )
+        y = jax.lax.conv_general_dilated(
+            lhs, r.kernel, window_strides=(r.down,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=PRECISIONS[r.precision],
+        )
+        y = jnp.moveaxis(y, 1, 2).reshape(b * ch, n_blocks * r.up)
+        y = jnp.moveaxis(y.reshape(b, ch, -1), 1, 2)
+        self._buf = self._buf[:, n_blocks * r.down :]
+        self._out_total += n_blocks * r.up
+        return y
+
+    def flush(self) -> jax.Array:
+        """Zero-pad and emit the buffered tail; total output is trimmed
+        to exactly ``out_length(total_input)``. Resets the stream."""
+        r = self._r
+        if self._identity() or self._buf is None:
+            self._buf = None
+            self._in_total = self._out_total = 0
+            b = 1
+            return jnp.zeros((1, 0, 1), dtype=r.compute_dtype)
+        want = r.out_length(self._in_total)
+        missing = want - self._out_total
+        b, _, ch = self._buf.shape
+        if missing > 0:
+            # enough zeros that _drain covers the remaining blocks
+            need_blocks = -(-missing // r.up)
+            pad = (
+                (need_blocks - 1) * r.down + r.window_n
+                - self._buf.shape[1]
+            )
+            if pad > 0:
+                self._buf = np.concatenate(
+                    [self._buf,
+                     np.zeros((b, pad, ch), dtype=self._buf.dtype)],
+                    axis=1,
+                )
+            out = self._drain()[:, :missing]
+        else:
+            out = jnp.zeros((b, 0, ch), dtype=r.compute_dtype)
+        self._buf = None
+        self._in_total = self._out_total = 0
+        return out

@@ -186,3 +186,68 @@ class TestContract:
         x = jnp.zeros((1, 441, 1), jnp.float32)
         y = r.resample(x)
         assert y.shape == (1, 160, 1)
+
+
+class TestStreamingResampler:
+    def _stream(self, r, x, chunk):
+        from audiocodec_tpu.resample import StreamingResampler
+
+        s = StreamingResampler(r)
+        outs = []
+        for i in range(0, x.shape[1], chunk):
+            outs.append(np.asarray(s.step(x[:, i : i + chunk])))
+        outs.append(np.asarray(s.flush()))
+        return np.concatenate([o for o in outs if o.size], axis=1)
+
+    def test_chunked_equals_batch(self):
+        """Chunk-fed output == one-shot resample, for chunk sizes with
+        no relation to the rational phase (the buffer carries it)."""
+        r = Resampler.create(44100, 16000)
+        x = jnp.asarray(_tone(1000, 44100, seconds=0.5))
+        want = np.asarray(r.resample(x))
+        for chunk in (441, 1000, 4410, 7777):
+            got = self._stream(r, x, chunk)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_chunked_upsample(self):
+        r = Resampler.create(16000, 48000)
+        x = jnp.asarray(_tone(700, 16000, seconds=0.3))
+        want = np.asarray(r.resample(x))
+        got = self._stream(r, x, 1234)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_identity_streams_through(self):
+        from audiocodec_tpu.resample import StreamingResampler
+
+        r = Resampler.create(16000, 16000)
+        s = StreamingResampler(r)
+        x = jnp.asarray(_tone(700, 16000, seconds=0.1))
+        out = s.step(x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+        assert np.asarray(s.flush()).size == 0
+
+    def test_small_chunks_eventually_emit(self):
+        """Chunks smaller than one polyphase block buffer up and emit
+        once a window completes; totals still match."""
+        r = Resampler.create(44100, 16000)
+        x = jnp.asarray(_tone(1000, 44100, seconds=0.2))
+        want = np.asarray(r.resample(x))
+        got = self._stream(r, x, 100)  # << down=441
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_flush_resets_for_reuse(self):
+        from audiocodec_tpu.resample import StreamingResampler
+
+        r = Resampler.create(16000, 32000)
+        s = StreamingResampler(r)
+        x = jnp.asarray(_tone(500, 16000, seconds=0.1))
+        first = np.concatenate(
+            [np.asarray(s.step(x)), np.asarray(s.flush())], axis=1
+        )
+        second = np.concatenate(
+            [np.asarray(s.step(x)), np.asarray(s.flush())], axis=1
+        )
+        np.testing.assert_array_equal(first, second)
