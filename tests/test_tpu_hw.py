@@ -268,3 +268,67 @@ class TestQuantizedQualityOnHardware:
             jax.jit(codec.round_trip_quantized)(x).astype(jnp.float32)
         )[:, 1024:-1024]
         assert self._snr(np.asarray(x.astype(jnp.float32)), out) > 16.0
+
+
+class TestResamplerOnHardware:
+    """The polyphase conv lowers onto the MXU; verify the quality claims
+    survive compiled TPU execution (conv tiling, f32 HIGHEST path)."""
+
+    def test_tone_snr_on_device(self):
+        from audiocodec_tpu.resample import Resampler
+
+        r = Resampler.create(44100, 16000)
+        t = np.arange(44100 * 2) / 44100
+        x = jnp.asarray(
+            np.sin(2 * np.pi * 1000 * t).astype(np.float32)[None, :, None]
+        )
+        y = np.asarray(jax.jit(lambda r, x: r.resample(x))(r, x))[0, :, 0]
+        ref = np.sin(2 * np.pi * 1000 * np.arange(y.size) / 16000)
+        m = slice(2000, y.size - 2000)
+        err = ref[m] - y[m]
+        snr = 10 * np.log10((ref[m] ** 2).sum() / (err**2).sum())
+        assert snr > 90.0
+
+    def test_matches_cpu_reference(self):
+        """Device conv vs host float64 reference of the same tap matrix:
+        the HIGHEST-precision conv must stay within f32 accumulation
+        error (a silent one-pass bf16 lowering would show ~1e-3)."""
+        from audiocodec_tpu.resample import Resampler
+
+        r = Resampler.create(16000, 48000)
+        rng = np.random.default_rng(1)
+        x = rng.uniform(-0.8, 0.8, (1, 4000, 1)).astype(np.float32)
+        got = np.asarray(r.resample(jnp.asarray(x)))
+        # host float64 oracle via the same windows
+        k = np.asarray(r.kernel, dtype=np.float64)[:, 0, :]  # [L, W]
+        xp = np.zeros(r.pad_left + x.shape[1] + r.window_n, np.float64)
+        xp[r.pad_left : r.pad_left + x.shape[1]] = x[0, :, 0]
+        blocks = got.shape[1] // r.up
+        want = np.empty((blocks, r.up))
+        for b in range(blocks):
+            want[b] = k @ xp[b * r.down : b * r.down + r.window_n]
+        want = want.reshape(-1)[: got.shape[1]]
+        np.testing.assert_allclose(got[0, :, 0], want, atol=5e-6)
+
+
+class TestRVQOnHardware:
+    """One-hot matmul codeword lookup on the MXU: argmin/one-hot must
+    agree with the CPU result on identical inputs."""
+
+    def test_quantize_matches_cpu(self):
+        from audiocodec_tpu.models import rvq as _rvq
+
+        rcfg = _rvq.RVQ(stages=3, codebook_size=64, dim=16)
+        state = _rvq.init_state(jax.random.key(0), rcfg)
+        rng = np.random.default_rng(2)
+        z = jnp.asarray(rng.normal(size=(2, 8, 16, 1)) * 0.3, jnp.float32)
+        z_q, codes, _ = jax.jit(
+            lambda s, z: _rvq.quantize(rcfg, s, z)
+        )(state, z)
+        # decode path reproduces the quantized latents exactly
+        z_dec = _rvq.decode_codes(rcfg, state, codes)
+        np.testing.assert_allclose(
+            np.asarray(z_dec), np.asarray(z_q), atol=1e-5
+        )
+        assert int(np.asarray(codes).min()) >= 0
+        assert int(np.asarray(codes).max()) < 64
