@@ -52,6 +52,11 @@ class StreamWriter:
             "ms": bool(ms),
             "threshold_scale": float(threshold_scale),
             "bark_precision": str(bark_precision),
+            # run-length Rice: every group falls back to plain Rice when
+            # RLE doesn't pay, so this is never meaningfully larger and
+            # 1.2-6x smaller on tonal/quiet chunks. Readers honor the
+            # field; streams without it (older files) decode as "rice".
+            "coder": "rrice",
         }
         self._f = open(path, "wb")
         header = json.dumps(self.meta).encode()
@@ -72,10 +77,17 @@ class StreamWriter:
             codes = codes[0]
             bark = bark[0]
         blocks = codes.shape[0]
-        code_bytes = native.rice_encode(codes.astype(np.int32))
+        enc = (
+            native.rrice_encode
+            if self.meta["coder"] == "rrice"
+            else native.rice_encode
+        )
+        code_bytes = enc(codes.astype(np.int32))
         from audiocodec_tpu.io import bitstream as _bitstream
 
-        bark_bytes = _bitstream.encode_bark_sidecar(bark, block_axis=0)
+        bark_bytes = _bitstream.encode_bark_sidecar(
+            bark, block_axis=0, coder=self.meta["coder"]
+        )
         crc = zlib.crc32(bark_bytes, zlib.crc32(code_bytes))
         self._index.append(self._f.tell())
         self._f.write(struct.pack("<II", blocks, len(code_bytes)))
@@ -218,24 +230,35 @@ class StreamReader:
         ch = self.meta["channels"]
         # joint stereo stores the single min-channel Bark sidecar
         bark_ch = 1 if self.meta.get("ms", False) else ch
-        # Rice coding spends >= 1 bit per value, so a chunk can hold at most
-        # 8*clen values — reject size combinations the payload cannot carry
-        # before allocating the decode buffer.
-        if blocks * n * ch > 8 * clen:
+        # Plausibility bound before allocating the decode buffer: plain
+        # Rice spends >= 1 bit/value (8 values/byte); run-length Rice
+        # amortizes a 256-zero group to 22 bits (~93 values/byte).
+        coder = self.meta.get("coder", "rice")
+        if coder not in ("rice", "rrice"):
+            raise ValueError(
+                f"stream uses unsupported coder {coder!r} — written by a "
+                "newer framework version?"
+            )
+        per_byte = 96 if coder == "rrice" else 8
+        if blocks * n * ch > per_byte * clen:
             raise ValueError(
                 f"chunk {i} header demands {blocks * n * ch} values from a "
                 f"{clen}-byte payload — corrupt stream"
             )
-        codes = native.rice_decode(code_bytes, blocks * n * ch).reshape(
+        decode = (
+            native.rrice_decode if coder == "rrice" else native.rice_decode
+        )
+        codes = decode(code_bytes, blocks * n * ch).reshape(
             blocks, n, ch
         )
-        if blocks * bark_n * bark_ch > 8 * blen:
+        if blocks * bark_n * bark_ch > per_byte * blen:
             raise ValueError(
                 f"chunk {i} header demands {blocks * bark_n * bark_ch} "
                 f"sidecar values from a {blen}-byte payload — corrupt stream"
             )
         bark = _bitstream.decode_bark_sidecar(
-            bark_bytes, (blocks, bark_n, bark_ch), block_axis=0
+            bark_bytes, (blocks, bark_n, bark_ch), block_axis=0,
+            coder=coder,
         )
         return codes, bark
 

@@ -228,6 +228,98 @@ class TestRiceCoding:
             native.rice_decode(bytes(data[: len(data) // 4]), codes.size)
 
 
+class TestRunLengthRice:
+    def _roundtrip(self, codes):
+        data = native.rrice_encode(codes)
+        got = native.rrice_decode(data, codes.size)
+        np.testing.assert_array_equal(got, codes)
+        # pure-Python fallback must agree bit-for-bit
+        got_py = native._rrice_decode_py(
+            np.frombuffer(data, np.uint8), codes.size, native.RICE_GROUP
+        )
+        np.testing.assert_array_equal(got_py, codes)
+        return data
+
+    def test_roundtrip_distributions(self):
+        rng = np.random.default_rng(0)
+        for codes in (
+            np.where(
+                rng.random(20000) < 0.01,
+                rng.integers(-2000, 2000, 20000), 0,
+            ).astype(np.int32),
+            rng.integers(-200, 200, 20000).astype(np.int32),
+            np.zeros(20000, np.int32),
+            (rng.geometric(0.4, 20000) - 1).astype(np.int32)
+            * rng.choice([-1, 1], 20000).astype(np.int32),
+        ):
+            self._roundtrip(codes)
+
+    def test_roundtrip_extremes(self):
+        self._roundtrip(np.asarray(
+            [0, 1, -1, 2**30, -(2**30), 47, -48, 2**31 - 1, -(2**31), 0, 0],
+            dtype=np.int32,
+        ))
+
+    def test_group_boundary_alternation(self):
+        """Runs and values straddling group boundaries: nonzero at the
+        last slot of a group, runs covering exactly a group, etc."""
+        g = native.RICE_GROUP
+        codes = np.zeros(3 * g + 7, np.int32)
+        codes[g - 1] = 5       # nonzero at a group's last slot
+        codes[g] = -3          # and at the next group's first
+        codes[2 * g - 1] = 1
+        self._roundtrip(codes)
+
+    def test_sparse_much_smaller_than_rice(self):
+        rng = np.random.default_rng(1)
+        codes = np.where(
+            rng.random(100000) < 0.01,
+            rng.integers(-50, 50, 100000), 0,
+        ).astype(np.int32)
+        assert len(native.rrice_encode(codes)) * 4 < len(
+            native.rice_encode(codes)
+        )
+
+    def test_dense_never_meaningfully_larger(self):
+        """Per-group plain fallback: on dense data rrice pays only the
+        one mode bit per group over rice."""
+        rng = np.random.default_rng(2)
+        codes = rng.integers(-200, 200, 100000).astype(np.int32)
+        r = len(native.rice_encode(codes))
+        rr = len(native.rrice_encode(codes))
+        assert rr <= r + (codes.size // native.RICE_GROUP) // 8 + 16
+
+    def test_corrupt_stream_raises(self):
+        codes = np.where(
+            np.arange(5000) % 100 == 0, np.arange(5000), 0
+        ).astype(np.int32)
+        data = native.rrice_encode(codes)
+        with pytest.raises(ValueError, match="corrupt"):
+            native.rrice_decode(data[: len(data) // 4], codes.size)
+        with pytest.raises(ValueError, match="corrupt"):
+            native._rrice_decode_py(
+                np.frombuffer(data[: len(data) // 4], np.uint8),
+                codes.size, native.RICE_GROUP,
+            )
+
+    def test_bit_flip_fuzz_never_crashes(self):
+        """Flipped bits either decode to SOME array or raise ValueError —
+        never crash, hang, or over-allocate."""
+        rng = np.random.default_rng(3)
+        codes = np.where(
+            rng.random(4096) < 0.05, rng.integers(-99, 99, 4096), 0
+        ).astype(np.int32)
+        data = bytearray(native.rrice_encode(codes))
+        for trial in range(200):
+            flip = rng.integers(0, len(data))
+            mut = bytearray(data)
+            mut[flip] ^= 1 << int(rng.integers(0, 8))
+            try:
+                native.rrice_decode(bytes(mut), codes.size)
+            except ValueError:
+                pass
+
+
 class TestWriteClipping:
     def test_full_scale_positive_not_wrapped(self, tmp_path):
         """Full-scale +1.0 must not wrap to INT32_MIN (float32 cannot
@@ -280,3 +372,133 @@ class TestParserFuzz:
                 assert data.shape[1] <= 1000  # partial decode is fine
             except ValueError:
                 pass
+
+
+class TestEntropyFormatCompat:
+    def test_old_rice_acz_still_decodes(self, tmp_path):
+        """A container in the pre-rrice layout (members 'rice' +
+        'bark_rice') must keep decoding — files already on disk."""
+        import io as _io
+
+        import ml_dtypes
+
+        from audiocodec_tpu.io import bitstream
+
+        rng = np.random.default_rng(0)
+        codes = np.where(
+            rng.random((1, 9, 64, 1)) < 0.2,
+            rng.integers(-40, 40, (1, 9, 64, 1)), 0,
+        ).astype(np.int32)
+        bark = (
+            rng.uniform(0.1, 2.0, (1, 9, 16, 1)).astype(ml_dtypes.bfloat16)
+        )
+        bark_i32 = bark.view(np.uint16).astype(np.int32)
+        deltas = np.diff(bark_i32, axis=1, prepend=0)
+        buf = _io.BytesIO()
+        np.savez_compressed(
+            buf,
+            meta=np.asarray([16000, 64, 16, 1], dtype=np.int64),
+            alphaw=np.asarray([0.6]),
+            window=np.asarray(["vorbis"]),
+            dtype=np.asarray(["float32"]),
+            ms=np.asarray([0], dtype=np.int64),
+            tscale=np.asarray([1.0]),
+            barkprec=np.asarray(["highest"]),
+            rice=np.frombuffer(native.rice_encode(codes), dtype=np.uint8),
+            shape=np.asarray(codes.shape, dtype=np.int64),
+            bark_rice=np.frombuffer(
+                native.rice_encode(deltas), dtype=np.uint8
+            ),
+            bark_shape=np.asarray(bark.shape, dtype=np.int64),
+        )
+        c2, b2, meta = bitstream.unpack(buf.getvalue())
+        np.testing.assert_array_equal(c2, codes)
+        np.testing.assert_array_equal(
+            np.asarray(b2).view(np.uint16), bark.view(np.uint16)
+        )
+        assert meta["sample_rate"] == 16000
+
+    def test_old_acs_without_coder_field_decodes(self, tmp_path):
+        """.acs streams written before the coder field default to plain
+        rice on read."""
+        import json
+        import struct
+
+        import jax
+        import jax.numpy as jnp
+
+        from audiocodec_tpu.codec import Codec
+        from audiocodec_tpu.io import bitstream as _bs
+        from audiocodec_tpu.io import stream_container as sc
+
+        codec = Codec.create(16000, filters_n=64, bark_bands_n=16)
+        t = np.arange(16 * 64) / 16000
+        x = jnp.asarray(
+            (0.5 * np.sin(2 * np.pi * 700 * t)).astype(np.float32)[
+                None, :, None
+            ]
+        )
+        codes, bark = codec.encode_bitstream(x)
+        # hand-write an old-format stream: no coder field, rice payloads
+        path = str(tmp_path / "old.acs")
+        meta = {
+            "sample_rate": 16000, "filters_n": 64, "bark_bands_n": 16,
+            "alpha": 0.6, "window_type": "vorbis", "channels": 1,
+            "compute_dtype": "float32", "ms": False,
+            "threshold_scale": 1.0, "bark_precision": "highest",
+        }
+        with open(path, "wb") as f:
+            header = json.dumps(meta).encode()
+            f.write(b"ACS1" + struct.pack("<I", len(header)) + header)
+            import zlib as _zlib
+
+            c = np.asarray(codes)[0]
+            code_bytes = native.rice_encode(c.astype(np.int32))
+            bark_bytes = _bs.encode_bark_sidecar(
+                np.asarray(bark)[0], block_axis=0, coder="rice"
+            )
+            crc = _zlib.crc32(bark_bytes, _zlib.crc32(code_bytes))
+            off = f.tell()
+            f.write(struct.pack("<II", c.shape[0], len(code_bytes)))
+            f.write(code_bytes)
+            f.write(struct.pack("<I", len(bark_bytes)))
+            f.write(bark_bytes)
+            f.write(struct.pack("<I", crc))
+            index_off = f.tell()
+            f.write(struct.pack("<Q", off))
+            f.write(struct.pack("<QQ", 1, index_off))
+        with sc.StreamReader(path) as r:
+            got_codes, got_bark = r.read_chunk(0)
+        np.testing.assert_array_equal(got_codes, np.asarray(codes)[0])
+        np.testing.assert_array_equal(
+            np.asarray(got_bark).view(np.uint16),
+            np.asarray(bark)[0].view(np.uint16),
+        )
+
+    def test_unknown_coder_rejected(self, tmp_path):
+        import json
+        import struct
+
+        path = str(tmp_path / "future.acs")
+        meta = {
+            "sample_rate": 16000, "filters_n": 64, "bark_bands_n": 16,
+            "alpha": 0.6, "window_type": "vorbis", "channels": 1,
+            "compute_dtype": "float32", "coder": "quantum",
+        }
+        from audiocodec_tpu.io import stream_container as sc
+
+        with open(path, "wb") as f:
+            header = json.dumps(meta).encode()
+            f.write(b"ACS1" + struct.pack("<I", len(header)) + header)
+            off = f.tell()
+            f.write(struct.pack("<II", 1, 4) + b"\x00" * 4)
+            f.write(struct.pack("<I", 4) + b"\x00" * 4)
+            import zlib as _zlib
+
+            f.write(struct.pack("<I", _zlib.crc32(b"\x00" * 8)))
+            f.write(struct.pack("<Q", off))
+            f.write(struct.pack("<QQ", 1, off))
+
+        with pytest.raises(ValueError):
+            with sc.StreamReader(path) as r:
+                r.read_chunk(0)
