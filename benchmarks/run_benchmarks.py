@@ -61,6 +61,15 @@ GATES = {
     # Measured nominals: 0.0213 (config 3, f32), 0.0217 (bf16), 0.0014
     # (streaming stereo sines); ceiling ~4x the batch nominals.
     "nmr_ceiling": 0.08,
+    # .acz bitrate on the config-3 signal (two tones + 0.05 noise — only
+    # ~40% zero codes, so run-length Rice wins just barely there; tonal
+    # content compresses 2-6x better). Nominal 141.7 kbps auto-coded; a
+    # quantizer or entropy-coder regression shows up here before SNR moves.
+    "full_kbps_ceiling": 150.0,
+    # .acs container bitrate on the config-5 stereo sines (tonal content;
+    # raw run-length-Rice payloads, no deflate wrapper, per-chunk sidecar
+    # resets). Measured nominal 43.3 kbps for the 48 kHz stereo pair.
+    "streaming_kbps_ceiling": 48.0,
 }
 
 
@@ -316,13 +325,34 @@ def config3_full_encode_decode(quick):
     audio_s = batch * wave.size / sr
     thr = audio_s / dt
     nmr = nmr_quantized(codec, x)
+
+    # Bitrate of the actual .acz container on one clip: the coder choice
+    # (rice vs run-length rice vs zlib) and the quantizer both land here.
+    from audiocodec_tpu.io import bitstream
+
+    codes, bark = jax.jit(codec.encode_bitstream)(x[:1])
+    c0, b0 = np.asarray(codes), np.asarray(bark)
+    dur = wave.size / sr
+    pack_kw = dict(
+        sample_rate=sr, filters_n=n, bark_bands_n=64,
+        alpha=codec.psycho.alpha, window_type="vorbis",
+        compute_dtype="float32",
+    )
+    size_auto = len(bitstream.pack(c0, b0, entropy="auto", **pack_kw))
+    size_rice = len(bitstream.pack(c0, b0, entropy="rice", **pack_kw))
+    size_zlib = len(bitstream.pack(c0, b0, entropy="zlib", **pack_kw))
+    kbps = size_auto * 8 / dur / 1000
+
     # Gates derived from recorded nominals minus a small margin (RESULTS.md:
     # 18.96 dB, 1106x): a real quality regression (>0.5 dB), a psycho-model
-    # regression (NMR), or a perf regression below the 100x BASELINE target
-    # fails loudly.
+    # regression (NMR), a bitrate regression, or a perf regression below
+    # the 100x BASELINE target fails loudly. "auto" must also never pick a
+    # coder worse than the alternatives it costs.
     ok = bool(snr > (15.0 if quick else 18.5))
     ok = ok and nmr < GATES["nmr_ceiling"]
+    ok = ok and size_auto <= min(size_rice, size_zlib)
     if not quick:
+        ok = ok and kbps <= GATES["full_kbps_ceiling"]
         ok = ok and thr >= max(
             100.0 * REFERENCE["full_encode_decode"], GATES["full_floor"]
         )
@@ -330,6 +360,9 @@ def config3_full_encode_decode(quick):
         "config": "full_encode_decode",
         "snr_db": float(round(snr, 2)),
         "nmr": float(round(nmr, 4)),
+        "kbps": float(round(kbps, 1)),
+        "kbps_rice": float(round(size_rice * 8 / dur / 1000, 1)),
+        "kbps_zlib": float(round(size_zlib * 8 / dur / 1000, 1)),
         "throughput_audio_s_per_s": round(thr, 1),
         "vs_reference_cpu": round(thr / REFERENCE["full_encode_decode"], 1),
         "pass": ok,
@@ -641,11 +674,27 @@ def config5_streaming(quick):
     snr = snr_db(np.asarray(head), out)
     nmr = nmr_quantized(codec, head)
 
+    # Actual .acs container bitrate on the head — stereo sines are the
+    # run-length coder's best case (>99% zero codes) and a regression in
+    # either quantizer or entropy coder shows up here first.
+    import os
+    import tempfile
+
+    from audiocodec_tpu.io import stream_container as sc
+
+    with tempfile.TemporaryDirectory() as td:
+        acs = os.path.join(td, "bench.acs")
+        sc.encode_stream(codec, head, acs, chunk_blocks=chunk_blocks)
+        acs_bytes = os.path.getsize(acs)
+    head_s = head.shape[1] / sr
+    kbps = acs_bytes * 8 / head_s / 1000
+
     ok = bool(snr > GATES["streaming_snr_floor"] and nmr < GATES["nmr_ceiling"])
     if not quick:
         ok = ok and bool(
             thr >= GATES["streaming_floor"]
             and thr_d >= GATES["streaming_default_floor"]
+            and kbps <= GATES["streaming_kbps_ceiling"]
         )
     return {
         "config": "streaming_longform",
@@ -653,6 +702,7 @@ def config5_streaming(quick):
         "channels": 2,
         "snr_db": float(round(snr, 2)),
         "nmr": float(round(nmr, 4)),
+        "acs_kbps": float(round(kbps, 1)),
         "throughput_audio_s_per_s": round(thr, 1),
         "realtime_factor": round(thr, 1),
         "default_precision_audio_s_per_s": round(thr_d, 1),
