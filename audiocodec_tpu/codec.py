@@ -51,6 +51,7 @@ class Codec:
         use_pallas="auto",
         dct_precision: str = "highest",
         bark_precision: str | None = None,
+        pallas_kernel: str = "auto",
     ) -> "Codec":
         """Build the codec pytree.
 
@@ -73,6 +74,7 @@ class Codec:
                 fast_bf16=fast_bf16,
                 use_pallas=use_pallas,
                 dct_precision=dct_precision,
+                pallas_kernel=pallas_kernel,
             ),
             psycho=PsychoacousticModel.create(
                 sample_rate,

@@ -48,11 +48,12 @@ from audiocodec_tpu.utils import dtypes as _dtypes
         "wa_r", "wb", "wc", "ffr", "p", "q", "r", "s_r",
         "dct_mat_fwd", "dct_mat_inv",
         "pfwd_wa", "pfwd_wb", "pfwd_mat", "pinv_wa", "pinv_wb", "pinv_mat",
+        "pfwd_rot", "pinv_rot",
         "dense_fwd_cur", "dense_fwd_prev", "dense_inv_cur", "dense_inv_prev",
     ],
     meta_fields=[
         "filters_n", "window_type", "compute_dtype", "fast_bf16",
-        "use_pallas", "dct_precision",
+        "use_pallas", "dct_precision", "pallas_kernel",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -87,6 +88,12 @@ class MDCT:
     fast_bf16: bool
     use_pallas: bool
     dct_precision: str
+    # Kernel design the Pallas directions use: "mono" = one [N, N]
+    # matmul per frame; "radix" = radix-2 DCT-IV split — rotation layer +
+    # two [N/2, N/2] matmuls + butterfly, HALF the MACs and a QUARTER the
+    # resident bytes (ops/pallas_mdct.py::_radix_pieces). Resolved at
+    # create time; a perf knob, never quantization-affecting.
+    pallas_kernel: str
     # Fold/unfold weights, shape [N/2] each, in compute_dtype:
     wa_r: jax.Array
     wb: jax.Array
@@ -110,6 +117,12 @@ class MDCT:
     pinv_wa: object
     pinv_wb: object
     pinv_mat: object
+    # Radix-kernel rotation vectors, stacked [2, N] per direction (rows =
+    # the two per-lane rotation operands); None for the "mono" design.
+    # For "radix", pfwd_mat/pinv_mat hold the stacked [2, N/2, N/2]
+    # half-size residents instead of one [N, N] matrix.
+    pfwd_rot: object
+    pinv_rot: object
     # Dense two-matmul parameters, used at dct_precision="default": the
     # fold collapses into the matmuls (cur @ (H0 M) + prev @ (H1 M)) —
     # 2x the matmul FLOPs but ZERO lane-reversal passes, and at one-pass
@@ -130,6 +143,7 @@ class MDCT:
         fast_bf16: bool = False,
         use_pallas="auto",
         dct_precision: str = "highest",
+        pallas_kernel: str = "auto",
     ) -> "MDCT":
         """Precompute fold weights and the DCT matrix (float64 on host, then
         downcast once — the reference's mixed-precision variable treatment,
@@ -150,6 +164,16 @@ class MDCT:
                 f"dct_precision must be one of {sorted(_dct.PRECISIONS)}, "
                 f"got {dct_precision!r}"
             )
+        if pallas_kernel not in ("auto", "mono", "radix"):
+            raise ValueError(
+                "pallas_kernel must be 'auto', 'mono' or 'radix'; got "
+                f"{pallas_kernel!r}"
+            )
+        if pallas_kernel == "auto":
+            # Both designs are exact; "auto" picks the measured winner per
+            # precision tier (docs/DESIGN.md §3). Until the radix kernels
+            # have hardware numbers, the single-matmul design stays.
+            pallas_kernel = "mono"
         # Hardware eligibility: N a lane-friendly multiple of 256, capped
         # by measured Mosaic scoped-VMEM ceilings. "highest" caps at
         # N=1024: Mosaic internally decomposes the VMEM-resident f32
@@ -157,8 +181,13 @@ class MDCT:
         # ~95 MiB cap). "high"/"default" pre-split into bf16 residents
         # (no decomposition) and reach N=2048 — at N=4096 the residents
         # plus Mosaic's tb-independent scoped overhead still demand
-        # 114.3 MiB even at 32-row tiles, so 4096 stays on XLA.
-        n_cap = 1024 if dct_precision == "highest" else 2048
+        # 114.3 MiB even at 32-row tiles, so 4096 stays on XLA. The radix
+        # design's residents are a QUARTER of the mono bytes (two
+        # [N/2, N/2] matrices), which moves each ceiling up one size.
+        if pallas_kernel == "radix":
+            n_cap = 2048 if dct_precision == "highest" else 4096
+        else:
+            n_cap = 1024 if dct_precision == "highest" else 2048
         eligible = (
             filters_n % 256 == 0
             and filters_n <= n_cap
@@ -198,6 +227,7 @@ class MDCT:
         fused = dict(
             pfwd_wa=None, pfwd_wb=None, pfwd_mat=None,
             pinv_wa=None, pinv_wb=None, pinv_mat=None,
+            pfwd_rot=None, pinv_rot=None,
         )
         if pallas_fwd or pallas_inv:
             from audiocodec_tpu.ops import pallas_mdct as _pallas
@@ -210,15 +240,42 @@ class MDCT:
                 if dtype != jnp.dtype(jnp.bfloat16) or fast_bf16
                 else jnp.dtype(jnp.float32)
             )
+            radix = pallas_kernel == "radix"
             if pallas_fwd:
-                fwa, fwb, fm = _pallas.forward_params(filters_n, window_type)
+                if radix:
+                    fwa, fwb, r1, r2, fp, fq = _pallas.radix_forward_params(
+                        filters_n, window_type
+                    )
+                    fm = np.stack([fp, fq])
+                    fused.update(
+                        pfwd_rot=jnp.asarray(
+                            np.concatenate([r1, r2]), dtype=fused_dtype
+                        )
+                    )
+                else:
+                    fwa, fwb, fm = _pallas.forward_params(
+                        filters_n, window_type
+                    )
                 fused.update(
                     pfwd_wa=jnp.asarray(fwa, dtype=fused_dtype),
                     pfwd_wb=jnp.asarray(fwb, dtype=fused_dtype),
                     pfwd_mat=jnp.asarray(fm, dtype=fused_dtype),
                 )
             if pallas_inv:
-                iva, ivb, im = _pallas.inverse_params(filters_n, window_type)
+                if radix:
+                    iva, ivb, ra, rb, ip, iq = _pallas.radix_inverse_params(
+                        filters_n, window_type
+                    )
+                    im = np.stack([ip, iq])
+                    fused.update(
+                        pinv_rot=jnp.asarray(
+                            np.concatenate([ra, rb]), dtype=fused_dtype
+                        )
+                    )
+                else:
+                    iva, ivb, im = _pallas.inverse_params(
+                        filters_n, window_type
+                    )
                 fused.update(
                     pinv_wa=jnp.asarray(iva, dtype=fused_dtype),
                     pinv_wb=jnp.asarray(ivb, dtype=fused_dtype),
@@ -254,6 +311,7 @@ class MDCT:
             fast_bf16=fast_bf16,
             use_pallas=use_pallas,
             dct_precision=dct_precision,
+            pallas_kernel=pallas_kernel,
             wa_r=as_compute(coeffs.wa_r),
             wb=as_compute(coeffs.wb),
             wc=as_compute(coeffs.wc),
@@ -307,13 +365,32 @@ class MDCT:
                 # transpose/reshape above — it is what lets the kernel fold
                 # without lane reversals (ops/pallas_mdct.py docstring).
                 xs = _pallas.swizzle(rows.astype(self.pfwd_mat.dtype))
-                y = _pallas.fold_matmul(
-                    xs,
-                    self.pfwd_wa,
-                    self.pfwd_wb,
-                    self.pfwd_mat,
-                    self.dct_precision,
-                ).astype(self.compute_dtype).reshape(
+                if self.pallas_kernel == "radix":
+                    # The radix kernel emits even/odd-split lane order;
+                    # the interleave is a reshape-transpose XLA fuses
+                    # into consumers (or cancels against the inverse's
+                    # de-interleave in a round trip).
+                    y = _pallas.interleave(
+                        _pallas.radix_fold_matmul(
+                            xs,
+                            self.pfwd_wa,
+                            self.pfwd_wb,
+                            self.pfwd_rot[0:1],
+                            self.pfwd_rot[1:2],
+                            self.pfwd_mat[0],
+                            self.pfwd_mat[1],
+                            self.dct_precision,
+                        )
+                    )
+                else:
+                    y = _pallas.fold_matmul(
+                        xs,
+                        self.pfwd_wa,
+                        self.pfwd_wb,
+                        self.pfwd_mat,
+                        self.dct_precision,
+                    )
+                y = y.astype(self.compute_dtype).reshape(
                     batches_n, channels_n, blocks_n + 1, n
                 )
             elif self.dense_fwd_cur is not None:
@@ -365,19 +442,31 @@ class MDCT:
                 from audiocodec_tpu.ops import pallas_mdct as _pallas
 
                 rows = yb.reshape(batches_n * channels_n, blocks_n, n)
-                # Kernel output is in the swizzled layout; the un-swizzle
-                # fuses into the merge-blocks reshape/transpose below.
-                out = _pallas.swizzle(
-                    _pallas.matmul_scatter(
-                        rows.astype(self.pinv_mat.dtype),
+                rows = rows.astype(self.pinv_mat.dtype)
+                if self.pallas_kernel == "radix":
+                    swz = _pallas.radix_matmul_scatter(
+                        _pallas.deinterleave(rows),
+                        self.pinv_wa,
+                        self.pinv_wb,
+                        self.pinv_rot[0:1],
+                        self.pinv_rot[1:2],
+                        self.pinv_mat[0],
+                        self.pinv_mat[1],
+                        self.dct_precision,
+                    )
+                else:
+                    swz = _pallas.matmul_scatter(
+                        rows,
                         self.pinv_wa,
                         self.pinv_wb,
                         self.pinv_mat,
                         self.dct_precision,
                     )
-                ).astype(self.compute_dtype).reshape(
-                    batches_n, channels_n, blocks_n + 1, n
-                )
+                # Kernel output is in the swizzled layout; the un-swizzle
+                # fuses into the merge-blocks reshape/transpose below.
+                out = _pallas.swizzle(swz).astype(
+                    self.compute_dtype
+                ).reshape(batches_n, channels_n, blocks_n + 1, n)
             elif self.dense_inv_cur is not None:
                 # dense two-matmul: out[n] = y[n] @ (M G0) + y[n-1] @ (M G1)
                 zero = jnp.zeros_like(yb[:, :, :1])

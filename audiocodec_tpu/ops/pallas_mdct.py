@@ -110,6 +110,68 @@ def inverse_params(filters_n: int, window_type):
     return va, vb, m
 
 
+def _radix_pieces(filters_n: int):
+    """Shared precompute for the radix-2 DCT-IV split (float64).
+
+    The orthonormal DCT-IV of length N decomposes over the pairing
+    (f_n, f_{N-1-n}) — exactly the lane layout the swizzled fold already
+    produces — into a per-lane rotation by phi_n = pi/(2N)(n+1/2),
+
+        r_n  = a_n cos(phi_n) + b_n sin(phi_n)
+        t~_n = (-1)^n (b_n cos(phi_n) - a_n sin(phi_n)),
+
+    two SHARED [M, M] DCT-II-kernel matmuls (M = N/2, the sqrt(2/N)
+    orthonormal scale folded in),
+
+        U_j  = sum_n r_n  cos(pi j (n+1/2) / M)          (j = 0..M-1)
+        V2_j = sum_n t~_n cos(pi (M-1-j)(n+1/2) / M),
+
+    and a one-lane-shift butterfly: X_even = U + shift_right(V2),
+    X_odd = shift_left(U) - V2 (exact because the dropped boundary terms
+    Cr_M and St_0 vanish analytically: cos(pi(n+1/2)) = sin(0) = 0).
+    Matmul cost per frame: 2 M^2 = N^2/2 MACs — HALF the single-matmul
+    kernel — with residents a QUARTER of its [N, N] matrix bytes."""
+    m = filters_n // 2
+    n_ = np.arange(m, dtype=np.float64)
+    phi = np.pi / (2.0 * filters_n) * (n_ + 0.5)
+    sgn = (-1.0) ** n_
+    j_ = np.arange(m, dtype=np.float64)
+    base = np.cos(np.pi / m * np.outer(n_ + 0.5, j_))
+    flip = np.cos(np.pi / m * np.outer(n_ + 0.5, m - 1 - j_))
+    return phi, sgn, base, flip
+
+
+def radix_forward_params(filters_n: int, window_type):
+    """(wa, wb, rot1, rot2 [1,N], P, Q [M,M]) float64 — analysis fold
+    weights (identical to :func:`forward_params`), the rotation-layer
+    vectors, and the two half-size matmul residents. See _radix_pieces."""
+    c = _folding.make_fold_coefficients(filters_n, window_type)
+    wa = np.concatenate([c.wa_r, c.wb])[None, :]
+    wb = np.concatenate([c.wc[::-1], -c.ffr[::-1]])[None, :]
+    phi, sgn, base, flip = _radix_pieces(filters_n)
+    rot1 = np.concatenate([np.cos(phi), np.cos(phi) * sgn])[None, :]
+    rot2 = np.concatenate([np.sin(phi), -np.sin(phi) * sgn])[None, :]
+    s = math.sqrt(2.0 / filters_n) / math.sqrt(4.0 * filters_n)
+    return wa, wb, rot1, rot2, base * s, flip * s
+
+
+def radix_inverse_params(filters_n: int, window_type):
+    """(va, vb, rotA, rotB [1,N], Pi, Qi [M,M]) float64 — synthesis
+    scatter weights (identical to :func:`inverse_params`) plus the
+    TRANSPOSED radix factors: the synthesis kernel runs the butterfly
+    first (on the de-interleaved spectrum), then the transposed matmuls,
+    then the transposed rotation, landing in exactly the column-permuted
+    layout the scatter epilogue expects."""
+    c = _folding.make_fold_coefficients(filters_n, window_type)
+    va = np.concatenate([c.p, c.r[::-1]])[None, :]
+    vb = np.concatenate([c.q, c.s_r])[None, :]
+    phi, sgn, base, flip = _radix_pieces(filters_n)
+    rot_a = np.concatenate([np.cos(phi), np.sin(phi)])[None, :]
+    rot_b = np.concatenate([-np.sin(phi) * sgn, np.cos(phi) * sgn])[None, :]
+    s = math.sqrt(2.0 / filters_n) * math.sqrt(4.0 * filters_n)
+    return va, vb, rot_a, rot_b, base.T * s, flip.T * s
+
+
 def _shift_add(v, h):
     return v[:, :h] + v[:, h:]
 
@@ -221,6 +283,103 @@ def _inv_kernel(
     ).astype(out_dtype)
 
 
+def _shift_right_z(v):
+    """Lane shift by +1 with zero fill: out_j = v_{j-1}, out_0 = 0."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    return jnp.where(lane == 0, 0.0, pltpu.roll(v, shift=1, axis=1))
+
+
+def _shift_left_z(v):
+    """Lane shift by -1 with zero fill: out_j = v_{j+1}, out_{M-1} = 0.
+    (pltpu.roll only accepts non-negative shifts: roll by M-1.)"""
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    return jnp.where(
+        lane == v.shape[1] - 1, 0.0,
+        pltpu.roll(v, shift=v.shape[1] - 1, axis=1),
+    )
+
+
+def _radix_dct(rt, h, p_scr, q_scr, prec_mode):
+    """The shared radix core: [r | t~] lanes -> [X_even | X_odd] lanes
+    via the two [M, M] matmuls and the one-lane-shift butterfly
+    (derivation in _radix_pieces)."""
+    u = _mxu(rt[:, :h], p_scr, prec_mode)
+    v2 = _mxu(rt[:, h:], q_scr, prec_mode)
+    return jnp.concatenate(
+        [u + _shift_right_z(v2), _shift_left_z(u) - v2], axis=1
+    )
+
+
+def _fwd_kernel_radix(
+    x_ref, halo_ref, wa_ref, wb_ref, rot1_ref, rot2_ref, *rest,
+    n_mats, h, align, prec_mode, out_dtype
+):
+    """Radix analysis tile: fold (VPU), per-lane rotation (VPU), two
+    half-size matmuls + butterfly (MXU + lane shifts). Output spectra are
+    in EVEN/ODD-SPLIT lane order ([X_0, X_2, .. | X_1, X_3, ..]); the XLA
+    wrapper interleaves (a reshape-transpose that fuses into consumers).
+    Halo handling is identical to _fwd_kernel."""
+    m_hbms = rest[:n_mats]
+    out_ref = rest[n_mats]
+    m_scratches = rest[n_mats + 1 : 2 * n_mats + 1]
+    sems = rest[2 * n_mats + 1 :]
+    _load_matrices(m_hbms, m_scratches, sems)
+    k = n_mats // 2
+    t = pl.program_id(1)
+    cur = x_ref[0]
+    prev_last = halo_ref[0, align - 1 : align, :]
+    prev_last = jnp.where(t == 0, jnp.zeros_like(prev_last), prev_last)
+    prev = jnp.concatenate([prev_last, cur[:-1]], axis=0)
+    ta = prev * wa_ref[0:1, :]
+    tc = cur * wb_ref[0:1, :]
+    folded = jnp.concatenate([_shift_add(ta, h), _shift_add(tc, h)], axis=1)
+    swap = jnp.concatenate([folded[:, h:], folded[:, :h]], axis=1)
+    rt = folded * rot1_ref[0:1, :] + swap * rot2_ref[0:1, :]
+    out_ref[0] = _radix_dct(
+        rt, h, m_scratches[:k], m_scratches[k:], prec_mode
+    ).astype(out_dtype)
+
+
+def _inv_kernel_radix(
+    y_ref, halo_ref, va_ref, vb_ref, rota_ref, rotb_ref, *rest,
+    n_mats, h, align, prec_mode, out_dtype
+):
+    """Radix synthesis tile: transposed butterfly (lane shifts), two
+    transposed half-size matmuls (MXU), transposed rotation (VPU), then
+    the scatter epilogue of _inv_kernel. Input spectra must be in
+    even/odd-split lane order (the XLA wrapper de-interleaves)."""
+    m_hbms = rest[:n_mats]
+    out_ref = rest[n_mats]
+    m_scratches = rest[n_mats + 1 : 2 * n_mats + 1]
+    sems = rest[2 * n_mats + 1 :]
+    _load_matrices(m_hbms, m_scratches, sems)
+    k = n_mats // 2
+    t = pl.program_id(1)
+
+    def radix_z(rows):
+        ye, yo = rows[:, :h], rows[:, h:]
+        us = ye + _shift_right_z(yo)
+        vs = _shift_left_z(ye) - yo
+        rs = _mxu(us, m_scratches[:k], prec_mode)
+        ts = _mxu(vs, m_scratches[k:], prec_mode)
+        dup_r = jnp.concatenate([rs, rs], axis=1)
+        dup_t = jnp.concatenate([ts, ts], axis=1)
+        return (
+            dup_r * rota_ref[0:1, :] + dup_t * rotb_ref[0:1, :]
+        ).astype(rows.dtype)
+
+    z = radix_z(y_ref[0])
+    zh = radix_z(halo_ref[0, align - 1 : align, :])
+    zh = jnp.where(t == 0, jnp.zeros_like(zh), zh)
+    zp = jnp.concatenate([zh, z[:-1]], axis=0)
+    u = jnp.concatenate([z[:, :h], zp[:, h:]], axis=1)
+    a = u * va_ref[0:1, :]
+    b = u * vb_ref[0:1, :]
+    out_ref[0] = jnp.concatenate(
+        [_shift_add(a, h), _shift_add(b, h)], axis=1
+    ).astype(out_dtype)
+
+
 # Scoped-VMEM planning, calibrated against real compiler rejections:
 # v5e VMEM is 128 MiB. Beyond the matrix residents, measured scoped-stack
 # demand runs ~25x the [tb, N] tile bytes (double-buffered in/out tiles +
@@ -281,24 +440,35 @@ def _split_mats(mat, precision):
     return (mh, ml)
 
 
-def _call(x, num_out, wa, wb, mat, precision, mode):
+def _call(x, num_out, wa, wb, mat, precision, mode, rots=()):
+    """Launch one kernel. ``mat`` is the [N, N] resident (single-matmul
+    design) or a tuple of two [M, M] residents (radix design, selected by
+    a non-empty ``rots`` — the two [1, N] rotation vectors)."""
     rows, blocks_n, n = x.shape  # blocks_n = padded count >= num_out
     h = n // 2
     itemsize = x.dtype.itemsize
     align = 16 if itemsize == 2 else 8
-    if mat.dtype == jnp.bfloat16:
+    mat_list = mat if isinstance(mat, tuple) else (mat,)
+    if mat_list[0].dtype == jnp.bfloat16:
         # bf16 operands admit exactly ONE matmul pass — higher precision
         # tiers are identical math through Mosaic's (more scoped-VMEM-
         # hungry, and for 'highest' decomposition-heavy) lowerings, so
         # canonicalize to the single-pass tier.
         precision = "default"
-    mats = _split_mats(mat, precision)
+    mats = tuple(
+        m for one in mat_list for m in _split_mats(one, precision)
+    )
     mat_bytes = sum(int(m.size) * m.dtype.itemsize for m in mats)
     eff_mat = 7 * mat_bytes if precision == "highest" else mat_bytes
     tb = _tile_size(itemsize, num_out, n, mat_bytes, precision)
     n_tiles = pl.cdiv(num_out, tb)
     tpb = tb // align  # tile size in halo-window units
-    body = _fwd_kernel if mode == _FOLD_MM else _inv_kernel
+    if rots:
+        body = _fwd_kernel_radix if mode == _FOLD_MM else _inv_kernel_radix
+        mac_per_frame = n * h
+    else:
+        body = _fwd_kernel if mode == _FOLD_MM else _inv_kernel
+        mac_per_frame = n * n
     kernel = functools.partial(
         body, n_mats=len(mats), h=h, align=align, prec_mode=precision,
         out_dtype=x.dtype,
@@ -319,10 +489,10 @@ def _call(x, num_out, wa, wb, mat, precision, mode):
                 lambda r, t: (r, jnp.maximum(t * tpb - 1, 0), 0),
                 memory_space=pltpu.VMEM,
             ),
+        ] + [
             pl.BlockSpec((1, n), lambda r, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda r, t: (0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2 + len(rots))  # wa, wb (+ rot1, rot2)
         ] + [
             pl.BlockSpec(memory_space=pl.ANY)  # matrices; DMA'd once
             for _ in mats
@@ -332,19 +502,20 @@ def _call(x, num_out, wa, wb, mat, precision, mode):
         ),
         out_shape=jax.ShapeDtypeStruct((rows, num_out, n), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((n, n), m.dtype) for m in mats  # residents
+            pltpu.VMEM(m.shape, m.dtype) for m in mats  # residents
         ] + [
-            pltpu.SemaphoreType.DMA for _ in mats      # their DMAs
+            pltpu.SemaphoreType.DMA for _ in mats       # their DMAs
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_request(eff_mat, tb, n, itemsize),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * rows * num_out * n * n * (3 if precision == "high" else 1),
+            flops=2 * rows * num_out * mac_per_frame
+            * (3 if precision == "high" else 1),
             bytes_accessed=itemsize * rows * (blocks_n + num_out) * n,
             transcendentals=0,
         ),
-    )(x, x, wa, wb, *mats)
+    )(x, x, wa, wb, *rots, *mats)
 
 
 def _pad_blocks(rows_arr):
@@ -421,6 +592,120 @@ def _matmul_scatter_bwd(precision, res, g):
 
 
 matmul_scatter.defvjp(_matmul_scatter_fwd, _matmul_scatter_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def radix_fold_matmul(x_rows, wa, wb, rot1, rot2, p, q, precision="highest"):
+    """Radix analysis kernel: [rows, T, N] swizzled signal ->
+    [rows, T+1, N] spectrum in EVEN/ODD-SPLIT lane order (use
+    :func:`interleave` to restore standard order)."""
+    blocks_n = x_rows.shape[1]
+    return _call(
+        _pad_blocks(x_rows), blocks_n + 1, wa, wb, (p, q), precision,
+        _FOLD_MM, rots=(rot1, rot2),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def radix_matmul_scatter(
+    y_rows, va, vb, rot_a, rot_b, p, q, precision="highest"
+):
+    """Radix synthesis kernel: [rows, T, N] spectrum in even/odd-split
+    lane order (see :func:`deinterleave`) -> [rows, T+1, N] swizzled
+    blocks."""
+    blocks_n = y_rows.shape[1]
+    return _call(
+        _pad_blocks(y_rows), blocks_n + 1, va, vb, (p, q), precision,
+        _MM_SCATTER, rots=(rot_a, rot_b),
+    )
+
+
+def _radix_fold_matmul_fwd(x_rows, wa, wb, rot1, rot2, p, q, precision):
+    return (
+        radix_fold_matmul(x_rows, wa, wb, rot1, rot2, p, q, precision),
+        (wa, wb, rot1, rot2, p, q),
+    )
+
+
+def _radix_fold_matmul_bwd(precision, res, g):
+    """Transpose of the radix analysis: the same algebra as
+    _fold_matmul_bwd, with the matrix-stage transpose expressed in radix
+    factors — transposed butterfly, transposed [M, M] matmuls, and the
+    rotation with its output halves swapped (the swap _fold_matmul_bwd
+    bakes into m2's column order)."""
+    wa, wb, rot1, rot2, p, q = res
+    n = wa.shape[1]
+    h = n // 2
+    va = jnp.concatenate([wb[:, :h], wa[:, :h]], axis=1)
+    vb = jnp.concatenate([wb[:, h:], wa[:, h:]], axis=1)
+    rot_a = jnp.concatenate([rot2[:, :h], rot1[:, :h]], axis=1)
+    rot_b = jnp.concatenate([rot1[:, h:], rot2[:, h:]], axis=1)
+    full = radix_matmul_scatter(
+        jnp.flip(g, axis=1), va, vb, rot_a, rot_b, p.T, q.T, precision
+    )
+    dx = jnp.flip(full[:, 1:-1], axis=1)
+    zeros = [jnp.zeros_like(v) for v in (wa, wb, rot1, rot2, p, q)]
+    return (dx, *zeros)
+
+
+radix_fold_matmul.defvjp(_radix_fold_matmul_fwd, _radix_fold_matmul_bwd)
+
+
+def _radix_matmul_scatter_fwd(y_rows, va, vb, rot_a, rot_b, p, q, precision):
+    return (
+        radix_matmul_scatter(y_rows, va, vb, rot_a, rot_b, p, q, precision),
+        (va, vb, rot_a, rot_b, p, q),
+    )
+
+
+def _radix_matmul_scatter_bwd(precision, res, g):
+    """Transpose of the radix synthesis (mirror of _radix_fold_matmul_bwd):
+    the scatter transposes to the fold with quarter-shuffled weights, and
+    the radix z-stage transposes to rotation -> matmuls -> butterfly with
+    the rotation's INPUT halves swapped (realized by exchanging the two
+    rotation vectors' roles)."""
+    va, vb, rot_a, rot_b, p, q = res
+    n = va.shape[1]
+    h = n // 2
+    wa = jnp.concatenate([va[:, h:], vb[:, h:]], axis=1)
+    wb = jnp.concatenate([va[:, :h], vb[:, :h]], axis=1)
+    rot1 = jnp.concatenate([rot_a[:, h:], rot_b[:, :h]], axis=1)
+    rot2 = jnp.concatenate([rot_a[:, :h], rot_b[:, h:]], axis=1)
+    full = radix_fold_matmul(
+        jnp.flip(g, axis=1), wa, wb, rot1, rot2, p.T, q.T, precision
+    )
+    dy = jnp.flip(full[:, 1:-1], axis=1)
+    zeros = [jnp.zeros_like(v) for v in (va, vb, rot_a, rot_b, p, q)]
+    return (dy, *zeros)
+
+
+radix_matmul_scatter.defvjp(
+    _radix_matmul_scatter_fwd, _radix_matmul_scatter_bwd
+)
+
+
+def interleave(rows_arr):
+    """Even/odd-split lane order -> standard spectral order:
+    [X_0, X_2, ... | X_1, X_3, ...] -> [X_0, X_1, X_2, ...]. A
+    reshape-transpose-reshape XLA fuses into neighboring ops (and folds
+    into a following matmul's dimension numbers)."""
+    *lead, n = rows_arr.shape
+    return (
+        rows_arr.reshape(*lead, 2, n // 2)
+        .swapaxes(-1, -2)
+        .reshape(*lead, n)
+    )
+
+
+def deinterleave(rows_arr):
+    """Standard spectral order -> even/odd-split lane order (inverse of
+    :func:`interleave`)."""
+    *lead, n = rows_arr.shape
+    return (
+        rows_arr.reshape(*lead, n // 2, 2)
+        .swapaxes(-1, -2)
+        .reshape(*lead, n)
+    )
 
 
 def swizzle(rows_arr):

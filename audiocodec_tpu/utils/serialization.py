@@ -34,6 +34,7 @@ def codec_config(codec: Codec) -> dict:
         "use_pallas": codec.mdct.use_pallas,
         "dct_precision": codec.mdct.dct_precision,
         "bark_precision": codec.psycho.bark_precision,
+        "pallas_kernel": codec.mdct.pallas_kernel,
     }
 
 
@@ -53,6 +54,10 @@ def load_codec(path: str) -> Codec:
     # rebuild a codec with different thresholds/step sizes than the one
     # that wrote the checkpoint and corrupt decode of its bitstreams.
     cfg.setdefault("bark_precision", "highest")
+    # Configs saved before the radix kernel design existed used the
+    # single-matmul design; like use_pallas it is a perf knob, never
+    # quantization-affecting.
+    cfg.setdefault("pallas_kernel", "mono")
     # use_pallas is saved RESOLVED ("auto" became a concrete direction on
     # the machine that saved it); Mosaic kernels only run on a real TPU,
     # so loading that config elsewhere falls back to the XLA path. The

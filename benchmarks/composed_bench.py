@@ -77,10 +77,15 @@ def main():
             np.tile(base[None, :, None], (b, 1, 1)), dtype=dtype
         )
         row = {"config": name, "batch": b}
-        for label, up in (("xla", False), ("pallas", True)):
+        for label, up, kern in (
+            ("xla", False, "mono"),
+            ("pallas", True, "mono"),
+            ("radix", True, "radix"),
+        ):
             codec = Codec.create(
                 sr, filters_n=n, bark_bands_n=64, compute_dtype=dtype,
                 fast_bf16=fast, dct_precision=prec, use_pallas=up,
+                pallas_kernel=kern,
             )
 
             def make_chain(length):
@@ -103,11 +108,12 @@ def main():
             ls, ll = (2, 6) if args.quick else lens
             row[f"{label}_ms"] = round(slope_timed(make_chain, ls, ll) * 1e3, 3)
         row["speedup"] = round(row["xla_ms"] / row["pallas_ms"], 3)
+        row["speedup_radix"] = round(row["xla_ms"] / row["radix_ms"], 3)
         audio_s = b * samples / sr
-        row["pallas_audio_s_per_s"] = round(
-            audio_s / (row["pallas_ms"] / 1e3), 1
-        )
-        row["xla_audio_s_per_s"] = round(audio_s / (row["xla_ms"] / 1e3), 1)
+        for label in ("xla", "pallas", "radix"):
+            row[f"{label}_audio_s_per_s"] = round(
+                audio_s / (row[f"{label}_ms"] / 1e3), 1
+            )
         print(json.dumps(row), flush=True)
 
 

@@ -62,6 +62,10 @@ def main():
         # blocks run the bf16-hi/lo split tier instead.
         ("f32_high_n2048", 2048, jnp.float32, False, "high", (24, 96)),
         ("f32_high_n4096", 4096, jnp.float32, False, "high", (16, 64)),
+        # radix-only sizes: the quarter-size residents fit one block size
+        # further up each precision tier than the mono design
+        ("f32_highest_n2048", 2048, jnp.float32, False, "highest", (16, 64)),
+        ("bf16_fast_n2048", 2048, jnp.bfloat16, True, "default", (48, 192)),
     ]
     only = {s for s in args.only.split(",") if s}
     for name, n, dtype, fast, prec, chain_lens in configs:
@@ -76,13 +80,23 @@ def main():
         # "xla" is whatever formulation MDCT.create picks at that
         # precision: sparse fold at highest/high, dense two-matmul at
         # "default" (docs/DESIGN.md §3b) — i.e. the path a user gets.
-        for use_pallas in (False, True):
-            m = MDCT.create(
-                n, compute_dtype=dtype, fast_bf16=fast,
-                use_pallas=use_pallas, dct_precision=prec,
-            )
+        # "pallas" = single-matmul kernel design, "radix" = the radix-2
+        # split design (half the MACs, quarter the residents).
+        for use_pallas, kernel, label in (
+            (False, "mono", "xla"),
+            (True, "mono", "pallas"),
+            (True, "radix", "radix"),
+        ):
+            try:
+                m = MDCT.create(
+                    n, compute_dtype=dtype, fast_bf16=fast,
+                    use_pallas=use_pallas, dct_precision=prec,
+                    pallas_kernel=kernel,
+                )
+            except ValueError as e:
+                row[f"{label}_skip"] = str(e)[:60]
+                continue
             y0 = m.transform(x)
-            label = "pallas" if use_pallas else "xla"
 
             # Chains feed each iteration's OUTPUT (via abs, a
             # nonlinearity) back into the next input: the MDCT is linear,
@@ -132,20 +146,29 @@ def main():
             row[f"{label}_inv_ms"] = round(
                 slope_timed(inv_chain, ls, ll) * 1e3, 3
             )
-        # accuracy of the pallas path vs float64 ground truth
-        mp = MDCT.create(
-            n, compute_dtype=dtype, fast_bf16=fast,
-            use_pallas=True, dct_precision=prec,
-        )
-        got = np.asarray(mp.transform(x).astype(jnp.float32))
+        # accuracy of each kernel design vs the f32 XLA ground truth
         ref = np.asarray(
             MDCT.create(n, compute_dtype=jnp.float32).transform(
                 x.astype(jnp.float32)
             )
         )
-        row["pallas_fwd_maxerr_vs_f32xla"] = float(np.max(np.abs(got - ref)))
-        row["speedup_fwd"] = round(row["xla_fwd_ms"] / row["pallas_fwd_ms"], 3)
-        row["speedup_inv"] = round(row["xla_inv_ms"] / row["pallas_inv_ms"], 3)
+        for kernel, label in (("mono", "pallas"), ("radix", "radix")):
+            if f"{label}_fwd_ms" not in row:
+                continue
+            mp = MDCT.create(
+                n, compute_dtype=dtype, fast_bf16=fast,
+                use_pallas=True, dct_precision=prec, pallas_kernel=kernel,
+            )
+            got = np.asarray(mp.transform(x).astype(jnp.float32))
+            row[f"{label}_fwd_maxerr_vs_f32xla"] = float(
+                np.max(np.abs(got - ref))
+            )
+            row[f"speedup_fwd_{label}"] = round(
+                row["xla_fwd_ms"] / row[f"{label}_fwd_ms"], 3
+            )
+            row[f"speedup_inv_{label}"] = round(
+                row["xla_inv_ms"] / row[f"{label}_inv_ms"], 3
+            )
         results.append(row)
         print(json.dumps(row))
     return results

@@ -238,3 +238,155 @@ class TestPallasGradients:
             g = jax.grad(loss)(x)
         assert bool(jnp.all(jnp.isfinite(g)))
         assert float(jnp.max(jnp.abs(g))) > 0
+
+
+class TestRadixKernels:
+    """Radix-2 split kernel design (pallas_mdct._radix_pieces): a
+    rotation layer + two [N/2, N/2] matmuls + a one-lane-shift butterfly
+    — exactly the single-matmul kernels' output, at half the MACs and a
+    quarter of the resident bytes."""
+
+    @pytest.fixture(scope="class")
+    def rpair(self):
+        n = 256
+        return (
+            MDCT.create(n),
+            MDCT.create(n, use_pallas=True, pallas_kernel="radix"),
+        )
+
+    @pytest.mark.parametrize(
+        "shape", [(1, 3, 1), (2, 7, 2), (1, 127, 1), (2, 130, 2)]
+    )
+    def test_forward_matches_xla(self, rpair, shape):
+        m, mr = rpair
+        b, blocks, c = shape
+        rng = np.random.default_rng(blocks)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (b, blocks * 256, c)), dtype=jnp.float32
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = mr.transform(x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(m.transform(x)), atol=1e-6
+        )
+
+    @pytest.mark.parametrize("blocks", [3, 127, 130])
+    def test_inverse_matches_xla(self, rpair, blocks):
+        m, mr = rpair
+        rng = np.random.default_rng(blocks)
+        y = jnp.asarray(
+            rng.uniform(-0.5, 0.5, (2, blocks, 256, 2)), dtype=jnp.float32
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = mr.inverse_transform(y)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(m.inverse_transform(y)), atol=1e-4
+        )
+
+    def test_perfect_reconstruction(self, rpair):
+        _, mr = rpair
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (1, 10 * 256, 1)), dtype=jnp.float32
+        )
+        with pltpu.force_tpu_interpret_mode():
+            rt = mr.inverse_transform(mr.transform(x))
+        err = float(jnp.max(jnp.abs(x - rt[:, 256:-256])))
+        assert err < 1e-5
+
+    @pytest.mark.parametrize("n", [512, 1024])
+    def test_larger_blocks(self, n):
+        m = MDCT.create(n)
+        mr = MDCT.create(n, use_pallas=True, pallas_kernel="radix")
+        rng = np.random.default_rng(n)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 5 * n, 1)), dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = mr.transform(x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(m.transform(x)), atol=2e-6
+        )
+
+    def test_every_window_type(self):
+        for wt in ("sine", "vorbis", None, "rect"):
+            m = MDCT.create(256, window_type=wt)
+            mr = MDCT.create(
+                256, window_type=wt, use_pallas=True, pallas_kernel="radix"
+            )
+            rng = np.random.default_rng(1)
+            x = jnp.asarray(
+                rng.uniform(-1, 1, (1, 4 * 256, 1)), dtype=jnp.float32
+            )
+            with pltpu.force_tpu_interpret_mode():
+                got = mr.transform(x)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(m.transform(x)), atol=1e-6,
+                err_msg=f"window {wt}",
+            )
+
+    def test_forward_vjp_matches_xla(self, rpair):
+        m, mr = rpair
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (1, 5 * 256, 1)), dtype=jnp.float32
+        )
+
+        def loss(mm, x):
+            return jnp.sum(mm.transform(x) ** 2)
+
+        g_xla = jax.grad(lambda x: loss(m, x))(x)
+        with pltpu.force_tpu_interpret_mode():
+            g_rad = jax.grad(lambda x: loss(mr, x))(x)
+        np.testing.assert_allclose(
+            np.asarray(g_rad), np.asarray(g_xla), atol=2e-5
+        )
+
+    def test_inverse_vjp_matches_xla(self, rpair):
+        m, mr = rpair
+        rng = np.random.default_rng(10)
+        y = jnp.asarray(
+            rng.uniform(-0.5, 0.5, (1, 5, 256, 1)), dtype=jnp.float32
+        )
+
+        def loss(mm, y):
+            return jnp.sum(mm.inverse_transform(y) ** 2)
+
+        g_xla = jax.grad(lambda y: loss(m, y))(y)
+        with pltpu.force_tpu_interpret_mode():
+            g_rad = jax.grad(lambda y: loss(mr, y))(y)
+        np.testing.assert_allclose(
+            np.asarray(g_rad), np.asarray(g_xla), atol=2e-3
+        )
+
+    def test_radix_only_sizes_eligible(self):
+        """The quarter-size residents move each precision tier's VMEM
+        ceiling up one block size: highest reaches 2048, high 4096."""
+        m = MDCT.create(
+            2048, use_pallas=True, pallas_kernel="radix"
+        )  # highest
+        assert m.pfwd_mat.shape == (2, 1024, 1024)
+        m4 = MDCT.create(
+            4096, use_pallas=True, pallas_kernel="radix",
+            dct_precision="high",
+        )
+        assert m4.pfwd_mat.shape == (2, 2048, 2048)
+        with pytest.raises(ValueError, match="2048"):
+            MDCT.create(4096, use_pallas=True, pallas_kernel="radix")
+
+    def test_bad_kernel_value_rejected(self):
+        with pytest.raises(ValueError, match="pallas_kernel"):
+            MDCT.create(256, use_pallas=True, pallas_kernel="fft")
+
+    def test_n2048_high_tier(self):
+        """Radix at N=2048 'high': bf16 hi/lo split residents."""
+        n, blocks = 2048, 3
+        m = MDCT.create(n, dct_precision="high")
+        mr = MDCT.create(
+            n, use_pallas=True, dct_precision="high", pallas_kernel="radix"
+        )
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, blocks * n, 1)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = mr.transform(x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(m.transform(x)), atol=1e-4
+        )

@@ -44,6 +44,34 @@ class TestCodecSerialization:
 
 
 class TestLegacyConfigCompat:
+    def test_pallas_kernel_recorded_and_restored(self, tmp_path):
+        codec = Codec.create(
+            16000, filters_n=256, use_pallas=True, pallas_kernel="radix"
+        )
+        assert serialization.codec_config(codec)["pallas_kernel"] == "radix"
+        path = str(tmp_path / "r.json")
+        serialization.save_codec(path, codec)
+        restored = serialization.load_codec(path)
+        # CPU backend: kernels off, but the recorded design choice rides
+        # the config for when it lands back on a TPU
+        assert restored.mdct.pallas_kernel == "radix"
+
+    def test_pre_pallas_kernel_config_defaults_to_mono(self, tmp_path):
+        import json
+
+        cfg = {
+            "sample_rate": 16000, "filters_n": 256, "bark_bands_n": 32,
+            "alpha": 0.6, "window_type": "vorbis",
+            "compute_dtype": "float32", "fast_bf16": False,
+            "use_pallas": False, "dct_precision": "highest",
+            "bark_precision": "highest",
+        }
+        path = str(tmp_path / "legacy2.json")
+        with open(path, "w") as f:
+            json.dump(cfg, f)
+        restored = serialization.load_codec(path)
+        assert restored.mdct.pallas_kernel == "mono"
+
     def test_pre_bark_precision_config_defaults_to_highest(self, tmp_path):
         """Configs saved before bark_precision existed were written by
         codecs that always ran Bark matmuls at HIGHEST; rebuilding them
