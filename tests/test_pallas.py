@@ -390,3 +390,47 @@ class TestRadixKernels:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(m.transform(x)), atol=1e-4
         )
+
+    def test_factorization_identity_f64(self):
+        """The radix factors compose EXACTLY (f64) to the permuted DCT-IV
+        matrices the mono kernels use — checked as matrices, independent
+        of pallas: rotation + two half-matmuls + butterfly == Mmono."""
+        from audiocodec_tpu.ops import pallas_mdct as pm
+
+        for n in (64, 256, 1024):
+            h = n // 2
+            _, _, mono = pm.forward_params(n, "vorbis")
+            _, _, rot1, rot2, p, q = pm.radix_forward_params(n, "vorbis")
+            eye = np.eye(n)
+            swap = np.concatenate([eye[:, h:], eye[:, :h]], axis=1)
+            rt = eye * rot1 + swap * rot2
+            u = rt[:, :h] @ p
+            v2 = rt[:, h:] @ q
+            xe = u.copy()
+            xe[:, 1:] += v2[:, :-1]
+            xo = -v2
+            xo[:, :-1] += u[:, 1:]
+            # interleave even/odd columns -> standard order
+            full = np.empty((n, n))
+            full[:, 0::2] = xe
+            full[:, 1::2] = xo
+            np.testing.assert_allclose(full, mono, atol=1e-13)
+
+            _, _, ms = pm.inverse_params(n, "vorbis")
+            _, _, ra, rb, pi, qi = pm.radix_inverse_params(n, "vorbis")
+            # deinterleave input -> butterfly -> matmuls -> rotation
+            deint = np.zeros((n, n))
+            deint[0::2, :h] = np.eye(h)   # std row 2j -> split lane j
+            deint[1::2, h:] = np.eye(h)   # std row 2j+1 -> lane h+j
+            ye, yo = deint[:, :h], deint[:, h:]
+            us = ye.copy()
+            us[:, 1:] += yo[:, :-1]
+            vs = -yo
+            vs[:, :-1] += ye[:, 1:]
+            rs = us @ pi
+            ts = vs @ qi
+            zfull = (
+                np.concatenate([rs, rs], axis=1) * ra
+                + np.concatenate([ts, ts], axis=1) * rb
+            )
+            np.testing.assert_allclose(zfull, ms, atol=1e-11)
