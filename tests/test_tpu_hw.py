@@ -332,3 +332,64 @@ class TestRVQOnHardware:
         )
         assert int(np.asarray(codes).min()) >= 0
         assert int(np.asarray(codes).max()) < 64
+
+
+class TestRadixKernelsOnHardware:
+    """Compiled Mosaic radix kernels (rotation + two half-size matmuls +
+    lane-shift butterfly) vs the XLA path — the lane rolls and the
+    butterfly masks only exist in compiled Mosaic, so this is their one
+    real codegen check."""
+
+    @pytest.fixture(scope="class")
+    def rpair(self):
+        from audiocodec_tpu.mdct import MDCT
+
+        return (
+            MDCT.create(1024),
+            MDCT.create(1024, use_pallas=True, pallas_kernel="radix"),
+        )
+
+    def test_forward_matches_xla(self, rpair):
+        m, mr = rpair
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (2, 16 * 1024, 1)), dtype=jnp.float32
+        )
+        got = np.asarray(mr.transform(x))
+        want = np.asarray(m.transform(x))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+    def test_inverse_matches_xla(self, rpair):
+        m, mr = rpair
+        rng = np.random.default_rng(1)
+        y = jnp.asarray(
+            rng.uniform(-0.5, 0.5, (2, 12, 1024, 1)), dtype=jnp.float32
+        )
+        got = np.asarray(mr.inverse_transform(y))
+        want = np.asarray(m.inverse_transform(y))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_round_trip_perfect_reconstruction(self, rpair):
+        _, mr = rpair
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (1, 12 * 1024, 1)), dtype=jnp.float32
+        )
+        rt = np.asarray(mr.inverse_transform(mr.transform(x)))
+        err = float(np.max(np.abs(np.asarray(x) - rt[:, 1024:-1024])))
+        assert err < 1e-5, err
+
+    def test_n2048_highest_radix_only_size(self):
+        """highest-precision kernels at N=2048 exist ONLY in the radix
+        design (quarter residents); mono is VMEM-ineligible there."""
+        from audiocodec_tpu.mdct import MDCT
+
+        m = MDCT.create(2048)
+        mr = MDCT.create(2048, use_pallas=True, pallas_kernel="radix")
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (1, 6 * 2048, 1)), dtype=jnp.float32
+        )
+        got = np.asarray(mr.transform(x))
+        want = np.asarray(m.transform(x))
+        np.testing.assert_allclose(got, want, atol=5e-6)
