@@ -121,10 +121,19 @@ def encode_with_target_bitrate_batch(
 
 def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             target_kbps, tolerance, trials_per_round, log2_scale_range):
-    def _pack_one(codes_b, bark_b, scale):
+    def _pack_one(codes_b, bark_b, scale, entropy="auto"):
         return _bitstream.pack(
-            codes_b, bark_b, threshold_scale=scale, **meta
+            codes_b, bark_b, threshold_scale=scale, entropy=entropy, **meta
         )
+
+    from audiocodec_tpu import native as _native
+
+    # "auto" costs BOTH coders (each post-deflate) to pick the smaller —
+    # right for the shipped container, 2x the work for a size probe.
+    # Trials pin one coder (the usual auto winner); its size tracks the
+    # final auto pick within a few bytes, which is inside the rate
+    # tolerance. Finals still pack with "auto".
+    trial_entropy = "rrice" if _native.available() else "zlib"
 
     def sizes(log2_scales):
         """Pack every (trial, clip) concurrently; return kbps [K, B]."""
@@ -137,6 +146,7 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
                     codes[kb[0], kb[1] : kb[1] + 1],
                     bark_np[kb[1] : kb[1] + 1],
                     float(2.0 ** log2_scales[kb[0], kb[1]]),
+                    entropy=trial_entropy,
                 )
             ),
             pairs,
