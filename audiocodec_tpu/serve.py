@@ -114,11 +114,18 @@ class CodecServer:
     :param max_wait_ms: how long the batcher waits for stragglers after
         the first request of a batch arrives.
     :param min_blocks: smallest length bucket, in MDCT blocks.
+    :param entropy: container coder for responses. The serving default
+        pins "rrice" (when the native library is present): "auto" costs
+        BOTH coders post-deflate per request — the right trade for an
+        archival file, double the host CPU per response for a server,
+        and rrice is within ~1% of auto's size on the content classes
+        where they differ.
     """
 
     def __init__(self, codec, sample_rate: int, host: str = "127.0.0.1",
                  port: int = 0, unix_path: str = "", max_batch: int = 8,
-                 max_wait_ms: float = 5.0, min_blocks: int = 8):
+                 max_wait_ms: float = 5.0, min_blocks: int = 8,
+                 entropy: str | None = None):
         self._codec = codec
         self._rate = sample_rate
         self._host, self._port0, self._unix = host, port, unix_path
@@ -146,7 +153,12 @@ class CodecServer:
             return c.decode_bitstream(codes, bark)
 
         self._enc, self._dec = _enc, _dec
+        if entropy is None:
+            from audiocodec_tpu import native as _native
+
+            entropy = "rrice" if _native.available() else "zlib"
         self._meta = dict(
+            entropy=entropy,
             sample_rate=sample_rate,
             filters_n=n,
             bark_bands_n=codec.psycho.bark_bands_n,

@@ -65,12 +65,17 @@ class TestEncodeServing:
         wave, rate = read_wav_bytes(blob)
         x = jnp.asarray(wave, jnp.float32)
         codes, bark = _jit_encode(codec, x)
+        from audiocodec_tpu import native
+
+        # the server pins its coder (default rrice) instead of "auto" —
+        # dual costing per response is the wrong serving trade
         want = bitstream.pack(
             codes, bark, sample_rate=SR, filters_n=N,
             bark_bands_n=16, alpha=codec.psycho.alpha,
             window_type=codec.mdct.window_type,
             compute_dtype="float32", ms=False,
             bark_precision=codec.psycho.bark_precision,
+            entropy="rrice" if native.available() else "zlib",
         )
         assert got == want
 
