@@ -434,3 +434,27 @@ class TestRadixKernels:
                 + np.concatenate([ts, ts], axis=1) * rb
             )
             np.testing.assert_allclose(zfull, ms, atol=1e-11)
+
+    def test_bf16_fast_default_tier(self):
+        """bf16 fast path: rotation + matmuls run in bf16 (one-pass tier,
+        mono-kernel policy); agreement at bf16 rounding, PR at the
+        reference's own bf16 error level (~2e-2)."""
+        n = 256
+        m = MDCT.create(n, compute_dtype=jnp.bfloat16, fast_bf16=True)
+        mr = MDCT.create(
+            n, compute_dtype=jnp.bfloat16, fast_bf16=True,
+            use_pallas=True, pallas_kernel="radix",
+            dct_precision="default",
+        )
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 6 * n, 1)), jnp.bfloat16)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(mr.transform(x), dtype=np.float32)
+        want = np.asarray(m.transform(x), dtype=np.float32)
+        assert np.max(np.abs(got - want)) < 1e-3
+        with pltpu.force_tpu_interpret_mode():
+            rt = mr.inverse_transform(mr.transform(x))
+        err = float(jnp.max(jnp.abs(
+            x.astype(jnp.float32) - rt[:, n:-n].astype(jnp.float32)
+        )))
+        assert err < 5e-2, err
