@@ -84,6 +84,24 @@ def _maybe_resample(data, rate, target_rate, zeros=16):
     return out, target_rate
 
 
+def _slice_window(wave, rate, start, duration):
+    """Trim decoded audio to [start, start+duration) seconds.
+
+    ``duration <= 0`` means "to the end". Raises SystemExit (a CLI usage
+    error, not a crash) when ``start`` is at or past the end."""
+    s0 = int(round(float(start or 0.0) * rate))
+    if s0 >= wave.shape[1]:
+        raise SystemExit(
+            f"--start {start}s is at or past the end of the decoded "
+            f"audio ({wave.shape[1] / rate:.3f}s)"
+        )
+    if duration and duration > 0:
+        s1 = min(wave.shape[1], s0 + int(round(float(duration) * rate)))
+    else:
+        s1 = wave.shape[1]
+    return wave[:, s0:s1]
+
+
 def _trim_to_blocks(data, filters_n):
     samples = data.shape[1] - data.shape[1] % filters_n
     if samples == 0:
@@ -320,6 +338,10 @@ def cmd_decode(args):
         )
     n = meta["filters_n"]
     wave = np.asarray(wave.astype(jnp.float32))[:, n:-n]
+    if getattr(args, "start", 0.0) or getattr(args, "duration", 0.0):
+        wave = _slice_window(
+            wave, meta["sample_rate"], args.start, args.duration
+        )
     wave, out_rate = _maybe_resample(
         wave, meta["sample_rate"], args.resample_to
     )
@@ -371,27 +393,53 @@ def _decode_stream(args):
         bark_precision=meta.get("bark_precision", "highest"),
     )
     n = meta["filters_n"]
+    sr = meta["sample_rate"]
     # preallocate from the chunk headers so peak memory stays ~1x the
-    # decoded waveform (the point of the streaming container)
+    # requested window (the point of the streaming container)
     with stream_container.StreamReader(args.input) as r:
-        total_blocks = sum(r.chunk_blocks(i) for i in range(r.n_chunks))
+        cb = [r.chunk_blocks(i) for i in range(r.n_chunks)]
         ch = r.meta["channels"]
-    wave = np.empty(
-        (1, (total_blocks + 1) * n, ch), dtype=np.float32
-    )
-    pos = 0
-    for c in stream_container.decode_stream(codec, args.input):
+    total_blocks = sum(cb)
+    total = (total_blocks - 1) * n  # decoded samples after the pad trim
+    start = float(getattr(args, "start", 0.0) or 0.0)
+    duration = float(getattr(args, "duration", 0.0) or 0.0)
+    s0 = int(round(start * sr))
+    if s0 >= total:
+        raise SystemExit(
+            f"--start {start}s is at or past the end of the stream "
+            f"({total / sr:.3f}s)"
+        )
+    if duration > 0:
+        s1 = min(total, s0 + int(round(duration * sr)))
+    else:
+        s1 = total
+    # chunk i's samples land at [(prior_i - 1)*n, (prior_i - 1 + cb_i)*n)
+    # in trimmed output coordinates (the container's first/last n samples
+    # are the round-trip pad); seek to the chunk containing s0 — entering
+    # mid-stream only decodes one extra chunk for the overlap-add carry
+    start_chunk, prior_sc, prior = 0, 0, 0
+    for i, blocks_i in enumerate(cb):
+        if (prior - 1) * n <= s0:
+            start_chunk, prior_sc = i, prior
+        prior += blocks_i
+    wave = np.empty((1, s1 - s0, ch), dtype=np.float32)
+    pos = (prior_sc - 1) * n
+    for c in stream_container.decode_stream(
+        codec, args.input, start_chunk=start_chunk
+    ):
         arr = np.asarray(c.astype(jnp.float32))
-        wave[:, pos : pos + arr.shape[1]] = arr
+        lo, hi = max(pos, s0), min(pos + arr.shape[1], s1)
+        if hi > lo:
+            wave[:, lo - s0 : hi - s0] = arr[:, lo - pos : hi - pos]
         pos += arr.shape[1]
-    wave = wave[:, :pos][:, n:-n]
-    wave, out_rate = _maybe_resample(
-        wave, meta["sample_rate"], args.resample_to
-    )
+        if pos >= s1:
+            break
+    wave, out_rate = _maybe_resample(wave, sr, args.resample_to)
     native.write_wav(args.output, wave, out_rate)
+    window = f" [{s0 / sr:.3f}s..{s1 / sr:.3f}s]" if (s0 or s1 < total) else ""
     print(
         f"{args.input} -> {args.output}: {wave.shape[1]} samples @ "
-        f"{out_rate} Hz, {wave.shape[2]} ch (stream)"
+        f"{out_rate} Hz, {wave.shape[2]} ch (stream{window})"
     )
     return 0
 
@@ -686,6 +734,15 @@ def main(argv=None) -> int:
         "--resample-to", type=int, default=0,
         help="resample the decoded audio to this rate before writing "
              "(0 = the stream's native rate)",
+    )
+    p.add_argument(
+        "--start", type=float, default=0.0,
+        help="decode starting at this time (seconds); for .acs streams "
+             "this seeks by chunk without decoding the prefix",
+    )
+    p.add_argument(
+        "--duration", type=float, default=0.0,
+        help="decode at most this many seconds (0 = to the end)",
     )
     p.set_defaults(fn=cmd_decode)
 

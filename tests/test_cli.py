@@ -682,3 +682,85 @@ class TestResampleCommand:
              "--filters-n", "256", "--bark-bands-n", "32",
              "--resample-to", "32000"]
         ) == 1
+
+
+class TestDecodeWindow:
+    """decode --start/--duration: windowed decode with chunk seek (.acs)."""
+
+    def test_acs_seek_window_matches_full(self, tmp_path, wav_file, capsys):
+        wav_path, x, rate = wav_file
+        acs = str(tmp_path / "w.acs")
+        full = str(tmp_path / "full.wav")
+        win = str(tmp_path / "win.wav")
+        assert cli.main(
+            ["encode", wav_path, acs, "--filters-n", "256",
+             "--chunk-blocks", "8"]
+        ) == 0
+        assert cli.main(["decode", acs, full]) == 0
+        rc = cli.main(
+            ["decode", acs, win, "--start", "0.7", "--duration", "0.5"]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "[0.700s..1.200s]" in out
+        yf, _ = read_wav(full)
+        yw, wrate = read_wav(win)
+        assert wrate == rate
+        s0 = int(round(0.7 * rate))
+        s1 = s0 + int(round(0.5 * rate))
+        assert yw.shape[1] == s1 - s0
+        # both paths decode the same chunks; PCM16 write may differ by
+        # one LSB where the seek-primed floats differ in the last ulp
+        np.testing.assert_allclose(yw, yf[:, s0:s1], atol=2 / 32768)
+
+    def test_acs_start_only_runs_to_end(self, tmp_path, wav_file, capsys):
+        wav_path, x, rate = wav_file
+        acs = str(tmp_path / "w2.acs")
+        full = str(tmp_path / "full2.wav")
+        win = str(tmp_path / "tail.wav")
+        assert cli.main(
+            ["encode", wav_path, acs, "--filters-n", "256",
+             "--chunk-blocks", "8"]
+        ) == 0
+        assert cli.main(["decode", acs, full]) == 0
+        assert cli.main(["decode", acs, win, "--start", "1.5"]) == 0
+        capsys.readouterr()
+        yf, _ = read_wav(full)
+        yw, _ = read_wav(win)
+        s0 = int(round(1.5 * rate))
+        assert yw.shape[1] == yf.shape[1] - s0
+        np.testing.assert_allclose(yw, yf[:, s0:], atol=2 / 32768)
+
+    def test_acz_window_matches_slice(self, tmp_path, wav_file, capsys):
+        wav_path, x, rate = wav_file
+        acz = str(tmp_path / "w.acz")
+        full = str(tmp_path / "fullz.wav")
+        win = str(tmp_path / "winz.wav")
+        assert cli.main(
+            ["encode", wav_path, acz, "--filters-n", "256"]
+        ) == 0
+        assert cli.main(["decode", acz, full]) == 0
+        assert cli.main(
+            ["decode", acz, win, "--start", "0.25", "--duration", "1.0"]
+        ) == 0
+        capsys.readouterr()
+        yf, _ = read_wav(full)
+        yw, _ = read_wav(win)
+        s0 = int(round(0.25 * rate))
+        s1 = s0 + rate
+        assert yw.shape[1] == s1 - s0
+        # same decoded floats, sliced before the PCM16 write -> identical
+        np.testing.assert_array_equal(yw, yf[:, s0:s1])
+
+    def test_start_past_end_is_usage_error(self, tmp_path, wav_file, capsys):
+        wav_path, _, _ = wav_file
+        acs = str(tmp_path / "w3.acs")
+        assert cli.main(
+            ["encode", wav_path, acs, "--filters-n", "256",
+             "--chunk-blocks", "8"]
+        ) == 0
+        capsys.readouterr()
+        with pytest.raises(SystemExit, match="past the end"):
+            cli.main(
+                ["decode", acs, str(tmp_path / "x.wav"), "--start", "999"]
+            )
