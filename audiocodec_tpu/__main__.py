@@ -124,6 +124,10 @@ def cmd_encode(args):
     x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
     if args.ms and x.shape[2] != 2:
         raise ValueError("--ms (joint mid/side) needs a stereo input")
+    # "auto" defers to the rate-control heuristic when --kbps is given;
+    # without a rate target there is nothing to adapt to -> plain rounding
+    dz = getattr(args, "deadzone", "auto")
+    fixed_dz = 0.5 if dz == "auto" else float(dz)
 
     if args.chunk_blocks:
         from audiocodec_tpu.io import stream_container
@@ -142,6 +146,7 @@ def cmd_encode(args):
                     codec, x[:, :usable], args.output,
                     chunk_blocks=args.chunk_blocks,
                     target_kbps=args.kbps, drown=args.drown, ms=args.ms,
+                    deadzone=dz,
                 )
             )
             extra = f", {kbps:.0f} kbit/s, scale {tscale:.2f}"
@@ -149,7 +154,7 @@ def cmd_encode(args):
             n_chunks = stream_container.encode_stream(
                 codec, x[:, :usable], args.output,
                 chunk_blocks=args.chunk_blocks, drown=args.drown,
-                ms=args.ms,
+                ms=args.ms, deadzone=fixed_dz,
             )
         size = os.path.getsize(args.output)
         raw = usable * x.shape[2] * 2
@@ -164,7 +169,7 @@ def cmd_encode(args):
         from audiocodec_tpu import rate as _rate
 
         result = _rate.encode_with_target_bitrate(
-            codec, x, args.kbps, drown=args.drown, ms=args.ms
+            codec, x, args.kbps, drown=args.drown, ms=args.ms, deadzone=dz
         )
         # the trial's packed bytes ARE the container — write them verbatim
         # so the measured kbps is exactly the on-disk file's
@@ -180,9 +185,13 @@ def cmd_encode(args):
         return 0
 
     if args.ms:
-        codes, bark = codec.encode_bitstream_ms(x, drown=args.drown)
+        codes, bark = codec.encode_bitstream_ms(x, drown=args.drown,
+                                                deadzone=fixed_dz)
     else:
-        codes, bark = codec.encode_bitstream(x, drown=args.drown)
+        codes, bark = codec.encode_bitstream(x, drown=args.drown,
+                                             deadzone=fixed_dz)
+    from audiocodec_tpu import quantize as _quantize
+
     size = bitstream.save(
         args.output,
         codes,
@@ -195,6 +204,9 @@ def cmd_encode(args):
         compute_dtype=str(jnp.dtype(codec.mdct.compute_dtype)),
         ms=args.ms,
         bark_precision=codec.psycho.bark_precision,
+        dz_recon=(
+            _quantize.dz_recon_offset(fixed_dz) if fixed_dz != 0.5 else 0.0
+        ),
     )
     raw = data.size * 2  # vs 16-bit PCM
     print(
@@ -326,15 +338,16 @@ def cmd_decode(args):
         bark_precision=meta.get("bark_precision", "highest"),
     )
     tscale = meta.get("threshold_scale", 1.0)
+    dzr = meta.get("dz_recon", 0.0)
     if meta.get("ms"):
         wave = codec.decode_bitstream_ms(
             jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
-            threshold_scale=tscale,
+            threshold_scale=tscale, dz_recon=dzr,
         )
     else:
         wave = codec.decode_bitstream(
             jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
-            threshold_scale=tscale,
+            threshold_scale=tscale, dz_recon=dzr,
         )
     n = meta["filters_n"]
     wave = np.asarray(wave.astype(jnp.float32))[:, n:-n]
@@ -707,6 +720,13 @@ def main(argv=None) -> int:
         p.add_argument(
             "--ms", action="store_true",
             help="joint mid/side coding for stereo inputs",
+        )
+        p.add_argument(
+            "--deadzone", default="auto",
+            help="zero-bin half-width in quantizer steps (0.5 = plain "
+                 "rounding, up to 2.0). 'auto' widens the zero bin at low "
+                 "--kbps targets, where it measures +0.5..1.8 dB SNR at "
+                 "matched bitrate; without --kbps 'auto' is plain rounding",
         )
         p.add_argument(
             "--chunk-blocks", type=int, default=0,

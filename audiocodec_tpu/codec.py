@@ -179,7 +179,8 @@ class Codec:
         """Inverse of :meth:`to_mid_side` (self-inverse up to roundoff)."""
         return Codec.to_mid_side(ms)
 
-    def encode_bitstream_ms(self, x: jax.Array, drown=0.0):
+    def encode_bitstream_ms(self, x: jax.Array, drown=0.0,
+                            deadzone: float = 0.5):
         """Joint-stereo encode: quantize mid/side spectra against the
         conservative per-band min of the LEFT/RIGHT masking thresholds.
 
@@ -198,7 +199,8 @@ class Codec:
         :param x: stereo waveform [B, S, 2].
         :return: (codes [B, blocks+1, N, 2], bark16 [B, blocks+1, bark, 1]).
         """
-        return self.quantize_frames(self.mdct.transform(x), drown, ms=True)
+        return self.quantize_frames(self.mdct.transform(x), drown, ms=True,
+                                    deadzone=deadzone)
 
     def _ms_threshold(self, bark16_min: jax.Array) -> jax.Array:
         thr = self.psycho.bark_intensity_to_threshold(
@@ -207,18 +209,25 @@ class Codec:
         return jnp.broadcast_to(thr, thr.shape[:-1] + (2,))
 
     def decode_bitstream_ms(self, codes: jax.Array, bark16: jax.Array,
-                            threshold_scale=1.0) -> jax.Array:
-        """Inverse of :meth:`encode_bitstream_ms` -> L/R waveform."""
+                            threshold_scale=1.0,
+                            dz_recon: float = 0.0) -> jax.Array:
+        """Inverse of :meth:`encode_bitstream_ms` -> L/R waveform.
+
+        :param dz_recon: dead-zone reconstruction offset (the container's
+            ``dzr`` field; 0 for plain-rounded streams).
+        """
         thr = self._ms_threshold(bark16) * jnp.asarray(
             threshold_scale, dtype=self.mdct.compute_dtype
         )
         delta = _quantize.step_size(thr)
         spec_ms = _quantize.dequantize(
-            codes, delta, dtype=self.mdct.compute_dtype
+            codes, delta, dtype=self.mdct.compute_dtype,
+            recon_offset=dz_recon,
         )
         return self.decode(self.from_mid_side(spec_ms))
 
-    def encode_bitstream(self, x: jax.Array, drown=0.0):
+    def encode_bitstream(self, x: jax.Array, drown=0.0,
+                         deadzone: float = 0.5):
         """Encode to the transmissible representation: integer codes plus
         the Bark-domain masking intensity (bark_bands_n << filter_bands_n
         values per block) from which the decoder re-derives step sizes.
@@ -232,7 +241,8 @@ class Codec:
         :return: (codes int32 [B, blocks+1, N, C],
                   bark_intensity bfloat16 [B, blocks+1, bark_bands_n, C]).
         """
-        return self.quantize_frames(self.mdct.transform(x), drown)
+        return self.quantize_frames(self.mdct.transform(x), drown,
+                                    deadzone=deadzone)
 
     def analyze_for_quantization(self, frames: jax.Array, drown=0.0,
                                  ms: bool = False):
@@ -265,7 +275,8 @@ class Codec:
         return frames, bark16, threshold
 
     def quantize_frames(self, frames: jax.Array, drown=0.0,
-                        threshold_scale=1.0, ms: bool = False):
+                        threshold_scale=1.0, ms: bool = False,
+                        deadzone: float = 0.5):
         """Spectral frames -> (codes, bf16 Bark sidecar); the frame-level
         half of encode_bitstream[_ms], shared with the streaming container.
 
@@ -276,6 +287,11 @@ class Codec:
         :param ms: joint mid/side coding (stereo frames only) — quantizes
             the rotated spectra against the conservative min-channel
             threshold (see encode_bitstream_ms).
+        :param deadzone: zero-bin half-width in step units (static Python
+            float; 0.5 = plain rounding — see quantize.quantize). A
+            non-default value obliges the decoder to apply the matching
+            reconstruction offset, so it must be recorded in the
+            container (the ``dzr`` field).
         """
         spec_q, bark16, threshold = self.analyze_for_quantization(
             frames, drown, ms=ms
@@ -283,17 +299,23 @@ class Codec:
         threshold = threshold * jnp.asarray(
             threshold_scale, dtype=self.mdct.compute_dtype
         )
-        codes, _ = _quantize.quantize(spec_q, threshold)
+        codes, _ = _quantize.quantize(spec_q, threshold, deadzone=deadzone)
         return codes, bark16
 
     def decode_bitstream(self, codes: jax.Array, bark16: jax.Array,
-                         threshold_scale=1.0) -> jax.Array:
+                         threshold_scale=1.0,
+                         dz_recon: float = 0.0) -> jax.Array:
         """Inverse of :meth:`encode_bitstream`: codes + Bark intensities ->
-        waveform [B, (blocks+1)*N, C]."""
+        waveform [B, (blocks+1)*N, C].
+
+        :param dz_recon: dead-zone reconstruction offset (the container's
+            ``dzr`` field; 0 for plain-rounded streams).
+        """
         threshold = self.psycho.bark_intensity_to_threshold(
             bark16.astype(self.mdct.compute_dtype)
         ) * jnp.asarray(threshold_scale, dtype=self.mdct.compute_dtype)
         delta = _quantize.step_size(threshold)
         return self.decode(
-            _quantize.dequantize(codes, delta, dtype=self.mdct.compute_dtype)
+            _quantize.dequantize(codes, delta, dtype=self.mdct.compute_dtype,
+                                 recon_offset=dz_recon)
         )

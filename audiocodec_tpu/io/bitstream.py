@@ -66,7 +66,8 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
          window_type, compute_dtype: str = "float32",
          entropy: str = "auto", ms: bool = False,
          threshold_scale: float = 1.0,
-         bark_precision: str = "highest") -> bytes:
+         bark_precision: str = "highest",
+         dz_recon: float = 0.0) -> bytes:
     """Serialize encoder output to bytes.
 
     :param entropy: "rice" (native Rice/Golomb coder), "rrice" (run-length
@@ -78,6 +79,11 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
         with — bitstream-critical like compute_dtype: the decoder expands
         the Bark sidecar through the same W_inv contraction and must use
         the identical lowering to reproduce bit-identical step sizes.
+    :param dz_recon: dead-zone reconstruction offset rho (see
+        quantize.dz_recon_offset); bitstream-critical when nonzero — the
+        decoder reconstructs nonzero codes at (|c| + rho) * delta. Only
+        written when nonzero so plain-rounded containers stay
+        byte-identical to pre-dead-zone encoders.
     """
     from audiocodec_tpu import native
 
@@ -132,6 +138,10 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
 
     if "bark_rrice" not in members and "bark_rice" not in members:
         members["bark"] = np.asarray(bark16).view(np.uint16)
+    if dz_recon:
+        if not -1.0 <= dz_recon <= 2.0:
+            raise ValueError(f"dz_recon out of range: {dz_recon}")
+        members["dzr"] = np.asarray([dz_recon], dtype=np.float64)
     buf = _io.BytesIO()
     np.savez_compressed(
         buf,
@@ -284,6 +294,9 @@ def _unpack_members(z, ml_dtypes, data_len):
     barkprec = (
         str(small("barkprec")[0]) if "barkprec" in z.files else "highest"
     )
+    dzr = float(small("dzr")[0]) if "dzr" in z.files else 0.0
+    if not (-1.0 <= dzr <= 2.0):
+        raise ValueError("corrupt container: dzr out of bounds")
     meta = {
         "sample_rate": int(meta_arr[0]),
         "filters_n": int(meta_arr[1]),
@@ -295,6 +308,7 @@ def _unpack_members(z, ml_dtypes, data_len):
         "ms": ms,
         "threshold_scale": tscale,
         "bark_precision": barkprec,
+        "dz_recon": dzr,
     }
     if not (0 < meta["sample_rate"] <= 10_000_000):
         raise ValueError("corrupt container: sample_rate out of bounds")

@@ -38,7 +38,7 @@ class StreamWriter:
     def __init__(self, path: str, *, sample_rate, filters_n, bark_bands_n,
                  alpha, window_type, channels, compute_dtype="float32",
                  ms: bool = False, threshold_scale: float = 1.0,
-                 bark_precision: str = "highest"):
+                 bark_precision: str = "highest", dz_recon: float = 0.0):
         self.meta = {
             "sample_rate": int(sample_rate),
             "filters_n": int(filters_n),
@@ -58,6 +58,10 @@ class StreamWriter:
             # field; streams without it (older files) decode as "rice".
             "coder": "rrice",
         }
+        if dz_recon:
+            # dead-zone reconstruction offset; absent = 0 (plain rounding)
+            # so pre-dead-zone streams and default encodes are unchanged
+            self.meta["dzr"] = float(dz_recon)
         self._f = open(path, "wb")
         header = json.dumps(self.meta).encode()
         self._f.write(_MAGIC + struct.pack("<I", len(header)) + header)
@@ -175,6 +179,11 @@ class StreamReader:
             )
         if m.get("ms", False) and m["channels"] != 2:
             raise ValueError("stream header: ms coding requires 2 channels")
+        dzr = m.get("dzr", 0.0)
+        if not isinstance(dzr, (int, float)) or not -1.0 <= dzr <= 2.0:
+            raise ValueError(
+                f"stream header dzr={dzr!r} out of bounds — corrupt stream"
+            )
         if m.get("bark_precision", "highest") not in (
             "highest", "high", "default"
         ):
@@ -289,21 +298,23 @@ def _jit_encode_chunk():
 
     from audiocodec_tpu import streaming
 
-    @functools.partial(jax.jit, static_argnames=("ms",))
-    def step(codec, carry, x_chunk, drown, threshold_scale, ms):
+    @functools.partial(jax.jit, static_argnames=("ms", "deadzone"))
+    def step(codec, carry, x_chunk, drown, threshold_scale, ms, deadzone):
         carry, frames = streaming.mdct_stream_step(
             codec.mdct, carry, x_chunk
         )
         codes, bark16 = codec.quantize_frames(
-            frames, drown, threshold_scale=threshold_scale, ms=ms
+            frames, drown, threshold_scale=threshold_scale, ms=ms,
+            deadzone=deadzone,
         )
         return carry, codes, bark16
 
-    @functools.partial(jax.jit, static_argnames=("ms",))
-    def flush(codec, carry, drown, threshold_scale, ms):
+    @functools.partial(jax.jit, static_argnames=("ms", "deadzone"))
+    def flush(codec, carry, drown, threshold_scale, ms, deadzone):
         last = streaming.mdct_stream_flush(codec.mdct, carry)
         codes, bark16 = codec.quantize_frames(
-            last, drown, threshold_scale=threshold_scale, ms=ms
+            last, drown, threshold_scale=threshold_scale, ms=ms,
+            deadzone=deadzone,
         )
         return codes, bark16
 
@@ -322,7 +333,8 @@ def _encode_chunk_fns():
 
 def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
                   drown=0.0, ms: bool = False,
-                  threshold_scale: float = 1.0) -> int:
+                  threshold_scale: float = 1.0,
+                  deadzone: float = 0.5) -> int:
     """Encode a long waveform to a seekable stream with bounded memory.
 
     Uses the streaming MDCT (one carried block across chunks) and per-chunk
@@ -332,6 +344,8 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
     (``threshold_scale``), both persisted in the header.
 
     :param x: [1, samples, channels], samples a multiple of chunk_blocks*N.
+    :param deadzone: zero-bin half-width for the quantizer (0.5 = plain
+        rounding); its reconstruction offset rides the header as ``dzr``.
     :return: number of chunks written.
     """
     import jax.numpy as jnp
@@ -359,6 +373,12 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
     if s % chunk != 0:
         raise ValueError(f"samples {s} must be a multiple of {chunk}")
 
+    from audiocodec_tpu import quantize as _quantize
+
+    deadzone = float(deadzone)
+    dz_recon = (
+        _quantize.dz_recon_offset(deadzone) if deadzone != 0.5 else 0.0
+    )
     with StreamWriter(
         path,
         sample_rate=codec.psycho.sample_rate,
@@ -371,16 +391,17 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         ms=ms,
         threshold_scale=threshold_scale,
         bark_precision=codec.psycho.bark_precision,
+        dz_recon=dz_recon,
     ) as w:
         step, flush = _encode_chunk_fns()
         carry = streaming.mdct_stream_init(mdct, 1, c)
         for start in range(0, s, chunk):
             carry, codes, bark16 = step(
                 codec, carry, x[:, start : start + chunk], drown,
-                threshold_scale, ms,
+                threshold_scale, ms, deadzone,
             )
             w.append(codes, bark16)
-        w.append(*flush(codec, carry, drown, threshold_scale, ms))
+        w.append(*flush(codec, carry, drown, threshold_scale, ms, deadzone))
         n_chunks = len(w._index)
     return n_chunks
 
@@ -389,7 +410,7 @@ def encode_stream_with_target_bitrate(
     codec, x, path: str, chunk_blocks: int = 256, *,
     target_kbps: float, drown=0.0, ms: bool = False,
     sample_chunks: int = 8, tolerance: float = 0.08,
-    log2_scale_range=(-4.0, 10.0),
+    log2_scale_range=(-4.0, 10.0), deadzone="auto",
 ):
     """Rate-controlled stream encode: pick ONE stream-global threshold
     scale from a strided sample of the signal (the vmapped trial search of
@@ -431,15 +452,21 @@ def encode_stream_with_target_bitrate(
         [x[:, st : st + chunk] for st in starts], axis=1
     )
 
+    # one dead-zone for the sampled search, every full pass, and the
+    # header — trials and the shipped stream must quantize identically
+    z = _rate.resolve_deadzone(
+        deadzone, target_kbps, x.shape[-1], codec.psycho.sample_rate
+    )
+
     def search(tgt):
         return _rate.encode_with_target_bitrate(
-            codec, sample, tgt, drown=drown, ms=ms
+            codec, sample, tgt, drown=drown, ms=ms, deadzone=z
         ).threshold_scale
 
     def full_encode(scale):
         n_chunks = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
-            threshold_scale=scale,
+            threshold_scale=scale, deadzone=z,
         )
         return n_chunks, os.path.getsize(path) * 8 / seconds / 1000
 
@@ -484,9 +511,10 @@ def encode_stream_with_target_bitrate(
     return n_chunks, scale, kbps
 
 
-def _dequant_frames(codec, codes, bark, tscale, ms):
+def _dequant_frames(codec, codes, bark, tscale, ms, dzr=0.0):
     """Mirror EXACTLY the encoder's threshold derivation (ms min-channel
-    sidecar, stream-global scale) so step sizes are bit-identical."""
+    sidecar, stream-global scale) so step sizes are bit-identical; apply
+    the header's dead-zone reconstruction offset ``dzr``."""
     import jax.numpy as jnp
 
     from audiocodec_tpu import quantize as _quantize
@@ -501,7 +529,9 @@ def _dequant_frames(codec, codes, bark, tscale, ms):
     delta = _quantize.step_size(
         threshold * jnp.asarray(tscale, dtype=dtype)
     )
-    spec = _quantize.dequantize(jnp.asarray(codes)[None], delta, dtype=dtype)
+    spec = _quantize.dequantize(
+        jnp.asarray(codes)[None], delta, dtype=dtype, recon_offset=dzr
+    )
     return codec.from_mid_side(spec) if ms else spec
 
 
@@ -513,18 +543,18 @@ def _jit_decode_chunk():
 
     from audiocodec_tpu import streaming
 
-    @functools.partial(jax.jit, static_argnames=("ms",))
-    def step(codec, carry, codes, bark, tscale, ms):
-        frames = _dequant_frames(codec, codes, bark, tscale, ms)
+    @functools.partial(jax.jit, static_argnames=("ms", "dzr"))
+    def step(codec, carry, codes, bark, tscale, ms, dzr):
+        frames = _dequant_frames(codec, codes, bark, tscale, ms, dzr)
         carry, samples = streaming.imdct_stream_step(
             codec.mdct, carry, frames
         )
         return carry, samples
 
-    @functools.partial(jax.jit, static_argnames=("ms",))
-    def seek_carry(codec, codes, bark, tscale, ms):
+    @functools.partial(jax.jit, static_argnames=("ms", "dzr"))
+    def seek_carry(codec, codes, bark, tscale, ms, dzr):
         mdct = codec.mdct
-        prev = _dequant_frames(codec, codes, bark, tscale, ms)[:, -1:]
+        prev = _dequant_frames(codec, codes, bark, tscale, ms, dzr)[:, -1:]
         yb = jnp.transpose(prev, (0, 3, 1, 2))
         if mdct.dense_inv_cur is not None:
             # dense mode carries the previous RAW spectral frame
@@ -566,6 +596,7 @@ def decode_stream(codec, path: str, start_chunk: int = 0):
         ch = r.meta["channels"]
         ms = bool(r.meta.get("ms", False))
         tscale = float(r.meta.get("threshold_scale", 1.0))
+        dzr = float(r.meta.get("dzr", 0.0))
         import jax
 
         carry = streaming.imdct_stream_init(mdct, 1, ch)
@@ -573,7 +604,7 @@ def decode_stream(codec, path: str, start_chunk: int = 0):
             codes, bark = r.read_chunk(start_chunk - 1)
             carry = seek_carry(
                 codec, jax.device_put(codes), jax.device_put(bark),
-                tscale, ms,
+                tscale, ms, dzr,
             )
         for i in range(start_chunk, r.n_chunks):
             codes, bark = r.read_chunk(i)
@@ -581,7 +612,7 @@ def decode_stream(codec, path: str, start_chunk: int = 0):
             # on remote-attached backends (measured)
             carry, samples = step(
                 codec, carry, jax.device_put(codes), jax.device_put(bark),
-                tscale, ms,
+                tscale, ms, dzr,
             )
             yield samples
         tail = streaming.imdct_stream_flush(mdct, carry)

@@ -35,24 +35,70 @@ def step_size(masking_threshold: jax.Array, floor: float = 1e-12) -> jax.Array:
     )
 
 
-def quantize(mdct_amplitudes: jax.Array, masking_threshold: jax.Array):
+def quantize(mdct_amplitudes: jax.Array, masking_threshold: jax.Array,
+             deadzone: float = 0.5):
     """Quantize spectra to integer codes.
 
     :param mdct_amplitudes: [batches_n, blocks_n, filter_bands_n, channels_n].
     :param masking_threshold: same shape, from
         PsychoacousticModel.global_masking_threshold.
+    :param deadzone: zero-bin half-width in step units. 0.5 is the plain
+        mid-tread rounder; larger values widen only the zero bin (every
+        other bin keeps width 1), trading a little SNR for materially
+        fewer bits on near-threshold content. Measured on broadband
+        signals at matched container bitrate this WINS below ~100 kbps
+        per channel (up to +1.8 dB SNR and lower NMR at 40 kbps with
+        deadzone 1.0) and is neutral-to-slightly-negative above; see
+        rate.py for the target-rate heuristic. Decoders need only the
+        reconstruction offset (:func:`dz_recon_offset`), recorded in the
+        container as ``dzr``.
     :return: (codes int32 of the same shape, step sizes of the same shape).
         The step sizes are a deterministic function of the threshold; a
         bitstream would transmit the (much smaller) Bark-domain threshold.
     """
+    if not 0.5 <= deadzone <= 2.0:
+        raise ValueError(f"deadzone must be in [0.5, 2.0], got {deadzone}")
     delta = step_size(masking_threshold)
-    codes = jnp.round(mdct_amplitudes / delta).astype(jnp.int32)
+    if deadzone == 0.5:
+        codes = jnp.round(mdct_amplitudes / delta).astype(jnp.int32)
+    else:
+        u = jnp.abs(mdct_amplitudes) / delta
+        mag = jnp.maximum(
+            jnp.asarray(0.0, u.dtype),
+            jnp.floor(u - jnp.asarray(deadzone - 1.0, u.dtype)),
+        )
+        codes = (jnp.sign(mdct_amplitudes) * mag).astype(jnp.int32)
     return codes, delta
 
 
-def dequantize(codes: jax.Array, delta: jax.Array, dtype=None) -> jax.Array:
-    """Reconstruct spectra from integer codes and step sizes."""
-    out = codes.astype(delta.dtype) * delta
+def dz_recon_offset(deadzone: float, recon_point=None) -> float:
+    """Decoder-side reconstruction offset for a dead-zone quantizer.
+
+    Nonzero bins span [(|c| - 1 + z)d, (|c| + z)d); reconstructing at
+    fraction m inside the bin gives x_hat = sign(c)(|c| + rho)d with
+    rho = z + m - 1. m defaults to the bin midpoint for mild dead zones
+    and slightly below it (0.45, toward the Laplacian centroid — measured
+    +0.1 dB at wide zones) otherwise. rho = 0 reproduces the plain
+    ``codes * delta`` reconstruction exactly.
+    """
+    if recon_point is None:
+        recon_point = 0.5 if deadzone <= 0.75 else 0.45
+    return deadzone + recon_point - 1.0
+
+
+def dequantize(codes: jax.Array, delta: jax.Array, dtype=None,
+               recon_offset: float = 0.0) -> jax.Array:
+    """Reconstruct spectra from integer codes and step sizes.
+
+    :param recon_offset: dead-zone reconstruction offset rho (the
+        container's ``dzr`` field); 0 is the plain ``codes * delta``.
+        Must be a static Python float — the zero test happens at trace
+        time so the default path stays a single multiply.
+    """
+    mag = codes.astype(delta.dtype)
+    if recon_offset:
+        mag = mag + jnp.sign(mag) * jnp.asarray(recon_offset, delta.dtype)
+    out = mag * delta
     return out if dtype is None else out.astype(dtype)
 
 

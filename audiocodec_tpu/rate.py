@@ -39,6 +39,25 @@ class RateControlResult:
     threshold_scale: float
     kbps: float
     packed: bytes
+    dz_recon: float = 0.0
+
+
+def resolve_deadzone(deadzone, target_kbps, channels, sample_rate) -> float:
+    """Resolve the dead-zone width for a target bitrate.
+
+    "auto" picks from the target rate normalized to one 44.1 kHz channel,
+    matching the measured matched-rate RD crossover (see quantize.quantize):
+    wide zero bins win below ~100 kbps/channel (+0.5..1.8 dB SNR and lower
+    NMR), plain rounding wins above ~120.
+    """
+    if deadzone != "auto":
+        z = float(deadzone)
+    else:
+        kb = target_kbps / max(channels, 1) / (sample_rate / 44100.0)
+        z = 0.5 if kb >= 120.0 else (0.7 if kb >= 80.0 else 0.9)
+    if not 0.5 <= z <= 2.0:
+        raise ValueError(f"deadzone must be in [0.5, 2.0], got {z}")
+    return z
 
 
 def _meta(codec, ms):
@@ -63,6 +82,7 @@ def encode_with_target_bitrate_batch(
     trials_per_round: int = 8,
     log2_scale_range=(-4.0, 10.0),
     ms: bool = False,
+    deadzone="auto",
 ) -> list:
     """Rate-control every clip of a batch to ``target_kbps``.
 
@@ -70,6 +90,10 @@ def encode_with_target_bitrate_batch(
         threshold scale (bitrate is a per-clip property).
     :param tolerance: relative bitrate error under which round 1's grid is
         accepted for every clip and the refinement round is skipped.
+    :param deadzone: zero-bin half-width (quantize.quantize), or "auto" to
+        pick from the target rate (resolve_deadzone). All trials and the
+        final pack share one value; its reconstruction offset is recorded
+        in every container and returned as ``dz_recon``.
     :return: list of B :class:`RateControlResult`.
     """
     if not (np.isfinite(target_kbps) and target_kbps > 0):
@@ -77,6 +101,10 @@ def encode_with_target_bitrate_batch(
     batch = x.shape[0]
     seconds = x.shape[1] / codec.psycho.sample_rate
     dtype = codec.mdct.compute_dtype
+    z = resolve_deadzone(
+        deadzone, target_kbps, x.shape[-1], codec.psycho.sample_rate
+    )
+    dz_recon = _quantize.dz_recon_offset(z) if z != 0.5 else 0.0
 
     # One-time analysis (the bitstream-critical derivation lives in ONE
     # place — Codec.analyze_for_quantization); trials only re-quantize+pack.
@@ -92,7 +120,7 @@ def encode_with_target_bitrate_batch(
 
         def one(scale_b):
             thr = base_threshold * scale_b[:, None, None, None].astype(dtype)
-            return _quantize.quantize(spectrum_q, thr)[0]
+            return _quantize.quantize(spectrum_q, thr, deadzone=z)[0]
 
         return jax.vmap(one)(scales)
 
@@ -114,16 +142,19 @@ def encode_with_target_bitrate_batch(
         return _search(
             pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             target_kbps, tolerance, trials_per_round, log2_scale_range,
+            dz_recon,
         )
     finally:
         pool.shutdown(wait=False)
 
 
 def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
-            target_kbps, tolerance, trials_per_round, log2_scale_range):
+            target_kbps, tolerance, trials_per_round, log2_scale_range,
+            dz_recon=0.0):
     def _pack_one(codes_b, bark_b, scale, entropy="auto"):
         return _bitstream.pack(
-            codes_b, bark_b, threshold_scale=scale, entropy=entropy, **meta
+            codes_b, bark_b, threshold_scale=scale, entropy=entropy,
+            dz_recon=dz_recon, **meta
         )
 
     from audiocodec_tpu import native as _native
@@ -164,26 +195,29 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
     ).copy()
     kbps1 = sizes(grid1)
 
-    # Early exit: when round 1 already lands every clip within tolerance
-    # of the target, skip the refinement round's device pass + packing.
-    best1 = np.min(np.abs(kbps1 - target_kbps), axis=0)
-    if bool((best1 <= tolerance * target_kbps).all()):
-        all_grids, all_kbps = grid1, kbps1
-    else:
-        # Round 2: per-clip refinement inside the bracketing interval
-        # (kbps is monotone nonincreasing in the scale).
-        grid2 = np.empty_like(grid1)
+    # Refinement rounds: while any clip is outside tolerance, re-grid each
+    # clip inside its tightest bracketing interval (kbps is monotone
+    # nonincreasing in the scale). Most signals exit after round 1 or 2;
+    # steep rate curves (wide dead zones, tonal content) may take more —
+    # each extra round shrinks the bracket ~(k_trials+1)x.
+    all_grids, all_kbps = grid1, kbps1
+    for _ in range(3):
+        best = np.min(np.abs(all_kbps - target_kbps), axis=0)
+        if bool((best <= tolerance * target_kbps).all()):
+            break
+        grid_next = np.empty_like(grid1)
         for b in range(batch):
-            above = np.where(kbps1[:, b] >= target_kbps)[0]
-            below = np.where(kbps1[:, b] <= target_kbps)[0]
-            g_lo = grid1[above[-1], b] if above.size else lo
-            g_hi = grid1[below[0], b] if below.size else hi
+            above = all_kbps[:, b] >= target_kbps
+            below = all_kbps[:, b] <= target_kbps
+            g_lo = all_grids[above, b].max() if above.any() else lo
+            g_hi = all_grids[below, b].min() if below.any() else hi
             if g_hi < g_lo:
                 g_lo, g_hi = g_hi, g_lo
-            grid2[:, b] = np.linspace(g_lo, g_hi, k_trials)
-        kbps2 = sizes(grid2)
-        all_grids = np.concatenate([grid1, grid2], axis=0)
-        all_kbps = np.concatenate([kbps1, kbps2], axis=0)
+            # interior points only — the endpoints were already probed
+            grid_next[:, b] = np.linspace(g_lo, g_hi, k_trials + 2)[1:-1]
+        kbps_next = sizes(grid_next)
+        all_grids = np.concatenate([all_grids, grid_next], axis=0)
+        all_kbps = np.concatenate([all_kbps, kbps_next], axis=0)
 
     # Final pass: every clip's winning scale in ONE device pass.
     k_best = np.argmin(np.abs(all_kbps - target_kbps), axis=0)
@@ -212,6 +246,7 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             threshold_scale=float(win_scales[b]),
             kbps=len(final_packs[b]) * 8 / seconds / 1000,
             packed=final_packs[b],
+            dz_recon=dz_recon,
         )
         for b in range(batch)
     ]
@@ -226,6 +261,7 @@ def encode_with_target_bitrate(
     max_iters: int = 10,
     log2_scale_range=(-4.0, 10.0),
     ms: bool = False,
+    deadzone="auto",
 ) -> RateControlResult:
     """Single-clip rate control (the batch path with B=1).
 
@@ -247,4 +283,5 @@ def encode_with_target_bitrate(
         trials_per_round=max(4, (max_iters + 1) // 2),
         log2_scale_range=log2_scale_range,
         ms=ms,
+        deadzone=deadzone,
     )[0]

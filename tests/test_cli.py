@@ -119,6 +119,29 @@ class TestCLI:
         )
         assert snr > 10.0
 
+    def test_deadzone_flag_roundtrips(self, tmp_path, wav_file, capsys):
+        wav_path, x, rate = wav_file
+        acz = str(tmp_path / "dz.acz")
+        rec = str(tmp_path / "dz_rec.wav")
+        rc = cli.main(
+            ["encode", wav_path, acz, "--filters-n", "256",
+             "--deadzone", "1.0"]
+        )
+        assert rc == 0
+        _, _, meta = bitstream.load(acz)
+        assert meta["dz_recon"] == pytest.approx(0.45)
+        assert cli.main(["decode", acz, rec]) == 0
+        capsys.readouterr()
+        y, _ = read_wav(rec)
+        n = 256
+        usable = min(x.shape[0], y.shape[1])
+        a = x[: usable - n]
+        b = y[0, : usable - n]
+        snr = 10 * np.log10(
+            (a**2).sum() / max(((a - b) ** 2).sum(), 1e-30)
+        )
+        assert snr > 8.0
+
     def test_roundtrip_command(self, tmp_path, wav_file, capsys):
         wav_path, _, _ = wav_file
         rec = str(tmp_path / "rt.wav")
