@@ -45,13 +45,14 @@ def quantize(mdct_amplitudes: jax.Array, masking_threshold: jax.Array,
     :param deadzone: zero-bin half-width in step units. 0.5 is the plain
         mid-tread rounder; larger values widen only the zero bin (every
         other bin keeps width 1), trading a little SNR for materially
-        fewer bits on near-threshold content. Measured on broadband
-        signals at matched container bitrate this WINS below ~100 kbps
-        per channel (up to +1.8 dB SNR and lower NMR at 40 kbps with
-        deadzone 1.0) and is neutral-to-slightly-negative above; see
-        rate.py for the target-rate heuristic. Decoders need only the
-        reconstruction offset (:func:`dz_recon_offset`), recorded in the
-        container as ``dzr``.
+        fewer bits on near-threshold content. Measured at matched
+        container bitrate (benchmarks/rd_curve.py --deadzone) this wins
+        below ~80 kbps per 44.1 kHz channel (+0.4..+1.2 dB SNR at
+        40 kbps across speech-like, noise, and tonal signals), is
+        signal-dependent around ~96, and is neutral-to-negative at 128+;
+        see rate.resolve_deadzone for the target-rate heuristic. Decoders
+        need only the reconstruction offset (:func:`dz_recon_offset`),
+        recorded in the container as ``dzr``.
     :return: (codes int32 of the same shape, step sizes of the same shape).
         The step sizes are a deterministic function of the threshold; a
         bitstream would transmit the (much smaller) Bark-domain threshold.

@@ -46,15 +46,25 @@ def resolve_deadzone(deadzone, target_kbps, channels, sample_rate) -> float:
     """Resolve the dead-zone width for a target bitrate.
 
     "auto" picks from the target rate normalized to one 44.1 kHz channel,
-    matching the measured matched-rate RD crossover (see quantize.quantize):
-    wide zero bins win below ~100 kbps/channel (+0.5..1.8 dB SNR and lower
-    NMR), plain rounding wins above ~120.
+    matching the measured matched-rate RD crossover (benchmarks/rd_curve.py
+    --deadzone, N=1024 mono 44.1 kHz): at 40 kbps wide zones gain
+    +0.4..+1.2 dB SNR (speech-like harmonics, pink noise, and tone stacks
+    all agree, z=1.0 best on broadband / 0.9 on tonal); at ~96 kbps it is
+    signal-dependent within +-0.5 dB (0.7 is the safe middle); at >=128
+    plain rounding is never worse.
     """
     if deadzone != "auto":
         z = float(deadzone)
     else:
         kb = target_kbps / max(channels, 1) / (sample_rate / 44100.0)
-        z = 0.5 if kb >= 120.0 else (0.7 if kb >= 80.0 else 0.9)
+        if kb >= 120.0:
+            z = 0.5
+        elif kb >= 80.0:
+            z = 0.7
+        elif kb >= 48.0:
+            z = 0.9
+        else:
+            z = 1.0
     if not 0.5 <= z <= 2.0:
         raise ValueError(f"deadzone must be in [0.5, 2.0], got {z}")
     return z

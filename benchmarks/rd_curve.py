@@ -9,6 +9,12 @@ reaching the masking threshold).
 
 Usage:  python benchmarks/rd_curve.py [--signal tones|noise|speechlike]
                                       [--seconds 10] [--markdown]
+                                      [--deadzone 0.5,0.9,1.0]
+
+With --deadzone the sweep runs MATCHED-RATE: each zero-bin width is
+rate-controlled to the same kbps targets (the container's real packed
+size), so the SNR/NMR columns compare equal-bitrate points. This is the
+measurement behind rate.resolve_deadzone's auto ladder.
 """
 
 from __future__ import annotations
@@ -44,6 +50,49 @@ def make_signal(kind: str, sr: int, seconds: float) -> np.ndarray:
     return np.clip(x, -0.99, 0.99).astype(np.float32)
 
 
+def deadzone_sweep(codec, x, dur, args):
+    """Matched-rate dead-zone comparison: every width rate-controlled to
+    the same targets; rows report the container's REAL kbps next to
+    SNR/NMR so equal-rate points are compared."""
+    import jax.numpy as jnp
+
+    from audiocodec_tpu import metrics, rate
+    from audiocodec_tpu.io import bitstream
+
+    zones = [float(z) for z in args.deadzone.split(",")]
+    targets = [float(k) for k in args.targets.split(",")]
+    n = codec.mdct.filters_n
+    rows = []
+    for target in targets:
+        for z in zones:
+            res = rate.encode_with_target_bitrate(
+                codec, x, target, deadzone=z
+            )
+            codes, bark, meta = bitstream.unpack(res.packed)
+            out = codec.decode_bitstream(
+                jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
+                threshold_scale=res.threshold_scale,
+                dz_recon=meta["dz_recon"],
+            )[:, n:-n]
+            ev = metrics.evaluate(codec, x, out)
+            rows.append({
+                "target_kbps": target,
+                "deadzone": z,
+                "kbps": round(res.kbps, 1),
+                "snr_db": round(ev["snr_db"], 2),
+                "nmr": round(ev["nmr"], 4),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+    if args.markdown:
+        print(f"\n| target | deadzone | kbps | SNR dB | NMR | "
+              f"({args.signal}, {dur:.0f}s mono) |")
+        print("|---|---|---|---|---|---|")
+        for r in rows:
+            print(f"| {r['target_kbps']} | {r['deadzone']} | {r['kbps']} "
+                  f"| {r['snr_db']} | {r['nmr']} | |")
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--signal", default="speechlike",
@@ -51,10 +100,22 @@ def main():
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--markdown", action="store_true",
                     help="also print a markdown table")
+    ap.add_argument("--deadzone", default="",
+                    help="comma-separated zero-bin widths; switches to a "
+                         "matched-rate sweep (rate-controlled to shared "
+                         "kbps targets) comparing the widths")
+    ap.add_argument("--targets", default="40,64,96,128",
+                    help="kbps targets for the --deadzone sweep")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (quality numbers are "
+                         "platform-independent; use when the TPU tunnel "
+                         "is down)")
     args = ap.parse_args()
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
 
@@ -68,6 +129,9 @@ def main():
     wave = wave[: wave.size // n * n]
     dur = wave.size / sr
     x = jnp.asarray(wave[None, :, None])
+
+    if args.deadzone:
+        return deadzone_sweep(codec, x, dur, args)
 
     # one jitted program per sweep point is wasteful; scale is a traced
     # scalar so every point reuses ONE compiled encode and ONE decode

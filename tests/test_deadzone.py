@@ -140,7 +140,8 @@ class TestResolveDeadzone:
         # per-channel kbps normalized to 44.1k: high rate -> plain rounding
         assert rate.resolve_deadzone("auto", 256.0, 2, 44100) == 0.5
         assert rate.resolve_deadzone("auto", 96.0 * 2, 2, 44100) == 0.7
-        assert rate.resolve_deadzone("auto", 40.0, 1, 44100) == 0.9
+        assert rate.resolve_deadzone("auto", 64.0, 1, 44100) == 0.9
+        assert rate.resolve_deadzone("auto", 40.0, 1, 44100) == 1.0
         # lower sample rate raises the normalized rate
         assert rate.resolve_deadzone("auto", 64.0, 1, 16000) == 0.5
 
