@@ -146,7 +146,7 @@ def cmd_encode(args):
                     codec, x[:, :usable], args.output,
                     chunk_blocks=args.chunk_blocks,
                     target_kbps=args.kbps, drown=args.drown, ms=args.ms,
-                    deadzone=dz,
+                    deadzone=dz, tns=args.tns,
                 )
             )
             extra = f", {kbps:.0f} kbit/s, scale {tscale:.2f}"
@@ -154,7 +154,7 @@ def cmd_encode(args):
             n_chunks = stream_container.encode_stream(
                 codec, x[:, :usable], args.output,
                 chunk_blocks=args.chunk_blocks, drown=args.drown,
-                ms=args.ms, deadzone=fixed_dz,
+                ms=args.ms, deadzone=fixed_dz, tns=args.tns,
             )
         size = os.path.getsize(args.output)
         raw = usable * x.shape[2] * 2
@@ -169,7 +169,8 @@ def cmd_encode(args):
         from audiocodec_tpu import rate as _rate
 
         result = _rate.encode_with_target_bitrate(
-            codec, x, args.kbps, drown=args.drown, ms=args.ms, deadzone=dz
+            codec, x, args.kbps, drown=args.drown, ms=args.ms, deadzone=dz,
+            tns=args.tns,
         )
         # the trial's packed bytes ARE the container — write them verbatim
         # so the measured kbps is exactly the on-disk file's
@@ -184,7 +185,13 @@ def cmd_encode(args):
         )
         return 0
 
-    if args.ms:
+    tns_idx = None
+    if args.tns:
+        codes, bark, tns_idx = codec.quantize_frames_tns(
+            codec.mdct.transform(x), args.drown, ms=args.ms,
+            deadzone=fixed_dz,
+        )
+    elif args.ms:
         codes, bark = codec.encode_bitstream_ms(x, drown=args.drown,
                                                 deadzone=fixed_dz)
     else:
@@ -207,6 +214,8 @@ def cmd_encode(args):
         dz_recon=(
             _quantize.dz_recon_offset(fixed_dz) if fixed_dz != 0.5 else 0.0
         ),
+        tns_idx=tns_idx,
+        tns_band_start=codec.tns_band_start,
     )
     raw = data.size * 2  # vs 16-bit PCM
     print(
@@ -339,15 +348,21 @@ def cmd_decode(args):
     )
     tscale = meta.get("threshold_scale", 1.0)
     dzr = meta.get("dz_recon", 0.0)
+    tns_idx = meta.get("tns_idx")
+    if tns_idx is not None:
+        tns_idx = jnp.asarray(tns_idx)
+    tns_bs = meta.get("tns_band_start") or None
     if meta.get("ms"):
         wave = codec.decode_bitstream_ms(
             jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
-            threshold_scale=tscale, dz_recon=dzr,
+            threshold_scale=tscale, dz_recon=dzr, tns_idx=tns_idx,
+            tns_band_start=tns_bs,
         )
     else:
         wave = codec.decode_bitstream(
             jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
-            threshold_scale=tscale, dz_recon=dzr,
+            threshold_scale=tscale, dz_recon=dzr, tns_idx=tns_idx,
+            tns_band_start=tns_bs,
         )
     n = meta["filters_n"]
     wave = np.asarray(wave.astype(jnp.float32))[:, n:-n]
@@ -377,7 +392,13 @@ def cmd_roundtrip(args):
     codec = _build_codec(rate, args)
     data = _trim_to_blocks(data, args.filters_n)
     x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
-    out = codec.round_trip_quantized(x, drown=args.drown)
+    if args.tns:
+        codes, bark, tns_idx = codec.quantize_frames_tns(
+            codec.mdct.transform(x), args.drown
+        )
+        out = codec.decode_bitstream(codes, bark, tns_idx=tns_idx)
+    else:
+        out = codec.round_trip_quantized(x, drown=args.drown)
     n = args.filters_n
     rec = np.asarray(out.astype(jnp.float32))[:, n:-n]
     orig = np.asarray(data)
@@ -665,6 +686,18 @@ def cmd_info(args):
     blocks = codes.shape[1]
     seconds = blocks * meta["filters_n"] / meta["sample_rate"]
     kbps = size * 8 / max(seconds, 1e-9) / 1000
+    tns_idx = meta.pop("tns_idx", None)
+    if tns_idx is not None:
+        import numpy as _np
+
+        fired = int(_np.any(tns_idx != 0, axis=(2,)).sum())
+        meta["tns"] = (
+            f"order {tns_idx.shape[2]}, band_start "
+            f"{meta.get('tns_band_start')}, filtered "
+            f"{fired}/{tns_idx.shape[0] * tns_idx.shape[1] * tns_idx.shape[3]}"
+            " frame-channels"
+        )
+    meta.pop("tns_band_start", None)
     print(f"{args.input}:")
     for k, v in meta.items():
         print(f"  {k}: {v}")
@@ -727,6 +760,13 @@ def main(argv=None) -> int:
                  "rounding, up to 2.0). 'auto' widens the zero bin at low "
                  "--kbps targets, where it measures +0.5..1.8 dB SNR at "
                  "matched bitrate; without --kbps 'auto' is plain rounding",
+        )
+        p.add_argument(
+            "--tns", action="store_true",
+            help="temporal noise shaping: whiten transient frames along "
+                 "frequency before quantization so the decoder's inverse "
+                 "filter concentrates quantization noise under attacks "
+                 "instead of smearing it as pre-echo",
         )
         p.add_argument(
             "--chunk-blocks", type=int, default=0,

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from audiocodec_tpu import quantize as _quantize
+from audiocodec_tpu import tns as _tns
 from audiocodec_tpu.mdct import MDCT
 from audiocodec_tpu.psycho import PsychoacousticModel
 
@@ -210,20 +211,34 @@ class Codec:
 
     def decode_bitstream_ms(self, codes: jax.Array, bark16: jax.Array,
                             threshold_scale=1.0,
-                            dz_recon: float = 0.0) -> jax.Array:
+                            dz_recon: float = 0.0,
+                            tns_idx: jax.Array | None = None,
+                            tns_band_start: int | None = None) -> jax.Array:
         """Inverse of :meth:`encode_bitstream_ms` -> L/R waveform.
 
         :param dz_recon: dead-zone reconstruction offset (the container's
             ``dzr`` field; 0 for plain-rounded streams).
+        :param tns_idx: TNS reflection indices from the encoder (the
+            ``tns`` container member); None for unfiltered streams. The
+            inverse filter runs in the coded (mid/side) domain, before
+            the stereo derotation — mirroring the encoder's order.
+        :param tns_band_start: the band start the ENCODER filtered from
+            (the container records it); defaults to this codec's own.
         """
         thr = self._ms_threshold(bark16) * jnp.asarray(
             threshold_scale, dtype=self.mdct.compute_dtype
         )
+        if tns_idx is not None:
+            bs = (self.tns_band_start if tns_band_start is None
+                  else tns_band_start)
+            thr = _tns.scaled_threshold(thr, tns_idx, bs)
         delta = _quantize.step_size(thr)
         spec_ms = _quantize.dequantize(
             codes, delta, dtype=self.mdct.compute_dtype,
             recon_offset=dz_recon,
         )
+        if tns_idx is not None:
+            spec_ms = _tns.filter_inverse(spec_ms, tns_idx, bs)
         return self.decode(self.from_mid_side(spec_ms))
 
     def encode_bitstream(self, x: jax.Array, drown=0.0,
@@ -302,20 +317,69 @@ class Codec:
         codes, _ = _quantize.quantize(spec_q, threshold, deadzone=deadzone)
         return codes, bark16
 
+    @property
+    def tns_band_start(self) -> int:
+        """First bin TNS filters cover (tns.default_band_start)."""
+        return _tns.default_band_start(self.mdct.filters_n)
+
+    def quantize_frames_tns(self, frames: jax.Array, drown=0.0,
+                            threshold_scale=1.0, ms: bool = False,
+                            deadzone: float = 0.5):
+        """:meth:`quantize_frames` with temporal noise shaping: frames
+        whose spectrum is predictable along frequency (peaky time
+        envelopes — transients) are whitened by an order-8 LPC filter
+        before quantization, so the decoder's inverse filter concentrates
+        quantization noise under the attack instead of smearing it across
+        the frame as pre-echo (tns.py). In-band step sizes shrink by the
+        gain-compensation rule (tns.scaled_threshold) so the shaped noise
+        keeps roughly the unfiltered power — measured equal-or-better SNR
+        at matched rate with 2-3x less pre-echo energy.
+
+        :return: (codes, bark16, tns_idx int8 [B, frames, order, C]). The
+            indices are bitstream-critical whenever any is nonzero — the
+            decoder must inverse-filter with exactly these and derive the
+            same scaled steps (the ``tns`` container member); all-zero
+            means no frame fired (identity, unscaled).
+        """
+        spec_q, bark16, threshold = self.analyze_for_quantization(
+            frames, drown, ms=ms
+        )
+        bs = self.tns_band_start
+        tns_idx = _tns.analyze(spec_q, bs)
+        spec_f = _tns.filter_forward(spec_q, tns_idx, bs)
+        threshold = threshold * jnp.asarray(
+            threshold_scale, dtype=self.mdct.compute_dtype
+        )
+        threshold = _tns.scaled_threshold(threshold, tns_idx, bs)
+        codes, _ = _quantize.quantize(spec_f, threshold, deadzone=deadzone)
+        return codes, bark16, tns_idx
+
     def decode_bitstream(self, codes: jax.Array, bark16: jax.Array,
                          threshold_scale=1.0,
-                         dz_recon: float = 0.0) -> jax.Array:
+                         dz_recon: float = 0.0,
+                         tns_idx: jax.Array | None = None,
+                         tns_band_start: int | None = None) -> jax.Array:
         """Inverse of :meth:`encode_bitstream`: codes + Bark intensities ->
         waveform [B, (blocks+1)*N, C].
 
         :param dz_recon: dead-zone reconstruction offset (the container's
             ``dzr`` field; 0 for plain-rounded streams).
+        :param tns_idx: TNS reflection indices from the encoder (the
+            ``tns`` container member); None for unfiltered streams.
+        :param tns_band_start: the band start the ENCODER filtered from
+            (the container records it); defaults to this codec's own.
         """
         threshold = self.psycho.bark_intensity_to_threshold(
             bark16.astype(self.mdct.compute_dtype)
         ) * jnp.asarray(threshold_scale, dtype=self.mdct.compute_dtype)
+        if tns_idx is not None:
+            bs = (self.tns_band_start if tns_band_start is None
+                  else tns_band_start)
+            threshold = _tns.scaled_threshold(threshold, tns_idx, bs)
         delta = _quantize.step_size(threshold)
-        return self.decode(
-            _quantize.dequantize(codes, delta, dtype=self.mdct.compute_dtype,
-                                 recon_offset=dz_recon)
-        )
+        spec = _quantize.dequantize(codes, delta,
+                                    dtype=self.mdct.compute_dtype,
+                                    recon_offset=dz_recon)
+        if tns_idx is not None:
+            spec = _tns.filter_inverse(spec, tns_idx, bs)
+        return self.decode(spec)

@@ -10,6 +10,8 @@ codes well). Format (npz members):
   bark      uint16 view of bfloat16 [B, blocks, bark_bands_n, C]
   meta      int64 [sample_rate, filters_n, bark_bands_n, channels]
   alphaw    float64 [alpha]; window type in 'window' (str array)
+  tns       int8 [B, blocks, order, C] TNS reflection indices + 'tnsmeta'
+            int64 [order, band_start]; absent = no temporal noise shaping
 """
 
 from __future__ import annotations
@@ -67,7 +69,8 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
          entropy: str = "auto", ms: bool = False,
          threshold_scale: float = 1.0,
          bark_precision: str = "highest",
-         dz_recon: float = 0.0) -> bytes:
+         dz_recon: float = 0.0,
+         tns_idx=None, tns_band_start: int = 0) -> bytes:
     """Serialize encoder output to bytes.
 
     :param entropy: "rice" (native Rice/Golomb coder), "rrice" (run-length
@@ -84,6 +87,12 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
         decoder reconstructs nonzero codes at (|c| + rho) * delta. Only
         written when nonzero so plain-rounded containers stay
         byte-identical to pre-dead-zone encoders.
+    :param tns_idx: temporal-noise-shaping reflection indices, int8
+        [B, blocks, order, C] (tns.py) — bitstream-critical when any is
+        nonzero: the decoder must inverse-filter the dequantized spectra
+        with exactly these. Written (with ``tns_band_start`` alongside)
+        only when some frame fired, so TNS-off encodes stay
+        byte-identical.
     """
     from audiocodec_tpu import native
 
@@ -142,6 +151,24 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
         if not -1.0 <= dz_recon <= 2.0:
             raise ValueError(f"dz_recon out of range: {dz_recon}")
         members["dzr"] = np.asarray([dz_recon], dtype=np.float64)
+    if tns_idx is not None:
+        arr = np.ascontiguousarray(tns_idx, dtype=np.int8)
+        if arr.ndim != 4 or arr.shape[0] != codes.shape[0] \
+                or arr.shape[1] != codes.shape[1] \
+                or arr.shape[3] != codes.shape[3]:
+            raise ValueError(
+                f"tns_idx shape {arr.shape} does not match codes "
+                f"{codes.shape}"
+            )
+        if arr.any():  # all-zero = no frame fired = identity filter
+            if not 0 < tns_band_start < filters_n:
+                raise ValueError(
+                    f"tns_band_start out of range: {tns_band_start}"
+                )
+            members["tns"] = arr
+            members["tnsmeta"] = np.asarray(
+                [arr.shape[2], tns_band_start], dtype=np.int64
+            )
     buf = _io.BytesIO()
     np.savez_compressed(
         buf,
@@ -297,6 +324,27 @@ def _unpack_members(z, ml_dtypes, data_len):
     dzr = float(small("dzr")[0]) if "dzr" in z.files else 0.0
     if not (-1.0 <= dzr <= 2.0):
         raise ValueError("corrupt container: dzr out of bounds")
+    tns_idx, tns_band_start = None, 0
+    if "tns" in z.files:
+        tns_idx = np.asarray(_bounded_member(z, "tns", data_len))
+        tm = small("tnsmeta")
+        if len(tm) != 2:
+            raise ValueError("corrupt container: bad tnsmeta")
+        tns_order, tns_band_start = int(tm[0]), int(tm[1])
+        if (
+            tns_idx.dtype != np.int8
+            or tns_idx.ndim != 4
+            or not (1 <= tns_order <= 32)
+            or tns_idx.shape[2] != tns_order
+            or tns_idx.shape[:2] != codes.shape[:2]
+            or tns_idx.shape[3] != codes.shape[3]
+            or not (tns_order < tns_band_start < codes.shape[2])
+        ):
+            raise ValueError(
+                f"corrupt container: tns member shape {tns_idx.shape} / "
+                f"band_start {tns_band_start} inconsistent with codes "
+                f"{codes.shape}"
+            )
     meta = {
         "sample_rate": int(meta_arr[0]),
         "filters_n": int(meta_arr[1]),
@@ -309,6 +357,8 @@ def _unpack_members(z, ml_dtypes, data_len):
         "threshold_scale": tscale,
         "bark_precision": barkprec,
         "dz_recon": dzr,
+        "tns_idx": tns_idx,
+        "tns_band_start": tns_band_start,
     }
     if not (0 < meta["sample_rate"] <= 10_000_000):
         raise ValueError("corrupt container: sample_rate out of bounds")

@@ -12,8 +12,11 @@ Layout (little-endian):
 
   magic b"ACS1" | u32 header_len | header JSON (meta incl. chunk_blocks)
   per chunk: u32 blocks | u32 codes_len | codes rice bytes
-             | u32 bark_len | bark-delta rice bytes | u32 crc32
-             (crc over both payloads — storage/transport corruption is
+             | u32 bark_len | bark-delta rice bytes
+             | [u32 tns_len | deflated int8 TNS indices — only when the
+                header declares "tns"; see tns.py]
+             | u32 crc32
+             (crc over every payload — storage/transport corruption is
               detected at read time, not as garbled audio)
   trailer: u64 index offset at EOF-8; index = u64 chunk byte offsets
 
@@ -38,7 +41,8 @@ class StreamWriter:
     def __init__(self, path: str, *, sample_rate, filters_n, bark_bands_n,
                  alpha, window_type, channels, compute_dtype="float32",
                  ms: bool = False, threshold_scale: float = 1.0,
-                 bark_precision: str = "highest", dz_recon: float = 0.0):
+                 bark_precision: str = "highest", dz_recon: float = 0.0,
+                 tns_order: int = 0, tns_band_start: int = 0):
         self.meta = {
             "sample_rate": int(sample_rate),
             "filters_n": int(filters_n),
@@ -62,15 +66,31 @@ class StreamWriter:
             # dead-zone reconstruction offset; absent = 0 (plain rounding)
             # so pre-dead-zone streams and default encodes are unchanged
             self.meta["dzr"] = float(dz_recon)
+        if tns_order:
+            # temporal noise shaping: each chunk carries per-frame int8
+            # reflection indices; absent = no TNS (older streams decode
+            # unchanged, and TNS-off encodes write the old layout)
+            if not 0 < tns_order <= 32 or not (
+                tns_order < tns_band_start < filters_n
+            ):
+                raise ValueError(
+                    f"bad TNS config: order={tns_order}, "
+                    f"band_start={tns_band_start}"
+                )
+            self.meta["tns"] = {
+                "order": int(tns_order),
+                "band_start": int(tns_band_start),
+            }
         self._f = open(path, "wb")
         header = json.dumps(self.meta).encode()
         self._f.write(_MAGIC + struct.pack("<I", len(header)) + header)
         self._index = []
         self._closed = False
 
-    def append(self, codes, bark16) -> None:
+    def append(self, codes, bark16, tns_idx=None) -> None:
         """Write one chunk: codes int32 [1, blocks, N, C] (or [blocks, N, C]),
-        bark16 bfloat16 [1, blocks, bark_n, C] (or unbatched)."""
+        bark16 bfloat16 [1, blocks, bark_n, C] (or unbatched), and — for
+        TNS streams — int8 reflection indices [1, blocks, order, C]."""
         from audiocodec_tpu import native
 
         codes = np.asarray(codes)
@@ -81,6 +101,12 @@ class StreamWriter:
             codes = codes[0]
             bark = bark[0]
         blocks = codes.shape[0]
+        tns = self.meta.get("tns")
+        if (tns is not None) != (tns_idx is not None):
+            raise ValueError(
+                "chunk TNS indices must be passed exactly when the stream "
+                "header declares TNS"
+            )
         enc = (
             native.rrice_encode
             if self.meta["coder"] == "rrice"
@@ -92,12 +118,30 @@ class StreamWriter:
         bark_bytes = _bitstream.encode_bark_sidecar(
             bark, block_axis=0, coder=self.meta["coder"]
         )
+        tns_bytes = b""
+        if tns is not None:
+            ti = np.ascontiguousarray(tns_idx, dtype=np.int8)
+            if ti.ndim == 4:
+                ti = ti[0]
+            if ti.shape != (blocks, tns["order"], codes.shape[-1]):
+                raise ValueError(
+                    f"chunk tns_idx shape {ti.shape} != "
+                    f"({blocks}, {tns['order']}, {codes.shape[-1]})"
+                )
+            # mostly zero (frames where the gain gate didn't fire):
+            # deflate collapses the zero runs
+            tns_bytes = zlib.compress(ti.tobytes(), 6)
         crc = zlib.crc32(bark_bytes, zlib.crc32(code_bytes))
+        if tns is not None:
+            crc = zlib.crc32(tns_bytes, crc)
         self._index.append(self._f.tell())
         self._f.write(struct.pack("<II", blocks, len(code_bytes)))
         self._f.write(code_bytes)
         self._f.write(struct.pack("<I", len(bark_bytes)))
         self._f.write(bark_bytes)
+        if tns is not None:
+            self._f.write(struct.pack("<I", len(tns_bytes)))
+            self._f.write(tns_bytes)
         self._f.write(struct.pack("<I", crc))
 
     def close(self) -> None:
@@ -191,6 +235,18 @@ class StreamReader:
                 "stream header bark_precision must be one of "
                 "highest/high/default — corrupt stream"
             )
+        tns = m.get("tns")
+        if tns is not None:
+            order = tns.get("order") if isinstance(tns, dict) else None
+            bs = tns.get("band_start") if isinstance(tns, dict) else None
+            if (
+                not isinstance(order, int) or not isinstance(bs, int)
+                or not 0 < order <= 32 or not order < bs < m["filters_n"]
+            ):
+                raise ValueError(
+                    f"stream header tns={tns!r} out of bounds — corrupt "
+                    "stream"
+                )
 
     @property
     def n_chunks(self) -> int:
@@ -214,7 +270,8 @@ class StreamReader:
         return data
 
     def read_chunk(self, i: int):
-        """-> (codes int32 [blocks, N, C], bark bfloat16 [blocks, bark, C])."""
+        """-> (codes int32 [blocks, N, C], bark bfloat16 [blocks, bark, C],
+        tns int8 [blocks, order, C] | None for streams without TNS)."""
         from audiocodec_tpu import native
         from audiocodec_tpu.io import bitstream as _bitstream
 
@@ -230,8 +287,20 @@ class StreamReader:
         if blen > self._size:
             raise ValueError(f"chunk {i} has implausible sizes — corrupt stream")
         bark_bytes = self._read_exact(blen, i)
+        tns_meta = self.meta.get("tns")
+        tns_bytes = None
+        if tns_meta is not None:
+            (tlen,) = struct.unpack("<I", self._read_exact(4, i))
+            if tlen > self._size:
+                raise ValueError(
+                    f"chunk {i} has implausible sizes — corrupt stream"
+                )
+            tns_bytes = self._read_exact(tlen, i)
         (crc,) = struct.unpack("<I", self._read_exact(4, i))
-        if zlib.crc32(bark_bytes, zlib.crc32(code_bytes)) != crc:
+        want = zlib.crc32(bark_bytes, zlib.crc32(code_bytes))
+        if tns_bytes is not None:
+            want = zlib.crc32(tns_bytes, want)
+        if want != crc:
             raise ValueError(f"chunk {i} failed CRC — corrupt stream")
 
         n = self.meta["filters_n"]
@@ -269,7 +338,28 @@ class StreamReader:
             bark_bytes, (blocks, bark_n, bark_ch), block_axis=0,
             coder=coder,
         )
-        return codes, bark
+        tns = None
+        if tns_bytes is not None:
+            order = tns_meta["order"]
+            want_n = blocks * order * ch
+            # cap the inflate at the expected size (+1 to detect excess) —
+            # a tampered field must not drive an unbounded allocation
+            try:
+                d = zlib.decompressobj()
+                raw = d.decompress(tns_bytes, want_n + 1)
+            except zlib.error as e:
+                raise ValueError(
+                    f"chunk {i} TNS payload corrupt: {e}"
+                ) from None
+            if len(raw) != want_n:
+                raise ValueError(
+                    f"chunk {i} TNS payload is {len(raw)} bytes, "
+                    f"expected {want_n} — corrupt stream"
+                )
+            tns = np.frombuffer(raw, dtype=np.int8).reshape(
+                blocks, order, ch
+            )
+        return codes, bark, tns
 
     def close(self) -> None:
         self._f.close()
@@ -298,25 +388,39 @@ def _jit_encode_chunk():
 
     from audiocodec_tpu import streaming
 
-    @functools.partial(jax.jit, static_argnames=("ms", "deadzone"))
-    def step(codec, carry, x_chunk, drown, threshold_scale, ms, deadzone):
+    @functools.partial(jax.jit, static_argnames=("ms", "deadzone", "tns"))
+    def step(codec, carry, x_chunk, drown, threshold_scale, ms, deadzone,
+             tns=False):
         carry, frames = streaming.mdct_stream_step(
             codec.mdct, carry, x_chunk
         )
-        codes, bark16 = codec.quantize_frames(
-            frames, drown, threshold_scale=threshold_scale, ms=ms,
-            deadzone=deadzone,
-        )
-        return carry, codes, bark16
+        if tns:
+            codes, bark16, tns_idx = codec.quantize_frames_tns(
+                frames, drown, threshold_scale=threshold_scale, ms=ms,
+                deadzone=deadzone,
+            )
+        else:
+            codes, bark16 = codec.quantize_frames(
+                frames, drown, threshold_scale=threshold_scale, ms=ms,
+                deadzone=deadzone,
+            )
+            tns_idx = None
+        return carry, codes, bark16, tns_idx
 
-    @functools.partial(jax.jit, static_argnames=("ms", "deadzone"))
-    def flush(codec, carry, drown, threshold_scale, ms, deadzone):
+    @functools.partial(jax.jit, static_argnames=("ms", "deadzone", "tns"))
+    def flush(codec, carry, drown, threshold_scale, ms, deadzone,
+              tns=False):
         last = streaming.mdct_stream_flush(codec.mdct, carry)
+        if tns:
+            return codec.quantize_frames_tns(
+                last, drown, threshold_scale=threshold_scale, ms=ms,
+                deadzone=deadzone,
+            )
         codes, bark16 = codec.quantize_frames(
             last, drown, threshold_scale=threshold_scale, ms=ms,
             deadzone=deadzone,
         )
-        return codes, bark16
+        return codes, bark16, None
 
     return step, flush
 
@@ -334,7 +438,7 @@ def _encode_chunk_fns():
 def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
                   drown=0.0, ms: bool = False,
                   threshold_scale: float = 1.0,
-                  deadzone: float = 0.5) -> int:
+                  deadzone: float = 0.5, tns: bool = False) -> int:
     """Encode a long waveform to a seekable stream with bounded memory.
 
     Uses the streaming MDCT (one carried block across chunks) and per-chunk
@@ -346,11 +450,15 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
     :param x: [1, samples, channels], samples a multiple of chunk_blocks*N.
     :param deadzone: zero-bin half-width for the quantizer (0.5 = plain
         rounding); its reconstruction offset rides the header as ``dzr``.
+    :param tns: temporal noise shaping (tns.py). Per-frame, so chunking
+        does not change the filters — a TNS .acs decodes bit-identically
+        to the same signal's TNS .acz. Indices ride each chunk.
     :return: number of chunks written.
     """
     import jax.numpy as jnp
 
     from audiocodec_tpu import streaming
+    from audiocodec_tpu import tns as _tns_mod
 
     from audiocodec_tpu.utils import dtypes as _dtypes
 
@@ -392,16 +500,19 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         threshold_scale=threshold_scale,
         bark_precision=codec.psycho.bark_precision,
         dz_recon=dz_recon,
+        tns_order=_tns_mod.ORDER if tns else 0,
+        tns_band_start=codec.tns_band_start if tns else 0,
     ) as w:
         step, flush = _encode_chunk_fns()
         carry = streaming.mdct_stream_init(mdct, 1, c)
         for start in range(0, s, chunk):
-            carry, codes, bark16 = step(
+            carry, codes, bark16, tns_idx = step(
                 codec, carry, x[:, start : start + chunk], drown,
-                threshold_scale, ms, deadzone,
+                threshold_scale, ms, deadzone, tns,
             )
-            w.append(codes, bark16)
-        w.append(*flush(codec, carry, drown, threshold_scale, ms, deadzone))
+            w.append(codes, bark16, tns_idx)
+        w.append(*flush(codec, carry, drown, threshold_scale, ms, deadzone,
+                        tns))
         n_chunks = len(w._index)
     return n_chunks
 
@@ -410,7 +521,7 @@ def encode_stream_with_target_bitrate(
     codec, x, path: str, chunk_blocks: int = 256, *,
     target_kbps: float, drown=0.0, ms: bool = False,
     sample_chunks: int = 8, tolerance: float = 0.08,
-    log2_scale_range=(-4.0, 10.0), deadzone="auto",
+    log2_scale_range=(-4.0, 10.0), deadzone="auto", tns: bool = False,
 ):
     """Rate-controlled stream encode: pick ONE stream-global threshold
     scale from a strided sample of the signal (the vmapped trial search of
@@ -460,13 +571,13 @@ def encode_stream_with_target_bitrate(
 
     def search(tgt):
         return _rate.encode_with_target_bitrate(
-            codec, sample, tgt, drown=drown, ms=ms, deadzone=z
+            codec, sample, tgt, drown=drown, ms=ms, deadzone=z, tns=tns
         ).threshold_scale
 
     def full_encode(scale):
         n_chunks = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
-            threshold_scale=scale, deadzone=z,
+            threshold_scale=scale, deadzone=z, tns=tns,
         )
         return n_chunks, os.path.getsize(path) * 8 / seconds / 1000
 
@@ -511,13 +622,17 @@ def encode_stream_with_target_bitrate(
     return n_chunks, scale, kbps
 
 
-def _dequant_frames(codec, codes, bark, tscale, ms, dzr=0.0):
+def _dequant_frames(codec, codes, bark, tscale, ms, dzr=0.0,
+                    tns=None, tns_bs=0):
     """Mirror EXACTLY the encoder's threshold derivation (ms min-channel
     sidecar, stream-global scale) so step sizes are bit-identical; apply
-    the header's dead-zone reconstruction offset ``dzr``."""
+    the header's dead-zone reconstruction offset ``dzr`` and — for TNS
+    streams — the inverse noise-shaping filter (in the coded domain,
+    before any mid/side derotation, mirroring the encoder)."""
     import jax.numpy as jnp
 
     from audiocodec_tpu import quantize as _quantize
+    from audiocodec_tpu import tns as _tns_mod
 
     dtype = codec.mdct.compute_dtype
     if ms:
@@ -526,12 +641,16 @@ def _dequant_frames(codec, codes, bark, tscale, ms, dzr=0.0):
         threshold = codec.psycho.bark_intensity_to_threshold(
             jnp.asarray(bark, dtype=dtype)[None]
         )
-    delta = _quantize.step_size(
-        threshold * jnp.asarray(tscale, dtype=dtype)
-    )
+    threshold = threshold * jnp.asarray(tscale, dtype=dtype)
+    if tns is not None:
+        tns = jnp.asarray(tns)[None]
+        threshold = _tns_mod.scaled_threshold(threshold, tns, tns_bs)
+    delta = _quantize.step_size(threshold)
     spec = _quantize.dequantize(
         jnp.asarray(codes)[None], delta, dtype=dtype, recon_offset=dzr
     )
+    if tns is not None:
+        spec = _tns_mod.filter_inverse(spec, tns, tns_bs)
     return codec.from_mid_side(spec) if ms else spec
 
 
@@ -543,18 +662,22 @@ def _jit_decode_chunk():
 
     from audiocodec_tpu import streaming
 
-    @functools.partial(jax.jit, static_argnames=("ms", "dzr"))
-    def step(codec, carry, codes, bark, tscale, ms, dzr):
-        frames = _dequant_frames(codec, codes, bark, tscale, ms, dzr)
+    @functools.partial(jax.jit, static_argnames=("ms", "dzr", "tns_bs"))
+    def step(codec, carry, codes, bark, tscale, ms, dzr, tns=None,
+             tns_bs=0):
+        frames = _dequant_frames(codec, codes, bark, tscale, ms, dzr,
+                                 tns, tns_bs)
         carry, samples = streaming.imdct_stream_step(
             codec.mdct, carry, frames
         )
         return carry, samples
 
-    @functools.partial(jax.jit, static_argnames=("ms", "dzr"))
-    def seek_carry(codec, codes, bark, tscale, ms, dzr):
+    @functools.partial(jax.jit, static_argnames=("ms", "dzr", "tns_bs"))
+    def seek_carry(codec, codes, bark, tscale, ms, dzr, tns=None,
+                   tns_bs=0):
         mdct = codec.mdct
-        prev = _dequant_frames(codec, codes, bark, tscale, ms, dzr)[:, -1:]
+        prev = _dequant_frames(codec, codes, bark, tscale, ms, dzr,
+                               tns, tns_bs)[:, -1:]
         yb = jnp.transpose(prev, (0, 3, 1, 2))
         if mdct.dense_inv_cur is not None:
             # dense mode carries the previous RAW spectral frame
@@ -597,22 +720,27 @@ def decode_stream(codec, path: str, start_chunk: int = 0):
         ms = bool(r.meta.get("ms", False))
         tscale = float(r.meta.get("threshold_scale", 1.0))
         dzr = float(r.meta.get("dzr", 0.0))
+        tns_meta = r.meta.get("tns")
+        tns_bs = int(tns_meta["band_start"]) if tns_meta else 0
         import jax
+
+        def put_tns(t):
+            return None if t is None else jax.device_put(t)
 
         carry = streaming.imdct_stream_init(mdct, 1, ch)
         if start_chunk > 0:
-            codes, bark = r.read_chunk(start_chunk - 1)
+            codes, bark, tns = r.read_chunk(start_chunk - 1)
             carry = seek_carry(
                 codec, jax.device_put(codes), jax.device_put(bark),
-                tscale, ms, dzr,
+                tscale, ms, dzr, put_tns(tns), tns_bs,
             )
         for i in range(start_chunk, r.n_chunks):
-            codes, bark = r.read_chunk(i)
+            codes, bark, tns = r.read_chunk(i)
             # explicit puts: jit's implicit numpy transfer is ~30x slower
             # on remote-attached backends (measured)
             carry, samples = step(
                 codec, carry, jax.device_put(codes), jax.device_put(bark),
-                tscale, ms, dzr,
+                tscale, ms, dzr, put_tns(tns), tns_bs,
             )
             yield samples
         tail = streaming.imdct_stream_flush(mdct, carry)

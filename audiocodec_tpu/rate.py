@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audiocodec_tpu import quantize as _quantize
+from audiocodec_tpu import tns as _tns
 from audiocodec_tpu.io import bitstream as _bitstream
 
 
@@ -40,6 +41,8 @@ class RateControlResult:
     kbps: float
     packed: bytes
     dz_recon: float = 0.0
+    tns_idx: np.ndarray | None = None
+    tns_band_start: int = 0
 
 
 def resolve_deadzone(deadzone, target_kbps, channels, sample_rate) -> float:
@@ -93,6 +96,7 @@ def encode_with_target_bitrate_batch(
     log2_scale_range=(-4.0, 10.0),
     ms: bool = False,
     deadzone="auto",
+    tns: bool = False,
 ) -> list:
     """Rate-control every clip of a batch to ``target_kbps``.
 
@@ -104,6 +108,11 @@ def encode_with_target_bitrate_batch(
         pick from the target rate (resolve_deadzone). All trials and the
         final pack share one value; its reconstruction offset is recorded
         in every container and returned as ``dz_recon``.
+    :param tns: temporal noise shaping (tns.py). The filter decision and
+        taps depend only on the spectrum's shape, not the step sizes, so
+        they are computed ONCE here and every trial quantizes the same
+        filtered spectrum — the indices ride every trial pack (they count
+        toward the rate) and the final container.
     :return: list of B :class:`RateControlResult`.
     """
     if not (np.isfinite(target_kbps) and target_kbps > 0):
@@ -121,6 +130,17 @@ def encode_with_target_bitrate_batch(
     spectrum_q, bark16, base_threshold = codec.analyze_for_quantization(
         codec.mdct.transform(x), drown, ms=ms
     )
+    tns_idx, tns_bs, tns_idx_dev = None, 0, None
+    if tns:
+        tns_bs = codec.tns_band_start
+
+        @jax.jit
+        def _tns_once(s):
+            idx = _tns.analyze(s, tns_bs)
+            return idx, _tns.filter_forward(s, idx, tns_bs)
+
+        tns_idx_dev, spectrum_q = _tns_once(spectrum_q)
+        tns_idx = np.asarray(tns_idx_dev)
 
     @jax.jit
     def quantize_trials(scales):
@@ -130,6 +150,12 @@ def encode_with_target_bitrate_batch(
 
         def one(scale_b):
             thr = base_threshold * scale_b[:, None, None, None].astype(dtype)
+            if tns_idx_dev is not None:
+                # same operation ORDER as quantize_frames_tns and the
+                # decoders: (thr * scale) then the TNS gain compensation —
+                # f32 multiplication is not associative, and step sizes
+                # must be bit-identical on both sides
+                thr = _tns.scaled_threshold(thr, tns_idx_dev, tns_bs)
             return _quantize.quantize(spectrum_q, thr, deadzone=z)[0]
 
         return jax.vmap(one)(scales)
@@ -152,7 +178,7 @@ def encode_with_target_bitrate_batch(
         return _search(
             pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             target_kbps, tolerance, trials_per_round, log2_scale_range,
-            dz_recon,
+            dz_recon, tns_idx, tns_bs,
         )
     finally:
         pool.shutdown(wait=False)
@@ -160,11 +186,13 @@ def encode_with_target_bitrate_batch(
 
 def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             target_kbps, tolerance, trials_per_round, log2_scale_range,
-            dz_recon=0.0):
-    def _pack_one(codes_b, bark_b, scale, entropy="auto"):
+            dz_recon=0.0, tns_idx=None, tns_band_start=0):
+    def _pack_one(codes_b, bark_b, scale, b, entropy="auto"):
         return _bitstream.pack(
             codes_b, bark_b, threshold_scale=scale, entropy=entropy,
-            dz_recon=dz_recon, **meta
+            dz_recon=dz_recon,
+            tns_idx=None if tns_idx is None else tns_idx[b : b + 1],
+            tns_band_start=tns_band_start, **meta
         )
 
     from audiocodec_tpu import native as _native
@@ -187,6 +215,7 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
                     codes[kb[0], kb[1] : kb[1] + 1],
                     bark_np[kb[1] : kb[1] + 1],
                     float(2.0 ** log2_scales[kb[0], kb[1]]),
+                    kb[1],
                     entropy=trial_entropy,
                 )
             ),
@@ -245,6 +274,7 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
                 win_codes[b : b + 1],
                 bark_np[b : b + 1],
                 float(win_scales[b]),
+                b,
             ),
             range(batch),
         )
@@ -257,6 +287,8 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             kbps=len(final_packs[b]) * 8 / seconds / 1000,
             packed=final_packs[b],
             dz_recon=dz_recon,
+            tns_idx=None if tns_idx is None else tns_idx[b : b + 1],
+            tns_band_start=tns_band_start,
         )
         for b in range(batch)
     ]
@@ -272,6 +304,7 @@ def encode_with_target_bitrate(
     log2_scale_range=(-4.0, 10.0),
     ms: bool = False,
     deadzone="auto",
+    tns: bool = False,
 ) -> RateControlResult:
     """Single-clip rate control (the batch path with B=1).
 
@@ -294,4 +327,5 @@ def encode_with_target_bitrate(
         log2_scale_range=log2_scale_range,
         ms=ms,
         deadzone=deadzone,
+        tns=tns,
     )[0]
