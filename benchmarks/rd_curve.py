@@ -7,14 +7,19 @@ each point. This is the codec's quality story in one table: where SNR
 degrades gracefully as kbps drops, and where NMR crosses ~1 (noise
 reaching the masking threshold).
 
-Usage:  python benchmarks/rd_curve.py [--signal tones|noise|speechlike]
+Usage:  python benchmarks/rd_curve.py [--signal tones|noise|speechlike|clicks]
                                       [--seconds 10] [--markdown]
-                                      [--deadzone 0.5,0.9,1.0]
+                                      [--deadzone 0.5,0.9,1.0] [--tns]
 
 With --deadzone the sweep runs MATCHED-RATE: each zero-bin width is
 rate-controlled to the same kbps targets (the container's real packed
 size), so the SNR/NMR columns compare equal-bitrate points. This is the
 measurement behind rate.resolve_deadzone's auto ladder.
+
+With --tns the sweep compares temporal noise shaping off/on at matched
+rate, adding a pre-echo column (error energy in the 12 ms before each
+attack) when the signal is "clicks" — the measurement behind
+tns.STEP_SCALE_EXP and docs/DESIGN.md §11.
 """
 
 from __future__ import annotations
@@ -31,15 +36,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SCALES = [0.25, 0.5, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0]
 
 
-def make_signal(kind: str, sr: int, seconds: float) -> np.ndarray:
+def make_signal(kind: str, sr: int, seconds: float):
+    """-> (wave float32, click sample positions — empty unless 'clicks')."""
     t = np.arange(int(sr * seconds)) / sr
     rng = np.random.default_rng(0)
+    clicks = []
     if kind == "tones":
         x = 0.4 * np.sin(2 * np.pi * 440 * t) + 0.3 * np.sin(
             2 * np.pi * 1320 * t
         )
     elif kind == "noise":
         x = 0.3 * rng.normal(size=t.size)
+    elif kind == "clicks":
+        # castanet-like bursts over a quiet tonal bed — the pre-echo
+        # victim TNS exists for (docs/DESIGN.md §11)
+        x = 0.02 * np.sin(2 * np.pi * 330 * t)
+        for s0 in range(9000, t.size - 3000, 16384):
+            clicks.append(s0)
+            dt = np.arange(2000)
+            burst = np.exp(-dt / 300.0) * rng.normal(size=2000)
+            x[s0 : s0 + 2000] += 0.8 * burst / np.max(np.abs(burst))
     else:  # speechlike: tones + noise + amplitude modulation
         env = 0.5 + 0.5 * np.sin(2 * np.pi * 3.1 * t) ** 2
         x = env * (
@@ -47,7 +63,69 @@ def make_signal(kind: str, sr: int, seconds: float) -> np.ndarray:
             + 0.2 * np.sin(2 * np.pi * 660 * t)
             + 0.08 * rng.normal(size=t.size)
         )
-    return np.clip(x, -0.99, 0.99).astype(np.float32)
+    return np.clip(x, -0.99, 0.99).astype(np.float32), clicks
+
+
+def pre_echo_energy(err: np.ndarray, clicks, sr: int) -> float:
+    """Error energy in the 12 ms ending 1 ms before each attack."""
+    w, g = int(0.012 * sr), int(0.001 * sr)
+    return float(
+        sum((err[s0 - g - w : s0 - g] ** 2).sum() for s0 in clicks)
+    )
+
+
+def tns_sweep(codec, x, dur, clicks, args):
+    """Matched-rate TNS off/on comparison (the --deadzone pattern)."""
+    import jax.numpy as jnp
+
+    from audiocodec_tpu import metrics, rate
+    from audiocodec_tpu.io import bitstream
+
+    sr = codec.psycho.sample_rate
+    targets = [float(k) for k in args.targets.split(",")]
+    n = codec.mdct.filters_n
+    wave = np.asarray(x)[0, :, 0]
+    rows = []
+    for target in targets:
+        for tns_on in (False, True):
+            res = rate.encode_with_target_bitrate(
+                codec, x, target, tns=tns_on
+            )
+            codes, bark, meta = bitstream.unpack(res.packed)
+            ti = meta["tns_idx"]
+            out = codec.decode_bitstream(
+                jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
+                threshold_scale=res.threshold_scale,
+                dz_recon=meta["dz_recon"],
+                tns_idx=None if ti is None else jnp.asarray(ti),
+                tns_band_start=meta["tns_band_start"] or None,
+            )[:, n:-n]
+            ev = metrics.evaluate(codec, x, out)
+            row = {
+                "target_kbps": target,
+                "tns": tns_on,
+                "kbps": round(res.kbps, 1),
+                "snr_db": round(ev["snr_db"], 2),
+                "nmr": round(ev["nmr"], 4),
+            }
+            if clicks:
+                err = np.asarray(out)[0, :, 0] - wave[: out.shape[1]]
+                row["pre_echo"] = float(
+                    f"{pre_echo_energy(err, clicks, sr):.3e}"
+                )
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    if args.markdown:
+        cols = "| target | tns | kbps | SNR dB | NMR |" + (
+            " pre-echo |" if clicks else ""
+        )
+        print(f"\n{cols} ({args.signal}, {dur:.0f}s mono)")
+        print("|---" * (6 if clicks else 5) + "|")
+        for r in rows:
+            pe = f" {r['pre_echo']:.2e} |" if clicks else ""
+            print(f"| {r['target_kbps']} | {r['tns']} | {r['kbps']} "
+                  f"| {r['snr_db']} | {r['nmr']} |{pe}")
+    return rows
 
 
 def deadzone_sweep(codec, x, dur, args):
@@ -96,7 +174,10 @@ def deadzone_sweep(codec, x, dur, args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--signal", default="speechlike",
-                    choices=["tones", "noise", "speechlike"])
+                    choices=["tones", "noise", "speechlike", "clicks"])
+    ap.add_argument("--tns", action="store_true",
+                    help="matched-rate TNS off/on comparison (use "
+                         "--signal clicks for the pre-echo column)")
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--markdown", action="store_true",
                     help="also print a markdown table")
@@ -125,11 +206,13 @@ def main():
 
     sr, n = 44100, 1024
     codec = Codec.create(sr, filters_n=n, bark_bands_n=64)
-    wave = make_signal(args.signal, sr, args.seconds)
+    wave, clicks = make_signal(args.signal, sr, args.seconds)
     wave = wave[: wave.size // n * n]
     dur = wave.size / sr
     x = jnp.asarray(wave[None, :, None])
 
+    if args.tns:
+        return tns_sweep(codec, x, dur, clicks, args)
     if args.deadzone:
         return deadzone_sweep(codec, x, dur, args)
 
