@@ -146,7 +146,7 @@ def cmd_encode(args):
                     codec, x[:, :usable], args.output,
                     chunk_blocks=args.chunk_blocks,
                     target_kbps=args.kbps, drown=args.drown, ms=args.ms,
-                    deadzone=dz, tns=args.tns,
+                    deadzone=dz, tns=args.tns, nf=args.nf,
                 )
             )
             extra = f", {kbps:.0f} kbit/s, scale {tscale:.2f}"
@@ -154,7 +154,7 @@ def cmd_encode(args):
             n_chunks = stream_container.encode_stream(
                 codec, x[:, :usable], args.output,
                 chunk_blocks=args.chunk_blocks, drown=args.drown,
-                ms=args.ms, deadzone=fixed_dz, tns=args.tns,
+                ms=args.ms, deadzone=fixed_dz, tns=args.tns, nf=args.nf,
             )
         size = os.path.getsize(args.output)
         raw = usable * x.shape[2] * 2
@@ -170,7 +170,7 @@ def cmd_encode(args):
 
         result = _rate.encode_with_target_bitrate(
             codec, x, args.kbps, drown=args.drown, ms=args.ms, deadzone=dz,
-            tns=args.tns,
+            tns=args.tns, nf=args.nf,
         )
         # the trial's packed bytes ARE the container — write them verbatim
         # so the measured kbps is exactly the on-disk file's
@@ -185,18 +185,20 @@ def cmd_encode(args):
         )
         return 0
 
-    tns_idx = None
+    tns_idx, nfl = None, None
+    frames = codec.mdct.transform(x)
     if args.tns:
-        codes, bark, tns_idx = codec.quantize_frames_tns(
-            codec.mdct.transform(x), args.drown, ms=args.ms,
-            deadzone=fixed_dz,
+        out = codec.quantize_frames_tns(
+            frames, args.drown, ms=args.ms, deadzone=fixed_dz, nf=args.nf
         )
-    elif args.ms:
-        codes, bark = codec.encode_bitstream_ms(x, drown=args.drown,
-                                                deadzone=fixed_dz)
+        codes, bark, tns_idx = out[0], out[1], out[2]
+        nfl = out[3] if args.nf else None
     else:
-        codes, bark = codec.encode_bitstream(x, drown=args.drown,
-                                             deadzone=fixed_dz)
+        out = codec.quantize_frames(
+            frames, args.drown, ms=args.ms, deadzone=fixed_dz, nf=args.nf
+        )
+        codes, bark = out[0], out[1]
+        nfl = out[2] if args.nf else None
     from audiocodec_tpu import quantize as _quantize
 
     size = bitstream.save(
@@ -216,6 +218,8 @@ def cmd_encode(args):
         ),
         tns_idx=tns_idx,
         tns_band_start=codec.tns_band_start,
+        nf_levels=nfl,
+        nf_band_start=codec.nf_band_start,
     )
     raw = data.size * 2  # vs 16-bit PCM
     print(
@@ -352,17 +356,25 @@ def cmd_decode(args):
     if tns_idx is not None:
         tns_idx = jnp.asarray(tns_idx)
     tns_bs = meta.get("tns_band_start") or None
+    nfl = meta.get("nf_levels")
+    if nfl is not None:
+        nfl = jnp.asarray(nfl)
+    nf_kwargs = dict(
+        nf_levels=nfl,
+        nf_band_start=meta.get("nf_band_start") or None,
+        nf_seed=meta.get("nf_seed", 0),
+    )
     if meta.get("ms"):
         wave = codec.decode_bitstream_ms(
             jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
             threshold_scale=tscale, dz_recon=dzr, tns_idx=tns_idx,
-            tns_band_start=tns_bs,
+            tns_band_start=tns_bs, **nf_kwargs,
         )
     else:
         wave = codec.decode_bitstream(
             jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
             threshold_scale=tscale, dz_recon=dzr, tns_idx=tns_idx,
-            tns_band_start=tns_bs,
+            tns_band_start=tns_bs, **nf_kwargs,
         )
     n = meta["filters_n"]
     wave = np.asarray(wave.astype(jnp.float32))[:, n:-n]
@@ -392,11 +404,19 @@ def cmd_roundtrip(args):
     codec = _build_codec(rate, args)
     data = _trim_to_blocks(data, args.filters_n)
     x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
-    if args.tns:
-        codes, bark, tns_idx = codec.quantize_frames_tns(
-            codec.mdct.transform(x), args.drown
-        )
-        out = codec.decode_bitstream(codes, bark, tns_idx=tns_idx)
+    if args.tns or args.nf:
+        frames = codec.mdct.transform(x)
+        tns_idx, nfl = None, None
+        if args.tns:
+            out = codec.quantize_frames_tns(frames, args.drown, nf=args.nf)
+            codes, bark, tns_idx = out[0], out[1], out[2]
+            nfl = out[3] if args.nf else None
+        else:
+            out = codec.quantize_frames(frames, args.drown, nf=args.nf)
+            codes, bark = out[0], out[1]
+            nfl = out[2] if args.nf else None
+        out = codec.decode_bitstream(codes, bark, tns_idx=tns_idx,
+                                     nf_levels=nfl)
     else:
         out = codec.round_trip_quantized(x, drown=args.drown)
     n = args.filters_n
@@ -698,6 +718,17 @@ def cmd_info(args):
             " frame-channels"
         )
     meta.pop("tns_band_start", None)
+    nfl = meta.pop("nf_levels", None)
+    if nfl is not None:
+        import numpy as _np
+
+        meta["nf"] = (
+            f"band_start {meta.get('nf_band_start')}, seed "
+            f"{meta.get('nf_seed')}, filled {int((_np.asarray(nfl) > 0).sum())}"
+            f"/{nfl.size} frame-channels"
+        )
+    meta.pop("nf_band_start", None)
+    meta.pop("nf_seed", None)
     print(f"{args.input}:")
     for k, v in meta.items():
         print(f"  {k}: {v}")
@@ -767,6 +798,13 @@ def main(argv=None) -> int:
                  "frequency before quantization so the decoder's inverse "
                  "filter concentrates quantization noise under attacks "
                  "instead of smearing it as pre-echo",
+        )
+        p.add_argument(
+            "--nf", action="store_true",
+            help="noise filling: transmit ~1 byte/frame of fill levels so "
+                 "the decoder re-synthesizes quantizer-zeroed bins with "
+                 "shaped noise — repairs the 'spectral holes' timbre at "
+                 "low --kbps targets",
         )
         p.add_argument(
             "--chunk-blocks", type=int, default=0,

@@ -21,6 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from audiocodec_tpu import nf as _nf
 from audiocodec_tpu import quantize as _quantize
 from audiocodec_tpu import tns as _tns
 from audiocodec_tpu.mdct import MDCT
@@ -213,7 +214,10 @@ class Codec:
                             threshold_scale=1.0,
                             dz_recon: float = 0.0,
                             tns_idx: jax.Array | None = None,
-                            tns_band_start: int | None = None) -> jax.Array:
+                            tns_band_start: int | None = None,
+                            nf_levels: jax.Array | None = None,
+                            nf_band_start: int | None = None,
+                            nf_seed=0, nf_frame_offset=0) -> jax.Array:
         """Inverse of :meth:`encode_bitstream_ms` -> L/R waveform.
 
         :param dz_recon: dead-zone reconstruction offset (the container's
@@ -224,6 +228,12 @@ class Codec:
             the stereo derotation — mirroring the encoder's order.
         :param tns_band_start: the band start the ENCODER filtered from
             (the container records it); defaults to this codec's own.
+        :param nf_levels: noise-fill levels from the encoder (the ``nfl``
+            container member); None for unfilled streams. Filling happens
+            in the coded domain before the TNS inverse filter (nf.py).
+        :param nf_seed: the container's recorded noise seed;
+            ``nf_frame_offset`` is the global index of ``codes``' first
+            frame (nonzero for chunked/seeking decoders).
         """
         thr = self._ms_threshold(bark16) * jnp.asarray(
             threshold_scale, dtype=self.mdct.compute_dtype
@@ -237,6 +247,11 @@ class Codec:
             codes, delta, dtype=self.mdct.compute_dtype,
             recon_offset=dz_recon,
         )
+        if nf_levels is not None:
+            bs_nf = (self.nf_band_start if nf_band_start is None
+                     else nf_band_start)
+            spec_ms = _nf.fill(spec_ms, codes, delta, nf_levels, bs_nf,
+                               nf_seed, nf_frame_offset)
         if tns_idx is not None:
             spec_ms = _tns.filter_inverse(spec_ms, tns_idx, bs)
         return self.decode(self.from_mid_side(spec_ms))
@@ -291,7 +306,7 @@ class Codec:
 
     def quantize_frames(self, frames: jax.Array, drown=0.0,
                         threshold_scale=1.0, ms: bool = False,
-                        deadzone: float = 0.5):
+                        deadzone: float = 0.5, nf: bool = False):
         """Spectral frames -> (codes, bf16 Bark sidecar); the frame-level
         half of encode_bitstream[_ms], shared with the streaming container.
 
@@ -307,6 +322,11 @@ class Codec:
             non-default value obliges the decoder to apply the matching
             reconstruction offset, so it must be recorded in the
             container (the ``dzr`` field).
+        :param nf: noise filling (nf.py) — additionally returns uint8
+            fill levels [B, frames, C] measured from what the quantizer
+            zeroed; the decoder re-synthesizes those bins with matching
+            shaped noise (the ``nfl`` container member). All-zero levels
+            mean nothing to fill.
         """
         spec_q, bark16, threshold = self.analyze_for_quantization(
             frames, drown, ms=ms
@@ -314,17 +334,27 @@ class Codec:
         threshold = threshold * jnp.asarray(
             threshold_scale, dtype=self.mdct.compute_dtype
         )
-        codes, _ = _quantize.quantize(spec_q, threshold, deadzone=deadzone)
-        return codes, bark16
+        codes, delta = _quantize.quantize(spec_q, threshold,
+                                          deadzone=deadzone)
+        if not nf:
+            return codes, bark16
+        nfl = _nf.analyze(spec_q, codes, delta, self.nf_band_start,
+                          deadzone=deadzone)
+        return codes, bark16, nfl
 
     @property
     def tns_band_start(self) -> int:
         """First bin TNS filters cover (tns.default_band_start)."""
         return _tns.default_band_start(self.mdct.filters_n)
 
+    @property
+    def nf_band_start(self) -> int:
+        """First bin noise filling covers (nf.default_band_start)."""
+        return _nf.default_band_start(self.mdct.filters_n)
+
     def quantize_frames_tns(self, frames: jax.Array, drown=0.0,
                             threshold_scale=1.0, ms: bool = False,
-                            deadzone: float = 0.5):
+                            deadzone: float = 0.5, nf: bool = False):
         """:meth:`quantize_frames` with temporal noise shaping: frames
         whose spectrum is predictable along frequency (peaky time
         envelopes — transients) are whitened by an order-8 LPC filter
@@ -339,7 +369,11 @@ class Codec:
             indices are bitstream-critical whenever any is nonzero — the
             decoder must inverse-filter with exactly these and derive the
             same scaled steps (the ``tns`` container member); all-zero
-            means no frame fired (identity, unscaled).
+            means no frame fired (identity, unscaled). With ``nf`` a
+            fourth element is appended: uint8 fill levels [B, frames, C]
+            measured in the TNS-filtered domain (where the decoder fills
+            BEFORE inverse filtering, so the fill noise gets the frame's
+            time envelope too — exactly the AAC ordering).
         """
         spec_q, bark16, threshold = self.analyze_for_quantization(
             frames, drown, ms=ms
@@ -351,14 +385,22 @@ class Codec:
             threshold_scale, dtype=self.mdct.compute_dtype
         )
         threshold = _tns.scaled_threshold(threshold, tns_idx, bs)
-        codes, _ = _quantize.quantize(spec_f, threshold, deadzone=deadzone)
-        return codes, bark16, tns_idx
+        codes, delta = _quantize.quantize(spec_f, threshold,
+                                          deadzone=deadzone)
+        if not nf:
+            return codes, bark16, tns_idx
+        nfl = _nf.analyze(spec_f, codes, delta, self.nf_band_start,
+                          deadzone=deadzone)
+        return codes, bark16, tns_idx, nfl
 
     def decode_bitstream(self, codes: jax.Array, bark16: jax.Array,
                          threshold_scale=1.0,
                          dz_recon: float = 0.0,
                          tns_idx: jax.Array | None = None,
-                         tns_band_start: int | None = None) -> jax.Array:
+                         tns_band_start: int | None = None,
+                         nf_levels: jax.Array | None = None,
+                         nf_band_start: int | None = None,
+                         nf_seed=0, nf_frame_offset=0) -> jax.Array:
         """Inverse of :meth:`encode_bitstream`: codes + Bark intensities ->
         waveform [B, (blocks+1)*N, C].
 
@@ -368,6 +410,12 @@ class Codec:
             ``tns`` container member); None for unfiltered streams.
         :param tns_band_start: the band start the ENCODER filtered from
             (the container records it); defaults to this codec's own.
+        :param nf_levels: noise-fill levels from the encoder (the ``nfl``
+            container member); None for unfilled streams. Filling happens
+            in the coded domain before the TNS inverse filter (nf.py).
+        :param nf_seed: the container's recorded noise seed;
+            ``nf_frame_offset`` is the global index of ``codes``' first
+            frame (nonzero for chunked/seeking decoders).
         """
         threshold = self.psycho.bark_intensity_to_threshold(
             bark16.astype(self.mdct.compute_dtype)
@@ -380,6 +428,11 @@ class Codec:
         spec = _quantize.dequantize(codes, delta,
                                     dtype=self.mdct.compute_dtype,
                                     recon_offset=dz_recon)
+        if nf_levels is not None:
+            bs_nf = (self.nf_band_start if nf_band_start is None
+                     else nf_band_start)
+            spec = _nf.fill(spec, codes, delta, nf_levels, bs_nf,
+                            nf_seed, nf_frame_offset)
         if tns_idx is not None:
             spec = _tns.filter_inverse(spec, tns_idx, bs)
         return self.decode(spec)

@@ -12,6 +12,8 @@ codes well). Format (npz members):
   alphaw    float64 [alpha]; window type in 'window' (str array)
   tns       int8 [B, blocks, order, C] TNS reflection indices + 'tnsmeta'
             int64 [order, band_start]; absent = no temporal noise shaping
+  nfl       uint8 [B, blocks, C] noise-fill levels + 'nfmeta' int64
+            [band_start, seed]; absent = no noise filling (nf.py)
 """
 
 from __future__ import annotations
@@ -70,7 +72,9 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
          threshold_scale: float = 1.0,
          bark_precision: str = "highest",
          dz_recon: float = 0.0,
-         tns_idx=None, tns_band_start: int = 0) -> bytes:
+         tns_idx=None, tns_band_start: int = 0,
+         nf_levels=None, nf_band_start: int = 0,
+         nf_seed: int = 0) -> bytes:
     """Serialize encoder output to bytes.
 
     :param entropy: "rice" (native Rice/Golomb coder), "rrice" (run-length
@@ -93,6 +97,12 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
         with exactly these. Written (with ``tns_band_start`` alongside)
         only when some frame fired, so TNS-off encodes stay
         byte-identical.
+    :param nf_levels: noise-fill levels, uint8 [B, blocks, C] (nf.py) —
+        the decoder re-synthesizes zeroed in-band bins with uniform noise
+        of half-width level * LEVEL_STEP * step_size, seeded by
+        ``nf_seed`` per global frame. Written (with band_start + seed
+        in ``nfmeta``) only when some frame has a nonzero level, so
+        nf-off encodes stay byte-identical.
     """
     from audiocodec_tpu import native
 
@@ -168,6 +178,22 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
             members["tns"] = arr
             members["tnsmeta"] = np.asarray(
                 [arr.shape[2], tns_band_start], dtype=np.int64
+            )
+    if nf_levels is not None:
+        arr = np.ascontiguousarray(nf_levels, dtype=np.uint8)
+        if arr.shape != (codes.shape[0], codes.shape[1], codes.shape[3]):
+            raise ValueError(
+                f"nf_levels shape {arr.shape} does not match codes "
+                f"{codes.shape}"
+            )
+        if arr.any():  # all-zero = nothing to fill
+            if not 0 <= nf_band_start < filters_n:
+                raise ValueError(
+                    f"nf_band_start out of range: {nf_band_start}"
+                )
+            members["nfl"] = arr
+            members["nfmeta"] = np.asarray(
+                [nf_band_start, int(nf_seed)], dtype=np.int64
             )
     buf = _io.BytesIO()
     np.savez_compressed(
@@ -345,6 +371,27 @@ def _unpack_members(z, ml_dtypes, data_len):
                 f"band_start {tns_band_start} inconsistent with codes "
                 f"{codes.shape}"
             )
+    nf_levels, nf_band_start, nf_seed = None, 0, 0
+    if "nfl" in z.files:
+        nf_levels = np.asarray(_bounded_member(z, "nfl", data_len))
+        nm = small("nfmeta")
+        if len(nm) != 2:
+            raise ValueError("corrupt container: bad nfmeta")
+        nf_band_start, nf_seed = int(nm[0]), int(nm[1])
+        if (
+            nf_levels.dtype != np.uint8
+            or nf_levels.ndim != 3
+            or nf_levels.shape != (
+                codes.shape[0], codes.shape[1], codes.shape[3]
+            )
+            or not (0 <= nf_band_start < codes.shape[2])
+            or not (0 <= nf_seed < 2**32)
+        ):
+            raise ValueError(
+                f"corrupt container: nfl member shape {nf_levels.shape} / "
+                f"band_start {nf_band_start} inconsistent with codes "
+                f"{codes.shape}"
+            )
     meta = {
         "sample_rate": int(meta_arr[0]),
         "filters_n": int(meta_arr[1]),
@@ -359,6 +406,9 @@ def _unpack_members(z, ml_dtypes, data_len):
         "dz_recon": dzr,
         "tns_idx": tns_idx,
         "tns_band_start": tns_band_start,
+        "nf_levels": nf_levels,
+        "nf_band_start": nf_band_start,
+        "nf_seed": nf_seed,
     }
     if not (0 < meta["sample_rate"] <= 10_000_000):
         raise ValueError("corrupt container: sample_rate out of bounds")

@@ -15,6 +15,8 @@ Layout (little-endian):
              | u32 bark_len | bark-delta rice bytes
              | [u32 tns_len | deflated int8 TNS indices — only when the
                 header declares "tns"; see tns.py]
+             | [u32 nfl_len | deflated uint8 noise-fill levels — only when
+                the header declares "nf"; see nf.py]
              | u32 crc32
              (crc over every payload — storage/transport corruption is
               detected at read time, not as garbled audio)
@@ -28,11 +30,21 @@ from __future__ import annotations
 
 import json
 import struct
+import typing
 import zlib
 
 import numpy as np
 
 _MAGIC = b"ACS1"
+
+
+class Chunk(typing.NamedTuple):
+    """One decoded chunk's payload (StreamReader.read_chunk)."""
+
+    codes: np.ndarray  # int32 [blocks, N, C]
+    bark: np.ndarray  # bfloat16 [blocks, bark_n, C or 1 (ms)]
+    tns: np.ndarray | None  # int8 [blocks, order, C]; None = no TNS
+    nfl: np.ndarray | None  # uint8 [blocks, C]; None = no noise filling
 
 
 class StreamWriter:
@@ -42,7 +54,9 @@ class StreamWriter:
                  alpha, window_type, channels, compute_dtype="float32",
                  ms: bool = False, threshold_scale: float = 1.0,
                  bark_precision: str = "highest", dz_recon: float = 0.0,
-                 tns_order: int = 0, tns_band_start: int = 0):
+                 tns_order: int = 0, tns_band_start: int = 0,
+                 nf: bool = False, nf_band_start: int = 0,
+                 nf_seed: int = 0):
         self.meta = {
             "sample_rate": int(sample_rate),
             "filters_n": int(filters_n),
@@ -81,16 +95,34 @@ class StreamWriter:
                 "order": int(tns_order),
                 "band_start": int(tns_band_start),
             }
+        if nf:
+            # noise filling: each chunk carries per-frame uint8 fill
+            # levels; absent = no filling (older streams decode unchanged,
+            # nf-off encodes write the old layout). The seed makes the
+            # decoder's fill noise reproducible; levels index GLOBAL frame
+            # positions, so chunked and seeking decodes are bit-identical.
+            if not 0 <= nf_band_start < filters_n or not (
+                0 <= nf_seed < 2**32
+            ):
+                raise ValueError(
+                    f"bad noise-fill config: band_start={nf_band_start}, "
+                    f"seed={nf_seed}"
+                )
+            self.meta["nf"] = {
+                "band_start": int(nf_band_start),
+                "seed": int(nf_seed),
+            }
         self._f = open(path, "wb")
         header = json.dumps(self.meta).encode()
         self._f.write(_MAGIC + struct.pack("<I", len(header)) + header)
         self._index = []
         self._closed = False
 
-    def append(self, codes, bark16, tns_idx=None) -> None:
+    def append(self, codes, bark16, tns_idx=None, nf_levels=None) -> None:
         """Write one chunk: codes int32 [1, blocks, N, C] (or [blocks, N, C]),
-        bark16 bfloat16 [1, blocks, bark_n, C] (or unbatched), and — for
-        TNS streams — int8 reflection indices [1, blocks, order, C]."""
+        bark16 bfloat16 [1, blocks, bark_n, C] (or unbatched), for TNS
+        streams int8 reflection indices [1, blocks, order, C], and for
+        noise-filling streams uint8 levels [1, blocks, C]."""
         from audiocodec_tpu import native
 
         codes = np.asarray(codes)
@@ -106,6 +138,12 @@ class StreamWriter:
             raise ValueError(
                 "chunk TNS indices must be passed exactly when the stream "
                 "header declares TNS"
+            )
+        nf = self.meta.get("nf")
+        if (nf is not None) != (nf_levels is not None):
+            raise ValueError(
+                "chunk noise-fill levels must be passed exactly when the "
+                "stream header declares nf"
             )
         enc = (
             native.rrice_encode
@@ -131,9 +169,22 @@ class StreamWriter:
             # mostly zero (frames where the gain gate didn't fire):
             # deflate collapses the zero runs
             tns_bytes = zlib.compress(ti.tobytes(), 6)
+        nfl_bytes = b""
+        if nf is not None:
+            lv = np.ascontiguousarray(nf_levels, dtype=np.uint8)
+            if lv.ndim == 3:
+                lv = lv[0]
+            if lv.shape != (blocks, codes.shape[-1]):
+                raise ValueError(
+                    f"chunk nf_levels shape {lv.shape} != "
+                    f"({blocks}, {codes.shape[-1]})"
+                )
+            nfl_bytes = zlib.compress(lv.tobytes(), 6)
         crc = zlib.crc32(bark_bytes, zlib.crc32(code_bytes))
         if tns is not None:
             crc = zlib.crc32(tns_bytes, crc)
+        if nf is not None:
+            crc = zlib.crc32(nfl_bytes, crc)
         self._index.append(self._f.tell())
         self._f.write(struct.pack("<II", blocks, len(code_bytes)))
         self._f.write(code_bytes)
@@ -142,6 +193,9 @@ class StreamWriter:
         if tns is not None:
             self._f.write(struct.pack("<I", len(tns_bytes)))
             self._f.write(tns_bytes)
+        if nf is not None:
+            self._f.write(struct.pack("<I", len(nfl_bytes)))
+            self._f.write(nfl_bytes)
         self._f.write(struct.pack("<I", crc))
 
     def close(self) -> None:
@@ -247,6 +301,18 @@ class StreamReader:
                     f"stream header tns={tns!r} out of bounds — corrupt "
                     "stream"
                 )
+        nf = m.get("nf")
+        if nf is not None:
+            bs = nf.get("band_start") if isinstance(nf, dict) else None
+            seed = nf.get("seed") if isinstance(nf, dict) else None
+            if (
+                not isinstance(bs, int) or not isinstance(seed, int)
+                or not 0 <= bs < m["filters_n"] or not 0 <= seed < 2**32
+            ):
+                raise ValueError(
+                    f"stream header nf={nf!r} out of bounds — corrupt "
+                    "stream"
+                )
 
     @property
     def n_chunks(self) -> int:
@@ -269,9 +335,10 @@ class StreamReader:
             raise ValueError(f"chunk {i} truncated — corrupt stream")
         return data
 
-    def read_chunk(self, i: int):
-        """-> (codes int32 [blocks, N, C], bark bfloat16 [blocks, bark, C],
-        tns int8 [blocks, order, C] | None for streams without TNS)."""
+    def read_chunk(self, i: int) -> "Chunk":
+        """-> :class:`Chunk` (codes int32 [blocks, N, C], bark bfloat16
+        [blocks, bark, C], tns int8 [blocks, order, C] | None, nfl uint8
+        [blocks, C] | None)."""
         from audiocodec_tpu import native
         from audiocodec_tpu.io import bitstream as _bitstream
 
@@ -296,10 +363,21 @@ class StreamReader:
                     f"chunk {i} has implausible sizes — corrupt stream"
                 )
             tns_bytes = self._read_exact(tlen, i)
+        nf_meta = self.meta.get("nf")
+        nfl_bytes = None
+        if nf_meta is not None:
+            (nlen,) = struct.unpack("<I", self._read_exact(4, i))
+            if nlen > self._size:
+                raise ValueError(
+                    f"chunk {i} has implausible sizes — corrupt stream"
+                )
+            nfl_bytes = self._read_exact(nlen, i)
         (crc,) = struct.unpack("<I", self._read_exact(4, i))
         want = zlib.crc32(bark_bytes, zlib.crc32(code_bytes))
         if tns_bytes is not None:
             want = zlib.crc32(tns_bytes, want)
+        if nfl_bytes is not None:
+            want = zlib.crc32(nfl_bytes, want)
         if want != crc:
             raise ValueError(f"chunk {i} failed CRC — corrupt stream")
 
@@ -359,7 +437,23 @@ class StreamReader:
             tns = np.frombuffer(raw, dtype=np.int8).reshape(
                 blocks, order, ch
             )
-        return codes, bark, tns
+        nfl = None
+        if nfl_bytes is not None:
+            want_n = blocks * ch
+            try:
+                d = zlib.decompressobj()
+                raw = d.decompress(nfl_bytes, want_n + 1)
+            except zlib.error as e:
+                raise ValueError(
+                    f"chunk {i} noise-fill payload corrupt: {e}"
+                ) from None
+            if len(raw) != want_n:
+                raise ValueError(
+                    f"chunk {i} noise-fill payload is {len(raw)} bytes, "
+                    f"expected {want_n} — corrupt stream"
+                )
+            nfl = np.frombuffer(raw, dtype=np.uint8).reshape(blocks, ch)
+        return Chunk(codes, bark, tns, nfl)
 
     def close(self) -> None:
         self._f.close()
@@ -388,39 +482,45 @@ def _jit_encode_chunk():
 
     from audiocodec_tpu import streaming
 
-    @functools.partial(jax.jit, static_argnames=("ms", "deadzone", "tns"))
+    def _quant(codec, frames, drown, threshold_scale, ms, deadzone, tns,
+               nf):
+        if tns:
+            out = codec.quantize_frames_tns(
+                frames, drown, threshold_scale=threshold_scale, ms=ms,
+                deadzone=deadzone, nf=nf,
+            )
+            codes, bark16, tns_idx = out[0], out[1], out[2]
+            nfl = out[3] if nf else None
+        else:
+            out = codec.quantize_frames(
+                frames, drown, threshold_scale=threshold_scale, ms=ms,
+                deadzone=deadzone, nf=nf,
+            )
+            codes, bark16, tns_idx = out[0], out[1], None
+            nfl = out[2] if nf else None
+        return codes, bark16, tns_idx, nfl
+
+    @functools.partial(
+        jax.jit, static_argnames=("ms", "deadzone", "tns", "nf")
+    )
     def step(codec, carry, x_chunk, drown, threshold_scale, ms, deadzone,
-             tns=False):
+             tns=False, nf=False):
         carry, frames = streaming.mdct_stream_step(
             codec.mdct, carry, x_chunk
         )
-        if tns:
-            codes, bark16, tns_idx = codec.quantize_frames_tns(
-                frames, drown, threshold_scale=threshold_scale, ms=ms,
-                deadzone=deadzone,
-            )
-        else:
-            codes, bark16 = codec.quantize_frames(
-                frames, drown, threshold_scale=threshold_scale, ms=ms,
-                deadzone=deadzone,
-            )
-            tns_idx = None
-        return carry, codes, bark16, tns_idx
-
-    @functools.partial(jax.jit, static_argnames=("ms", "deadzone", "tns"))
-    def flush(codec, carry, drown, threshold_scale, ms, deadzone,
-              tns=False):
-        last = streaming.mdct_stream_flush(codec.mdct, carry)
-        if tns:
-            return codec.quantize_frames_tns(
-                last, drown, threshold_scale=threshold_scale, ms=ms,
-                deadzone=deadzone,
-            )
-        codes, bark16 = codec.quantize_frames(
-            last, drown, threshold_scale=threshold_scale, ms=ms,
-            deadzone=deadzone,
+        return (carry,) + _quant(
+            codec, frames, drown, threshold_scale, ms, deadzone, tns, nf
         )
-        return codes, bark16, None
+
+    @functools.partial(
+        jax.jit, static_argnames=("ms", "deadzone", "tns", "nf")
+    )
+    def flush(codec, carry, drown, threshold_scale, ms, deadzone,
+              tns=False, nf=False):
+        last = streaming.mdct_stream_flush(codec.mdct, carry)
+        return _quant(
+            codec, last, drown, threshold_scale, ms, deadzone, tns, nf
+        )
 
     return step, flush
 
@@ -438,7 +538,8 @@ def _encode_chunk_fns():
 def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
                   drown=0.0, ms: bool = False,
                   threshold_scale: float = 1.0,
-                  deadzone: float = 0.5, tns: bool = False) -> int:
+                  deadzone: float = 0.5, tns: bool = False,
+                  nf: bool = False, nf_seed: int = 0) -> int:
     """Encode a long waveform to a seekable stream with bounded memory.
 
     Uses the streaming MDCT (one carried block across chunks) and per-chunk
@@ -453,6 +554,10 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
     :param tns: temporal noise shaping (tns.py). Per-frame, so chunking
         does not change the filters — a TNS .acs decodes bit-identically
         to the same signal's TNS .acz. Indices ride each chunk.
+    :param nf: noise filling (nf.py). Levels are per-frame and the
+        decoder's fill noise is keyed by GLOBAL frame index, so an nf
+        .acs decodes bit-identically to the same signal's nf .acz
+        (same ``nf_seed``), including mid-stream seeks.
     :return: number of chunks written.
     """
     import jax.numpy as jnp
@@ -502,17 +607,20 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         dz_recon=dz_recon,
         tns_order=_tns_mod.ORDER if tns else 0,
         tns_band_start=codec.tns_band_start if tns else 0,
+        nf=nf,
+        nf_band_start=codec.nf_band_start if nf else 0,
+        nf_seed=nf_seed if nf else 0,
     ) as w:
         step, flush = _encode_chunk_fns()
         carry = streaming.mdct_stream_init(mdct, 1, c)
         for start in range(0, s, chunk):
-            carry, codes, bark16, tns_idx = step(
+            carry, codes, bark16, tns_idx, nfl = step(
                 codec, carry, x[:, start : start + chunk], drown,
-                threshold_scale, ms, deadzone, tns,
+                threshold_scale, ms, deadzone, tns, nf,
             )
-            w.append(codes, bark16, tns_idx)
+            w.append(codes, bark16, tns_idx, nfl)
         w.append(*flush(codec, carry, drown, threshold_scale, ms, deadzone,
-                        tns))
+                        tns, nf))
         n_chunks = len(w._index)
     return n_chunks
 
@@ -522,6 +630,7 @@ def encode_stream_with_target_bitrate(
     target_kbps: float, drown=0.0, ms: bool = False,
     sample_chunks: int = 8, tolerance: float = 0.08,
     log2_scale_range=(-4.0, 10.0), deadzone="auto", tns: bool = False,
+    nf: bool = False,
 ):
     """Rate-controlled stream encode: pick ONE stream-global threshold
     scale from a strided sample of the signal (the vmapped trial search of
@@ -570,6 +679,8 @@ def encode_stream_with_target_bitrate(
     )
 
     def search(tgt):
+        # the sampled search only picks a scale; fill levels don't change
+        # the rate curve (~1 deflated byte/frame), so trials skip them
         return _rate.encode_with_target_bitrate(
             codec, sample, tgt, drown=drown, ms=ms, deadzone=z, tns=tns
         ).threshold_scale
@@ -577,7 +688,7 @@ def encode_stream_with_target_bitrate(
     def full_encode(scale):
         n_chunks = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
-            threshold_scale=scale, deadzone=z, tns=tns,
+            threshold_scale=scale, deadzone=z, tns=tns, nf=nf,
         )
         return n_chunks, os.path.getsize(path) * 8 / seconds / 1000
 
@@ -623,14 +734,18 @@ def encode_stream_with_target_bitrate(
 
 
 def _dequant_frames(codec, codes, bark, tscale, ms, dzr=0.0,
-                    tns=None, tns_bs=0):
+                    tns=None, tns_bs=0,
+                    nfl=None, nf_bs=0, nf_seed=0, frame_offset=0):
     """Mirror EXACTLY the encoder's threshold derivation (ms min-channel
     sidecar, stream-global scale) so step sizes are bit-identical; apply
-    the header's dead-zone reconstruction offset ``dzr`` and — for TNS
-    streams — the inverse noise-shaping filter (in the coded domain,
-    before any mid/side derotation, mirroring the encoder)."""
+    the header's dead-zone reconstruction offset ``dzr``, the noise fill
+    (``nfl`` levels, keyed by ``frame_offset`` + frame so chunking and
+    seeks reproduce the same noise), and — for TNS streams — the inverse
+    noise-shaping filter (in the coded domain, before any mid/side
+    derotation, mirroring the encoder)."""
     import jax.numpy as jnp
 
+    from audiocodec_tpu import nf as _nf_mod
     from audiocodec_tpu import quantize as _quantize
     from audiocodec_tpu import tns as _tns_mod
 
@@ -646,9 +761,13 @@ def _dequant_frames(codec, codes, bark, tscale, ms, dzr=0.0,
         tns = jnp.asarray(tns)[None]
         threshold = _tns_mod.scaled_threshold(threshold, tns, tns_bs)
     delta = _quantize.step_size(threshold)
-    spec = _quantize.dequantize(
-        jnp.asarray(codes)[None], delta, dtype=dtype, recon_offset=dzr
-    )
+    codes = jnp.asarray(codes)[None]
+    spec = _quantize.dequantize(codes, delta, dtype=dtype, recon_offset=dzr)
+    if nfl is not None:
+        spec = _nf_mod.fill(
+            spec, codes, delta, jnp.asarray(nfl)[None], nf_bs, nf_seed,
+            frame_offset,
+        )
     if tns is not None:
         spec = _tns_mod.filter_inverse(spec, tns, tns_bs)
     return codec.from_mid_side(spec) if ms else spec
@@ -662,22 +781,28 @@ def _jit_decode_chunk():
 
     from audiocodec_tpu import streaming
 
-    @functools.partial(jax.jit, static_argnames=("ms", "dzr", "tns_bs"))
+    @functools.partial(
+        jax.jit, static_argnames=("ms", "dzr", "tns_bs", "nf_bs")
+    )
     def step(codec, carry, codes, bark, tscale, ms, dzr, tns=None,
-             tns_bs=0):
+             tns_bs=0, nfl=None, nf_bs=0, nf_seed=0, frame_offset=0):
         frames = _dequant_frames(codec, codes, bark, tscale, ms, dzr,
-                                 tns, tns_bs)
+                                 tns, tns_bs, nfl, nf_bs, nf_seed,
+                                 frame_offset)
         carry, samples = streaming.imdct_stream_step(
             codec.mdct, carry, frames
         )
         return carry, samples
 
-    @functools.partial(jax.jit, static_argnames=("ms", "dzr", "tns_bs"))
+    @functools.partial(
+        jax.jit, static_argnames=("ms", "dzr", "tns_bs", "nf_bs")
+    )
     def seek_carry(codec, codes, bark, tscale, ms, dzr, tns=None,
-                   tns_bs=0):
+                   tns_bs=0, nfl=None, nf_bs=0, nf_seed=0, frame_offset=0):
         mdct = codec.mdct
         prev = _dequant_frames(codec, codes, bark, tscale, ms, dzr,
-                               tns, tns_bs)[:, -1:]
+                               tns, tns_bs, nfl, nf_bs, nf_seed,
+                               frame_offset)[:, -1:]
         yb = jnp.transpose(prev, (0, 3, 1, 2))
         if mdct.dense_inv_cur is not None:
             # dense mode carries the previous RAW spectral frame
@@ -722,26 +847,40 @@ def decode_stream(codec, path: str, start_chunk: int = 0):
         dzr = float(r.meta.get("dzr", 0.0))
         tns_meta = r.meta.get("tns")
         tns_bs = int(tns_meta["band_start"]) if tns_meta else 0
+        nf_meta = r.meta.get("nf")
+        nf_bs = int(nf_meta["band_start"]) if nf_meta else 0
+        nf_seed = int(nf_meta["seed"]) if nf_meta else 0
         import jax
 
-        def put_tns(t):
+        def put_opt(t):
             return None if t is None else jax.device_put(t)
 
+        # global frame index of each chunk's first frame: the noise fill
+        # is keyed by it so mid-stream entry reproduces the exact noise
+        frame_off = (
+            sum(r.chunk_blocks(j) for j in range(start_chunk))
+            if (nf_meta and start_chunk) else 0
+        )
         carry = streaming.imdct_stream_init(mdct, 1, ch)
         if start_chunk > 0:
-            codes, bark, tns = r.read_chunk(start_chunk - 1)
+            c = r.read_chunk(start_chunk - 1)
+            prev_off = frame_off - c.codes.shape[0]
             carry = seek_carry(
-                codec, jax.device_put(codes), jax.device_put(bark),
-                tscale, ms, dzr, put_tns(tns), tns_bs,
+                codec, jax.device_put(c.codes), jax.device_put(c.bark),
+                tscale, ms, dzr, put_opt(c.tns), tns_bs,
+                put_opt(c.nfl), nf_bs, nf_seed, prev_off,
             )
         for i in range(start_chunk, r.n_chunks):
-            codes, bark, tns = r.read_chunk(i)
+            c = r.read_chunk(i)
             # explicit puts: jit's implicit numpy transfer is ~30x slower
             # on remote-attached backends (measured)
             carry, samples = step(
-                codec, carry, jax.device_put(codes), jax.device_put(bark),
-                tscale, ms, dzr, put_tns(tns), tns_bs,
+                codec, carry, jax.device_put(c.codes),
+                jax.device_put(c.bark),
+                tscale, ms, dzr, put_opt(c.tns), tns_bs,
+                put_opt(c.nfl), nf_bs, nf_seed, frame_off,
             )
+            frame_off += c.codes.shape[0]
             yield samples
         tail = streaming.imdct_stream_flush(mdct, carry)
         yield tail

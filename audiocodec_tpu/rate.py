@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audiocodec_tpu import nf as _nf
 from audiocodec_tpu import quantize as _quantize
 from audiocodec_tpu import tns as _tns
 from audiocodec_tpu.io import bitstream as _bitstream
@@ -43,6 +44,8 @@ class RateControlResult:
     dz_recon: float = 0.0
     tns_idx: np.ndarray | None = None
     tns_band_start: int = 0
+    nf_levels: np.ndarray | None = None
+    nf_band_start: int = 0
 
 
 def resolve_deadzone(deadzone, target_kbps, channels, sample_rate) -> float:
@@ -97,6 +100,7 @@ def encode_with_target_bitrate_batch(
     ms: bool = False,
     deadzone="auto",
     tns: bool = False,
+    nf: bool = False,
 ) -> list:
     """Rate-control every clip of a batch to ``target_kbps``.
 
@@ -113,6 +117,10 @@ def encode_with_target_bitrate_batch(
         they are computed ONCE here and every trial quantizes the same
         filtered spectrum — the indices ride every trial pack (they count
         toward the rate) and the final container.
+    :param nf: noise filling (nf.py). Levels depend on the FINAL codes, so
+        they are computed once for the winning scale and ride only the
+        final container; trial packs omit them (the uint8-per-frame member
+        deflates to a few bytes — well inside the rate tolerance).
     :return: list of B :class:`RateControlResult`.
     """
     if not (np.isfinite(target_kbps) and target_kbps > 0):
@@ -142,6 +150,25 @@ def encode_with_target_bitrate_batch(
         tns_idx_dev, spectrum_q = _tns_once(spectrum_q)
         tns_idx = np.asarray(tns_idx_dev)
 
+    def _trial_threshold(scale_b):
+        thr = base_threshold * scale_b[:, None, None, None].astype(dtype)
+        if tns_idx_dev is not None:
+            # same operation ORDER as quantize_frames_tns and the
+            # decoders: (thr * scale) then the TNS gain compensation —
+            # f32 multiplication is not associative, and step sizes
+            # must be bit-identical on both sides
+            thr = _tns.scaled_threshold(thr, tns_idx_dev, tns_bs)
+        return thr
+
+    nf_fn, nf_bs = None, 0
+    if nf:
+        nf_bs = codec.nf_band_start
+
+        @jax.jit
+        def nf_fn(scale_b, codes):
+            delta = _quantize.step_size(_trial_threshold(scale_b))
+            return _nf.analyze(spectrum_q, codes, delta, nf_bs, deadzone=z)
+
     @jax.jit
     def quantize_trials(scales):
         """scales [K, B] -> codes [K, B, blocks, N, C]: every trial of the
@@ -149,14 +176,9 @@ def encode_with_target_bitrate_batch(
         its own column)."""
 
         def one(scale_b):
-            thr = base_threshold * scale_b[:, None, None, None].astype(dtype)
-            if tns_idx_dev is not None:
-                # same operation ORDER as quantize_frames_tns and the
-                # decoders: (thr * scale) then the TNS gain compensation —
-                # f32 multiplication is not associative, and step sizes
-                # must be bit-identical on both sides
-                thr = _tns.scaled_threshold(thr, tns_idx_dev, tns_bs)
-            return _quantize.quantize(spectrum_q, thr, deadzone=z)[0]
+            return _quantize.quantize(
+                spectrum_q, _trial_threshold(scale_b), deadzone=z
+            )[0]
 
         return jax.vmap(one)(scales)
 
@@ -178,7 +200,7 @@ def encode_with_target_bitrate_batch(
         return _search(
             pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             target_kbps, tolerance, trials_per_round, log2_scale_range,
-            dz_recon, tns_idx, tns_bs,
+            dz_recon, tns_idx, tns_bs, nf_fn, nf_bs,
         )
     finally:
         pool.shutdown(wait=False)
@@ -186,13 +208,16 @@ def encode_with_target_bitrate_batch(
 
 def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             target_kbps, tolerance, trials_per_round, log2_scale_range,
-            dz_recon=0.0, tns_idx=None, tns_band_start=0):
-    def _pack_one(codes_b, bark_b, scale, b, entropy="auto"):
+            dz_recon=0.0, tns_idx=None, tns_band_start=0,
+            nf_fn=None, nf_band_start=0):
+    def _pack_one(codes_b, bark_b, scale, b, entropy="auto", nfl=None):
         return _bitstream.pack(
             codes_b, bark_b, threshold_scale=scale, entropy=entropy,
             dz_recon=dz_recon,
             tns_idx=None if tns_idx is None else tns_idx[b : b + 1],
-            tns_band_start=tns_band_start, **meta
+            tns_band_start=tns_band_start,
+            nf_levels=None if nfl is None else nfl[b : b + 1],
+            nf_band_start=nf_band_start, **meta
         )
 
     from audiocodec_tpu import native as _native
@@ -265,9 +290,15 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
     # through float32 would desync a float64 codec's final codes from the
     # full-precision threshold_scale the container records (the decoder
     # casts that recorded f64 value to the compute dtype the same way)
-    win_codes = np.asarray(
-        quantize_trials(jnp.asarray(win_scales, dtype)[None, :])[0]
-    )
+    win_codes_dev = quantize_trials(jnp.asarray(win_scales, dtype)[None, :])[0]
+    win_codes = np.asarray(win_codes_dev)
+    nfl = None
+    if nf_fn is not None:
+        # levels are a pure function of the winning (scale, codes) pair —
+        # one extra device pass, final containers only
+        nfl = np.asarray(
+            nf_fn(jnp.asarray(win_scales, dtype), win_codes_dev)
+        )
     final_packs = list(
         pool.map(
             lambda b: _pack_one(
@@ -275,6 +306,7 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
                 bark_np[b : b + 1],
                 float(win_scales[b]),
                 b,
+                nfl=nfl,
             ),
             range(batch),
         )
@@ -289,6 +321,8 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             dz_recon=dz_recon,
             tns_idx=None if tns_idx is None else tns_idx[b : b + 1],
             tns_band_start=tns_band_start,
+            nf_levels=None if nfl is None else nfl[b : b + 1],
+            nf_band_start=nf_band_start,
         )
         for b in range(batch)
     ]
@@ -305,6 +339,7 @@ def encode_with_target_bitrate(
     ms: bool = False,
     deadzone="auto",
     tns: bool = False,
+    nf: bool = False,
 ) -> RateControlResult:
     """Single-clip rate control (the batch path with B=1).
 
@@ -328,4 +363,5 @@ def encode_with_target_bitrate(
         ms=ms,
         deadzone=deadzone,
         tns=tns,
+        nf=nf,
     )[0]

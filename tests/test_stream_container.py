@@ -37,13 +37,13 @@ class TestContainerRoundTrip:
         with sc.StreamReader(path) as r:
             assert r.n_chunks == 4
             assert r.meta["filters_n"] == 64
-            codes, bark, tns = r.read_chunk(0)
-            assert codes.shape == (8, 64, 1)
-            assert bark.shape == (8, 16, 1)
-            assert tns is None  # non-TNS stream
+            chunk = r.read_chunk(0)
+            assert chunk.codes.shape == (8, 64, 1)
+            assert chunk.bark.shape == (8, 16, 1)
+            assert chunk.tns is None  # non-TNS stream
+            assert chunk.nfl is None  # non-noise-filling stream
             # flush chunk is a single frame
-            codes_last, _, _ = r.read_chunk(3)
-            assert codes_last.shape == (1, 64, 1)
+            assert r.read_chunk(3).codes.shape == (1, 64, 1)
 
     def test_full_decode_matches_monolithic(self, codec, signal, tmp_path):
         """Streaming encode+decode == the monolithic bitstream round trip."""
@@ -204,9 +204,9 @@ class TestStreamFeatureParity:
         with sc.StreamReader(path) as r:
             assert r.meta["ms"] is True
             # the min-channel sidecar is single-channel, codes are M/S
-            codes, bark, _ = r.read_chunk(0)
-            assert codes.shape == (8, 64, 2)
-            assert bark.shape == (8, 16, 1)
+            chunk = r.read_chunk(0)
+            assert chunk.codes.shape == (8, 64, 2)
+            assert chunk.bark.shape == (8, 16, 1)
         streamed = np.concatenate(
             [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
         )
