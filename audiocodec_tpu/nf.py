@@ -103,9 +103,12 @@ def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
     a = jnp.sqrt(3.0 * e_lost / jnp.maximum(e_cap, 1e-30))
     a = jnp.minimum(a, jnp.asarray(3.0**0.5 * deadzone, wdt))
     level = jnp.round(LEVEL_BIAS + LEVEL_K * jnp.log2(jnp.maximum(a, 1e-30)))
-    # below a ~ 2^-10 the fill is -60 dB of the hole's own capacity —
-    # transmit 0 instead so quiet content deflates to nothing
-    level = jnp.where((cnt > 0) & (a > 2.0**-10), level, 0.0)
+    # keep everything the wire can represent: at aggressive threshold
+    # scales the RATIO collapses (steps are huge) while the absolute
+    # lost energy stays audible — a "too small to matter" cutoff above
+    # the representable floor measurably re-opens spectral holes
+    level = jnp.where((cnt > 0) & (a > 2.0 ** ((1 - LEVEL_BIAS) / LEVEL_K)),
+                      level, 0.0)
     return jnp.clip(level, 0, 255).astype(jnp.uint8)
 
 

@@ -20,6 +20,10 @@ With --tns the sweep compares temporal noise shaping off/on at matched
 rate, adding a pre-echo column (error energy in the 12 ms before each
 attack) when the signal is "clicks" — the measurement behind
 tns.STEP_SCALE_EXP and docs/DESIGN.md §11.
+
+With --nf the sweep compares noise filling off/on at matched rate,
+adding a band-energy-error column (the spectral-holes metric that SNR
+cannot see) — the measurement behind nf.py's level calibration.
 """
 
 from __future__ import annotations
@@ -128,6 +132,67 @@ def tns_sweep(codec, x, dur, clicks, args):
     return rows
 
 
+def band_energy_err_db(codec, x, out):
+    """Mean |per-frame band energy error| in dB over the noise-fill band —
+    the 'spectral holes' metric SNR cannot see (silence in a zeroed band
+    barely moves total SNR but reads as a dull/swirly timbre)."""
+    bs = codec.nf_band_start
+    ref = np.asarray(codec.mdct.transform(x))[:, :, bs:, :]
+    dec = np.asarray(codec.mdct.transform(out))[:, :, bs:, :]
+    e_ref = (ref**2).sum(axis=2)
+    e_dec = (dec[:, : ref.shape[1]] ** 2).sum(axis=2)
+    return float(
+        np.abs(10 * np.log10((e_dec + 1e-12) / (e_ref + 1e-12))).mean()
+    )
+
+
+def nf_sweep(codec, x, dur, args):
+    """Matched-rate noise-filling off/on comparison: same kbps targets,
+    columns report SNR (expected to dip slightly — the fill is synthetic
+    noise), NMR, and the band-energy error the fill exists to repair."""
+    import jax.numpy as jnp
+
+    from audiocodec_tpu import metrics, rate
+    from audiocodec_tpu.io import bitstream
+
+    targets = [float(k) for k in args.targets.split(",")]
+    n = codec.mdct.filters_n
+    rows = []
+    for target in targets:
+        for nf_on in (False, True):
+            res = rate.encode_with_target_bitrate(
+                codec, x, target, nf=nf_on
+            )
+            codes, bark, meta = bitstream.unpack(res.packed)
+            nfl = meta["nf_levels"]
+            out = codec.decode_bitstream(
+                jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
+                threshold_scale=res.threshold_scale,
+                dz_recon=meta["dz_recon"],
+                nf_levels=None if nfl is None else jnp.asarray(nfl),
+                nf_band_start=meta["nf_band_start"] or None,
+                nf_seed=meta["nf_seed"],
+            )[:, n:-n]
+            ev = metrics.evaluate(codec, x, out)
+            rows.append({
+                "target_kbps": target,
+                "nf": nf_on,
+                "kbps": round(res.kbps, 1),
+                "snr_db": round(ev["snr_db"], 2),
+                "nmr": round(ev["nmr"], 4),
+                "band_err_db": round(band_energy_err_db(codec, x, out), 2),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+    if args.markdown:
+        print(f"\n| target | nf | kbps | SNR dB | NMR | band err dB | "
+              f"({args.signal}, {dur:.0f}s mono) |")
+        print("|---|---|---|---|---|---|---|")
+        for r in rows:
+            print(f"| {r['target_kbps']} | {r['nf']} | {r['kbps']} "
+                  f"| {r['snr_db']} | {r['nmr']} | {r['band_err_db']} | |")
+    return rows
+
+
 def deadzone_sweep(codec, x, dur, args):
     """Matched-rate dead-zone comparison: every width rate-controlled to
     the same targets; rows report the container's REAL kbps next to
@@ -178,6 +243,9 @@ def main():
     ap.add_argument("--tns", action="store_true",
                     help="matched-rate TNS off/on comparison (use "
                          "--signal clicks for the pre-echo column)")
+    ap.add_argument("--nf", action="store_true",
+                    help="matched-rate noise-filling off/on comparison "
+                         "with a band-energy-error column")
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--markdown", action="store_true",
                     help="also print a markdown table")
@@ -213,6 +281,8 @@ def main():
 
     if args.tns:
         return tns_sweep(codec, x, dur, clicks, args)
+    if args.nf:
+        return nf_sweep(codec, x, dur, args)
     if args.deadzone:
         return deadzone_sweep(codec, x, dur, args)
 
