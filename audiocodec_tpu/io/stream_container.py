@@ -613,12 +613,21 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
     ) as w:
         step, flush = _encode_chunk_fns()
         carry = streaming.mdct_stream_init(mdct, 1, c)
+        # one-deep software pipeline: dispatch chunk k+1 (async on the
+        # device) BEFORE the host blocks on packing chunk k, so Rice
+        # coding and device compute overlap instead of strictly
+        # alternating. Append order is unchanged.
+        pending = None
         for start in range(0, s, chunk):
             carry, codes, bark16, tns_idx, nfl = step(
                 codec, carry, x[:, start : start + chunk], drown,
                 threshold_scale, ms, deadzone, tns, nf,
             )
-            w.append(codes, bark16, tns_idx, nfl)
+            if pending is not None:
+                w.append(*pending)
+            pending = (codes, bark16, tns_idx, nfl)
+        if pending is not None:
+            w.append(*pending)
         w.append(*flush(codec, carry, drown, threshold_scale, ms, deadzone,
                         tns, nf))
         n_chunks = len(w._index)
