@@ -479,7 +479,8 @@ def _decode_stream(args):
     wave = np.empty((1, s1 - s0, ch), dtype=np.float32)
     pos = (prior_sc - 1) * n
     for c in stream_container.decode_stream(
-        codec, args.input, start_chunk=start_chunk
+        codec, args.input, start_chunk=start_chunk,
+        conceal=getattr(args, "conceal", False),
     ):
         arr = np.asarray(c.astype(jnp.float32))
         lo, hi = max(pos, s0), min(pos + arr.shape[1], s1)
@@ -841,6 +842,12 @@ def main(argv=None) -> int:
     p.add_argument(
         "--duration", type=float, default=0.0,
         help="decode at most this many seconds (0 = to the end)",
+    )
+    p.add_argument(
+        "--conceal", action="store_true",
+        help="packet-loss concealment for .acs streams: synthesize "
+             "corrupt chunks (spectral repetition with an energy fade) "
+             "instead of failing — playback semantics",
     )
     p.set_defaults(fn=cmd_decode)
 

@@ -801,7 +801,22 @@ def _jit_decode_chunk():
         carry, samples = streaming.imdct_stream_step(
             codec.mdct, carry, frames
         )
-        return carry, samples
+        # last decoded spectral frame rides along (device-resident,
+        # [1, 1, N, C]) so loss concealment can extrapolate from it
+        return carry, samples, frames[:, -1:]
+
+    @jax.jit
+    def conceal_step(codec, carry, prev_frame, decay_pows):
+        """Concealment for an unreadable chunk: repeat the last good
+        spectral frame with an exponential energy fade (the AAC-family
+        recipe — spectral repetition keeps the timbre, the fade keeps a
+        long outage from turning into a frozen tone). ``decay_pows``
+        [blocks] carries the per-frame decay so blocks stays static."""
+        frames = prev_frame * decay_pows[None, :, None, None]
+        carry, samples = streaming.imdct_stream_step(
+            codec.mdct, carry, frames
+        )
+        return carry, samples, frames[:, -1:]
 
     @functools.partial(
         jax.jit, static_argnames=("ms", "dzr", "tns_bs", "nf_bs")
@@ -826,7 +841,7 @@ def _jit_decode_chunk():
         )
         return z[:, :, -1]
 
-    return step, seek_carry
+    return step, conceal_step, seek_carry
 
 
 _DECODE_CHUNK = None
@@ -839,16 +854,26 @@ def _decode_chunk_fns():
     return _DECODE_CHUNK
 
 
-def decode_stream(codec, path: str, start_chunk: int = 0):
+def decode_stream(codec, path: str, start_chunk: int = 0,
+                  conceal: bool = False, conceal_decay: float = 0.8):
     """Generator of waveform chunks from an .acs stream (seekable).
 
     Starting mid-stream only needs the previous chunk's last frame for the
     overlap-add carry; the first yielded chunk is then sample-exact.
+
+    :param conceal: packet-loss concealment — a chunk that fails its CRC
+        (or is otherwise unreadable) is synthesized instead of raising:
+        the last good spectral frame repeats with an exponential energy
+        fade (``conceal_decay`` per frame), keeping the stream's length,
+        timbre, and overlap-add continuity; decoding recovers exactly at
+        the next good chunk. Without it (the default) corruption raises
+        ValueError — transport errors should be LOUD unless the caller
+        opted into real-time playback semantics.
     """
     from audiocodec_tpu import streaming
 
     mdct = codec.mdct
-    step, seek_carry = _decode_chunk_fns()
+    step, conceal_step, seek_carry = _decode_chunk_fns()
     with StreamReader(path) as r:
         ch = r.meta["channels"]
         ms = bool(r.meta.get("ms", False))
@@ -860,6 +885,7 @@ def decode_stream(codec, path: str, start_chunk: int = 0):
         nf_bs = int(nf_meta["band_start"]) if nf_meta else 0
         nf_seed = int(nf_meta["seed"]) if nf_meta else 0
         import jax
+        import jax.numpy as jnp
 
         def put_opt(t):
             return None if t is None else jax.device_put(t)
@@ -870,20 +896,63 @@ def decode_stream(codec, path: str, start_chunk: int = 0):
             sum(r.chunk_blocks(j) for j in range(start_chunk))
             if (nf_meta and start_chunk) else 0
         )
+        n = r.meta["filters_n"]
+        dtype = mdct.compute_dtype
+        prev_frame = jnp.zeros((1, 1, n, ch), dtype)
+
+        def chunk_blocks_guess(i):
+            """Frame count for a chunk whose own header may be corrupt:
+            trust it when readable, else the stream's uniform body size
+            (every chunk but the flush has chunk_blocks frames)."""
+            try:
+                b = r.chunk_blocks(i)
+                if 0 < b <= self_size_cap:
+                    return b
+            except ValueError:
+                pass
+            for j in range(r.n_chunks):
+                if j != i:
+                    try:
+                        return r.chunk_blocks(j)
+                    except ValueError:
+                        continue
+            return 1
+
+        self_size_cap = r._size  # blocks can never exceed the file bytes
         carry = streaming.imdct_stream_init(mdct, 1, ch)
         if start_chunk > 0:
-            c = r.read_chunk(start_chunk - 1)
-            prev_off = frame_off - c.codes.shape[0]
-            carry = seek_carry(
-                codec, jax.device_put(c.codes), jax.device_put(c.bark),
-                tscale, ms, dzr, put_opt(c.tns), tns_bs,
-                put_opt(c.nfl), nf_bs, nf_seed, prev_off,
-            )
+            try:
+                c = r.read_chunk(start_chunk - 1)
+            except ValueError:
+                if not conceal:
+                    raise
+                c = None  # prime with silence; recovery at start_chunk
+            if c is not None:
+                prev_off = frame_off - c.codes.shape[0]
+                carry = seek_carry(
+                    codec, jax.device_put(c.codes), jax.device_put(c.bark),
+                    tscale, ms, dzr, put_opt(c.tns), tns_bs,
+                    put_opt(c.nfl), nf_bs, nf_seed, prev_off,
+                )
         for i in range(start_chunk, r.n_chunks):
-            c = r.read_chunk(i)
+            try:
+                c = r.read_chunk(i)
+            except ValueError:
+                if not conceal:
+                    raise
+                blocks = chunk_blocks_guess(i)
+                decay_pows = jnp.asarray(
+                    conceal_decay ** np.arange(1, blocks + 1), dtype
+                )
+                carry, samples, prev_frame = conceal_step(
+                    codec, carry, prev_frame, decay_pows
+                )
+                frame_off += blocks
+                yield samples
+                continue
             # explicit puts: jit's implicit numpy transfer is ~30x slower
             # on remote-attached backends (measured)
-            carry, samples = step(
+            carry, samples, prev_frame = step(
                 codec, carry, jax.device_put(c.codes),
                 jax.device_put(c.bark),
                 tscale, ms, dzr, put_opt(c.tns), tns_bs,

@@ -147,6 +147,75 @@ class TestContainerRoundTrip:
             with pytest.raises(ValueError, match="CRC"):
                 r.read_chunk(1)
 
+    def test_concealment_survives_corrupt_chunk(self, codec, signal,
+                                                tmp_path):
+        """With conceal=True a CRC-failing chunk is synthesized (spectral
+        repetition + fade) instead of raising: stream length is preserved,
+        output stays finite, chunks outside the outage are untouched, and
+        decoding recovers at the next good chunk."""
+        path = str(tmp_path / "pl.acs")
+        sc.encode_stream(codec, signal, path, chunk_blocks=8)
+        clean = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
+        )
+        with sc.StreamReader(path) as r:
+            off = r._index[1]
+        with open(path, "r+b") as f:
+            f.seek(off + 12)
+            f.write(b"\xff\xff")
+        out = np.concatenate(
+            [np.asarray(c)
+             for c in sc.decode_stream(codec, path, conceal=True)],
+            axis=1,
+        )
+        assert out.shape == clean.shape
+        assert np.isfinite(out).all()
+        n = 64  # filters_n of the fixture codec
+        # chunk 0's interior is decoded from untouched data
+        np.testing.assert_allclose(out[:, : 7 * n], clean[:, : 7 * n],
+                                   atol=1e-6)
+        # after one overlap frame into chunk 2, decode recovers exactly
+        np.testing.assert_allclose(out[:, 17 * n :], clean[:, 17 * n :],
+                                   atol=1e-6)
+        # the concealed region fades rather than slamming to zero
+        lost = out[:, 8 * n : 16 * n]
+        assert np.abs(lost).max() > 0
+
+    def test_concealment_off_still_raises(self, codec, signal, tmp_path):
+        path = str(tmp_path / "pl2.acs")
+        sc.encode_stream(codec, signal, path, chunk_blocks=8)
+        with sc.StreamReader(path) as r:
+            off = r._index[1]
+        with open(path, "r+b") as f:
+            f.seek(off + 12)
+            f.write(b"\xff\xff")
+        with pytest.raises(ValueError, match="CRC"):
+            for _ in sc.decode_stream(codec, path):
+                pass
+
+    def test_concealment_consecutive_losses_decay(self, codec, signal,
+                                                  tmp_path):
+        """Two corrupt chunks in a row keep fading — a long outage decays
+        toward silence instead of freezing a tone."""
+        path = str(tmp_path / "pl3.acs")
+        sc.encode_stream(codec, signal, path, chunk_blocks=8)
+        with sc.StreamReader(path) as r:
+            offs = [r._index[1], r._index[2]]
+        with open(path, "r+b") as f:
+            for off in offs:
+                f.seek(off + 12)
+                f.write(b"\xff\xff")
+        out = np.concatenate(
+            [np.asarray(c)
+             for c in sc.decode_stream(codec, path, conceal=True)],
+            axis=1,
+        )
+        assert np.isfinite(out).all()
+        n = 64
+        e1 = (out[:, 9 * n : 10 * n] ** 2).sum()
+        e2 = (out[:, 17 * n : 18 * n] ** 2).sum()
+        assert e2 < e1  # still decaying through the second lost chunk
+
     def test_corrupt_trailer_rejected(self, codec, signal, tmp_path):
         """Implausible trailer fields must be a clean ValueError, not a
         multi-terabyte allocation or struct crash."""
