@@ -148,9 +148,25 @@ class CodecServer:
         def _enc(c, x):
             return c.quantize_frames(c.mdct.transform(x))
 
-        @jax.jit
-        def _dec(c, codes, bark):
-            return c.decode_bitstream(codes, bark)
+        import functools
+
+        @functools.partial(
+            jax.jit, static_argnames=("ms", "dzr", "tns_bs", "nf_bs")
+        )
+        def _dec(c, codes, bark, tscale, ms=False, dzr=0.0,
+                 tns=None, tns_bs=0, nfl=None, nf_bs=0, nf_seed=0):
+            # honor EVERY quantization-affecting field a container can
+            # record (threshold scale, joint stereo, dead zone, TNS,
+            # noise fill) — decoding with defaults silently produces
+            # wrong audio for rate-controlled / ms / tns / nf containers
+            kw = dict(
+                threshold_scale=tscale, dz_recon=dzr, tns_idx=tns,
+                tns_band_start=tns_bs or None, nf_levels=nfl,
+                nf_band_start=nf_bs or None, nf_seed=nf_seed,
+            )
+            if ms:
+                return c.decode_bitstream_ms(codes, bark, **kw)
+            return c.decode_bitstream(codes, bark, **kw)
 
         self._enc, self._dec = _enc, _dec
         if entropy is None:
@@ -256,28 +272,48 @@ class CodecServer:
     def _decode_one(self, payload):
         try:
             codes, bark, meta = bitstream.unpack(payload)
-            if meta["sample_rate"] != self._rate or (
-                meta["filters_n"] != self._codec.mdct.filters_n
-            ):
+            my = self._meta
+            mine = (self._rate, self._codec.mdct.filters_n,
+                    my["bark_bands_n"], my["compute_dtype"],
+                    my["bark_precision"])
+            theirs = (meta["sample_rate"], meta["filters_n"],
+                      meta["bark_bands_n"], meta["compute_dtype"],
+                      meta["bark_precision"])
+            if mine != theirs:
+                # dtype and bark_precision are step-size-critical: a
+                # mismatched decode would not error, it would be WRONG
                 raise ValueError(
                     "container was encoded with a different codec config "
-                    f"(rate {meta['sample_rate']}, N {meta['filters_n']}) "
-                    f"than this server serves ({self._rate}, "
-                    f"{self._codec.mdct.filters_n})"
+                    f"(rate/N/bark/dtype/prec {theirs}) than this server "
+                    f"serves ({mine})"
                 )
             # bucket the frame count (pad with zero frames) so decode
             # compiles O(log len) programs, not one per container length;
             # wave sample k*N..(k+1)*N depends on frames k/k+1 only, so
-            # the trimmed region never sees the pad frames
+            # the trimmed region never sees the pad frames (pad TNS rows
+            # are identity filters, pad fill levels are 0 = no fill)
             frames = codes.shape[1]
             bucket = max(self._min_blocks + 1, _next_pow2(frames))
+            tns = meta["tns_idx"]
+            nfl = meta["nf_levels"]
             if bucket != frames:
                 pad = ((0, 0), (0, bucket - frames), (0, 0), (0, 0))
                 codes = np.pad(codes, pad)
                 bark = np.pad(np.asarray(bark), pad)
+                if tns is not None:
+                    tns = np.pad(tns, pad)
+                if nfl is not None:
+                    nfl = np.pad(nfl, (pad[0], pad[1], pad[3]))
             wave = self._dec(
                 self._codec, jnp.asarray(codes),
                 jnp.asarray(bark, dtype=jnp.bfloat16),
+                meta["threshold_scale"],
+                ms=meta["ms"], dzr=meta["dz_recon"],
+                tns=None if tns is None else jnp.asarray(tns),
+                tns_bs=meta["tns_band_start"],
+                nfl=None if nfl is None else jnp.asarray(nfl),
+                nf_bs=meta["nf_band_start"],
+                nf_seed=meta["nf_seed"],
             )
             n = self._codec.mdct.filters_n
             wave = np.asarray(wave.astype(jnp.float32))[

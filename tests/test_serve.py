@@ -146,6 +146,68 @@ class TestEncodeServing:
         np.testing.assert_array_equal(wave, expected)
 
 
+class TestDecodeHonorsContainerMeta:
+    def test_scaled_ms_tns_nf_container(self, codec, server):
+        """A container carrying EVERY quantization-affecting field (rate
+        scale, joint stereo, dead zone, TNS, noise fill) must decode
+        through the server exactly as the offline decoder would — the
+        served decode path honors the recorded meta, not defaults."""
+        import jax
+
+        rng = np.random.default_rng(3)
+        t = np.arange(16 * N) / SR
+        x = 0.4 * np.sin(2 * np.pi * 440 * t)[:, None]
+        x = np.concatenate([x, 0.3 * rng.standard_normal((t.size, 1))],
+                           axis=1).astype(np.float32)
+        xj = jnp.asarray(x[None])
+
+        @jax.jit
+        def enc(c, xx):
+            return c.quantize_frames_tns(
+                xx, threshold_scale=8.0, ms=True, deadzone=1.0, nf=True
+            )
+
+        codes, bark, tns_idx, nfl = enc(codec, codec.mdct.transform(xj))
+        from audiocodec_tpu import quantize as q
+
+        blob = bitstream.pack(
+            np.asarray(codes), np.asarray(bark),
+            sample_rate=SR, filters_n=N, bark_bands_n=16,
+            alpha=codec.psycho.alpha, window_type="vorbis",
+            ms=True, threshold_scale=8.0,
+            dz_recon=q.dz_recon_offset(1.0),
+            tns_idx=np.asarray(tns_idx),
+            tns_band_start=codec.tns_band_start,
+            nf_levels=np.asarray(nfl), nf_band_start=codec.nf_band_start,
+            nf_seed=4,
+        )
+        with serve.Client(port=server.port) as c:
+            wav = c.decode(blob)
+        wave, rate = read_wav_bytes(wav)
+        direct = codec.decode_bitstream_ms(
+            codes, bark, threshold_scale=8.0,
+            dz_recon=q.dz_recon_offset(1.0),
+            tns_idx=tns_idx, nf_levels=nfl, nf_seed=4,
+        )
+        direct = np.asarray(direct.astype(jnp.float32))[:, N:-N]
+        expected, _ = read_wav_bytes(write_wav_bytes(direct[0], SR))
+        np.testing.assert_array_equal(wave, expected)
+
+    def test_mismatched_dtype_rejected(self, server):
+        blob, _ = _wav_blob(blocks=8)
+        with serve.Client(port=server.port) as c:
+            acz = c.encode(blob)
+        codes, bark, meta = bitstream.unpack(acz)
+        evil = bitstream.pack(
+            codes, bark, sample_rate=SR, filters_n=N, bark_bands_n=16,
+            alpha=meta["alpha"], window_type="vorbis",
+            compute_dtype="float64",
+        )
+        with serve.Client(port=server.port) as c:
+            with pytest.raises(RuntimeError, match="different codec"):
+                c.decode(evil)
+
+
 class TestServingErrors:
     def test_error_keeps_connection_alive(self, server):
         with serve.Client(port=server.port) as c:
