@@ -48,11 +48,48 @@ import numpy as np
 BASELINE_AUDIO_SEC_PER_SEC = 92.0  # reference TF-CPU, measured (BASELINE.md)
 
 
+def _require_backend(deadline_s: float = 300.0):
+    """Fail fast (one honest JSON error line) when the remote TPU tunnel
+    is down: backend init then hangs indefinitely, which would otherwise
+    turn the whole bench run into a silent timeout. The probe runs in a
+    daemon thread because a hung init RPC cannot be cancelled."""
+    import os
+    import threading
+
+    import jax
+
+    got = {}
+
+    def probe():
+        try:
+            got["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report, don't crash
+            got["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(deadline_s)
+    if "devices" in got:
+        return
+    err = got.get(
+        "error", f"backend init exceeded {deadline_s:.0f}s (tunnel down?)"
+    )
+    print(json.dumps({
+        "metric": "encode_decode_throughput",
+        "value": 0.0,
+        "unit": "audio_sec_per_sec",
+        "vs_baseline": 0.0,
+        "error": f"TPU backend unavailable: {err}",
+    }))
+    os._exit(1)
+
+
 def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _require_backend()
 
     import jax.numpy as jnp
 
