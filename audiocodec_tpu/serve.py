@@ -275,17 +275,18 @@ class CodecServer:
             my = self._meta
             mine = (self._rate, self._codec.mdct.filters_n,
                     my["bark_bands_n"], my["compute_dtype"],
-                    my["bark_precision"])
+                    my["bark_precision"], my["window_type"])
             theirs = (meta["sample_rate"], meta["filters_n"],
                       meta["bark_bands_n"], meta["compute_dtype"],
-                      meta["bark_precision"])
+                      meta["bark_precision"], meta["window_type"])
             if mine != theirs:
-                # dtype and bark_precision are step-size-critical: a
-                # mismatched decode would not error, it would be WRONG
+                # dtype / bark_precision are step-size-critical and the
+                # window shapes the synthesis filter bank: a mismatched
+                # decode would not error, it would be WRONG
                 raise ValueError(
                     "container was encoded with a different codec config "
-                    f"(rate/N/bark/dtype/prec {theirs}) than this server "
-                    f"serves ({mine})"
+                    f"(rate/N/bark/dtype/prec/window {theirs}) than this "
+                    f"server serves ({mine})"
                 )
             # bucket the frame count (pad with zero frames) so decode
             # compiles O(log len) programs, not one per container length;
