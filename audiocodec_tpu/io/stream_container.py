@@ -806,13 +806,21 @@ def _jit_decode_chunk():
         return carry, samples, frames[:, -1:]
 
     @jax.jit
-    def conceal_step(codec, carry, prev_frame, decay_pows):
+    def conceal_step(codec, carry, prev_frame, decay_pows, chunk_idx):
         """Concealment for an unreadable chunk: repeat the last good
-        spectral frame with an exponential energy fade (the AAC-family
-        recipe — spectral repetition keeps the timbre, the fade keeps a
-        long outage from turning into a frozen tone). ``decay_pows``
-        [blocks] carries the per-frame decay so blocks stays static."""
-        frames = prev_frame * decay_pows[None, :, None, None]
+        spectral frame with an exponential energy fade and per-frame
+        SIGN scrambling (the AAC-family recipe — the magnitude spectrum
+        keeps the timbre, random signs turn a frozen frame's periodic
+        buzz into noise with the same envelope, and the fade keeps a
+        long outage from ringing on). ``decay_pows`` [blocks] carries
+        the per-frame decay so blocks stays static; ``chunk_idx`` keys
+        the scramble so repeated losses don't repeat noise."""
+        blocks = decay_pows.shape[0]
+        key = jax.random.fold_in(jax.random.key(0x9E3779B9), chunk_idx)
+        signs = jax.random.rademacher(
+            key, (1, blocks) + prev_frame.shape[2:], prev_frame.dtype
+        )
+        frames = prev_frame * decay_pows[None, :, None, None] * signs
         carry, samples = streaming.imdct_stream_step(
             codec.mdct, carry, frames
         )
@@ -945,7 +953,7 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
                     conceal_decay ** np.arange(1, blocks + 1), dtype
                 )
                 carry, samples, prev_frame = conceal_step(
-                    codec, carry, prev_frame, decay_pows
+                    codec, carry, prev_frame, decay_pows, i
                 )
                 frame_off += blocks
                 yield samples
