@@ -928,45 +928,71 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
 
         self_size_cap = r._size  # blocks can never exceed the file bytes
         carry = streaming.imdct_stream_init(mdct, 1, ch)
-        if start_chunk > 0:
+        # One-deep read-ahead: host-side chunk parsing (Rice decode +
+        # CRC) of chunk i+1 runs in a worker thread while the device
+        # works on chunk i. The reader's file handle is shared, so every
+        # file access (including the error-path header probes) holds one
+        # lock.
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        io_lock = threading.Lock()
+
+        def fetch(i):
             try:
-                c = r.read_chunk(start_chunk - 1)
-            except ValueError:
-                if not conceal:
-                    raise
-                c = None  # prime with silence; recovery at start_chunk
-            if c is not None:
+                with io_lock:
+                    return ("ok", r.read_chunk(i))
+            except ValueError as e:
+                return ("err", e)
+
+        if start_chunk > 0:
+            status, val = fetch(start_chunk - 1)
+            if status == "err" and not conceal:
+                raise val
+            if status == "ok":
+                c = val
                 prev_off = frame_off - c.codes.shape[0]
                 carry = seek_carry(
                     codec, jax.device_put(c.codes), jax.device_put(c.bark),
                     tscale, ms, dzr, put_opt(c.tns), tns_bs,
                     put_opt(c.nfl), nf_bs, nf_seed, prev_off,
                 )
-        for i in range(start_chunk, r.n_chunks):
-            try:
-                c = r.read_chunk(i)
-            except ValueError:
-                if not conceal:
-                    raise
-                blocks = chunk_blocks_guess(i)
-                decay_pows = jnp.asarray(
-                    conceal_decay ** np.arange(1, blocks + 1), dtype
+            # else: prime with silence; recovery at start_chunk
+        ex = ThreadPoolExecutor(max_workers=1)
+        try:
+            fut = ex.submit(fetch, start_chunk) if (
+                start_chunk < r.n_chunks
+            ) else None
+            for i in range(start_chunk, r.n_chunks):
+                status, val = fut.result()
+                if i + 1 < r.n_chunks:
+                    fut = ex.submit(fetch, i + 1)
+                if status == "err":
+                    if not conceal:
+                        raise val
+                    with io_lock:
+                        blocks = chunk_blocks_guess(i)
+                    decay_pows = jnp.asarray(
+                        conceal_decay ** np.arange(1, blocks + 1), dtype
+                    )
+                    carry, samples, prev_frame = conceal_step(
+                        codec, carry, prev_frame, decay_pows, i
+                    )
+                    frame_off += blocks
+                    yield samples
+                    continue
+                c = val
+                # explicit puts: jit's implicit numpy transfer is ~30x
+                # slower on remote-attached backends (measured)
+                carry, samples, prev_frame = step(
+                    codec, carry, jax.device_put(c.codes),
+                    jax.device_put(c.bark),
+                    tscale, ms, dzr, put_opt(c.tns), tns_bs,
+                    put_opt(c.nfl), nf_bs, nf_seed, frame_off,
                 )
-                carry, samples, prev_frame = conceal_step(
-                    codec, carry, prev_frame, decay_pows, i
-                )
-                frame_off += blocks
+                frame_off += c.codes.shape[0]
                 yield samples
-                continue
-            # explicit puts: jit's implicit numpy transfer is ~30x slower
-            # on remote-attached backends (measured)
-            carry, samples, prev_frame = step(
-                codec, carry, jax.device_put(c.codes),
-                jax.device_put(c.bark),
-                tscale, ms, dzr, put_opt(c.tns), tns_bs,
-                put_opt(c.nfl), nf_bs, nf_seed, frame_off,
-            )
-            frame_off += c.codes.shape[0]
-            yield samples
-        tail = streaming.imdct_stream_flush(mdct, carry)
-        yield tail
+            tail = streaming.imdct_stream_flush(mdct, carry)
+            yield tail
+        finally:
+            ex.shutdown(wait=False)
