@@ -185,26 +185,16 @@ def cmd_encode(args):
         )
         return 0
 
-    tns_idx, nfl = None, None
-    frames = codec.mdct.transform(x)
-    if args.tns:
-        out = codec.quantize_frames_tns(
-            frames, args.drown, ms=args.ms, deadzone=fixed_dz, nf=args.nf
-        )
-        codes, bark, tns_idx = out[0], out[1], out[2]
-        nfl = out[3] if args.nf else None
-    else:
-        out = codec.quantize_frames(
-            frames, args.drown, ms=args.ms, deadzone=fixed_dz, nf=args.nf
-        )
-        codes, bark = out[0], out[1]
-        nfl = out[2] if args.nf else None
+    enc = codec.encode_frames(
+        codec.mdct.transform(x), args.drown, ms=args.ms,
+        deadzone=fixed_dz, tns=args.tns, nf=args.nf,
+    )
     from audiocodec_tpu import quantize as _quantize
 
     size = bitstream.save(
         args.output,
-        codes,
-        bark,
+        enc.codes,
+        enc.bark16,
         sample_rate=rate,
         filters_n=args.filters_n,
         bark_bands_n=args.bark_bands_n,
@@ -216,9 +206,9 @@ def cmd_encode(args):
         dz_recon=(
             _quantize.dz_recon_offset(fixed_dz) if fixed_dz != 0.5 else 0.0
         ),
-        tns_idx=tns_idx,
+        tns_idx=enc.tns_idx,
         tns_band_start=codec.tns_band_start,
-        nf_levels=nfl,
+        nf_levels=enc.nf_levels,
         nf_band_start=codec.nf_band_start,
     )
     raw = data.size * 2  # vs 16-bit PCM
@@ -356,13 +346,18 @@ def cmd_decode(args):
     if tns_idx is not None:
         tns_idx = jnp.asarray(tns_idx)
     tns_bs = meta.get("tns_band_start") or None
+    import numpy as _np
+
     nfl = meta.get("nf_levels")
-    if nfl is not None:
-        nfl = jnp.asarray(nfl)
+    # honor the RECORDED band start verbatim (0 is a legal wire value —
+    # `or None` would silently substitute the codec default); uint32 the
+    # seed before any jit boundary (seeds in [2^31, 2^32) are legal but
+    # overflow jit's Python-int argument parsing when x64 is off)
     nf_kwargs = dict(
-        nf_levels=nfl,
-        nf_band_start=meta.get("nf_band_start") or None,
-        nf_seed=meta.get("nf_seed", 0),
+        nf_levels=None if nfl is None else jnp.asarray(nfl),
+        nf_band_start=(None if nfl is None
+                       else int(meta.get("nf_band_start", 0))),
+        nf_seed=_np.uint32(meta.get("nf_seed", 0)),
     )
     if meta.get("ms"):
         wave = codec.decode_bitstream_ms(
@@ -405,18 +400,12 @@ def cmd_roundtrip(args):
     data = _trim_to_blocks(data, args.filters_n)
     x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
     if args.tns or args.nf:
-        frames = codec.mdct.transform(x)
-        tns_idx, nfl = None, None
-        if args.tns:
-            out = codec.quantize_frames_tns(frames, args.drown, nf=args.nf)
-            codes, bark, tns_idx = out[0], out[1], out[2]
-            nfl = out[3] if args.nf else None
-        else:
-            out = codec.quantize_frames(frames, args.drown, nf=args.nf)
-            codes, bark = out[0], out[1]
-            nfl = out[2] if args.nf else None
-        out = codec.decode_bitstream(codes, bark, tns_idx=tns_idx,
-                                     nf_levels=nfl)
+        enc = codec.encode_frames(
+            codec.mdct.transform(x), args.drown, tns=args.tns, nf=args.nf
+        )
+        out = codec.decode_bitstream(enc.codes, enc.bark16,
+                                     tns_idx=enc.tns_idx,
+                                     nf_levels=enc.nf_levels)
     else:
         out = codec.round_trip_quantized(x, drown=args.drown)
     n = args.filters_n
@@ -449,10 +438,33 @@ def _decode_stream(args):
     n = meta["filters_n"]
     sr = meta["sample_rate"]
     # preallocate from the chunk headers so peak memory stays ~1x the
-    # requested window (the point of the streaming container)
+    # requested window (the point of the streaming container). Under
+    # --conceal the headers are untrusted: unreadable or implausible
+    # entries fall back to the stream's modal body size (what
+    # decode_stream will actually synthesize) instead of letting one
+    # flipped u32 size a petabyte buffer.
+    conceal = getattr(args, "conceal", False)
     with stream_container.StreamReader(args.input) as r:
-        cb = [r.chunk_blocks(i) for i in range(r.n_chunks)]
         ch = r.meta["channels"]
+        raw = []
+        for i in range(r.n_chunks):
+            try:
+                raw.append(r.chunk_blocks(i))
+            except ValueError:
+                if not conceal:
+                    raise
+                raw.append(None)
+        if conceal:
+            # mirror decode_stream's conceal geometry exactly: modal
+            # body size for every body chunk, one flush frame — chunk
+            # headers are unverifiable on their own, and a concealed
+            # chunk is synthesized at the modal size regardless of what
+            # its (possibly corrupt) header claims
+            body = [b for b in raw[:-1] if b is not None]
+            modal = max(set(body), key=body.count) if body else 1
+            cb = [modal] * (len(raw) - 1) + [1] if raw else []
+        else:
+            cb = raw
     total_blocks = sum(cb)
     total = (total_blocks - 1) * n  # decoded samples after the pad trim
     start = float(getattr(args, "start", 0.0) or 0.0)
@@ -476,11 +488,13 @@ def _decode_stream(args):
         if (prior - 1) * n <= s0:
             start_chunk, prior_sc = i, prior
         prior += blocks_i
-    wave = np.empty((1, s1 - s0, ch), dtype=np.float32)
+    # zeros, not empty: with concealed/odd-sized chunks the yielded total
+    # can fall short of the header-derived estimate, and the tail must be
+    # silence, not uninitialized memory
+    wave = np.zeros((1, s1 - s0, ch), dtype=np.float32)
     pos = (prior_sc - 1) * n
     for c in stream_container.decode_stream(
-        codec, args.input, start_chunk=start_chunk,
-        conceal=getattr(args, "conceal", False),
+        codec, args.input, start_chunk=start_chunk, conceal=conceal,
     ):
         arr = np.asarray(c.astype(jnp.float32))
         lo, hi = max(pos, s0), min(pos + arr.shape[1], s1)

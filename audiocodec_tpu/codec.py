@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +27,18 @@ from audiocodec_tpu import quantize as _quantize
 from audiocodec_tpu import tns as _tns
 from audiocodec_tpu.mdct import MDCT
 from audiocodec_tpu.psycho import PsychoacousticModel
+
+
+class EncodedFrames(typing.NamedTuple):
+    """One encode's transmissible payload (Codec.encode_frames): the
+    optional members are None exactly when their feature was off, so
+    callers never index variable-length tuples (the positional-unpack
+    coupling that broke once per added sidecar)."""
+
+    codes: jax.Array  # int32 [B, frames, N, C]
+    bark16: jax.Array  # bfloat16 [B, frames, bark_n, C or 1 (ms)]
+    tns_idx: jax.Array | None  # int8 [B, frames, order, C]
+    nf_levels: jax.Array | None  # uint8 [B, frames, C]
 
 
 @functools.partial(
@@ -341,6 +354,29 @@ class Codec:
         nfl = _nf.analyze(spec_q, codes, delta, self.nf_band_start,
                           deadzone=deadzone)
         return codes, bark16, nfl
+
+    def encode_frames(self, frames: jax.Array, drown=0.0,
+                      threshold_scale=1.0, ms: bool = False,
+                      deadzone: float = 0.5, tns: bool = False,
+                      nf: bool = False) -> EncodedFrames:
+        """One entry point for every coded-bitstream encode: wraps
+        :meth:`quantize_frames` / :meth:`quantize_frames_tns` and always
+        returns an :class:`EncodedFrames` (absent features are None) —
+        the CLI, containers, and dryrun all unpack THIS, not
+        flag-dependent tuple arities.
+        """
+        if tns:
+            out = self.quantize_frames_tns(
+                frames, drown, threshold_scale=threshold_scale, ms=ms,
+                deadzone=deadzone, nf=nf,
+            )
+            return EncodedFrames(out[0], out[1], out[2],
+                                 out[3] if nf else None)
+        out = self.quantize_frames(
+            frames, drown, threshold_scale=threshold_scale, ms=ms,
+            deadzone=deadzone, nf=nf,
+        )
+        return EncodedFrames(out[0], out[1], None, out[2] if nf else None)
 
     @property
     def tns_band_start(self) -> int:

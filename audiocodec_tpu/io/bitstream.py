@@ -191,6 +191,8 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
                 raise ValueError(
                     f"nf_band_start out of range: {nf_band_start}"
                 )
+            if not 0 <= int(nf_seed) < 2**32:
+                raise ValueError(f"nf_seed out of range: {nf_seed}")
             members["nfl"] = arr
             members["nfmeta"] = np.asarray(
                 [nf_band_start, int(nf_seed)], dtype=np.int64

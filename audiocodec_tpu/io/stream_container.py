@@ -75,6 +75,12 @@ class StreamWriter:
             # 1.2-6x smaller on tonal/quiet chunks. Readers honor the
             # field; streams without it (older files) decode as "rice".
             "coder": "rrice",
+            # header-field CRC coverage: the per-chunk blocks/length
+            # fields are included in each chunk's CRC (a corrupted
+            # blocks field otherwise silently TRUNCATES the decode —
+            # the payload bytes still checksum clean). Older streams
+            # without the flag keep payload-only CRCs.
+            "hcrc": 1,
         }
         if dz_recon:
             # dead-zone reconstruction offset; absent = 0 (plain rounding)
@@ -180,21 +186,26 @@ class StreamWriter:
                     f"({blocks}, {codes.shape[-1]})"
                 )
             nfl_bytes = zlib.compress(lv.tobytes(), 6)
-        crc = zlib.crc32(bark_bytes, zlib.crc32(code_bytes))
-        if tns is not None:
-            crc = zlib.crc32(tns_bytes, crc)
-        if nf is not None:
-            crc = zlib.crc32(nfl_bytes, crc)
+        # the CRC covers the HEADER FIELDS too (hcrc streams): a flipped
+        # blocks/length field must fail loudly, not silently truncate
+        hdr_codes = struct.pack("<II", blocks, len(code_bytes))
+        hdr_bark = struct.pack("<I", len(bark_bytes))
+        crc = zlib.crc32(code_bytes, zlib.crc32(hdr_codes))
+        crc = zlib.crc32(bark_bytes, zlib.crc32(hdr_bark, crc))
         self._index.append(self._f.tell())
-        self._f.write(struct.pack("<II", blocks, len(code_bytes)))
+        self._f.write(hdr_codes)
         self._f.write(code_bytes)
-        self._f.write(struct.pack("<I", len(bark_bytes)))
+        self._f.write(hdr_bark)
         self._f.write(bark_bytes)
         if tns is not None:
-            self._f.write(struct.pack("<I", len(tns_bytes)))
+            hdr = struct.pack("<I", len(tns_bytes))
+            crc = zlib.crc32(tns_bytes, zlib.crc32(hdr, crc))
+            self._f.write(hdr)
             self._f.write(tns_bytes)
         if nf is not None:
-            self._f.write(struct.pack("<I", len(nfl_bytes)))
+            hdr = struct.pack("<I", len(nfl_bytes))
+            crc = zlib.crc32(nfl_bytes, zlib.crc32(hdr, crc))
+            self._f.write(hdr)
             self._f.write(nfl_bytes)
         self._f.write(struct.pack("<I", crc))
 
@@ -344,40 +355,54 @@ class StreamReader:
 
         self._check_index(i)
         self._f.seek(self._index[i])
-        blocks, clen = struct.unpack("<II", self._read_exact(8, i))
+        hcrc = bool(self.meta.get("hcrc"))
+        hdr_codes = self._read_exact(8, i)
+        blocks, clen = struct.unpack("<II", hdr_codes)
         # length fields come from the (potentially corrupt) file: bound
         # them by the file itself before allocating or reading
         if blocks > self._size or clen > self._size:
             raise ValueError(f"chunk {i} has implausible sizes — corrupt stream")
         code_bytes = self._read_exact(clen, i)
-        (blen,) = struct.unpack("<I", self._read_exact(4, i))
+        hdr_bark = self._read_exact(4, i)
+        (blen,) = struct.unpack("<I", hdr_bark)
         if blen > self._size:
             raise ValueError(f"chunk {i} has implausible sizes — corrupt stream")
         bark_bytes = self._read_exact(blen, i)
+        # hcrc streams chain the header fields into the CRC, so a
+        # flipped blocks/length field fails HERE instead of silently
+        # truncating the decode (payload-only CRCs cannot see it)
+        want = zlib.crc32(code_bytes,
+                          zlib.crc32(hdr_codes) if hcrc else 0)
+        want = zlib.crc32(
+            bark_bytes, zlib.crc32(hdr_bark, want) if hcrc else want
+        )
         tns_meta = self.meta.get("tns")
         tns_bytes = None
         if tns_meta is not None:
-            (tlen,) = struct.unpack("<I", self._read_exact(4, i))
+            hdr = self._read_exact(4, i)
+            (tlen,) = struct.unpack("<I", hdr)
             if tlen > self._size:
                 raise ValueError(
                     f"chunk {i} has implausible sizes — corrupt stream"
                 )
             tns_bytes = self._read_exact(tlen, i)
+            want = zlib.crc32(
+                tns_bytes, zlib.crc32(hdr, want) if hcrc else want
+            )
         nf_meta = self.meta.get("nf")
         nfl_bytes = None
         if nf_meta is not None:
-            (nlen,) = struct.unpack("<I", self._read_exact(4, i))
+            hdr = self._read_exact(4, i)
+            (nlen,) = struct.unpack("<I", hdr)
             if nlen > self._size:
                 raise ValueError(
                     f"chunk {i} has implausible sizes — corrupt stream"
                 )
             nfl_bytes = self._read_exact(nlen, i)
+            want = zlib.crc32(
+                nfl_bytes, zlib.crc32(hdr, want) if hcrc else want
+            )
         (crc,) = struct.unpack("<I", self._read_exact(4, i))
-        want = zlib.crc32(bark_bytes, zlib.crc32(code_bytes))
-        if tns_bytes is not None:
-            want = zlib.crc32(tns_bytes, want)
-        if nfl_bytes is not None:
-            want = zlib.crc32(nfl_bytes, want)
         if want != crc:
             raise ValueError(f"chunk {i} failed CRC — corrupt stream")
 
@@ -482,24 +507,6 @@ def _jit_encode_chunk():
 
     from audiocodec_tpu import streaming
 
-    def _quant(codec, frames, drown, threshold_scale, ms, deadzone, tns,
-               nf):
-        if tns:
-            out = codec.quantize_frames_tns(
-                frames, drown, threshold_scale=threshold_scale, ms=ms,
-                deadzone=deadzone, nf=nf,
-            )
-            codes, bark16, tns_idx = out[0], out[1], out[2]
-            nfl = out[3] if nf else None
-        else:
-            out = codec.quantize_frames(
-                frames, drown, threshold_scale=threshold_scale, ms=ms,
-                deadzone=deadzone, nf=nf,
-            )
-            codes, bark16, tns_idx = out[0], out[1], None
-            nfl = out[2] if nf else None
-        return codes, bark16, tns_idx, nfl
-
     @functools.partial(
         jax.jit, static_argnames=("ms", "deadzone", "tns", "nf")
     )
@@ -508,9 +515,11 @@ def _jit_encode_chunk():
         carry, frames = streaming.mdct_stream_step(
             codec.mdct, carry, x_chunk
         )
-        return (carry,) + _quant(
-            codec, frames, drown, threshold_scale, ms, deadzone, tns, nf
+        enc = codec.encode_frames(
+            frames, drown, threshold_scale=threshold_scale, ms=ms,
+            deadzone=deadzone, tns=tns, nf=nf,
         )
+        return (carry,) + tuple(enc)
 
     @functools.partial(
         jax.jit, static_argnames=("ms", "deadzone", "tns", "nf")
@@ -518,8 +527,9 @@ def _jit_encode_chunk():
     def flush(codec, carry, drown, threshold_scale, ms, deadzone,
               tns=False, nf=False):
         last = streaming.mdct_stream_flush(codec.mdct, carry)
-        return _quant(
-            codec, last, drown, threshold_scale, ms, deadzone, tns, nf
+        return codec.encode_frames(
+            last, drown, threshold_scale=threshold_scale, ms=ms,
+            deadzone=deadzone, tns=tns, nf=nf,
         )
 
     return step, flush
@@ -831,6 +841,9 @@ def _jit_decode_chunk():
     )
     def seek_carry(codec, codes, bark, tscale, ms, dzr, tns=None,
                    tns_bs=0, nfl=None, nf_bs=0, nf_seed=0, frame_offset=0):
+        """-> (overlap-add carry, previous chunk's last spectral frame).
+        The frame rides along so concealment of the chunk right AFTER a
+        seek can extrapolate from it instead of from silence."""
         mdct = codec.mdct
         prev = _dequant_frames(codec, codes, bark, tscale, ms, dzr,
                                tns, tns_bs, nfl, nf_bs, nf_seed,
@@ -839,7 +852,7 @@ def _jit_decode_chunk():
         if mdct.dense_inv_cur is not None:
             # dense mode carries the previous RAW spectral frame
             # (imdct_stream_step applies dense_inv_prev itself)
-            return yb[:, :, -1]
+            return yb[:, :, -1], prev
         # sparse mode carries the DCT of the previous frame
         from audiocodec_tpu.ops import dct as _dct
 
@@ -847,7 +860,7 @@ def _jit_decode_chunk():
             yb, mdct.dct_mat_inv, fast_bf16=mdct.fast_bf16,
             precision=mdct.dct_precision,
         )
-        return z[:, :, -1]
+        return z[:, :, -1], prev
 
     return step, conceal_step, seek_carry
 
@@ -891,42 +904,63 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
         tns_bs = int(tns_meta["band_start"]) if tns_meta else 0
         nf_meta = r.meta.get("nf")
         nf_bs = int(nf_meta["band_start"]) if nf_meta else 0
-        nf_seed = int(nf_meta["seed"]) if nf_meta else 0
+        # uint32 BEFORE the jit boundary: seeds in [2^31, 2^32) are legal
+        # wire values but overflow jit's Python-int argument parsing
+        # when x64 is off
+        nf_seed = np.uint32(nf_meta["seed"]) if nf_meta else np.uint32(0)
         import jax
         import jax.numpy as jnp
 
         def put_opt(t):
             return None if t is None else jax.device_put(t)
 
-        # global frame index of each chunk's first frame: the noise fill
-        # is keyed by it so mid-stream entry reproduces the exact noise
-        frame_off = (
-            sum(r.chunk_blocks(j) for j in range(start_chunk))
-            if (nf_meta and start_chunk) else 0
-        )
         n = r.meta["filters_n"]
         dtype = mdct.compute_dtype
         prev_frame = jnp.zeros((1, 1, n, ch), dtype)
 
-        def chunk_blocks_guess(i):
-            """Frame count for a chunk whose own header may be corrupt:
-            trust it when readable, else the stream's uniform body size
-            (every chunk but the flush has chunk_blocks frames)."""
-            try:
-                b = r.chunk_blocks(i)
-                if 0 < b <= self_size_cap:
-                    return b
-            except ValueError:
-                pass
-            for j in range(r.n_chunks):
-                if j != i:
+        _modal_cache = []
+
+        def _body_blocks():
+            """The stream's MODAL body-chunk size (encode_stream writes
+            uniform body chunks + a 1-frame flush) — never a single
+            chunk's own header, which corruption can set to any u32 (a
+            flipped field must not size a multi-gigabyte concealment
+            tensor or desync the fill's frame offsets)."""
+            if not _modal_cache:
+                seen: dict[int, int] = {}
+                for j in range(max(0, r.n_chunks - 1)):
                     try:
-                        return r.chunk_blocks(j)
+                        b = r.chunk_blocks(j)
                     except ValueError:
                         continue
-            return 1
+                    if 0 < b <= r._size:
+                        seen[b] = seen.get(b, 0) + 1
+                _modal_cache.append(
+                    max(seen, key=seen.get) if seen else 1
+                )
+            return _modal_cache[0]
 
-        self_size_cap = r._size  # blocks can never exceed the file bytes
+        def chunk_blocks_guess(i):
+            """Frame count to conceal for an unreadable chunk i: the
+            modal body size, or 1 for the flush chunk (always a single
+            frame by construction)."""
+            if i == r.n_chunks - 1:
+                return 1
+            return _body_blocks()
+
+        # global frame index of each chunk's first frame: the noise fill
+        # is keyed by it so mid-stream entry reproduces the exact noise.
+        # Under conceal the headers are untrusted (a header read alone
+        # cannot be CRC-verified), so the prefix sum uses the modal body
+        # size; without conceal, unreadable headers raise as usual.
+        frame_off = 0
+        if nf_meta and start_chunk:
+            if conceal:
+                frame_off = start_chunk * _body_blocks()
+            else:
+                frame_off = sum(
+                    r.chunk_blocks(j) for j in range(start_chunk)
+                )
         carry = streaming.imdct_stream_init(mdct, 1, ch)
         # One-deep read-ahead: host-side chunk parsing (Rice decode +
         # CRC) of chunk i+1 runs in a worker thread while the device
@@ -952,7 +986,7 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
             if status == "ok":
                 c = val
                 prev_off = frame_off - c.codes.shape[0]
-                carry = seek_carry(
+                carry, prev_frame = seek_carry(
                     codec, jax.device_put(c.codes), jax.device_put(c.bark),
                     tscale, ms, dzr, put_opt(c.tns), tns_bs,
                     put_opt(c.nfl), nf_bs, nf_seed, prev_off,

@@ -162,7 +162,10 @@ class CodecServer:
             kw = dict(
                 threshold_scale=tscale, dz_recon=dzr, tns_idx=tns,
                 tns_band_start=tns_bs or None, nf_levels=nfl,
-                nf_band_start=nf_bs or None, nf_seed=nf_seed,
+                # nf band_start 0 is a legal recorded value — pass it
+                # verbatim (no falsy-collapse to the codec default)
+                nf_band_start=None if nfl is None else nf_bs,
+                nf_seed=nf_seed,
             )
             if ms:
                 return c.decode_bitstream_ms(codes, bark, **kw)
@@ -314,7 +317,9 @@ class CodecServer:
                 tns_bs=meta["tns_band_start"],
                 nfl=None if nfl is None else jnp.asarray(nfl),
                 nf_bs=meta["nf_band_start"],
-                nf_seed=meta["nf_seed"],
+                # uint32 before the jit boundary: [2^31, 2^32) seeds are
+                # legal wire values but overflow jit's int parsing
+                nf_seed=np.uint32(meta["nf_seed"]),
             )
             n = self._codec.mdct.filters_n
             wave = np.asarray(wave.astype(jnp.float32))[

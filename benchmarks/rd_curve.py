@@ -170,8 +170,9 @@ def nf_sweep(codec, x, dur, args):
                 threshold_scale=res.threshold_scale,
                 dz_recon=meta["dz_recon"],
                 nf_levels=None if nfl is None else jnp.asarray(nfl),
-                nf_band_start=meta["nf_band_start"] or None,
-                nf_seed=meta["nf_seed"],
+                nf_band_start=(None if nfl is None
+                               else meta["nf_band_start"]),
+                nf_seed=np.uint32(meta["nf_seed"]),
             )[:, n:-n]
             ev = metrics.evaluate(codec, x, out)
             rows.append({

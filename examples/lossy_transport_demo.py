@@ -61,8 +61,13 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/audiocodec_tpu/jax"))
+    # the repo-shared cache (CLAUDE.md): cold compiles through the remote
+    # tunnel cost 30 s - minutes, and other entry points already populated it
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
     import jax.numpy as jnp
 
     from audiocodec_tpu import metrics

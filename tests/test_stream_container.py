@@ -216,6 +216,114 @@ class TestContainerRoundTrip:
         e2 = (out[:, 17 * n : 18 * n] ** 2).sum()
         assert e2 < e1  # still decaying through the second lost chunk
 
+    def test_conceal_bounds_corrupt_blocks_header(self, codec, signal,
+                                                  tmp_path):
+        """A corrupted per-chunk 'blocks' field is an untrusted u32; the
+        concealment path must size the synthesized chunk from the
+        stream's UNIFORM body size, never from the corrupt header (which
+        could demand a multi-gigabyte tensor)."""
+        import struct
+
+        path = str(tmp_path / "hb.acs")
+        sc.encode_stream(codec, signal, path, chunk_blocks=8)
+        clean = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
+        )
+        with sc.StreamReader(path) as r:
+            off = r._index[1]
+        with open(path, "r+b") as f:
+            f.seek(off)
+            f.write(struct.pack("<I", 5_000_000))  # absurd blocks field
+        out = np.concatenate(
+            [np.asarray(c)
+             for c in sc.decode_stream(codec, path, conceal=True)],
+            axis=1,
+        )
+        assert out.shape == clean.shape  # concealed at the body size
+        assert np.isfinite(out).all()
+
+    def test_conceal_seek_past_corrupt_prefix(self, codec, signal,
+                                              tmp_path):
+        """Seeking into an nf stream whose PREFIX holds a corrupt chunk
+        must still decode under conceal (the frame-offset prefix sum
+        falls back to the uniform body size)."""
+        import struct
+
+        path = str(tmp_path / "sp.acs")
+        sc.encode_stream(codec, signal, path, chunk_blocks=8, nf=True)
+        full = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
+        )
+        with sc.StreamReader(path) as r:
+            off = r._index[0]
+        with open(path, "r+b") as f:
+            f.seek(off)
+            f.write(struct.pack("<I", 7)) # wrong blocks -> payload fails
+        seek = np.concatenate(
+            [np.asarray(c)
+             for c in sc.decode_stream(codec, path, start_chunk=2,
+                                       conceal=True)],
+            axis=1,
+        )
+        # chunks >= 2 are untouched; the guarded prefix sum restores the
+        # exact global frame offsets, so the noise fill reproduces and
+        # the seek matches the clean full decode sample-exactly
+        np.testing.assert_allclose(
+            seek, full[:, -seek.shape[1]:], atol=1e-6
+        )
+
+    def test_conceal_after_seek_extrapolates_from_prev(self, codec,
+                                                       signal, tmp_path):
+        """When the first chunk AFTER a seek is lost, concealment must
+        extrapolate from the seek-primed previous frame, not silence."""
+        path = str(tmp_path / "cs.acs")
+        sc.encode_stream(codec, signal, path, chunk_blocks=8)
+        with sc.StreamReader(path) as r:
+            off = r._index[2]
+        with open(path, "r+b") as f:
+            f.seek(off + 12)
+            f.write(b"\xff\xff")
+        out = np.concatenate(
+            [np.asarray(c)
+             for c in sc.decode_stream(codec, path, start_chunk=2,
+                                       conceal=True)],
+            axis=1,
+        )
+        n = 64
+        # interior of the concealed first post-seek chunk is nonzero
+        assert np.abs(out[:, n : 7 * n]).max() > 1e-4
+
+    def test_corrupt_blocks_header_fails_crc(self, codec, signal,
+                                             tmp_path):
+        """hcrc streams chain the per-chunk header fields into the CRC:
+        a flipped blocks field must raise, not silently truncate the
+        decode (the payload bytes alone still checksum clean)."""
+        import struct
+
+        path = str(tmp_path / "hc.acs")
+        sc.encode_stream(codec, signal, path, chunk_blocks=8)
+        with sc.StreamReader(path) as r:
+            assert r.meta.get("hcrc") == 1
+            off = r._index[1]
+        with open(path, "r+b") as f:
+            f.seek(off)
+            f.write(struct.pack("<I", 7))  # plausible but wrong blocks
+        with sc.StreamReader(path) as r:
+            with pytest.raises(ValueError, match="CRC"):
+                r.read_chunk(1)
+
+    def test_nf_seed_above_int31_decodes(self, codec, signal, tmp_path):
+        """Seeds in [2^31, 2^32) are legal wire values and must decode
+        (they overflow jit's Python-int argument parsing unless the
+        decoder converts to uint32 first)."""
+        path = str(tmp_path / "bigseed.acs")
+        sc.encode_stream(codec, signal, path, chunk_blocks=8, nf=True,
+                         nf_seed=2**31 + 12345)
+        out = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
+        )
+        assert np.isfinite(out).all()
+
     def test_corrupt_trailer_rejected(self, codec, signal, tmp_path):
         """Implausible trailer fields must be a clean ValueError, not a
         multi-terabyte allocation or struct crash."""
