@@ -140,7 +140,18 @@ def cmd_encode(args):
                 "--chunk-blocks"
             )
         extra = ""
-        if args.kbps:
+        if args.kbps and getattr(args, "cbr", False):
+            n_chunks, scales, kbps = stream_container.encode_stream_cbr(
+                codec, x[:, :usable], args.output,
+                chunk_blocks=args.chunk_blocks,
+                target_kbps=args.kbps, drown=args.drown, ms=args.ms,
+                deadzone=dz, tns=args.tns, nf=args.nf,
+            )
+            extra = (
+                f", {kbps:.0f} kbit/s CBR, scales "
+                f"{min(scales):.2f}..{max(scales):.2f}"
+            )
+        elif args.kbps:
             n_chunks, tscale, kbps = (
                 stream_container.encode_stream_with_target_bitrate(
                     codec, x[:, :usable], args.output,
@@ -825,6 +836,13 @@ def main(argv=None) -> int:
             "--chunk-blocks", type=int, default=0,
             help="write a seekable .acs stream with this many MDCT blocks "
                  "per chunk (0 = monolithic .acz)",
+        )
+        p.add_argument(
+            "--cbr", action="store_true",
+            help="with --kbps and --chunk-blocks: constant bitrate — "
+                 "every chunk is rate-controlled to the target "
+                 "independently (one vmapped search) and carries its own "
+                 "scale, so the local rate never drifts with content",
         )
         p.add_argument(
             "--resample-to", type=int, default=0,

@@ -45,6 +45,7 @@ class Chunk(typing.NamedTuple):
     bark: np.ndarray  # bfloat16 [blocks, bark_n, C or 1 (ms)]
     tns: np.ndarray | None  # int8 [blocks, order, C]; None = no TNS
     nfl: np.ndarray | None  # uint8 [blocks, C]; None = no noise filling
+    tscale: float | None = None  # per-chunk rate scale (CBR streams)
 
 
 class StreamWriter:
@@ -56,7 +57,7 @@ class StreamWriter:
                  bark_precision: str = "highest", dz_recon: float = 0.0,
                  tns_order: int = 0, tns_band_start: int = 0,
                  nf: bool = False, nf_band_start: int = 0,
-                 nf_seed: int = 0):
+                 nf_seed: int = 0, cbr: bool = False):
         self.meta = {
             "sample_rate": int(sample_rate),
             "filters_n": int(filters_n),
@@ -118,17 +119,25 @@ class StreamWriter:
                 "band_start": int(nf_band_start),
                 "seed": int(nf_seed),
             }
+        if cbr:
+            # constant-bitrate mode: every chunk carries its OWN f64
+            # threshold scale (leading the chunk, CRC-covered); the
+            # header's threshold_scale becomes the fallback for readers
+            # of chunks that predate the flag (never written here)
+            self.meta["cbr"] = 1
         self._f = open(path, "wb")
         header = json.dumps(self.meta).encode()
         self._f.write(_MAGIC + struct.pack("<I", len(header)) + header)
         self._index = []
         self._closed = False
 
-    def append(self, codes, bark16, tns_idx=None, nf_levels=None) -> None:
+    def append(self, codes, bark16, tns_idx=None, nf_levels=None,
+               tscale=None) -> None:
         """Write one chunk: codes int32 [1, blocks, N, C] (or [blocks, N, C]),
         bark16 bfloat16 [1, blocks, bark_n, C] (or unbatched), for TNS
-        streams int8 reflection indices [1, blocks, order, C], and for
-        noise-filling streams uint8 levels [1, blocks, C]."""
+        streams int8 reflection indices [1, blocks, order, C], for
+        noise-filling streams uint8 levels [1, blocks, C], and for CBR
+        streams this chunk's threshold scale."""
         from audiocodec_tpu import native
 
         codes = np.asarray(codes)
@@ -151,6 +160,14 @@ class StreamWriter:
                 "chunk noise-fill levels must be passed exactly when the "
                 "stream header declares nf"
             )
+        cbr = self.meta.get("cbr")
+        if (cbr is not None) != (tscale is not None):
+            raise ValueError(
+                "chunk threshold scale must be passed exactly when the "
+                "stream header declares cbr"
+            )
+        if cbr is not None and not 0 < float(tscale) < 2**32:
+            raise ValueError(f"chunk threshold scale out of range: {tscale}")
         enc = (
             native.rrice_encode
             if self.meta["coder"] == "rrice"
@@ -186,13 +203,19 @@ class StreamWriter:
                     f"({blocks}, {codes.shape[-1]})"
                 )
             nfl_bytes = zlib.compress(lv.tobytes(), 6)
-        # the CRC covers the HEADER FIELDS too (hcrc streams): a flipped
-        # blocks/length field must fail loudly, not silently truncate
+        # the CRC covers the HEADER FIELDS too (hcrc streams), chained in
+        # FILE ORDER: a flipped scale/blocks/length field must fail
+        # loudly, not silently truncate or rescale the decode
         hdr_codes = struct.pack("<II", blocks, len(code_bytes))
         hdr_bark = struct.pack("<I", len(bark_bytes))
-        crc = zlib.crc32(code_bytes, zlib.crc32(hdr_codes))
-        crc = zlib.crc32(bark_bytes, zlib.crc32(hdr_bark, crc))
+        crc = 0
         self._index.append(self._f.tell())
+        if cbr is not None:
+            ts_bytes = struct.pack("<d", float(tscale))
+            crc = zlib.crc32(ts_bytes, crc)
+            self._f.write(ts_bytes)
+        crc = zlib.crc32(code_bytes, zlib.crc32(hdr_codes, crc))
+        crc = zlib.crc32(bark_bytes, zlib.crc32(hdr_bark, crc))
         self._f.write(hdr_codes)
         self._f.write(code_bytes)
         self._f.write(hdr_bark)
@@ -324,6 +347,8 @@ class StreamReader:
                     f"stream header nf={nf!r} out of bounds — corrupt "
                     "stream"
                 )
+        if not isinstance(m.get("cbr", 0), (int, bool)):
+            raise ValueError("stream header cbr must be a flag")
 
     @property
     def n_chunks(self) -> int:
@@ -332,7 +357,9 @@ class StreamReader:
     def chunk_blocks(self, i: int) -> int:
         """Number of spectral frames in chunk i (header read only)."""
         self._check_index(i)
-        self._f.seek(self._index[i])
+        # CBR chunks lead with their f64 threshold scale
+        off = 8 if self.meta.get("cbr") else 0
+        self._f.seek(self._index[i] + off)
         (blocks,) = struct.unpack("<I", self._read_exact(4, i))
         return blocks
 
@@ -356,6 +383,19 @@ class StreamReader:
         self._check_index(i)
         self._f.seek(self._index[i])
         hcrc = bool(self.meta.get("hcrc"))
+        want = 0
+        tscale = None
+        if self.meta.get("cbr"):
+            ts_bytes = self._read_exact(8, i)
+            (tscale,) = struct.unpack("<d", ts_bytes)
+            want = zlib.crc32(ts_bytes, want)
+            import math as _math
+
+            if not (_math.isfinite(tscale) and 0 < tscale < 2**32):
+                raise ValueError(
+                    f"chunk {i} threshold scale {tscale!r} out of bounds "
+                    "— corrupt stream"
+                )
         hdr_codes = self._read_exact(8, i)
         blocks, clen = struct.unpack("<II", hdr_codes)
         # length fields come from the (potentially corrupt) file: bound
@@ -372,7 +412,7 @@ class StreamReader:
         # flipped blocks/length field fails HERE instead of silently
         # truncating the decode (payload-only CRCs cannot see it)
         want = zlib.crc32(code_bytes,
-                          zlib.crc32(hdr_codes) if hcrc else 0)
+                          zlib.crc32(hdr_codes, want) if hcrc else want)
         want = zlib.crc32(
             bark_bytes, zlib.crc32(hdr_bark, want) if hcrc else want
         )
@@ -478,7 +518,7 @@ class StreamReader:
                     f"expected {want_n} — corrupt stream"
                 )
             nfl = np.frombuffer(raw, dtype=np.uint8).reshape(blocks, ch)
-        return Chunk(codes, bark, tns, nfl)
+        return Chunk(codes, bark, tns, nfl, tscale)
 
     def close(self) -> None:
         self._f.close()
@@ -559,6 +599,11 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
     (``threshold_scale``), both persisted in the header.
 
     :param x: [1, samples, channels], samples a multiple of chunk_blocks*N.
+    :param threshold_scale: ONE float applies stream-globally (the header
+        records it); a SEQUENCE of floats — one per body chunk — writes a
+        CBR stream where every chunk carries its own scale on the wire
+        (the flush frame reuses the last chunk's). See
+        :func:`encode_stream_cbr` for the search that produces them.
     :param deadzone: zero-bin half-width for the quantizer (0.5 = plain
         rounding); its reconstruction offset rides the header as ``dzr``.
     :param tns: temporal noise shaping (tns.py). Per-frame, so chunking
@@ -602,6 +647,16 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
     dz_recon = (
         _quantize.dz_recon_offset(deadzone) if deadzone != 0.5 else 0.0
     )
+    cbr = np.ndim(threshold_scale) > 0 or isinstance(
+        threshold_scale, (list, tuple)
+    )
+    if cbr:
+        scales = [float(v) for v in np.asarray(threshold_scale).ravel()]
+        if len(scales) != s // chunk:
+            raise ValueError(
+                f"per-chunk threshold_scale needs one value per body "
+                f"chunk ({s // chunk}), got {len(scales)}"
+            )
     with StreamWriter(
         path,
         sample_rate=codec.psycho.sample_rate,
@@ -612,7 +667,7 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         channels=c,
         compute_dtype=str(jnp.dtype(mdct.compute_dtype)),
         ms=ms,
-        threshold_scale=threshold_scale,
+        threshold_scale=1.0 if cbr else threshold_scale,
         bark_precision=codec.psycho.bark_precision,
         dz_recon=dz_recon,
         tns_order=_tns_mod.ORDER if tns else 0,
@@ -620,6 +675,7 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         nf=nf,
         nf_band_start=codec.nf_band_start if nf else 0,
         nf_seed=nf_seed if nf else 0,
+        cbr=cbr,
     ) as w:
         step, flush = _encode_chunk_fns()
         carry = streaming.mdct_stream_init(mdct, 1, c)
@@ -628,18 +684,21 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         # coding and device compute overlap instead of strictly
         # alternating. Append order is unchanged.
         pending = None
-        for start in range(0, s, chunk):
+        for k, start in enumerate(range(0, s, chunk)):
+            ts_k = scales[k] if cbr else threshold_scale
             carry, codes, bark16, tns_idx, nfl = step(
                 codec, carry, x[:, start : start + chunk], drown,
-                threshold_scale, ms, deadzone, tns, nf,
+                ts_k, ms, deadzone, tns, nf,
             )
             if pending is not None:
                 w.append(*pending)
-            pending = (codes, bark16, tns_idx, nfl)
+            pending = (codes, bark16, tns_idx, nfl,
+                       ts_k if cbr else None)
         if pending is not None:
             w.append(*pending)
-        w.append(*flush(codec, carry, drown, threshold_scale, ms, deadzone,
-                        tns, nf))
+        ts_last = scales[-1] if cbr else threshold_scale
+        w.append(*flush(codec, carry, drown, ts_last, ms, deadzone,
+                        tns, nf), tscale=ts_last if cbr else None)
         n_chunks = len(w._index)
     return n_chunks
 
@@ -750,6 +809,94 @@ def encode_stream_with_target_bitrate(
     else:
         scale, kbps, n_chunks = best
     return n_chunks, scale, kbps
+
+
+def encode_stream_cbr(
+    codec, x, path: str, chunk_blocks: int = 256, *,
+    target_kbps: float, drown=0.0, ms: bool = False,
+    tolerance: float = 0.05, trials_per_round: int = 8,
+    deadzone="auto", tns: bool = False, nf: bool = False,
+):
+    """Constant-bitrate stream encode: EVERY chunk is rate-controlled to
+    its per-chunk share of the target in ONE vmapped batch search (each
+    chunk is a clip of rate.encode_with_target_bitrate_batch — the whole
+    stream's trials are two or three device passes regardless of
+    length), then the stream is written with per-chunk scales on the
+    wire (the ``cbr`` format). Unlike the stream-global search
+    (:func:`encode_stream_with_target_bitrate` — ABR), the local rate
+    cannot drift with content: a loud chorus and a quiet verse spend the
+    same bits per second, trading VBR's global quality allocation for
+    transport-bounded chunks.
+
+    The search encodes each chunk as an INDEPENDENT clip; the shipped
+    stream uses the streaming MDCT (one carried boundary frame), so a
+    chunk's final size can differ from its searched size by roughly one
+    frame's worth of codes — within ``tolerance`` for real chunk sizes.
+
+    :return: (n_chunks, per-chunk scales list, measured whole-file kbps).
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    from audiocodec_tpu import rate as _rate
+
+    n = codec.mdct.filters_n
+    chunk = chunk_blocks * n
+    b, s, c = x.shape
+    if b != 1:
+        raise ValueError("encode_stream_cbr takes a single clip")
+    if s % chunk != 0 or s == 0:
+        raise ValueError(f"samples {s} must be a multiple of {chunk}")
+    n_body = s // chunk
+    sr = codec.psycho.sample_rate
+    chunk_seconds = chunk / sr
+    # fixed per-chunk framing: 8 B scale + 16 B headers/CRC + 8 B index
+    # (+4 B per optional member length), plus the stream header amortized
+    overhead_bytes = 32 + (4 if tns else 0) + (4 if nf else 0)
+    overhead_kbps = (overhead_bytes + 350 / max(n_body, 1)) * 8 / (
+        chunk_seconds * 1000
+    )
+    payload_target = max(0.5, target_kbps - overhead_kbps)
+
+    z = _rate.resolve_deadzone(deadzone, target_kbps, c, sr)
+    chunks_x = jnp.reshape(x[0], (n_body, chunk, c))
+    # the search measures packed .acz sizes whose FIXED container
+    # overhead (~350 B of meta members) is enormous relative to a
+    # sub-second chunk; measure it once with an all-zero pack of the
+    # right shape and aim the search above the payload target by
+    # exactly that, or every chunk lands systematically coarse
+    import numpy as _np
+
+    from audiocodec_tpu.io import bitstream as _bitstream
+
+    import ml_dtypes
+
+    blocks_per_clip = chunk_blocks + 1
+    empty = _bitstream.pack(
+        _np.zeros((1, blocks_per_clip, n, c), _np.int32),
+        _np.zeros(
+            (1, blocks_per_clip, codec.psycho.bark_bands_n,
+             1 if ms else c), ml_dtypes.bfloat16,
+        ),
+        sample_rate=sr, filters_n=n,
+        bark_bands_n=codec.psycho.bark_bands_n,
+        alpha=codec.psycho.alpha, window_type=codec.mdct.window_type,
+        ms=ms,
+    )
+    acz_overhead_kbps = len(empty) * 8 / chunk_seconds / 1000
+    results = _rate.encode_with_target_bitrate_batch(
+        codec, chunks_x, payload_target + acz_overhead_kbps, drown=drown,
+        tolerance=tolerance, trials_per_round=trials_per_round,
+        ms=ms, deadzone=z, tns=tns,
+    )
+    scales = [r.threshold_scale for r in results]
+    n_chunks = encode_stream(
+        codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
+        threshold_scale=scales, deadzone=z, tns=tns, nf=nf,
+    )
+    kbps = os.path.getsize(path) * 8 / (s / sr) / 1000
+    return n_chunks, scales, kbps
 
 
 def _dequant_frames(codec, codes, bark, tscale, ms, dzr=0.0,
@@ -988,7 +1135,8 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
                 prev_off = frame_off - c.codes.shape[0]
                 carry, prev_frame = seek_carry(
                     codec, jax.device_put(c.codes), jax.device_put(c.bark),
-                    tscale, ms, dzr, put_opt(c.tns), tns_bs,
+                    tscale if c.tscale is None else c.tscale,
+                    ms, dzr, put_opt(c.tns), tns_bs,
                     put_opt(c.nfl), nf_bs, nf_seed, prev_off,
                 )
             # else: prime with silence; recovery at start_chunk
@@ -1017,11 +1165,13 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
                     continue
                 c = val
                 # explicit puts: jit's implicit numpy transfer is ~30x
-                # slower on remote-attached backends (measured)
+                # slower on remote-attached backends (measured); the
+                # CBR per-chunk scale is a traced scalar (no recompiles)
                 carry, samples, prev_frame = step(
                     codec, carry, jax.device_put(c.codes),
                     jax.device_put(c.bark),
-                    tscale, ms, dzr, put_opt(c.tns), tns_bs,
+                    tscale if c.tscale is None else c.tscale,
+                    ms, dzr, put_opt(c.tns), tns_bs,
                     put_opt(c.nfl), nf_bs, nf_seed, frame_off,
                 )
                 frame_off += c.codes.shape[0]

@@ -370,6 +370,113 @@ def stereo_signal():
     return jnp.asarray(np.clip(wave, -1, 1)[None])
 
 
+class TestCBR:
+    """Constant-bitrate streams: per-chunk scales on the wire."""
+
+    def _loud_quiet(self, chunks=6, chunk_blocks=8, n=64):
+        rng = np.random.default_rng(3)
+        s = chunks * chunk_blocks * n
+        t = np.arange(s) / 8000.0
+        x = 0.4 * np.sin(2 * np.pi * 440 * t)
+        x += 0.05 * rng.standard_normal(s)
+        x[s // 2 :] *= 0.05
+        return jnp.asarray(x.astype(np.float32)[None, :, None])
+
+    def test_round_trip_and_seek(self, codec, tmp_path):
+        x = self._loud_quiet()
+        path = str(tmp_path / "c.acs")
+        n_chunks, scales, kbps = sc.encode_stream_cbr(
+            codec, x, path, chunk_blocks=8, target_kbps=48.0
+        )
+        assert n_chunks == 7 and len(scales) == 6
+        with sc.StreamReader(path) as r:
+            assert r.meta["cbr"] == 1
+            chunk = r.read_chunk(0)
+            assert chunk.tscale == scales[0]
+            assert r.chunk_blocks(0) == 8  # header read skips the scale
+        full = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
+        )
+        assert np.isfinite(full).all()
+        seek = np.concatenate(
+            [np.asarray(c)
+             for c in sc.decode_stream(codec, path, start_chunk=3)],
+            axis=1,
+        )
+        np.testing.assert_allclose(seek, full[:, -seek.shape[1]:],
+                                   atol=1e-6)
+
+    def test_scales_adapt_to_content(self, codec, tmp_path):
+        """The dense and silent halves must not share one scale (that is
+        the whole point over the stream-global ABR search)."""
+        rng = np.random.default_rng(4)
+        s = 6 * 8 * 64
+        x = np.zeros(s, np.float32)
+        x[: s // 2] = np.clip(
+            0.6 * rng.standard_normal(s // 2), -1, 1
+        )  # bit-hungry broadband
+        x = jnp.asarray(x[None, :, None])
+        path = str(tmp_path / "ad.acs")
+        _, scales, _ = sc.encode_stream_cbr(
+            codec, x, path, chunk_blocks=8, target_kbps=24.0
+        )
+        assert len(set(round(v, 6) for v in scales)) > 1
+        # silence needs no coarsening; broadband at a low target does
+        assert min(scales[:3]) > max(scales[3:]) or max(scales) > min(
+            scales
+        )
+
+    def test_per_chunk_scale_list_contract(self, codec, signal, tmp_path):
+        with pytest.raises(ValueError, match="one value per body chunk"):
+            sc.encode_stream(codec, signal, str(tmp_path / "x.acs"),
+                             chunk_blocks=8, threshold_scale=[1.0, 2.0])
+        # writer-level contract: tscale exactly when the header says cbr
+        w = sc.StreamWriter(
+            str(tmp_path / "w.acs"), sample_rate=44100, filters_n=64,
+            bark_bands_n=16, alpha=0.6, window_type="vorbis", channels=1,
+            cbr=True,
+        )
+        codes = np.zeros((4, 64, 1), np.int32)
+        bark = np.zeros((4, 16, 1), np.float32).astype(jnp.bfloat16)
+        with pytest.raises(ValueError, match="threshold scale"):
+            w.append(codes, bark)
+        w.append(codes, bark, tscale=2.0)
+        w.close()
+
+    def test_corrupt_scale_field_fails_crc(self, codec, signal, tmp_path):
+        import struct
+
+        path = str(tmp_path / "cs.acs")
+        sc.encode_stream(codec, signal, path, chunk_blocks=8,
+                         threshold_scale=[2.0, 2.0, 2.0])
+        with sc.StreamReader(path) as r:
+            off = r._index[1]
+        with open(path, "r+b") as f:
+            f.seek(off)
+            f.write(struct.pack("<d", 512.0))  # legal value, wrong CRC
+        with sc.StreamReader(path) as r:
+            r.read_chunk(0)
+            with pytest.raises(ValueError, match="CRC"):
+                r.read_chunk(1)
+
+    def test_matches_global_scale_stream(self, codec, signal, tmp_path):
+        """A CBR stream whose chunks all carry scale s decodes
+        bit-identically to the stream-global scale-s stream."""
+        pa = str(tmp_path / "g.acs")
+        pb = str(tmp_path / "p.acs")
+        sc.encode_stream(codec, signal, pa, chunk_blocks=8,
+                         threshold_scale=3.0)
+        sc.encode_stream(codec, signal, pb, chunk_blocks=8,
+                         threshold_scale=[3.0, 3.0, 3.0])
+        a = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, pa)], axis=1
+        )
+        b = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, pb)], axis=1
+        )
+        np.testing.assert_array_equal(a, b)
+
+
 class TestStreamFeatureParity:
     """.acs carries everything .acz does: joint stereo + rate control
     (VERDICT r1 #5 — BASELINE config 5 is an hour of stereo streaming)."""
