@@ -885,17 +885,35 @@ def encode_stream_cbr(
         ms=ms,
     )
     acz_overhead_kbps = len(empty) * 8 / chunk_seconds / 1000
-    results = _rate.encode_with_target_bitrate_batch(
-        codec, chunks_x, payload_target + acz_overhead_kbps, drown=drown,
-        tolerance=tolerance, trials_per_round=trials_per_round,
-        ms=ms, deadzone=z, tns=tns,
-    )
-    scales = [r.threshold_scale for r in results]
-    n_chunks = encode_stream(
-        codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
-        threshold_scale=scales, deadzone=z, tns=tns, nf=nf,
-    )
-    kbps = os.path.getsize(path) * 8 / (s / sr) / 1000
+
+    def search_and_encode(per_chunk_target):
+        results = _rate.encode_with_target_bitrate_batch(
+            codec, chunks_x, per_chunk_target + acz_overhead_kbps,
+            drown=drown, tolerance=tolerance,
+            trials_per_round=trials_per_round,
+            ms=ms, deadzone=z, tns=tns,
+        )
+        sc_list = [r.threshold_scale for r in results]
+        n_ch = encode_stream(
+            codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
+            threshold_scale=sc_list, deadzone=z, tns=tns, nf=nf,
+        )
+        return n_ch, sc_list, os.path.getsize(path) * 8 / (s / sr) / 1000
+
+    # first pass, then up to two corrective re-searches: the per-chunk
+    # trials measure independent .acz clips, whose size maps to the
+    # shipped streaming chunks with a small systematic bias (container
+    # vs framing overhead, boundary frames) — rescaling the per-chunk
+    # target by the measured ratio removes it, mirroring the ABR path's
+    # secant correction
+    per_chunk_target = payload_target
+    n_chunks, scales, kbps = search_and_encode(per_chunk_target)
+    for _ in range(2):
+        if abs(kbps - target_kbps) <= tolerance * target_kbps:
+            break
+        ratio = max(kbps - overhead_kbps, 0.25) / per_chunk_target
+        per_chunk_target = max(0.5, payload_target / max(ratio, 1e-3))
+        n_chunks, scales, kbps = search_and_encode(per_chunk_target)
     return n_chunks, scales, kbps
 
 
