@@ -125,7 +125,14 @@ class StreamWriter:
             # header's threshold_scale becomes the fallback for readers
             # of chunks that predate the flag (never written here)
             self.meta["cbr"] = 1
-        self._f = open(path, "wb")
+        if isinstance(path, (str, bytes)):
+            self._f = open(path, "wb")
+            self._owns_file = True
+        else:
+            # file-like sink (e.g. BytesIO): the streaming server builds
+            # byte-exact .acs fragments through the SAME writer
+            self._f = path
+            self._owns_file = False
         header = json.dumps(self.meta).encode()
         self._f.write(_MAGIC + struct.pack("<I", len(header)) + header)
         self._index = []
@@ -238,7 +245,8 @@ class StreamWriter:
         index_off = self._f.tell()
         self._f.write(struct.pack(f"<{len(self._index)}Q", *self._index))
         self._f.write(struct.pack("<QQ", len(self._index), index_off))
-        self._f.close()
+        if self._owns_file:
+            self._f.close()
         self._closed = True
 
     def __enter__(self):

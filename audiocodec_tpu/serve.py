@@ -35,8 +35,24 @@ Protocol (length-prefixed binary over TCP or a Unix socket):
   opcode 'D': payload = .acz bytes      -> WAV (16-bit PCM) bytes
   opcode 'Q': payload ignored           -> JSON stats line
 
+Streaming sessions (connection-scoped, low-latency — bypass the batch
+queue; at most one active session per connection):
+
+  opcode 'B': payload = JSON config {channels, chunk_blocks,
+              threshold_scale, ms, deadzone, tns, nf}
+                                        -> the exact .acs header bytes
+  opcode 'C': payload = one chunk of float32-LE interleaved PCM
+              (chunk_blocks * N * channels samples)
+                                        -> the exact .acs chunk bytes
+  opcode 'F': payload ignored           -> flush chunk + index/trailer
+
+Concatenating the 'B'/'C'/'F' responses IS a valid .acs file — the
+session runs the same StreamWriter and jitted streaming-MDCT step as
+offline encode_stream, so the bytes are identical to encoding the
+concatenated PCM in one call.
+
 Clients: :func:`request` (one-shot) or :class:`Client` (persistent
-connection, many requests).
+connection, many requests, begin_stream/feed/finish_stream).
 """
 
 from __future__ import annotations
@@ -141,6 +157,7 @@ class CodecServer:
         self.stats = {
             "encode_requests": 0, "encode_batches": 0,
             "decode_requests": 0, "errors": 0,
+            "stream_sessions": 0, "stream_chunks": 0,
         }
         n = codec.mdct.filters_n
 
@@ -242,6 +259,7 @@ class CodecServer:
             t.start()
 
     def _serve_conn(self, conn):
+        session = None
         try:
             conn.settimeout(None)
             while not self._stop.is_set():
@@ -259,6 +277,42 @@ class CodecServer:
                 elif op == ord("D"):
                     status, resp = self._decode_one(payload)
                     _write_frame(conn, status, resp)
+                elif op == ord("B"):
+                    if session is not None:
+                        _write_frame(
+                            conn, 1, b"a stream session is already active"
+                        )
+                        continue
+                    try:
+                        session = _StreamSession(self, payload)
+                        with self._lock:
+                            self.stats["stream_sessions"] += 1
+                        _write_frame(conn, 0, session.take_bytes())
+                    except Exception as e:  # bad config -> error frame
+                        session = None
+                        _write_frame(conn, 1, str(e).encode())
+                elif op == ord("C"):
+                    if session is None:
+                        _write_frame(conn, 1, b"no active stream session")
+                        continue
+                    try:
+                        chunk = session.feed(payload)
+                        with self._lock:
+                            self.stats["stream_chunks"] += 1
+                        _write_frame(conn, 0, chunk)
+                    except Exception as e:
+                        _write_frame(conn, 1, str(e).encode())
+                elif op == ord("F"):
+                    if session is None:
+                        _write_frame(conn, 1, b"no active stream session")
+                        continue
+                    try:
+                        tail = session.finish()
+                        session = None
+                        _write_frame(conn, 0, tail)
+                    except Exception as e:
+                        session = None
+                        _write_frame(conn, 1, str(e).encode())
                 elif op == ord("Q"):
                     with self._lock:
                         blob = json.dumps(self.stats).encode()
@@ -422,6 +476,110 @@ class CodecServer:
             req.finish(1, str(e).encode())
 
 
+class _StreamSession:
+    """Connection-scoped streaming encode: the SAME StreamWriter and
+    jitted streaming-MDCT step as offline encode_stream, writing into a
+    BytesIO whose per-call deltas are the protocol responses — so the
+    concatenated responses are byte-identical to the offline .acs."""
+
+    def __init__(self, server, cfg_payload: bytes):
+        import io as _io
+
+        from audiocodec_tpu import quantize as _q
+        from audiocodec_tpu import streaming as _streaming
+        from audiocodec_tpu import tns as _tns_mod
+        from audiocodec_tpu.io import stream_container as _sc
+
+        cfg = json.loads(cfg_payload.decode() or "{}")
+        if not isinstance(cfg, dict):
+            raise ValueError("stream config must be a JSON object")
+        codec = server._codec
+        n = codec.mdct.filters_n
+        self.channels = int(cfg.get("channels", 1))
+        if not 1 <= self.channels <= 64:
+            raise ValueError(f"channels out of range: {self.channels}")
+        self.chunk_blocks = int(cfg.get("chunk_blocks", 64))
+        if not 1 <= self.chunk_blocks <= 1 << 16:
+            raise ValueError(
+                f"chunk_blocks out of range: {self.chunk_blocks}"
+            )
+        self.ms = bool(cfg.get("ms", False))
+        if self.ms and self.channels != 2:
+            raise ValueError("ms coding needs exactly 2 channels")
+        self.tscale = float(cfg.get("threshold_scale", 1.0))
+        if not 0 < self.tscale < 2**32:
+            raise ValueError(f"threshold_scale out of range: {self.tscale}")
+        self.deadzone = float(cfg.get("deadzone", 0.5))
+        if not 0.5 <= self.deadzone <= 2.0:
+            raise ValueError(f"deadzone out of range: {self.deadzone}")
+        self.tns = bool(cfg.get("tns", False))
+        self.nf = bool(cfg.get("nf", False))
+        self._codec = codec
+        self._buf = _io.BytesIO()
+        self._sent = 0
+        self._writer = _sc.StreamWriter(
+            self._buf,
+            sample_rate=server._rate,
+            filters_n=n,
+            bark_bands_n=codec.psycho.bark_bands_n,
+            alpha=codec.psycho.alpha,
+            window_type=codec.mdct.window_type,
+            channels=self.channels,
+            compute_dtype=str(jnp.dtype(codec.mdct.compute_dtype)),
+            ms=self.ms,
+            threshold_scale=self.tscale,
+            bark_precision=codec.psycho.bark_precision,
+            dz_recon=(
+                _q.dz_recon_offset(self.deadzone)
+                if self.deadzone != 0.5 else 0.0
+            ),
+            tns_order=_tns_mod.ORDER if self.tns else 0,
+            tns_band_start=codec.tns_band_start if self.tns else 0,
+            nf=self.nf,
+            nf_band_start=codec.nf_band_start if self.nf else 0,
+            nf_seed=int(cfg.get("nf_seed", 0)),
+        )
+        self._carry = _streaming.mdct_stream_init(
+            codec.mdct, 1, self.channels
+        )
+        self._step, self._flush = _sc._encode_chunk_fns()
+        self._samples = self.chunk_blocks * n
+
+    def take_bytes(self) -> bytes:
+        data = self._buf.getvalue()
+        out = data[self._sent:]
+        self._sent = len(data)
+        return out
+
+    def feed(self, payload: bytes) -> bytes:
+        want = self._samples * self.channels * 4
+        if len(payload) != want:
+            raise ValueError(
+                f"chunk payload must be {want} bytes of float32 PCM "
+                f"({self._samples} samples x {self.channels} ch), got "
+                f"{len(payload)}"
+            )
+        pcm = np.frombuffer(payload, "<f4").reshape(
+            1, self._samples, self.channels
+        )
+        x = jnp.asarray(pcm, dtype=self._codec.mdct.compute_dtype)
+        self._carry, codes, bark16, tns_idx, nfl = self._step(
+            self._codec, self._carry, x, 0.0, self.tscale, self.ms,
+            self.deadzone, self.tns, self.nf,
+        )
+        self._writer.append(codes, bark16, tns_idx, nfl)
+        return self.take_bytes()
+
+    def finish(self) -> bytes:
+        out = self._flush(
+            self._codec, self._carry, 0.0, self.tscale, self.ms,
+            self.deadzone, self.tns, self.nf,
+        )
+        self._writer.append(*out)
+        self._writer.close()
+        return self.take_bytes()
+
+
 class Client:
     """Persistent-connection client for :class:`CodecServer`."""
 
@@ -448,6 +606,24 @@ class Client:
     def decode(self, acz_bytes: bytes) -> bytes:
         """.acz container bytes -> WAV (16-bit PCM) blob."""
         return self._call("D", acz_bytes)
+
+    def begin_stream(self, **cfg) -> bytes:
+        """Open a streaming encode session; returns the .acs header
+        bytes. Config keys: channels, chunk_blocks, threshold_scale,
+        ms, deadzone, tns, nf, nf_seed."""
+        return self._call("B", json.dumps(cfg).encode())
+
+    def feed(self, pcm) -> bytes:
+        """One chunk of audio (float32 array [samples, channels] or raw
+        little-endian float32 bytes) -> the .acs chunk bytes."""
+        if not isinstance(pcm, (bytes, bytearray)):
+            pcm = np.ascontiguousarray(pcm, dtype="<f4").tobytes()
+        return self._call("C", bytes(pcm))
+
+    def finish_stream(self) -> bytes:
+        """Close the session; returns the flush chunk + index/trailer.
+        header + chunks + this tail concatenated = a valid .acs file."""
+        return self._call("F", b"")
 
     def stats(self) -> dict:
         return json.loads(self._call("Q", b""))

@@ -208,6 +208,77 @@ class TestDecodeHonorsContainerMeta:
                 c.decode(evil)
 
 
+class TestStreamingSessions:
+    def test_session_bytes_equal_offline_acs(self, codec, server,
+                                             tmp_path):
+        """header + chunk + ... + tail from a session must be BYTE-
+        identical to offline encode_stream of the concatenated PCM."""
+        from audiocodec_tpu.io import stream_container as sc
+
+        rng = np.random.default_rng(9)
+        chunks = 4
+        x = (0.3 * rng.standard_normal((1, chunks * 8 * N, 1))).astype(
+            np.float32
+        )
+        parts = []
+        with serve.Client(port=server.port) as c:
+            parts.append(c.begin_stream(channels=1, chunk_blocks=8,
+                                        nf=True))
+            for k in range(chunks):
+                parts.append(c.feed(x[0, k * 8 * N : (k + 1) * 8 * N]))
+            parts.append(c.finish_stream())
+        streamed = b"".join(parts)
+
+        offline = str(tmp_path / "off.acs")
+        sc.encode_stream(codec, jnp.asarray(x), offline, chunk_blocks=8,
+                         nf=True)
+        assert streamed == open(offline, "rb").read()
+
+    def test_session_protocol_errors(self, server):
+        with serve.Client(port=server.port) as c:
+            with pytest.raises(RuntimeError, match="no active"):
+                c.feed(b"\x00" * 16)
+            with pytest.raises(RuntimeError, match="no active"):
+                c.finish_stream()
+            c.begin_stream(channels=1, chunk_blocks=4)
+            with pytest.raises(RuntimeError, match="already active"):
+                c.begin_stream(channels=1, chunk_blocks=4)
+            with pytest.raises(RuntimeError, match="float32 PCM"):
+                c.feed(b"\x00" * 16)  # wrong size
+            # the session survives a bad chunk and still finishes
+            c.feed(np.zeros((4 * N, 1), np.float32))
+            tail = c.finish_stream()
+            assert len(tail) > 0
+            # a normal request still works on the same connection
+            blob, _ = _wav_blob(blocks=4)
+            assert len(c.encode(blob)) > 0
+
+    def test_concurrent_sessions_are_per_connection(self, server):
+        rng = np.random.default_rng(11)
+        pcm = [
+            (0.3 * rng.standard_normal((4 * N, 1))).astype(np.float32)
+            for _ in range(2)
+        ]
+        with serve.Client(port=server.port) as a, \
+                serve.Client(port=server.port) as b:
+            ha = a.begin_stream(channels=1, chunk_blocks=4)
+            hb = b.begin_stream(channels=1, chunk_blocks=4)
+            ca = a.feed(pcm[0])
+            cb = b.feed(pcm[1])
+            ta = a.finish_stream()
+            tb = b.finish_stream()
+        # both sessions produce decodable, independent streams
+        from audiocodec_tpu.io import stream_container as sc
+
+        import tempfile
+        for parts in ((ha, ca, ta), (hb, cb, tb)):
+            f = tempfile.NamedTemporaryFile(suffix=".acs", delete=False)
+            f.write(b"".join(parts))
+            f.close()
+            with sc.StreamReader(f.name) as r:
+                assert r.n_chunks == 2
+
+
 class TestServingErrors:
     def test_error_keeps_connection_alive(self, server):
         with serve.Client(port=server.port) as c:
