@@ -259,11 +259,19 @@ class StreamWriter:
 class StreamReader:
     """Random or sequential access to an .acs stream."""
 
-    def __init__(self, path: str):
+    def __init__(self, path):
         import os
 
-        self._f = open(path, "rb")
-        self._size = os.fstat(self._f.fileno()).st_size
+        if isinstance(path, (str, bytes)):
+            self._f = open(path, "rb")
+            self._size = os.fstat(self._f.fileno()).st_size
+        else:
+            # file-like source (e.g. BytesIO of a network-assembled
+            # stream): seekable with a known end
+            self._f = path
+            self._f.seek(0, 2)
+            self._size = self._f.tell()
+            self._f.seek(0)
         magic = self._f.read(4)
         if magic != _MAGIC:
             raise ValueError(f"not an ACS stream (magic {magic!r})")

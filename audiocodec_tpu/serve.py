@@ -51,6 +51,16 @@ session runs the same StreamWriter and jitted streaming-MDCT step as
 offline encode_stream, so the bytes are identical to encoding the
 concatenated PCM in one call.
 
+The decode mirror (live transcode of chunks arriving off the wire):
+
+  opcode 'J': payload = .acs header bytes -> JSON stream meta
+  opcode 'K': payload = one chunk's bytes -> float32-LE PCM
+  opcode 'L': payload ignored             -> final overlap-add tail
+
+'K' re-frames each chunk as a one-chunk stream through the same
+StreamReader (CRC checks included) and the same jitted step as offline
+decode_stream — sample-identical output.
+
 Clients: :func:`request` (one-shot) or :class:`Client` (persistent
 connection, many requests, begin_stream/feed/finish_stream).
 """
@@ -260,6 +270,7 @@ class CodecServer:
 
     def _serve_conn(self, conn):
         session = None
+        dsession = None
         try:
             conn.settimeout(None)
             while not self._stop.is_set():
@@ -312,6 +323,48 @@ class CodecServer:
                         _write_frame(conn, 0, tail)
                     except Exception as e:
                         session = None
+                        _write_frame(conn, 1, str(e).encode())
+                elif op == ord("J"):
+                    if dsession is not None:
+                        _write_frame(
+                            conn, 1, b"a decode session is already active"
+                        )
+                        continue
+                    try:
+                        dsession = _DecodeSession(self, payload)
+                        with self._lock:
+                            self.stats["stream_sessions"] += 1
+                        _write_frame(
+                            conn, 0, json.dumps(dsession._meta).encode()
+                        )
+                    except Exception as e:
+                        dsession = None
+                        _write_frame(conn, 1, str(e).encode())
+                elif op == ord("K"):
+                    if dsession is None:
+                        _write_frame(
+                            conn, 1, b"no active decode session"
+                        )
+                        continue
+                    try:
+                        pcm = dsession.feed(payload)
+                        with self._lock:
+                            self.stats["stream_chunks"] += 1
+                        _write_frame(conn, 0, pcm)
+                    except Exception as e:
+                        _write_frame(conn, 1, str(e).encode())
+                elif op == ord("L"):
+                    if dsession is None:
+                        _write_frame(
+                            conn, 1, b"no active decode session"
+                        )
+                        continue
+                    try:
+                        pcm = dsession.finish()
+                        dsession = None
+                        _write_frame(conn, 0, pcm)
+                    except Exception as e:
+                        dsession = None
                         _write_frame(conn, 1, str(e).encode())
                 elif op == ord("Q"):
                     with self._lock:
@@ -580,6 +633,107 @@ class _StreamSession:
         return self.take_bytes()
 
 
+class _DecodeSession:
+    """Connection-scoped streaming decode: the mirror of
+    :class:`_StreamSession`. The client sends the .acs header once, then
+    raw chunk bytes as they arrive off the wire; each response is that
+    chunk's float32 PCM. Every chunk is re-framed as a one-chunk stream
+    and parsed by the SAME StreamReader (CRC checks included), and the
+    sample path is the same jitted step as offline decode_stream."""
+
+    def __init__(self, server, header_bytes: bytes):
+        import io as _io
+        import struct as _struct
+
+        from audiocodec_tpu import streaming as _streaming
+        from audiocodec_tpu.io import stream_container as _sc
+
+        if len(header_bytes) > 1 << 20:
+            raise ValueError("stream header too large")
+        # zero-chunk mini stream validates magic + meta via StreamReader
+        empty = header_bytes + _struct.pack("<QQ", 0, len(header_bytes))
+        r = _sc.StreamReader(_io.BytesIO(empty))
+        meta = r.meta
+        r.close()
+        codec = server._codec
+        my = server._meta
+        mine = (server._rate, codec.mdct.filters_n, my["bark_bands_n"],
+                my["compute_dtype"], my["bark_precision"],
+                my["window_type"])
+        theirs = (meta["sample_rate"], meta["filters_n"],
+                  meta["bark_bands_n"], meta["compute_dtype"],
+                  meta["bark_precision"], meta["window_type"])
+        if mine != theirs:
+            raise ValueError(
+                f"stream was encoded with a different codec config "
+                f"{theirs} than this server serves {mine}"
+            )
+        self._codec = codec
+        self._header = header_bytes
+        self._meta = meta
+        self._ch = meta["channels"]
+        self._ms = bool(meta.get("ms", False))
+        self._tscale = float(meta.get("threshold_scale", 1.0))
+        self._dzr = float(meta.get("dzr", 0.0))
+        tns_meta = meta.get("tns")
+        self._tns_bs = int(tns_meta["band_start"]) if tns_meta else 0
+        nf_meta = meta.get("nf")
+        self._nf_bs = int(nf_meta["band_start"]) if nf_meta else 0
+        self._nf_seed = np.uint32(nf_meta["seed"]) if nf_meta else (
+            np.uint32(0)
+        )
+        self._frame_off = 0
+        self._carry = _streaming.imdct_stream_init(
+            codec.mdct, 1, self._ch
+        )
+        self._step, _, _ = _sc._decode_chunk_fns()
+        self._sc = _sc
+
+    def feed(self, chunk_bytes: bytes) -> bytes:
+        import io as _io
+        import struct as _struct
+
+        if len(chunk_bytes) > _MAX_PAYLOAD:
+            raise ValueError("chunk too large")
+        mini = (
+            self._header + chunk_bytes
+            + _struct.pack("<Q", len(self._header))
+            + _struct.pack(
+                "<QQ", 1, len(self._header) + len(chunk_bytes)
+            )
+        )
+        r = self._sc.StreamReader(_io.BytesIO(mini))
+        try:
+            c = r.read_chunk(0)
+        finally:
+            r.close()
+
+        def put_opt(t):
+            return None if t is None else jax.device_put(t)
+
+        self._carry, samples, _ = self._step(
+            self._codec, self._carry, jax.device_put(c.codes),
+            jax.device_put(c.bark),
+            self._tscale if c.tscale is None else c.tscale,
+            self._ms, self._dzr, put_opt(c.tns), self._tns_bs,
+            put_opt(c.nfl), self._nf_bs, self._nf_seed, self._frame_off,
+        )
+        self._frame_off += c.codes.shape[0]
+        return np.ascontiguousarray(
+            np.asarray(samples.astype(jnp.float32))[0], dtype="<f4"
+        ).tobytes()
+
+    def finish(self) -> bytes:
+        from audiocodec_tpu import streaming as _streaming
+
+        tail = _streaming.imdct_stream_flush(
+            self._codec.mdct, self._carry
+        )
+        return np.ascontiguousarray(
+            np.asarray(tail.astype(jnp.float32))[0], dtype="<f4"
+        ).tobytes()
+
+
 class Client:
     """Persistent-connection client for :class:`CodecServer`."""
 
@@ -624,6 +778,24 @@ class Client:
         """Close the session; returns the flush chunk + index/trailer.
         header + chunks + this tail concatenated = a valid .acs file."""
         return self._call("F", b"")
+
+    def begin_decode_stream(self, header_bytes: bytes) -> dict:
+        """Open a streaming decode session from an .acs header; returns
+        the stream's meta (sample_rate, channels, ...)."""
+        meta = json.loads(self._call("J", header_bytes))
+        self._dec_ch = int(meta["channels"])
+        return meta
+
+    def feed_chunk(self, chunk_bytes: bytes) -> np.ndarray:
+        """One .acs chunk's raw bytes -> that chunk's float32 PCM
+        [samples, channels]."""
+        raw = self._call("K", chunk_bytes)
+        return np.frombuffer(raw, "<f4").reshape(-1, self._dec_ch)
+
+    def finish_decode_stream(self) -> np.ndarray:
+        """Close the decode session; returns the final overlap-add tail."""
+        raw = self._call("L", b"")
+        return np.frombuffer(raw, "<f4").reshape(-1, self._dec_ch)
 
     def stats(self) -> dict:
         return json.loads(self._call("Q", b""))

@@ -253,6 +253,65 @@ class TestStreamingSessions:
             blob, _ = _wav_blob(blocks=4)
             assert len(c.encode(blob)) > 0
 
+    def test_decode_session_matches_offline(self, codec, server,
+                                            tmp_path):
+        """Feeding a real .acs file's chunks through a decode session
+        reproduces offline decode_stream sample-exactly."""
+        from audiocodec_tpu.io import stream_container as sc
+
+        rng = np.random.default_rng(13)
+        x = (0.3 * rng.standard_normal((1, 4 * 8 * N, 1))).astype(
+            np.float32
+        )
+        path = str(tmp_path / "d.acs")
+        sc.encode_stream(codec, jnp.asarray(x), path, chunk_blocks=8,
+                         nf=True, threshold_scale=2.0)
+        raw = open(path, "rb").read()
+        with sc.StreamReader(path) as r:
+            offs = list(r._index)
+            hdr = raw[: offs[0]]
+            ends = offs[1:] + [None]
+        offline = np.concatenate(
+            [np.asarray(c.astype(jnp.float32))
+             for c in sc.decode_stream(codec, path)], axis=1
+        )[0]
+        with serve.Client(port=server.port) as c:
+            meta = c.begin_decode_stream(hdr)
+            assert meta["channels"] == 1
+            parts = []
+            for off, end in zip(offs, ends):
+                end = end if end is not None else None
+                chunk_bytes = raw[off:end] if end else None
+                if chunk_bytes is None:
+                    # last chunk runs to the index; find it from meta
+                    import struct as _struct
+
+                    (n_chunks, index_off) = _struct.unpack(
+                        "<QQ", raw[-16:]
+                    )
+                    chunk_bytes = raw[off:index_off]
+                parts.append(c.feed_chunk(chunk_bytes))
+            parts.append(c.finish_decode_stream())
+        streamed = np.concatenate(parts, axis=0)
+        np.testing.assert_array_equal(streamed, offline)
+
+    def test_decode_session_rejects_mismatched_header(self, server):
+        import json as _json
+        import struct as _struct
+
+        hdr_meta = {
+            "sample_rate": 8000, "filters_n": N, "bark_bands_n": 16,
+            "alpha": 0.6, "window_type": "vorbis", "channels": 1,
+            "compute_dtype": "float32", "ms": False,
+            "threshold_scale": 1.0, "bark_precision": "highest",
+            "coder": "rrice", "hcrc": 1,
+        }
+        blob = _json.dumps(hdr_meta).encode()
+        hdr = b"ACS1" + _struct.pack("<I", len(blob)) + blob
+        with serve.Client(port=server.port) as c:
+            with pytest.raises(RuntimeError, match="different codec"):
+                c.begin_decode_stream(hdr)
+
     def test_concurrent_sessions_are_per_connection(self, server):
         rng = np.random.default_rng(11)
         pcm = [
