@@ -1017,6 +1017,44 @@ def _jit_decode_chunk():
         )
         return carry, samples, frames[:, -1:]
 
+    @jax.jit
+    def conceal_interp_step(codec, carry, prev_frame, next_frame,
+                            weights, chunk_idx):
+        """Interpolative concealment: when the NEXT chunk is already in
+        hand (the decode read-ahead), synthesize the lost chunk as a
+        per-bin ENERGY crossfade between the neighboring good frames —
+        sqrt((1-w)·prev² + w·next²) with scrambled signs — so the
+        spectral envelope morphs into what actually follows instead of
+        fading to silence and slamming back. ``weights`` [blocks] ramps
+        0→1 across the lost chunk."""
+        blocks = weights.shape[0]
+        key = jax.random.fold_in(jax.random.key(0x7F4A7C15), chunk_idx)
+        signs = jax.random.rademacher(
+            key, (1, blocks) + prev_frame.shape[2:], prev_frame.dtype
+        )
+        w = weights[None, :, None, None]
+        mag = jnp.sqrt(
+            (1.0 - w) * jnp.square(prev_frame) + w * jnp.square(next_frame)
+        )
+        frames = mag * signs
+        carry, samples = streaming.imdct_stream_step(
+            codec.mdct, carry, frames
+        )
+        return carry, samples, frames[:, -1:]
+
+    @functools.partial(
+        jax.jit, static_argnames=("ms", "dzr", "tns_bs", "nf_bs")
+    )
+    def first_frame(codec, codes, bark, tscale, ms, dzr, tns=None,
+                    tns_bs=0, nfl=None, nf_bs=0, nf_seed=0,
+                    frame_offset=0):
+        """First dequantized spectral frame of a chunk — the 'next good
+        frame' for interpolative concealment (the chunk itself is
+        decoded again on the following iteration)."""
+        return _dequant_frames(codec, codes, bark, tscale, ms, dzr,
+                               tns, tns_bs, nfl, nf_bs, nf_seed,
+                               frame_offset)[:, :1]
+
     @functools.partial(
         jax.jit, static_argnames=("ms", "dzr", "tns_bs", "nf_bs")
     )
@@ -1043,7 +1081,7 @@ def _jit_decode_chunk():
         )
         return z[:, :, -1], prev
 
-    return step, conceal_step, seek_carry
+    return step, conceal_step, conceal_interp_step, first_frame, seek_carry
 
 
 _DECODE_CHUNK = None
@@ -1075,7 +1113,8 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
     from audiocodec_tpu import streaming
 
     mdct = codec.mdct
-    step, conceal_step, seek_carry = _decode_chunk_fns()
+    (step, conceal_step, conceal_interp_step, first_frame,
+     seek_carry) = _decode_chunk_fns()
     with StreamReader(path) as r:
         ch = r.meta["channels"]
         ms = bool(r.meta.get("ms", False))
@@ -1188,12 +1227,37 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
                         raise val
                     with io_lock:
                         blocks = chunk_blocks_guess(i)
-                    decay_pows = jnp.asarray(
-                        conceal_decay ** np.arange(1, blocks + 1), dtype
-                    )
-                    carry, samples, prev_frame = conceal_step(
-                        codec, carry, prev_frame, decay_pows, i
-                    )
+                    nxt = None
+                    if i + 1 < r.n_chunks:
+                        n_status, n_val = fut.result()  # peek read-ahead
+                        if n_status == "ok":
+                            nxt = n_val
+                    if nxt is not None:
+                        # both neighbors in hand: morph the spectral
+                        # envelope into what actually follows instead of
+                        # fading to silence and slamming back
+                        nfr = first_frame(
+                            codec, jax.device_put(nxt.codes),
+                            jax.device_put(nxt.bark),
+                            tscale if nxt.tscale is None else nxt.tscale,
+                            ms, dzr, put_opt(nxt.tns), tns_bs,
+                            put_opt(nxt.nfl), nf_bs, nf_seed,
+                            frame_off + blocks,
+                        )
+                        weights = jnp.asarray(
+                            np.arange(1, blocks + 1) / (blocks + 1), dtype
+                        )
+                        carry, samples, prev_frame = conceal_interp_step(
+                            codec, carry, prev_frame, nfr, weights, i
+                        )
+                    else:
+                        decay_pows = jnp.asarray(
+                            conceal_decay ** np.arange(1, blocks + 1),
+                            dtype,
+                        )
+                        carry, samples, prev_frame = conceal_step(
+                            codec, carry, prev_frame, decay_pows, i
+                        )
                     frame_off += blocks
                     yield samples
                     continue

@@ -686,7 +686,7 @@ class _DecodeSession:
         self._carry = _streaming.imdct_stream_init(
             codec.mdct, 1, self._ch
         )
-        self._step, _, _ = _sc._decode_chunk_fns()
+        self._step = _sc._decode_chunk_fns()[0]
         self._sc = _sc
 
     def feed(self, chunk_bytes: bytes) -> bytes:

@@ -193,6 +193,34 @@ class TestContainerRoundTrip:
             for _ in sc.decode_stream(codec, path):
                 pass
 
+    def test_interpolative_concealment_keeps_energy(self, codec, signal,
+                                                    tmp_path):
+        """With BOTH neighbors readable (the usual single-loss case),
+        concealment interpolates the spectral envelope instead of
+        fading toward silence: on stationary content the concealed
+        region keeps most of the signal's energy (a decay-only fill
+        of 0.8^k would retain ~18% mean power)."""
+        path = str(tmp_path / "ik.acs")
+        sc.encode_stream(codec, signal, path, chunk_blocks=8)
+        clean = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
+        )
+        with sc.StreamReader(path) as r:
+            off = r._index[1]
+        with open(path, "r+b") as f:
+            f.seek(off + 12)
+            f.write(b"\xff\xff")
+        out = np.concatenate(
+            [np.asarray(c)
+             for c in sc.decode_stream(codec, path, conceal=True)],
+            axis=1,
+        )
+        n = 64
+        lost = out[:, 9 * n : 15 * n]  # interior of the concealed chunk
+        ref = clean[:, 9 * n : 15 * n]
+        ratio = float((lost**2).sum() / (ref**2).sum())
+        assert 0.5 < ratio < 2.0, ratio
+
     def test_concealment_consecutive_losses_decay(self, codec, signal,
                                                   tmp_path):
         """Two corrupt chunks in a row keep fading — a long outage decays
