@@ -452,6 +452,48 @@ class TestCorruptAcz:
         with pytest.raises(ValueError, match="filters_n"):
             bitstream.unpack(data)
 
+    @staticmethod
+    def _valid_nf():
+        import jax.numpy as jnp
+
+        codes = np.zeros((1, 2, 64, 1), np.int32)
+        codes[0, 0, 32, 0] = 1
+        bark = jnp.full((1, 2, 16, 1), 0.5, jnp.bfloat16)
+        nfl = np.full((1, 2, 1), 100, np.uint8)
+        return bitstream.pack(
+            codes, bark, sample_rate=16000, filters_n=64, bark_bands_n=16,
+            alpha=0.6, window_type="vorbis", nf_levels=nfl,
+            nf_band_start=4, nf_seed=7,
+        )
+
+    def test_tampered_nfmeta_rejected(self):
+        data = self._tamper(
+            self._valid_nf(),
+            nfmeta=np.asarray([4096, 7], dtype=np.int64),  # bs >= N
+        )
+        with pytest.raises(ValueError, match="nfl|nfmeta"):
+            bitstream.unpack(data)
+        data = self._tamper(
+            self._valid_nf(),
+            nfmeta=np.asarray([4, -1], dtype=np.int64),  # negative seed
+        )
+        with pytest.raises(ValueError, match="nfl|nfmeta"):
+            bitstream.unpack(data)
+
+    def test_tampered_nfl_shape_rejected(self):
+        data = self._tamper(
+            self._valid_nf(),
+            nfl=np.zeros((1, 99, 1), np.uint8),  # blocks mismatch
+        )
+        with pytest.raises(ValueError, match="nfl"):
+            bitstream.unpack(data)
+        data = self._tamper(
+            self._valid_nf(),
+            nfl=np.zeros((1, 2, 1), np.int32),  # wrong dtype
+        )
+        with pytest.raises(ValueError, match="nfl"):
+            bitstream.unpack(data)
+
     @pytest.mark.parametrize(
         "member", ["meta", "window", "alphaw", "tscale", "barkprec", "shape"]
     )
