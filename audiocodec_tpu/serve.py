@@ -169,6 +169,9 @@ class CodecServer:
             "decode_requests": 0, "errors": 0,
             "stream_sessions": 0, "stream_chunks": 0,
         }
+        # EMA latencies (ms) per op family, alpha=1/16 — enough to spot
+        # a regressing path from the 'Q' stats line without a profiler
+        self._lat = {}
         n = codec.mdct.filters_n
 
         @jax.jit
@@ -216,6 +219,15 @@ class CodecServer:
         )
 
     # -- lifecycle ---------------------------------------------------
+
+    def _note_latency(self, kind: str, seconds: float) -> None:
+        with self._lock:
+            prev = self._lat.get(kind)
+            ms = seconds * 1e3
+            self._lat[kind] = (
+                ms if prev is None else prev + (ms - prev) / 16
+            )
+            self.stats[f"{kind}_ema_ms"] = round(self._lat[kind], 2)
 
     def start(self):
         if self._unix:
@@ -282,11 +294,15 @@ class CodecServer:
                     req = _Request(payload)
                     with self._lock:
                         self.stats["encode_requests"] += 1
+                    t0 = time.monotonic()
                     self._encode_q.put(req)
                     req.event.wait()
+                    self._note_latency("encode", time.monotonic() - t0)
                     _write_frame(conn, req.status, req.response)
                 elif op == ord("D"):
+                    t0 = time.monotonic()
                     status, resp = self._decode_one(payload)
+                    self._note_latency("decode", time.monotonic() - t0)
                     _write_frame(conn, status, resp)
                 elif op == ord("B"):
                     if session is not None:
@@ -307,7 +323,11 @@ class CodecServer:
                         _write_frame(conn, 1, b"no active stream session")
                         continue
                     try:
+                        t0 = time.monotonic()
                         chunk = session.feed(payload)
+                        self._note_latency(
+                            "stream_chunk", time.monotonic() - t0
+                        )
                         with self._lock:
                             self.stats["stream_chunks"] += 1
                         _write_frame(conn, 0, chunk)
@@ -347,7 +367,11 @@ class CodecServer:
                         )
                         continue
                     try:
+                        t0 = time.monotonic()
                         pcm = dsession.feed(payload)
+                        self._note_latency(
+                            "stream_chunk", time.monotonic() - t0
+                        )
                         with self._lock:
                             self.stats["stream_chunks"] += 1
                         _write_frame(conn, 0, pcm)
