@@ -296,6 +296,12 @@ def cmd_eval(args):
     )
     result["samples"] = common
     result["sample_rate"] = rrate
+    result["lufs_ref"] = round(
+        metrics.loudness_lufs(ref[:, :common], rrate), 2
+    )
+    result["lufs_deg"] = round(
+        metrics.loudness_lufs(deg[:, :common], rrate), 2
+    )
     if args.json:
         print(_json.dumps(result))
     else:
@@ -306,6 +312,8 @@ def cmd_eval(args):
         print(f"  NMR:            {result['nmr_db']:8.2f} dB "
               f"(mean sq ratio {result['nmr']:.4f}; < 0 dB means the "
               "error mostly hides under the masking threshold)")
+        print(f"  loudness:       {result['lufs_deg']:8.2f} LUFS "
+              f"(reference {result['lufs_ref']:.2f}; BS.1770 integrated)")
     return 0
 
 

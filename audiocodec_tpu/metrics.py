@@ -76,6 +76,107 @@ def nmr_db(codec: Codec, ref: jax.Array, deg: jax.Array) -> jax.Array:
     return 10.0 * jnp.log10(jnp.maximum(nmr(codec, ref, deg), 1e-30))
 
 
+def _k_weighting_coeffs(sample_rate: float):
+    """BS.1770 K-weighting as two biquads at an arbitrary sample rate.
+
+    The standard tabulates 48 kHz coefficients; any other rate needs the
+    analog prototypes re-discretized (the pre-warped bilinear transform
+    below — the same redesign pyloudnorm/ffmpeg use). Stage 1 is a
+    +4 dB high shelf (head diffraction), stage 2 the RLB high-pass.
+    Host-side float64 precompute, like every constant here."""
+    def shelf(fc, gain_db, q, fs):
+        k = np.tan(np.pi * fc / fs)
+        vh = 10.0 ** (gain_db / 20.0)
+        vb = vh ** 0.4996667741545416
+        a0 = 1.0 + k / q + k * k
+        b = np.array([
+            (vh + vb * k / q + k * k) / a0,
+            2.0 * (k * k - vh) / a0,
+            (vh - vb * k / q + k * k) / a0,
+        ])
+        a = np.array([
+            1.0, 2.0 * (k * k - 1.0) / a0, (1.0 - k / q + k * k) / a0
+        ])
+        return b, a
+
+    def highpass(fc, q, fs):
+        k = np.tan(np.pi * fc / fs)
+        a0 = 1.0 + k / q + k * k
+        b = np.array([1.0, -2.0, 1.0]) / a0
+        a = np.array([
+            1.0, 2.0 * (k * k - 1.0) / a0, (1.0 - k / q + k * k) / a0
+        ])
+        return b, a
+
+    b1, a1 = shelf(1681.974450955533, 3.999843853973347,
+                   0.7071752369554196, sample_rate)
+    b2, a2 = highpass(38.13547087602444, 0.5003270373238773, sample_rate)
+    return (b1, a1), (b2, a2)
+
+
+def _biquad(x: jax.Array, b, a) -> jax.Array:
+    """Direct-form-II-transposed biquad along axis 1 of [B, samples, C]
+    (a lax.scan carrying two states per lane — metric path, not the
+    codec hot path)."""
+    b = jnp.asarray(b, x.dtype)
+    a = jnp.asarray(a, x.dtype)
+    xt = jnp.moveaxis(x, 1, 0)  # [S, B, C]
+
+    def step(state, xn):
+        z1, z2 = state
+        yn = b[0] * xn + z1
+        z1n = b[1] * xn - a[1] * yn + z2
+        z2n = b[2] * xn - a[2] * yn
+        return (z1n, z2n), yn
+
+    zeros = jnp.zeros_like(xt[0])
+    _, y = jax.lax.scan(step, (zeros, zeros), xt, unroll=8)
+    return jnp.moveaxis(y, 0, 1)
+
+
+def loudness_lufs(x: jax.Array, sample_rate: int) -> float:
+    """Integrated loudness (LUFS) per ITU-R BS.1770-4 / EBU R128.
+
+    K-weighting (shelf + RLB high-pass, re-discretized for the given
+    rate), 400 ms blocks with 75 % overlap, −70 LUFS absolute gate, then
+    a −10 LU relative gate. Channels are summed with unit weights
+    (correct for mono/stereo; surround side-channel weighting is out of
+    scope). Calibration: a full-scale 997 Hz sine reads −3.0 LUFS.
+
+    :param x: [B, samples, C] float waveform in [−1, 1].
+    :return: integrated loudness of the batch's first clip, as a float.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    (b1, a1), (b2, a2) = _k_weighting_coeffs(float(sample_rate))
+    z = _biquad(_biquad(x, b1, a1), b2, a2)
+    block = max(1, int(round(0.400 * sample_rate)))
+    step = max(1, block // 4)  # 75% overlap
+    s = z.shape[1]
+    if s < block:
+        block = s
+        step = s
+    n_blocks = 1 + (s - block) // step
+    starts = np.arange(n_blocks) * step
+    # power per block, channels summed with unit weights
+    idx = starts[:, None] + np.arange(block)[None, :]
+    zb = z[0][idx]  # [n_blocks, block, C]
+    # l_j = -0.691 + 10 log10( sum_ch mean_t z^2 ) — unit channel weights
+    power = jnp.maximum(
+        jnp.sum(jnp.mean(zb**2, axis=1), axis=-1), 1e-12
+    )
+    l_blocks = -0.691 + 10.0 * jnp.log10(power)
+    abs_mask = l_blocks > -70.0
+    p_abs = jnp.sum(jnp.where(abs_mask, power, 0.0)) / jnp.maximum(
+        jnp.sum(abs_mask), 1
+    )
+    rel_gate = -0.691 + 10.0 * jnp.log10(jnp.maximum(p_abs, 1e-12)) - 10.0
+    mask = abs_mask & (l_blocks > rel_gate)
+    p_int = jnp.sum(jnp.where(mask, power, 0.0)) / jnp.maximum(
+        jnp.sum(mask), 1
+    )
+    return float(-0.691 + 10.0 * jnp.log10(jnp.maximum(p_int, 1e-12)))
+
+
 @jax.jit
 def _evaluate_jit(codec, ref, deg):
     return {

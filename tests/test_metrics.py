@@ -150,3 +150,73 @@ class TestEvalCommand:
         assert cli.main(
             ["eval", a, b, "--filters-n", "256", "--bark-bands-n", "32"]
         ) == 1
+
+
+class TestLoudness:
+    """BS.1770 integrated loudness (metrics.loudness_lufs)."""
+
+    def test_full_scale_sine_calibration(self):
+        # the standard's calibration point: a full-scale 997 Hz sine
+        # reads -3.01 LUFS (the -0.691 offset exists to make it so)
+        sr = 48000
+        t = np.arange(sr * 2) / sr
+        x = np.sin(2 * np.pi * 997 * t).astype(np.float32)[None, :, None]
+        assert abs(metrics.loudness_lufs(x, sr) - (-3.01)) < 0.15
+
+    def test_level_tracks_gain(self):
+        sr = 48000
+        t = np.arange(sr * 2) / sr
+        x = np.sin(2 * np.pi * 997 * t).astype(np.float32)[None, :, None]
+        a = metrics.loudness_lufs(0.5 * x, sr)
+        b = metrics.loudness_lufs(0.25 * x, sr)
+        assert abs((a - b) - 6.02) < 0.1
+
+    def test_rate_independent(self):
+        for sr in (44100, 48000, 16000):
+            t = np.arange(sr * 2) / sr
+            x = (0.3 * np.sin(2 * np.pi * 997 * t)).astype(
+                np.float32
+            )[None, :, None]
+            got = metrics.loudness_lufs(x, sr)
+            assert abs(got - (-13.45)) < 0.2, (sr, got)
+
+    def test_gating_ignores_silence(self):
+        sr = 48000
+        t = np.arange(sr * 2) / sr
+        tone = (0.3 * np.sin(2 * np.pi * 997 * t)).astype(
+            np.float32
+        )[None, :, None]
+        padded = np.concatenate([tone, np.zeros_like(tone)], axis=1)
+        solo = metrics.loudness_lufs(tone, sr)
+        gated = metrics.loudness_lufs(padded, sr)
+        # ungated mean power would read 3 dB lower; the gate keeps it
+        assert abs(gated - solo) < 0.5
+
+    def test_k_weighting_highpass(self):
+        # deep bass counts far less than mid frequencies at equal power
+        sr = 48000
+        t = np.arange(sr * 2) / sr
+        mid = (0.3 * np.sin(2 * np.pi * 997 * t)).astype(
+            np.float32
+        )[None, :, None]
+        bass = (0.3 * np.sin(2 * np.pi * 25 * t)).astype(
+            np.float32
+        )[None, :, None]
+        # the RLB high-pass (f0=38 Hz, Q=0.5) attenuates 25 Hz by
+        # ~10.5 dB per the standard's own response
+        diff = metrics.loudness_lufs(mid, sr) - metrics.loudness_lufs(
+            bass, sr
+        )
+        assert 8.0 < diff < 14.0, diff
+
+    def test_stereo_sums_channels(self):
+        sr = 48000
+        t = np.arange(sr * 2) / sr
+        mono = (0.3 * np.sin(2 * np.pi * 997 * t)).astype(
+            np.float32
+        )[None, :, None]
+        stereo = np.repeat(mono, 2, axis=2)
+        assert abs(
+            metrics.loudness_lufs(stereo, sr)
+            - metrics.loudness_lufs(mono, sr) - 3.01
+        ) < 0.1
