@@ -84,6 +84,26 @@ def _maybe_resample(data, rate, target_rate, zeros=16):
     return out, target_rate
 
 
+def _maybe_normalize(wave, rate, target_lufs):
+    """Gain the decoded audio to ``target_lufs`` integrated loudness
+    (BS.1770), with a peak guard at -1 dBFS. 0/None = no-op."""
+    if not target_lufs:
+        return wave
+    import numpy as np
+
+    from audiocodec_tpu import metrics
+
+    measured = metrics.loudness_lufs(wave, rate)
+    gain = 10.0 ** ((float(target_lufs) - measured) / 20.0)
+    peak = float(np.abs(wave).max()) * gain
+    limit = 10.0 ** (-1.0 / 20.0)
+    if peak > limit:  # never clip: cap the gain at -1 dBFS true peak
+        gain *= limit / peak
+    print(f"loudness: {measured:.2f} LUFS -> target {target_lufs:.2f} "
+          f"(gain {20*np.log10(gain):+.2f} dB)")
+    return (wave * gain).astype(wave.dtype)
+
+
 def _slice_window(wave, rate, start, duration):
     """Trim decoded audio to [start, start+duration) seconds.
 
@@ -399,6 +419,9 @@ def cmd_decode(args):
     wave, out_rate = _maybe_resample(
         wave, meta["sample_rate"], args.resample_to
     )
+    wave = _maybe_normalize(
+        wave, out_rate, getattr(args, "normalize_lufs", 0.0)
+    )
     native.write_wav(args.output, wave, out_rate)
     print(
         f"{args.input} -> {args.output}: {wave.shape[1]} samples @ "
@@ -523,6 +546,9 @@ def _decode_stream(args):
         if pos >= s1:
             break
     wave, out_rate = _maybe_resample(wave, sr, args.resample_to)
+    wave = _maybe_normalize(
+        wave, out_rate, getattr(args, "normalize_lufs", 0.0)
+    )
     native.write_wav(args.output, wave, out_rate)
     window = f" [{s0 / sr:.3f}s..{s1 / sr:.3f}s]" if (s0 or s1 < total) else ""
     print(
@@ -882,6 +908,12 @@ def main(argv=None) -> int:
     p.add_argument(
         "--duration", type=float, default=0.0,
         help="decode at most this many seconds (0 = to the end)",
+    )
+    p.add_argument(
+        "--normalize-lufs", type=float, default=0.0,
+        help="gain the decoded audio to this integrated loudness "
+             "(BS.1770 LUFS, e.g. -16), peak-guarded at -1 dBFS "
+             "(0 = off)",
     )
     p.add_argument(
         "--conceal", action="store_true",
