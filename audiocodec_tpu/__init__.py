@@ -5,15 +5,19 @@ psychoacoustic masking model), redesigned TPU-first. See SURVEY.md for the
 structural analysis of the reference and README.md for the design.
 """
 
-from audiocodec_tpu.codec import Codec
+from audiocodec_tpu.codec import Codec, EncodedFrames
 from audiocodec_tpu.mdct import MDCT
 from audiocodec_tpu.psycho import PsychoacousticModel
 from audiocodec_tpu.resample import Resampler
+from audiocodec_tpu import metrics
+from audiocodec_tpu import nf
 from audiocodec_tpu import quantize
+from audiocodec_tpu import tns
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "Codec", "MDCT", "PsychoacousticModel", "Resampler", "quantize",
+    "Codec", "EncodedFrames", "MDCT", "PsychoacousticModel", "Resampler",
+    "metrics", "nf", "quantize", "tns",
     "__version__",
 ]

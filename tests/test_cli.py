@@ -829,3 +829,27 @@ class TestDecodeWindow:
             cli.main(
                 ["decode", acs, str(tmp_path / "x.wav"), "--start", "999"]
             )
+
+
+class TestNormalizeLufs:
+    def test_decode_normalizes_to_target(self, tmp_path, wav_file):
+        from audiocodec_tpu import metrics, native
+
+        wav_path, x, rate = wav_file
+        acz = str(tmp_path / "n.acz")
+        out = str(tmp_path / "n.wav")
+        assert cli.main(["encode", wav_path, acz, "--filters-n", "256"]) == 0
+        assert cli.main(
+            ["decode", acz, out, "--normalize-lufs", "-20"]
+        ) == 0
+        wave, r = native.decode_wav(out)
+        got = metrics.loudness_lufs(wave, r)
+        # exact unless the -1 dBFS peak guard engaged; either way the
+        # output must not be louder than the target
+        assert got <= -19.5
+        plain = str(tmp_path / "p.wav")
+        assert cli.main(["decode", acz, plain]) == 0
+        pw, _ = native.decode_wav(plain)
+        assert abs(got - metrics.loudness_lufs(pw, r)) > 0.5 or (
+            abs(got - (-20.0)) < 0.5
+        )
