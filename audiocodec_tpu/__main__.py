@@ -488,25 +488,16 @@ def _decode_stream(args):
     conceal = getattr(args, "conceal", False)
     with stream_container.StreamReader(args.input) as r:
         ch = r.meta["channels"]
-        raw = []
-        for i in range(r.n_chunks):
-            try:
-                raw.append(r.chunk_blocks(i))
-            except ValueError:
-                if not conceal:
-                    raise
-                raw.append(None)
         if conceal:
             # mirror decode_stream's conceal geometry exactly: modal
             # body size for every body chunk, one flush frame — chunk
             # headers are unverifiable on their own, and a concealed
             # chunk is synthesized at the modal size regardless of what
             # its (possibly corrupt) header claims
-            body = [b for b in raw[:-1] if b is not None]
-            modal = max(set(body), key=body.count) if body else 1
-            cb = [modal] * (len(raw) - 1) + [1] if raw else []
+            modal = stream_container.modal_body_blocks(r)
+            cb = [modal] * (r.n_chunks - 1) + [1] if r.n_chunks else []
         else:
-            cb = raw
+            cb = [r.chunk_blocks(i) for i in range(r.n_chunks)]
     total_blocks = sum(cb)
     total = (total_blocks - 1) * n  # decoded samples after the pad trim
     start = float(getattr(args, "start", 0.0) or 0.0)

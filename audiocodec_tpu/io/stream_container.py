@@ -265,13 +265,16 @@ class StreamReader:
         if isinstance(path, (str, bytes)):
             self._f = open(path, "rb")
             self._size = os.fstat(self._f.fileno()).st_size
+            self._owns_file = True
         else:
             # file-like source (e.g. BytesIO of a network-assembled
-            # stream): seekable with a known end
+            # stream): seekable with a known end; stays the caller's to
+            # close (mirrors StreamWriter)
             self._f = path
             self._f.seek(0, 2)
             self._size = self._f.tell()
             self._f.seek(0)
+            self._owns_file = False
         magic = self._f.read(4)
         if magic != _MAGIC:
             raise ValueError(f"not an ACS stream (magic {magic!r})")
@@ -412,52 +415,41 @@ class StreamReader:
                     f"chunk {i} threshold scale {tscale!r} out of bounds "
                     "— corrupt stream"
                 )
+        # hcrc streams chain the header fields into the CRC, so a
+        # flipped blocks/length field fails the check instead of
+        # silently truncating the decode (payload-only CRCs cannot see
+        # it); payload bytes chain either way
+        def chain(data, hdr=None):
+            nonlocal want
+            if hdr is not None and hcrc:
+                want = zlib.crc32(hdr, want)
+            want = zlib.crc32(data, want)
+
+        def read_payload(what):
+            """One length-prefixed member: the length field comes from
+            the (potentially corrupt) file, so bound it by the file
+            itself before allocating or reading."""
+            hdr = self._read_exact(4, i)
+            (length,) = struct.unpack("<I", hdr)
+            if length > self._size:
+                raise ValueError(
+                    f"chunk {i} has implausible sizes — corrupt stream"
+                )
+            data = self._read_exact(length, i)
+            chain(data, hdr)
+            return data
+
         hdr_codes = self._read_exact(8, i)
         blocks, clen = struct.unpack("<II", hdr_codes)
-        # length fields come from the (potentially corrupt) file: bound
-        # them by the file itself before allocating or reading
         if blocks > self._size or clen > self._size:
             raise ValueError(f"chunk {i} has implausible sizes — corrupt stream")
         code_bytes = self._read_exact(clen, i)
-        hdr_bark = self._read_exact(4, i)
-        (blen,) = struct.unpack("<I", hdr_bark)
-        if blen > self._size:
-            raise ValueError(f"chunk {i} has implausible sizes — corrupt stream")
-        bark_bytes = self._read_exact(blen, i)
-        # hcrc streams chain the header fields into the CRC, so a
-        # flipped blocks/length field fails HERE instead of silently
-        # truncating the decode (payload-only CRCs cannot see it)
-        want = zlib.crc32(code_bytes,
-                          zlib.crc32(hdr_codes, want) if hcrc else want)
-        want = zlib.crc32(
-            bark_bytes, zlib.crc32(hdr_bark, want) if hcrc else want
-        )
+        chain(code_bytes, hdr_codes)
+        bark_bytes = read_payload("bark")
         tns_meta = self.meta.get("tns")
-        tns_bytes = None
-        if tns_meta is not None:
-            hdr = self._read_exact(4, i)
-            (tlen,) = struct.unpack("<I", hdr)
-            if tlen > self._size:
-                raise ValueError(
-                    f"chunk {i} has implausible sizes — corrupt stream"
-                )
-            tns_bytes = self._read_exact(tlen, i)
-            want = zlib.crc32(
-                tns_bytes, zlib.crc32(hdr, want) if hcrc else want
-            )
+        tns_bytes = read_payload("tns") if tns_meta is not None else None
         nf_meta = self.meta.get("nf")
-        nfl_bytes = None
-        if nf_meta is not None:
-            hdr = self._read_exact(4, i)
-            (nlen,) = struct.unpack("<I", hdr)
-            if nlen > self._size:
-                raise ValueError(
-                    f"chunk {i} has implausible sizes — corrupt stream"
-                )
-            nfl_bytes = self._read_exact(nlen, i)
-            want = zlib.crc32(
-                nfl_bytes, zlib.crc32(hdr, want) if hcrc else want
-            )
+        nfl_bytes = read_payload("nfl") if nf_meta is not None else None
         (crc,) = struct.unpack("<I", self._read_exact(4, i))
         if want != crc:
             raise ValueError(f"chunk {i} failed CRC — corrupt stream")
@@ -488,10 +480,11 @@ class StreamReader:
         codes = decode(code_bytes, blocks * n * ch).reshape(
             blocks, n, ch
         )
-        if blocks * bark_n * bark_ch > per_byte * blen:
+        if blocks * bark_n * bark_ch > per_byte * len(bark_bytes):
             raise ValueError(
                 f"chunk {i} header demands {blocks * bark_n * bark_ch} "
-                f"sidecar values from a {blen}-byte payload — corrupt stream"
+                f"sidecar values from a {len(bark_bytes)}-byte payload "
+                "— corrupt stream"
             )
         bark = _bitstream.decode_bark_sidecar(
             bark_bytes, (blocks, bark_n, bark_ch), block_axis=0,
@@ -537,13 +530,31 @@ class StreamReader:
         return Chunk(codes, bark, tns, nfl, tscale)
 
     def close(self) -> None:
-        self._f.close()
+        if self._owns_file:
+            self._f.close()
 
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
         self.close()
+
+
+def modal_body_blocks(reader: "StreamReader") -> int:
+    """The stream's MODAL body-chunk size over readable headers (the
+    format writes uniform body chunks + a 1-frame flush). Used by loss
+    concealment everywhere a chunk's OWN header cannot be trusted — a
+    corrupted u32 must not size a multi-gigabyte synthesis or desync
+    the noise fill's frame offsets."""
+    seen: dict[int, int] = {}
+    for j in range(max(0, reader.n_chunks - 1)):
+        try:
+            b = reader.chunk_blocks(j)
+        except ValueError:
+            continue
+        if 0 < b <= reader._size:
+            seen[b] = seen.get(b, 0) + 1
+    return max(seen, key=seen.get) if seen else 1
 
 
 # -- codec integration ---------------------------------------------------------
@@ -1141,23 +1152,8 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
         _modal_cache = []
 
         def _body_blocks():
-            """The stream's MODAL body-chunk size (encode_stream writes
-            uniform body chunks + a 1-frame flush) — never a single
-            chunk's own header, which corruption can set to any u32 (a
-            flipped field must not size a multi-gigabyte concealment
-            tensor or desync the fill's frame offsets)."""
             if not _modal_cache:
-                seen: dict[int, int] = {}
-                for j in range(max(0, r.n_chunks - 1)):
-                    try:
-                        b = r.chunk_blocks(j)
-                    except ValueError:
-                        continue
-                    if 0 < b <= r._size:
-                        seen[b] = seen.get(b, 0) + 1
-                _modal_cache.append(
-                    max(seen, key=seen.get) if seen else 1
-                )
+                _modal_cache.append(modal_body_blocks(r))
             return _modal_cache[0]
 
         def chunk_blocks_guess(i):

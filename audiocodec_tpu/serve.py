@@ -220,6 +220,25 @@ class CodecServer:
 
     # -- lifecycle ---------------------------------------------------
 
+    def _check_container_config(self, meta) -> None:
+        """Reject containers/streams whose quantization-affecting config
+        differs from the served codec's — dtype and bark_precision are
+        step-size-critical and the window shapes the synthesis filter
+        bank: a mismatched decode would not error, it would be WRONG."""
+        my = self._meta
+        mine = (self._rate, self._codec.mdct.filters_n,
+                my["bark_bands_n"], my["compute_dtype"],
+                my["bark_precision"], my["window_type"])
+        theirs = (meta["sample_rate"], meta["filters_n"],
+                  meta["bark_bands_n"], meta["compute_dtype"],
+                  meta["bark_precision"], meta["window_type"])
+        if mine != theirs:
+            raise ValueError(
+                "container was encoded with a different codec config "
+                f"(rate/N/bark/dtype/prec/window {theirs}) than this "
+                f"server serves ({mine})"
+            )
+
     def _note_latency(self, kind: str, seconds: float) -> None:
         with self._lock:
             prev = self._lat.get(kind)
@@ -406,22 +425,7 @@ class CodecServer:
     def _decode_one(self, payload):
         try:
             codes, bark, meta = bitstream.unpack(payload)
-            my = self._meta
-            mine = (self._rate, self._codec.mdct.filters_n,
-                    my["bark_bands_n"], my["compute_dtype"],
-                    my["bark_precision"], my["window_type"])
-            theirs = (meta["sample_rate"], meta["filters_n"],
-                      meta["bark_bands_n"], meta["compute_dtype"],
-                      meta["bark_precision"], meta["window_type"])
-            if mine != theirs:
-                # dtype / bark_precision are step-size-critical and the
-                # window shapes the synthesis filter bank: a mismatched
-                # decode would not error, it would be WRONG
-                raise ValueError(
-                    "container was encoded with a different codec config "
-                    f"(rate/N/bark/dtype/prec/window {theirs}) than this "
-                    f"server serves ({mine})"
-                )
+            self._check_container_config(meta)
             # bucket the frame count (pad with zero frames) so decode
             # compiles O(log len) programs, not one per container length;
             # wave sample k*N..(k+1)*N depends on frames k/k+1 only, so
@@ -680,18 +684,7 @@ class _DecodeSession:
         meta = r.meta
         r.close()
         codec = server._codec
-        my = server._meta
-        mine = (server._rate, codec.mdct.filters_n, my["bark_bands_n"],
-                my["compute_dtype"], my["bark_precision"],
-                my["window_type"])
-        theirs = (meta["sample_rate"], meta["filters_n"],
-                  meta["bark_bands_n"], meta["compute_dtype"],
-                  meta["bark_precision"], meta["window_type"])
-        if mine != theirs:
-            raise ValueError(
-                f"stream was encoded with a different codec config "
-                f"{theirs} than this server serves {mine}"
-            )
+        server._check_container_config(meta)
         self._codec = codec
         self._header = header_bytes
         self._meta = meta
