@@ -563,6 +563,7 @@ def cmd_corpus(args):
     import jax.numpy as jnp
     import numpy as np
 
+    from audiocodec_tpu import quantize as _cli_quantize
     from audiocodec_tpu.io import bitstream
     from audiocodec_tpu.parallel import mesh as _mesh
     from audiocodec_tpu.parallel.pipeline import (
@@ -615,14 +616,19 @@ def cmd_corpus(args):
 
     from audiocodec_tpu.parallel.pipeline import _dequant_wire
 
-    @functools.partial(jax.jit, static_argnames=("ms",))
-    def encode_batch(b, ms):
+    # the CLI's coded-path flags apply to corpus encodes too
+    dz = getattr(args, "deadzone", "auto")
+    fixed_dz = 0.5 if dz == "auto" else float(dz)
+
+    @functools.partial(jax.jit, static_argnames=("ms", "tns", "nf"))
+    def encode_batch(b, ms, tns, nf):
         # the ONE int16-wire dequant definition (pipeline._dequant_wire):
         # it is bit-critical, so the CLI must not carry its own copy
         x = _dequant_wire(b, jnp.dtype(codec.mdct.compute_dtype))
         usable = x.shape[1] - x.shape[1] % n
         frames = codec.mdct.transform(x[:, :usable])
-        return codec.quantize_frames(frames, args.drown, ms=ms)
+        return codec.encode_frames(frames, args.drown, ms=ms,
+                                   deadzone=fixed_dz, tns=tns, nf=nf)
 
     if args.cache:
         if not os.path.exists(args.cache):
@@ -661,14 +667,27 @@ def cmd_corpus(args):
         compute_dtype=str(jnp.dtype(codec.mdct.compute_dtype)),
         ms=args.ms,
         bark_precision=codec.psycho.bark_precision,
+        dz_recon=(
+            _cli_quantize.dz_recon_offset(fixed_dz)
+            if fixed_dz != 0.5 else 0.0
+        ),
+        tns_band_start=codec.tns_band_start,
+        nf_band_start=codec.nf_band_start,
     )
 
     def _out_path(idx):
         stem = os.path.splitext(os.path.basename(paths[idx]))[0]
         return os.path.join(args.outdir, stem + ".acz")
 
-    def pack_one(idx, codes, bark):
-        return bitstream.save(_out_path(idx), codes[None], bark[None], **meta)
+    def pack_one(idx, enc, j):
+        return bitstream.save(
+            _out_path(idx), enc.codes[j : j + 1], enc.bark16[j : j + 1],
+            tns_idx=(None if enc.tns_idx is None
+                     else enc.tns_idx[j : j + 1]),
+            nf_levels=(None if enc.nf_levels is None
+                       else enc.nf_levels[j : j + 1]),
+            **meta,
+        )
 
     def write_packed(idx, data):
         with open(_out_path(idx), "wb") as f:
@@ -692,15 +711,17 @@ def cmd_corpus(args):
                 usable = x.shape[1] - x.shape[1] % n
                 results = _rate.encode_with_target_bitrate_batch(
                     codec, x[:, :usable], args.kbps,
-                    drown=args.drown, ms=args.ms,
+                    drown=args.drown, ms=args.ms, deadzone=dz,
+                    tns=args.tns, nf=args.nf,
                 )
                 payload = [res.packed for res in results]
             else:
-                codes, bark = encode_batch(dev, args.ms)
-                codes_h = np.asarray(codes)
-                bark_h = np.asarray(bark)
+                enc_h = jax.device_get(
+                    encode_batch(dev, args.ms, args.tns, args.nf)
+                )
                 payload = None
-            b_n = len(payload) if payload is not None else codes_h.shape[0]
+            b_n = (len(payload) if payload is not None
+                   else enc_h.codes.shape[0])
             jobs = []
             for j in range(b_n):
                 idx = base + j
@@ -716,9 +737,7 @@ def cmd_corpus(args):
                 if payload is not None:
                     jobs.append(ex.submit(write_packed, idx, payload[j]))
                 else:
-                    jobs.append(
-                        ex.submit(pack_one, idx, codes_h[j], bark_h[j])
-                    )
+                    jobs.append(ex.submit(pack_one, idx, enc_h, j))
             for f in jobs:
                 total_bytes += f.result()
                 ok += 1

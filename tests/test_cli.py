@@ -664,6 +664,48 @@ class TestCorpusRateControl:
             assert meta["filters_n"] == 256
             assert float(meta["threshold_scale"]) > 0.0
 
+    def test_corpus_honors_coded_path_flags(self, tmp_path):
+        """corpus --tns --nf --deadzone must actually reach the encoder
+        (they were silently ignored once): the written containers carry
+        the dz_recon field and the flags' members, and decode cleanly."""
+        from audiocodec_tpu.io.wav import write_wav
+
+        indir = tmp_path / "wavs"
+        outdir = tmp_path / "out"
+        indir.mkdir()
+        rng = np.random.default_rng(8)
+        rate, frames = 16000, 8 * 256
+        x = (0.3 * rng.standard_normal(frames)).astype(np.float32)[:, None]
+        write_wav(str(indir / "n.wav"), np.clip(x, -1, 1), rate)
+        argv = [
+            "corpus", str(indir), str(outdir),
+            "--sample-rate", str(rate),
+            "--clip-seconds", str(frames / rate),
+            "--batch", "1", "--filters-n", "256", "--bark-bands-n", "32",
+            "--deadzone", "1.0", "--tns", "--nf",
+        ]
+        assert cli.main(argv) == 0
+        codes, bark, meta = bitstream.load(str(outdir / "n.acz"))
+        assert meta["dz_recon"] == pytest.approx(0.45)
+        # flags only write members when frames actually fire; at least
+        # the dead zone must be recorded, and the container must decode
+        import jax.numpy as jnp
+
+        from audiocodec_tpu.codec import Codec
+
+        codec = Codec.create(rate, filters_n=256, bark_bands_n=32)
+        ti = meta["tns_idx"]
+        nfl = meta["nf_levels"]
+        wave = codec.decode_bitstream(
+            jnp.asarray(codes), jnp.asarray(bark, jnp.bfloat16),
+            dz_recon=meta["dz_recon"],
+            tns_idx=None if ti is None else jnp.asarray(ti),
+            tns_band_start=meta["tns_band_start"] or None,
+            nf_levels=None if nfl is None else jnp.asarray(nfl),
+            nf_band_start=None if nfl is None else meta["nf_band_start"],
+        )
+        assert np.isfinite(np.asarray(wave)).all()
+
     def test_corpus_rejects_chunk_blocks(self, tmp_path):
         """--chunk-blocks is a single-file .acs streaming option; the
         corpus command writes per-clip .acz only and must refuse it
