@@ -319,3 +319,39 @@ class TestRateControl:
             nf_seed=meta["nf_seed"],
         )
         assert np.isfinite(np.asarray(w)).all()
+
+
+class TestDtypes:
+    """The fill must hold across the compute-dtype whitelist: f64 (x64
+    test config — no silent narrowing) and bf16 (fast deployment)."""
+
+    @pytest.mark.parametrize("dtype", ["float64", "bfloat16"])
+    def test_round_trip_in_dtype(self, dtype):
+        dt = jnp.dtype(dtype)
+        codec = act.Codec.create(
+            sample_rate=44100, filters_n=256, bark_bands_n=32,
+            compute_dtype=dt,
+        )
+        rng = np.random.default_rng(5)
+        t = np.arange(256 * 16) / 44100
+        w = (0.3 * np.sin(2 * np.pi * 440 * t)
+             + 0.1 * rng.standard_normal(t.size))
+        x = jnp.asarray(w.astype(np.float64)[None, :, None], dtype=dt)
+        frames = codec.mdct.transform(x)
+        codes, bark, nfl = codec.quantize_frames(
+            frames, threshold_scale=16.0, nf=True
+        )
+        assert nfl.dtype == jnp.uint8
+        out = codec.decode_bitstream(
+            codes, bark, threshold_scale=16.0, nf_levels=nfl
+        )
+        arr = np.asarray(out.astype(jnp.float32))
+        assert out.dtype == dt
+        assert np.isfinite(arr).all()
+        # determinism holds in every dtype
+        out2 = codec.decode_bitstream(
+            codes, bark, threshold_scale=16.0, nf_levels=nfl
+        )
+        np.testing.assert_array_equal(arr, np.asarray(
+            out2.astype(jnp.float32)
+        ))
