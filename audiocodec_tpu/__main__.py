@@ -165,7 +165,7 @@ def cmd_encode(args):
                 codec, x[:, :usable], args.output,
                 chunk_blocks=args.chunk_blocks,
                 target_kbps=args.kbps, drown=args.drown, ms=args.ms,
-                deadzone=dz, tns=args.tns, nf=args.nf,
+                deadzone=dz, tns=args.tns, nf=args.nf, tmask=args.tmask,
             )
             extra = (
                 f", {kbps:.0f} kbit/s CBR, scales "
@@ -178,6 +178,7 @@ def cmd_encode(args):
                     chunk_blocks=args.chunk_blocks,
                     target_kbps=args.kbps, drown=args.drown, ms=args.ms,
                     deadzone=dz, tns=args.tns, nf=args.nf,
+                    tmask=args.tmask,
                 )
             )
             extra = f", {kbps:.0f} kbit/s, scale {tscale:.2f}"
@@ -186,6 +187,7 @@ def cmd_encode(args):
                 codec, x[:, :usable], args.output,
                 chunk_blocks=args.chunk_blocks, drown=args.drown,
                 ms=args.ms, deadzone=fixed_dz, tns=args.tns, nf=args.nf,
+                tmask=args.tmask,
             )
         size = os.path.getsize(args.output)
         raw = usable * x.shape[2] * 2
@@ -201,7 +203,7 @@ def cmd_encode(args):
 
         result = _rate.encode_with_target_bitrate(
             codec, x, args.kbps, drown=args.drown, ms=args.ms, deadzone=dz,
-            tns=args.tns, nf=args.nf,
+            tns=args.tns, nf=args.nf, tmask=args.tmask,
         )
         # the trial's packed bytes ARE the container — write them verbatim
         # so the measured kbps is exactly the on-disk file's
@@ -218,7 +220,7 @@ def cmd_encode(args):
 
     enc = codec.encode_frames(
         codec.mdct.transform(x), args.drown, ms=args.ms,
-        deadzone=fixed_dz, tns=args.tns, nf=args.nf,
+        deadzone=fixed_dz, tns=args.tns, nf=args.nf, tmask=args.tmask,
     )
     from audiocodec_tpu import quantize as _quantize
 
@@ -441,9 +443,10 @@ def cmd_roundtrip(args):
     codec = _build_codec(rate, args)
     data = _trim_to_blocks(data, args.filters_n)
     x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
-    if args.tns or args.nf:
+    if args.tns or args.nf or args.tmask:
         enc = codec.encode_frames(
-            codec.mdct.transform(x), args.drown, tns=args.tns, nf=args.nf
+            codec.mdct.transform(x), args.drown, tns=args.tns,
+            nf=args.nf, tmask=args.tmask,
         )
         out = codec.decode_bitstream(enc.codes, enc.bark16,
                                      tns_idx=enc.tns_idx,
@@ -620,15 +623,18 @@ def cmd_corpus(args):
     dz = getattr(args, "deadzone", "auto")
     fixed_dz = 0.5 if dz == "auto" else float(dz)
 
-    @functools.partial(jax.jit, static_argnames=("ms", "tns", "nf"))
-    def encode_batch(b, ms, tns, nf):
+    @functools.partial(
+        jax.jit, static_argnames=("ms", "tns", "nf", "tmask")
+    )
+    def encode_batch(b, ms, tns, nf, tmask=0.0):
         # the ONE int16-wire dequant definition (pipeline._dequant_wire):
         # it is bit-critical, so the CLI must not carry its own copy
         x = _dequant_wire(b, jnp.dtype(codec.mdct.compute_dtype))
         usable = x.shape[1] - x.shape[1] % n
         frames = codec.mdct.transform(x[:, :usable])
         return codec.encode_frames(frames, args.drown, ms=ms,
-                                   deadzone=fixed_dz, tns=tns, nf=nf)
+                                   deadzone=fixed_dz, tns=tns, nf=nf,
+                                   tmask=tmask)
 
     if args.cache:
         if not os.path.exists(args.cache):
@@ -712,12 +718,13 @@ def cmd_corpus(args):
                 results = _rate.encode_with_target_bitrate_batch(
                     codec, x[:, :usable], args.kbps,
                     drown=args.drown, ms=args.ms, deadzone=dz,
-                    tns=args.tns, nf=args.nf,
+                    tns=args.tns, nf=args.nf, tmask=args.tmask,
                 )
                 payload = [res.packed for res in results]
             else:
                 enc_h = jax.device_get(
-                    encode_batch(dev, args.ms, args.tns, args.nf)
+                    encode_batch(dev, args.ms, args.tns, args.nf,
+                                 tmask=args.tmask)
                 )
                 payload = None
             b_n = (len(payload) if payload is not None
@@ -875,6 +882,15 @@ def main(argv=None) -> int:
                  "the decoder re-synthesizes quantizer-zeroed bins with "
                  "shaped noise — repairs the 'spectral holes' timbre at "
                  "low --kbps targets",
+        )
+        p.add_argument(
+            "--tmask", type=float, default=0.0,
+            help="forward (post-)masking decay in dB per second (0 = "
+                 "off; ~130 matches the literature's 100-200 ms "
+                 "post-masking span). Raises masking thresholds in the "
+                 "frames after a loud sound, spending fewer bits where "
+                 "noise is inaudible. Encoder-side only — decoders need "
+                 "no flag",
         )
         p.add_argument(
             "--chunk-blocks", type=int, default=0,

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from audiocodec_tpu import nf as _nf
+from audiocodec_tpu import psycho as _psycho
 from audiocodec_tpu import quantize as _quantize
 from audiocodec_tpu import tns as _tns
 from audiocodec_tpu.mdct import MDCT
@@ -195,7 +196,7 @@ class Codec:
         return Codec.to_mid_side(ms)
 
     def encode_bitstream_ms(self, x: jax.Array, drown=0.0,
-                            deadzone: float = 0.5):
+                            deadzone: float = 0.5, tmask: float = 0.0):
         """Joint-stereo encode: quantize mid/side spectra against the
         conservative per-band min of the LEFT/RIGHT masking thresholds.
 
@@ -215,7 +216,7 @@ class Codec:
         :return: (codes [B, blocks+1, N, 2], bark16 [B, blocks+1, bark, 1]).
         """
         return self.quantize_frames(self.mdct.transform(x), drown, ms=True,
-                                    deadzone=deadzone)
+                                    deadzone=deadzone, tmask=tmask)
 
     def _ms_threshold(self, bark16_min: jax.Array) -> jax.Array:
         thr = self.psycho.bark_intensity_to_threshold(
@@ -270,7 +271,7 @@ class Codec:
         return self.decode(self.from_mid_side(spec_ms))
 
     def encode_bitstream(self, x: jax.Array, drown=0.0,
-                         deadzone: float = 0.5):
+                         deadzone: float = 0.5, tmask: float = 0.0):
         """Encode to the transmissible representation: integer codes plus
         the Bark-domain masking intensity (bark_bands_n << filter_bands_n
         values per block) from which the decoder re-derives step sizes.
@@ -285,10 +286,11 @@ class Codec:
                   bark_intensity bfloat16 [B, blocks+1, bark_bands_n, C]).
         """
         return self.quantize_frames(self.mdct.transform(x), drown,
-                                    deadzone=deadzone)
+                                    deadzone=deadzone, tmask=tmask)
 
     def analyze_for_quantization(self, frames: jax.Array, drown=0.0,
-                                 ms: bool = False):
+                                 ms: bool = False, tmask: float = 0.0,
+                                 tmask_context: jax.Array | None = None):
         """The bitstream-compatibility-critical analysis, in ONE place:
         tonality -> Bark masking intensity -> bf16-rounded sidecar ->
         threshold (and the mid/side rotation + min-channel sidecar when
@@ -296,12 +298,25 @@ class Codec:
         rate control) goes through here so encoder and decoder can never
         derive different step sizes.
 
+        :param tmask: forward (post-)masking decay in dB per SECOND
+            (0 = off, ~130 matches the literature's 100-200 ms span —
+            see psycho.temporal_masking). Purely encoder-side: the spread
+            intensity is what the bf16 sidecar rounds, so decoders derive
+            matching steps from the container with no format change.
+        :param tmask_context: previous chunk's trailing pre-spread Bark
+            intensities for streaming continuity (see
+            :meth:`tmask_context_frames`).
         :return: (quantizable spectrum, bark16 sidecar, base threshold).
         """
         tonality = self.psycho.tonality(frames)
         bark = self.psycho.global_masking_intensity_in_bark(
             frames, tonality, drown
         )
+        if tmask:
+            bark = _psycho.temporal_masking(
+                bark, self._tmask_db_per_frame(tmask),
+                context=tmask_context,
+            )
         if ms:
             if frames.shape[-1] != 2:
                 raise ValueError("joint stereo needs exactly 2 channels")
@@ -317,9 +332,36 @@ class Codec:
         )
         return frames, bark16, threshold
 
+    def _tmask_db_per_frame(self, tmask_db_per_s: float) -> float:
+        """dB-per-second forward-masking decay -> dB per frame hop
+        (one frame advances filters_n samples)."""
+        return (
+            float(tmask_db_per_s) * self.mdct.filters_n
+            / self.psycho.sample_rate
+        )
+
+    def tmask_context_frames(self, tmask_db_per_s: float) -> int:
+        """Context frames a streaming encoder carries for bit-exact
+        chunk-boundary temporal masking (psycho.temporal_masking_window
+        at this codec's frame rate)."""
+        return _psycho.temporal_masking_window(
+            self._tmask_db_per_frame(tmask_db_per_s)
+        )
+
+    def bark_intensity(self, frames: jax.Array, drown=0.0) -> jax.Array:
+        """Pre-spread Bark masking intensity of ``frames`` — what
+        streaming encoders carry as temporal-masking context (recomputing
+        it from the same frames is bit-identical to the values
+        analyze_for_quantization derived)."""
+        return self.psycho.global_masking_intensity_in_bark(
+            frames, self.psycho.tonality(frames), drown
+        )
+
     def quantize_frames(self, frames: jax.Array, drown=0.0,
                         threshold_scale=1.0, ms: bool = False,
-                        deadzone: float = 0.5, nf: bool = False):
+                        deadzone: float = 0.5, nf: bool = False,
+                        tmask: float = 0.0,
+                        tmask_context: jax.Array | None = None):
         """Spectral frames -> (codes, bf16 Bark sidecar); the frame-level
         half of encode_bitstream[_ms], shared with the streaming container.
 
@@ -340,9 +382,12 @@ class Codec:
             zeroed; the decoder re-synthesizes those bins with matching
             shaped noise (the ``nfl`` container member). All-zero levels
             mean nothing to fill.
+        :param tmask: forward-masking decay in dB/s (0 = off); encoder-
+            side only, flows into the sidecar — see
+            analyze_for_quantization.
         """
         spec_q, bark16, threshold = self.analyze_for_quantization(
-            frames, drown, ms=ms
+            frames, drown, ms=ms, tmask=tmask, tmask_context=tmask_context
         )
         threshold = threshold * jnp.asarray(
             threshold_scale, dtype=self.mdct.compute_dtype
@@ -358,7 +403,9 @@ class Codec:
     def encode_frames(self, frames: jax.Array, drown=0.0,
                       threshold_scale=1.0, ms: bool = False,
                       deadzone: float = 0.5, tns: bool = False,
-                      nf: bool = False) -> EncodedFrames:
+                      nf: bool = False, tmask: float = 0.0,
+                      tmask_context: jax.Array | None = None
+                      ) -> EncodedFrames:
         """One entry point for every coded-bitstream encode: wraps
         :meth:`quantize_frames` / :meth:`quantize_frames_tns` and always
         returns an :class:`EncodedFrames` (absent features are None) —
@@ -368,13 +415,15 @@ class Codec:
         if tns:
             out = self.quantize_frames_tns(
                 frames, drown, threshold_scale=threshold_scale, ms=ms,
-                deadzone=deadzone, nf=nf,
+                deadzone=deadzone, nf=nf, tmask=tmask,
+                tmask_context=tmask_context,
             )
             return EncodedFrames(out[0], out[1], out[2],
                                  out[3] if nf else None)
         out = self.quantize_frames(
             frames, drown, threshold_scale=threshold_scale, ms=ms,
-            deadzone=deadzone, nf=nf,
+            deadzone=deadzone, nf=nf, tmask=tmask,
+            tmask_context=tmask_context,
         )
         return EncodedFrames(out[0], out[1], None, out[2] if nf else None)
 
@@ -390,7 +439,9 @@ class Codec:
 
     def quantize_frames_tns(self, frames: jax.Array, drown=0.0,
                             threshold_scale=1.0, ms: bool = False,
-                            deadzone: float = 0.5, nf: bool = False):
+                            deadzone: float = 0.5, nf: bool = False,
+                            tmask: float = 0.0,
+                            tmask_context: jax.Array | None = None):
         """:meth:`quantize_frames` with temporal noise shaping: frames
         whose spectrum is predictable along frequency (peaky time
         envelopes — transients) are whitened by an order-8 LPC filter
@@ -412,7 +463,7 @@ class Codec:
             time envelope too — exactly the AAC ordering).
         """
         spec_q, bark16, threshold = self.analyze_for_quantization(
-            frames, drown, ms=ms
+            frames, drown, ms=ms, tmask=tmask, tmask_context=tmask_context
         )
         bs = self.tns_band_start
         tns_idx = _tns.analyze(spec_q, bs)

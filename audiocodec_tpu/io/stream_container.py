@@ -574,29 +574,48 @@ def _jit_encode_chunk():
 
     from audiocodec_tpu import streaming
 
+    import jax.numpy as jnp
+
     @functools.partial(
-        jax.jit, static_argnames=("ms", "deadzone", "tns", "nf")
+        jax.jit, static_argnames=("ms", "deadzone", "tns", "nf", "tmask")
     )
     def step(codec, carry, x_chunk, drown, threshold_scale, ms, deadzone,
-             tns=False, nf=False):
+             tns=False, nf=False, tmask=0.0, tmask_context=None):
         carry, frames = streaming.mdct_stream_step(
             codec.mdct, carry, x_chunk
         )
         enc = codec.encode_frames(
             frames, drown, threshold_scale=threshold_scale, ms=ms,
-            deadzone=deadzone, tns=tns, nf=nf,
+            deadzone=deadzone, tns=tns, nf=nf, tmask=tmask,
+            tmask_context=tmask_context,
         )
-        return (carry,) + tuple(enc)
+        new_ctx = None
+        if tmask:
+            # rolling pre-spread Bark context for the NEXT chunk: the
+            # trailing window frames' intensities, recomputed from the
+            # same frames analyze_for_quantization saw (tonality and the
+            # Bark projection are purely per-frame, so this is
+            # bit-identical to the values used above)
+            w = codec.tmask_context_frames(tmask)
+            take = min(w, frames.shape[1])
+            pre = codec.bark_intensity(frames[:, -take:], drown)
+            if tmask_context is not None and take < w:
+                pre = jnp.concatenate(
+                    [tmask_context, pre], axis=1
+                )[:, -w:]
+            new_ctx = pre
+        return (carry, new_ctx) + tuple(enc)
 
     @functools.partial(
-        jax.jit, static_argnames=("ms", "deadzone", "tns", "nf")
+        jax.jit, static_argnames=("ms", "deadzone", "tns", "nf", "tmask")
     )
     def flush(codec, carry, drown, threshold_scale, ms, deadzone,
-              tns=False, nf=False):
+              tns=False, nf=False, tmask=0.0, tmask_context=None):
         last = streaming.mdct_stream_flush(codec.mdct, carry)
         return codec.encode_frames(
             last, drown, threshold_scale=threshold_scale, ms=ms,
-            deadzone=deadzone, tns=tns, nf=nf,
+            deadzone=deadzone, tns=tns, nf=nf, tmask=tmask,
+            tmask_context=tmask_context,
         )
 
     return step, flush
@@ -616,7 +635,8 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
                   drown=0.0, ms: bool = False,
                   threshold_scale: float = 1.0,
                   deadzone: float = 0.5, tns: bool = False,
-                  nf: bool = False, nf_seed: int = 0) -> int:
+                  nf: bool = False, nf_seed: int = 0,
+                  tmask: float = 0.0) -> int:
     """Encode a long waveform to a seekable stream with bounded memory.
 
     Uses the streaming MDCT (one carried block across chunks) and per-chunk
@@ -640,6 +660,12 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         decoder's fill noise is keyed by GLOBAL frame index, so an nf
         .acs decodes bit-identically to the same signal's nf .acz
         (same ``nf_seed``), including mid-stream seeks.
+    :param tmask: forward (post-)masking decay in dB/s, 0 = off (see
+        psycho.temporal_masking). Encoder-side only — it raises the
+        Bark sidecar before rounding, so nothing rides the header. A
+        rolling context of pre-spread intensities is carried across
+        chunks, making the .acs bit-identical to the same signal's
+        tmask .acz.
     :return: number of chunks written.
     """
     import jax.numpy as jnp
@@ -711,11 +737,14 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         # coding and device compute overlap instead of strictly
         # alternating. Append order is unchanged.
         pending = None
+        tmask = float(tmask)
+        tctx = None
         for k, start in enumerate(range(0, s, chunk)):
             ts_k = scales[k] if cbr else threshold_scale
-            carry, codes, bark16, tns_idx, nfl = step(
+            carry, tctx, codes, bark16, tns_idx, nfl = step(
                 codec, carry, x[:, start : start + chunk], drown,
-                ts_k, ms, deadzone, tns, nf,
+                ts_k, ms, deadzone, tns, nf, tmask=tmask,
+                tmask_context=tctx,
             )
             if pending is not None:
                 w.append(*pending)
@@ -725,7 +754,8 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
             w.append(*pending)
         ts_last = scales[-1] if cbr else threshold_scale
         w.append(*flush(codec, carry, drown, ts_last, ms, deadzone,
-                        tns, nf), tscale=ts_last if cbr else None)
+                        tns, nf, tmask=tmask, tmask_context=tctx),
+                 tscale=ts_last if cbr else None)
         n_chunks = len(w._index)
     return n_chunks
 
@@ -735,7 +765,7 @@ def encode_stream_with_target_bitrate(
     target_kbps: float, drown=0.0, ms: bool = False,
     sample_chunks: int = 8, tolerance: float = 0.08,
     log2_scale_range=(-4.0, 10.0), deadzone="auto", tns: bool = False,
-    nf: bool = False,
+    nf: bool = False, tmask: float = 0.0,
 ):
     """Rate-controlled stream encode: pick ONE stream-global threshold
     scale from a strided sample of the signal (the vmapped trial search of
@@ -787,13 +817,15 @@ def encode_stream_with_target_bitrate(
         # the sampled search only picks a scale; fill levels don't change
         # the rate curve (~1 deflated byte/frame), so trials skip them
         return _rate.encode_with_target_bitrate(
-            codec, sample, tgt, drown=drown, ms=ms, deadzone=z, tns=tns
+            codec, sample, tgt, drown=drown, ms=ms, deadzone=z, tns=tns,
+            tmask=tmask,
         ).threshold_scale
 
     def full_encode(scale):
         n_chunks = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
             threshold_scale=scale, deadzone=z, tns=tns, nf=nf,
+            tmask=tmask,
         )
         return n_chunks, os.path.getsize(path) * 8 / seconds / 1000
 
@@ -843,6 +875,7 @@ def encode_stream_cbr(
     target_kbps: float, drown=0.0, ms: bool = False,
     tolerance: float = 0.05, trials_per_round: int = 8,
     deadzone="auto", tns: bool = False, nf: bool = False,
+    tmask: float = 0.0,
 ):
     """Constant-bitrate stream encode: EVERY chunk is rate-controlled to
     its per-chunk share of the target in ONE vmapped batch search (each
@@ -918,12 +951,13 @@ def encode_stream_cbr(
             codec, chunks_x, per_chunk_target + acz_overhead_kbps,
             drown=drown, tolerance=tolerance,
             trials_per_round=trials_per_round,
-            ms=ms, deadzone=z, tns=tns,
+            ms=ms, deadzone=z, tns=tns, tmask=tmask,
         )
         sc_list = [r.threshold_scale for r in results]
         n_ch = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
             threshold_scale=sc_list, deadzone=z, tns=tns, nf=nf,
+            tmask=tmask,
         )
         return n_ch, sc_list, os.path.getsize(path) * 8 / (s / sr) / 1000
 

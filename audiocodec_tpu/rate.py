@@ -101,6 +101,7 @@ def encode_with_target_bitrate_batch(
     deadzone="auto",
     tns: bool = False,
     nf: bool = False,
+    tmask: float = 0.0,
 ) -> list:
     """Rate-control every clip of a batch to ``target_kbps``.
 
@@ -136,7 +137,7 @@ def encode_with_target_bitrate_batch(
     # One-time analysis (the bitstream-critical derivation lives in ONE
     # place — Codec.analyze_for_quantization); trials only re-quantize+pack.
     spectrum_q, bark16, base_threshold = codec.analyze_for_quantization(
-        codec.mdct.transform(x), drown, ms=ms
+        codec.mdct.transform(x), drown, ms=ms, tmask=tmask
     )
     tns_idx, tns_bs, tns_idx_dev = None, 0, None
     if tns:
@@ -340,6 +341,7 @@ def encode_with_target_bitrate(
     deadzone="auto",
     tns: bool = False,
     nf: bool = False,
+    tmask: float = 0.0,
 ) -> RateControlResult:
     """Single-clip rate control (the batch path with B=1).
 
@@ -364,4 +366,5 @@ def encode_with_target_bitrate(
         deadzone=deadzone,
         tns=tns,
         nf=nf,
+        tmask=tmask,
     )[0]

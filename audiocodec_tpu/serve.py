@@ -595,6 +595,10 @@ class _StreamSession:
             raise ValueError(f"deadzone out of range: {self.deadzone}")
         self.tns = bool(cfg.get("tns", False))
         self.nf = bool(cfg.get("nf", False))
+        self.tmask = float(cfg.get("tmask", 0.0))
+        if not 0.0 <= self.tmask < 1e6:
+            raise ValueError(f"tmask out of range: {self.tmask}")
+        self._tctx = None
         self._codec = codec
         self._buf = _io.BytesIO()
         self._sent = 0
@@ -644,9 +648,10 @@ class _StreamSession:
             1, self._samples, self.channels
         )
         x = jnp.asarray(pcm, dtype=self._codec.mdct.compute_dtype)
-        self._carry, codes, bark16, tns_idx, nfl = self._step(
+        self._carry, self._tctx, codes, bark16, tns_idx, nfl = self._step(
             self._codec, self._carry, x, 0.0, self.tscale, self.ms,
-            self.deadzone, self.tns, self.nf,
+            self.deadzone, self.tns, self.nf, tmask=self.tmask,
+            tmask_context=self._tctx,
         )
         self._writer.append(codes, bark16, tns_idx, nfl)
         return self.take_bytes()
@@ -654,7 +659,8 @@ class _StreamSession:
     def finish(self) -> bytes:
         out = self._flush(
             self._codec, self._carry, 0.0, self.tscale, self.ms,
-            self.deadzone, self.tns, self.nf,
+            self.deadzone, self.tns, self.nf, tmask=self.tmask,
+            tmask_context=self._tctx,
         )
         self._writer.append(*out)
         self._writer.close()
@@ -781,7 +787,7 @@ class Client:
     def begin_stream(self, **cfg) -> bytes:
         """Open a streaming encode session; returns the .acs header
         bytes. Config keys: channels, chunk_blocks, threshold_scale,
-        ms, deadzone, tns, nf, nf_seed."""
+        ms, deadzone, tns, nf, nf_seed, tmask."""
         return self._call("B", json.dumps(cfg).encode())
 
     def feed(self, pcm) -> bytes:

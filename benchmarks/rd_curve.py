@@ -132,6 +132,80 @@ def tns_sweep(codec, x, dur, clicks, args):
     return rows
 
 
+def tmask_sweep(codec, x, dur, clicks, args):
+    """Temporal-masking off/on: equal-scale bit savings, then matched-rate
+    SNR/NMR (the --tns pattern). The NMR column uses the SIMULTANEOUS
+    threshold — tmask's claim is precisely that the extra noise it allows
+    sits in post-masking shadows that column cannot see, so read it next
+    to the kbps column: bits saved at equal (raw-NMR) quality elsewhere."""
+    import jax.numpy as jnp
+
+    from audiocodec_tpu import metrics, rate
+    from audiocodec_tpu.io import bitstream
+
+    tm = float(args.tmask)
+    n = codec.mdct.filters_n
+    rows = []
+
+    # equal-scale savings: same threshold_scale, bits with vs without
+    meta_kw = dict(
+        sample_rate=codec.psycho.sample_rate, filters_n=n,
+        bark_bands_n=codec.psycho.bark_bands_n, alpha=codec.psycho.alpha,
+        window_type=codec.mdct.window_type,
+    )
+    for scale in (1.0, 4.0):
+        sizes = {}
+        for tmv in (0.0, tm):
+            c, b = codec.quantize_frames(
+                codec.mdct.transform(x), threshold_scale=scale, tmask=tmv
+            )
+            sizes[tmv] = len(bitstream.pack(
+                np.asarray(c), np.asarray(b), **meta_kw
+            ))
+        row = {
+            "scale": scale,
+            "bytes_off": sizes[0.0],
+            "bytes_on": sizes[tm],
+            "saved_pct": round(100 * (1 - sizes[tm] / sizes[0.0]), 2),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    targets = [float(k) for k in args.targets.split(",")]
+    for target in targets:
+        for tmv in (0.0, tm):
+            res = rate.encode_with_target_bitrate(
+                codec, x, target, tmask=tmv
+            )
+            codes, bark, meta = bitstream.unpack(res.packed)
+            out = codec.decode_bitstream(
+                jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
+                threshold_scale=res.threshold_scale,
+                dz_recon=meta["dz_recon"],
+            )[:, n:-n]
+            ev = metrics.evaluate(codec, x, out)
+            row = {
+                "target_kbps": target,
+                "tmask": tmv,
+                "kbps": round(res.kbps, 1),
+                "scale": round(res.threshold_scale, 3),
+                "snr_db": round(ev["snr_db"], 2),
+                "nmr": round(ev["nmr"], 4),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    if args.markdown:
+        print(f"\n| target | tmask | kbps | scale | SNR dB | NMR | "
+              f"({args.signal}, {dur:.0f}s mono)")
+        print("|---|---|---|---|---|---|")
+        for r in rows:
+            if "target_kbps" not in r:
+                continue
+            print(f"| {r['target_kbps']} | {r['tmask']} | {r['kbps']} "
+                  f"| {r['scale']} | {r['snr_db']} | {r['nmr']} |")
+    return rows
+
+
 def band_energy_err_db(codec, x, out):
     """Mean |per-frame band energy error| in dB over the noise-fill band —
     the 'spectral holes' metric SNR cannot see (silence in a zeroed band
@@ -247,6 +321,11 @@ def main():
     ap.add_argument("--nf", action="store_true",
                     help="matched-rate noise-filling off/on comparison "
                          "with a band-energy-error column")
+    ap.add_argument("--tmask", type=float, default=0.0,
+                    help="temporal-masking decay in dB/s; switches to an "
+                         "off/on sweep: equal-scale bit savings plus "
+                         "matched-rate SNR/NMR (try 130; --signal clicks "
+                         "shows the biggest shadows)")
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--markdown", action="store_true",
                     help="also print a markdown table")
@@ -284,6 +363,8 @@ def main():
         return tns_sweep(codec, x, dur, clicks, args)
     if args.nf:
         return nf_sweep(codec, x, dur, args)
+    if args.tmask:
+        return tmask_sweep(codec, x, dur, clicks, args)
     if args.deadzone:
         return deadzone_sweep(codec, x, dur, args)
 

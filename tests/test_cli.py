@@ -142,6 +142,31 @@ class TestCLI:
         )
         assert snr > 8.0
 
+    def test_tmask_flag_shrinks_and_decodes(self, tmp_path, capsys):
+        """--tmask produces a smaller .acz on transient material, and the
+        file decodes with the PLAIN decoder (no flag) — the effect rides
+        the sidecar, not the format."""
+        rate = 16000
+        rng = np.random.default_rng(11)
+        x = (0.01 * rng.standard_normal(8 * 2048)).astype(np.float32)
+        x[2048:3072] += 0.8 * np.sin(
+            2 * np.pi * 800 * np.arange(1024) / rate
+        ).astype(np.float32)
+        wav_path = str(tmp_path / "tr.wav")
+        write_wav(wav_path, np.clip(x, -1, 1)[:, None], rate)
+        plain = str(tmp_path / "p.acz")
+        masked = str(tmp_path / "m.acz")
+        assert cli.main(["encode", wav_path, plain,
+                         "--filters-n", "256"]) == 0
+        assert cli.main(["encode", wav_path, masked,
+                         "--filters-n", "256", "--tmask", "200"]) == 0
+        assert os.path.getsize(masked) < os.path.getsize(plain)
+        rec = str(tmp_path / "m.wav")
+        assert cli.main(["decode", masked, rec]) == 0
+        capsys.readouterr()
+        y, _ = read_wav(rec)
+        assert np.isfinite(y).all() and np.abs(y).max() > 0.05
+
     def test_roundtrip_command(self, tmp_path, wav_file, capsys):
         wav_path, _, _ = wav_file
         rec = str(tmp_path / "rt.wav")

@@ -234,6 +234,32 @@ class TestStreamingSessions:
                          nf=True)
         assert streamed == open(offline, "rb").read()
 
+    def test_session_tmask_bytes_equal_offline(self, codec, server,
+                                               tmp_path):
+        """The session's rolling temporal-masking context reproduces the
+        offline tmask .acs byte-for-byte."""
+        from audiocodec_tpu.io import stream_container as sc
+
+        rng = np.random.default_rng(21)
+        chunks = 3
+        x = (0.05 * rng.standard_normal((1, chunks * 8 * N, 1))).astype(
+            np.float32
+        )
+        x[0, 2 * N : 3 * N, 0] += 0.8  # an attack whose shadow spans chunks
+        parts = []
+        with serve.Client(port=server.port) as c:
+            parts.append(c.begin_stream(channels=1, chunk_blocks=8,
+                                        tmask=400.0))
+            for k in range(chunks):
+                parts.append(c.feed(x[0, k * 8 * N : (k + 1) * 8 * N]))
+            parts.append(c.finish_stream())
+        streamed = b"".join(parts)
+
+        offline = str(tmp_path / "offtm.acs")
+        sc.encode_stream(codec, jnp.asarray(x), offline, chunk_blocks=8,
+                         tmask=400.0)
+        assert streamed == open(offline, "rb").read()
+
     def test_session_protocol_errors(self, server):
         with serve.Client(port=server.port) as c:
             with pytest.raises(RuntimeError, match="no active"):
