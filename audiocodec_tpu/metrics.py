@@ -45,7 +45,8 @@ def segmental_snr_db(
     return jnp.mean(jnp.clip(per, floor_db, ceil_db))
 
 
-def nmr(codec: Codec, ref: jax.Array, deg: jax.Array) -> jax.Array:
+def nmr(codec: Codec, ref: jax.Array, deg: jax.Array,
+        tmask: float = 0.0) -> jax.Array:
     """Mean squared noise-to-mask ratio of ``deg`` against ``ref``.
 
     The error spectrum (MDCT of both signals, differenced) is compared
@@ -62,18 +63,42 @@ def nmr(codec: Codec, ref: jax.Array, deg: jax.Array) -> jax.Array:
     −96 dBFS dither of a 16-bit PCM wav registers as NMR ≈ 1 (at 120 dB
     playback it IS marginally audible). Comparing wav files therefore
     floors around NMR ~1; in-memory float comparisons (the benchmark
-    gates) see the codec's true ≈ 0.03."""
+    gates) see the codec's true ≈ 0.03.
+
+    :param tmask: forward-masking decay in dB/s (psycho.temporal_masking).
+        0 (default) judges against the SIMULTANEOUS threshold only — the
+        strictest lens, which counts noise that post-masking actually
+        hides. Pass the encoder's tmask value to evaluate a tmask'd
+        encode against the model's own audibility claim (the spread
+        threshold); use the default to compare tmask ON vs OFF on equal
+        (stricter-than-true) terms."""
     spec_ref = codec.mdct.transform(ref)
     spec_deg = codec.mdct.transform(deg)
     tonality = codec.psycho.tonality(spec_ref)
-    threshold = codec.psycho.global_masking_threshold(spec_ref, tonality)
+    if tmask:
+        from audiocodec_tpu import psycho as _psycho
+
+        bark = codec.psycho.global_masking_intensity_in_bark(
+            spec_ref, tonality
+        )
+        bark = _psycho.temporal_masking(
+            bark, codec._tmask_db_per_frame(tmask)
+        )
+        threshold = codec.psycho.bark_intensity_to_threshold(bark)
+    else:
+        threshold = codec.psycho.global_masking_threshold(
+            spec_ref, tonality
+        )
     r = ((spec_deg - spec_ref) / threshold).astype(jnp.float32)
     return jnp.mean(r * r)
 
 
-def nmr_db(codec: Codec, ref: jax.Array, deg: jax.Array) -> jax.Array:
+def nmr_db(codec: Codec, ref: jax.Array, deg: jax.Array,
+           tmask: float = 0.0) -> jax.Array:
     """NMR in dB (negative = inaudible on average)."""
-    return 10.0 * jnp.log10(jnp.maximum(nmr(codec, ref, deg), 1e-30))
+    return 10.0 * jnp.log10(
+        jnp.maximum(nmr(codec, ref, deg, tmask=tmask), 1e-30)
+    )
 
 
 def _k_weighting_coeffs(sample_rate: float):

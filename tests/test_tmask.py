@@ -287,6 +287,32 @@ class TestStreamParity:
         np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+class TestMetricsLens:
+    def test_spread_threshold_nmr_is_leq(self, codec, transient):
+        """nmr(tmask=) judges against the spread (>=) threshold, so it
+        reads <= the simultaneous-only NMR, and a tmask'd encode that
+        looks noisy to the strict lens passes its own model's lens."""
+        from audiocodec_tpu import metrics
+
+        codes, bark = codec.encode_bitstream(transient, tmask=TMASK)
+        out = codec.decode_bitstream(codes, bark)[:, 256:-256]
+        strict = float(metrics.nmr(codec, transient, out))
+        own = float(metrics.nmr(codec, transient, out, tmask=TMASK))
+        assert own <= strict
+        # the codec's quantizer calibration: noise lands well under the
+        # threshold it was shaped by (~1/36 nominal)
+        assert own < 0.2
+
+    def test_zero_tmask_unchanged(self, codec, transient):
+        from audiocodec_tpu import metrics
+
+        codes, bark = codec.encode_bitstream(transient)
+        out = codec.decode_bitstream(codes, bark)[:, 256:-256]
+        a = float(metrics.nmr(codec, transient, out))
+        b = float(metrics.nmr(codec, transient, out, tmask=0.0))
+        assert a == b
+
+
 class TestRateControl:
     def test_rate_search_honors_tmask(self, codec, transient):
         from audiocodec_tpu import rate as _rate
