@@ -74,13 +74,31 @@ def _require_backend(deadline_s: float = 300.0):
     err = got.get(
         "error", f"backend init exceeded {deadline_s:.0f}s (tunnel down?)"
     )
-    print(json.dumps({
+    out = {
         "metric": "encode_decode_throughput",
         "value": 0.0,
         "unit": "audio_sec_per_sec",
         "vs_baseline": 0.0,
         "error": f"TPU backend unavailable: {err}",
-    }))
+    }
+    # Context for the reader: the last successful round's measurement of
+    # the SAME benchmark (clearly labeled as prior — NOT this run's).
+    try:
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        for p in reversed(prior):
+            with open(p) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed") or {}
+            if parsed.get("value"):
+                out["last_good_round"] = os.path.basename(p)
+                out["last_good"] = parsed
+                break
+    except Exception:  # noqa: BLE001 — context only, never fail the report
+        pass
+    print(json.dumps(out))
     os._exit(1)
 
 
