@@ -1,0 +1,240 @@
+"""Block switching: per-frame long/short transform selection for transients.
+
+The classic pre-echo weapon besides TNS (tns.py): when a frame contains an
+attack, quantization noise of the long transform smears over the whole
+2N-sample span — audible BEFORE the attack, where there is nothing to mask
+it. AAC switches the filter bank to eight short windowed MDCTs for such
+frames ("EIGHT_SHORT"). This module is the TPU-first formulation of the
+same idea, exploiting a structural property of this codec's filter bank:
+
+**The long and short representations are one orthogonal matrix apart.**
+This MDCT's polyphase fold is *exactly* invertible per frame (the window-
+completion rule makes the diamond fold matrix invertible — ops/folding.py;
+reference audiocodec/mdctransformer.py:217-226 carries the same property),
+so perfect reconstruction never depends on overlap-add window conditions.
+The long spectrum of frame t is  y = O_N f / s  with O_N the orthonormal
+DCT-IV and f the folded frame. Re-transforming the SAME folded frame with
+a block-diagonal bank of ``factor`` orthonormal DCT-IVs of size
+M = N/factor gives a short-time representation
+
+    y_short = BD(O_M) f / s = [BD(O_M) @ O_N] y = T y,       T orthogonal.
+
+Each short sub-spectrum covers one M-sample segment of the folded frame,
+and the fold maps every folded sample to <= 2 output samples — so
+quantization noise added in sub-block s of a short frame lands in a
+~2M-sample window instead of ~2N: the pre-echo span shrinks by
+``factor`` (46 ms -> 5.8 ms at N=1024, factor=8, 44.1 kHz — under the
+~15 ms pre-masking horizon).
+
+Because T is a plain orthogonal change of basis applied AFTER the
+standard transform, block switching composes with every MDCT lowering
+(sparse / dense / Pallas kernels untouched), the psycho model keeps
+operating on the long spectrum (which it needs anyway — the Bark sidecar
+is unchanged), and the per-frame choice is one jnp.where — no
+data-dependent control flow, fully batched.
+
+Honest difference from AAC: the eight sub-transforms act on the *folded*
+frame with rectangular segment boundaries rather than on re-windowed time
+samples, so short frames trade some stop-band attenuation for the exact-
+reconstruction and composability properties above. Short frames are only
+selected on transients, where tonality is low and temporal resolution —
+not leakage — is what matters.
+
+Bitstream contract: the per-frame flags ride the container (they are as
+bit-critical as the sidecar — the decoder must invert the same basis and
+derive the same pooled thresholds). Threshold pooling (`pool_threshold`)
+is elementwise reshape/mean/sqrt — deterministic, no matmul-precision
+caveat. The T matmul itself is encoder/decoder-local (not a shared
+derivation), pinned to Precision.HIGHEST like the DCT for accuracy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiocodec_tpu.ops import dct as _dct
+
+FACTOR = 8  # sub-blocks per short frame (AAC's eight-short)
+
+# Peakiness ratio of sub-block energies above which a frame goes short.
+# A stationary signal reads ~1-2 (see tests); a click confined to one of
+# 8 sub-blocks approaches 8. Calibrated on the clicks corpus: 4.0 catches
+# every synthetic attack while never firing on tones/noise/speechlike.
+DETECT_RATIO = 4.0
+
+# Frames quieter than this fraction of the batch's maximum frame energy
+# never switch (nothing to pre-echo into; keeps silence deterministic).
+DETECT_FLOOR = 1e-6
+
+
+@functools.lru_cache(maxsize=8)
+def _transition_matrix_f64(filters_n: int, factor: int) -> np.ndarray:
+    """T = BD(O_M) @ O_N, float64 host precompute ([N, N], orthogonal)."""
+    if filters_n % factor != 0:
+        raise ValueError(
+            f"filters_n={filters_n} not divisible by factor={factor}"
+        )
+    m = filters_n // factor
+    o_n = _dct.dct4_matrix(filters_n)
+    o_m = _dct.dct4_matrix(m)
+    bd = np.zeros((filters_n, filters_n), dtype=np.float64)
+    for s in range(factor):
+        bd[s * m : (s + 1) * m, s * m : (s + 1) * m] = o_m
+    # y [.., N] is applied as y @ T_right, so T_right = (BD @ O_N)^T =
+    # O_N @ BD^T (both symmetric => O_N @ BD). Orthogonal either way.
+    return o_n @ bd
+
+
+def transition_matrices(filters_n: int, factor: int = FACTOR,
+                        dtype=jnp.float32):
+    """(fwd, inv) right-multiply matrices: y_short = y @ fwd,
+    y_long = y_short @ inv. float64 pipelines get float64 copies."""
+    t = _transition_matrix_f64(filters_n, factor)
+    mat_dtype = (
+        jnp.float64 if jnp.dtype(dtype) == jnp.dtype(jnp.float64)
+        else jnp.float32
+    )
+    return (
+        jnp.asarray(t, dtype=mat_dtype),
+        jnp.asarray(t.T, dtype=mat_dtype),
+    )
+
+
+def _apply(spectrum: jax.Array, mat: jax.Array) -> jax.Array:
+    """[B, F, N, C] @ [N, N] along the bin axis, Precision.HIGHEST (the
+    TPU f32 default is one bf16 pass — same pinning as ops/dct.py)."""
+    y = jnp.einsum(
+        "bfnc,nk->bfkc",
+        spectrum.astype(mat.dtype),
+        mat,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return y.astype(spectrum.dtype)
+
+
+def split_spectrum(spectrum: jax.Array, flags: jax.Array,
+                   factor: int = FACTOR) -> jax.Array:
+    """Long spectrum -> the switched representation.
+
+    :param spectrum: [B, frames, N, C] long-transform spectrum.
+    :param flags: [B, frames] bool — True = this frame uses the short
+        basis (its N bins become ``factor`` concatenated M-bin
+        sub-spectra, time-ordered).
+    :return: same shape; long frames pass through untouched.
+    """
+    fwd, _ = transition_matrices(spectrum.shape[2], factor,
+                                 spectrum.dtype)
+    short = _apply(spectrum, fwd)
+    return jnp.where(flags[:, :, None, None], short, spectrum)
+
+
+def merge_spectrum(spectrum_sw: jax.Array, flags: jax.Array,
+                   factor: int = FACTOR) -> jax.Array:
+    """The switched representation -> long spectrum (exact inverse of
+    :func:`split_spectrum`; T is orthogonal)."""
+    _, inv = transition_matrices(spectrum_sw.shape[2], factor,
+                                 spectrum_sw.dtype)
+    long = _apply(spectrum_sw, inv)
+    return jnp.where(flags[:, :, None, None], long, spectrum_sw)
+
+
+def detect(spectrum: jax.Array, factor: int = FACTOR,
+           ratio: float = DETECT_RATIO) -> jax.Array:
+    """Per-frame transient flags from the short-basis time envelope.
+
+    By Parseval, the energy of sub-spectrum s in the short basis IS the
+    energy of segment s of the folded frame — an 8-point time envelope at
+    M-sample resolution, obtained without touching the waveform. A frame
+    switches short when that envelope is peaky (max/mean > ratio): the
+    attack is confined to a fraction of the frame, which is exactly when
+    long-transform noise smears audibly. Channels are pooled (max): joint
+    stereo requires one flag per frame, and an attack in either channel
+    pre-echoes in both after M/S rotation.
+
+    :param spectrum: [B, frames, N, C] LONG spectrum (pre-quantization).
+    :return: bool [B, frames].
+    """
+    b, f, n, c = spectrum.shape
+    fwd, _ = transition_matrices(n, factor, spectrum.dtype)
+    short = _apply(spectrum, fwd)
+    e = jnp.sum(
+        short.astype(jnp.float32).reshape(b, f, factor, n // factor, c)
+        ** 2,
+        axis=3,
+    )  # [B, F, factor, C]
+    e = jnp.max(e, axis=-1)  # channel pool -> [B, F, factor]
+    mean = jnp.mean(e, axis=-1)
+    peak = jnp.max(e, axis=-1)
+    peaky = peak > ratio * jnp.maximum(mean, 1e-30)
+    frame_e = jnp.sum(e, axis=-1)
+    loud = frame_e > DETECT_FLOOR * jnp.max(
+        frame_e, axis=-1, keepdims=True
+    )
+    out = jnp.logical_and(peaky, loud)
+    # The first and last frames fold against the zero boundary block
+    # (blocks+1 framing), so half their envelope is structurally zero —
+    # always "peaky" regardless of content. They are also the padding
+    # frames a round trip slices off; never switch them.
+    edge = jnp.zeros_like(out[:, :1])
+    return jnp.concatenate([edge, out[:, 1:-1], edge], axis=1)
+
+
+def pool_threshold(threshold: jax.Array, flags: jax.Array,
+                   factor: int = FACTOR) -> jax.Array:
+    """Masking threshold for the switched representation.
+
+    Short-basis bin j of every sub-block spans the ``factor`` long bins
+    [factor*j, factor*(j+1)); RMS-pooling their threshold amplitudes
+    keeps both the per-band and the whole-frame noise-energy budgets
+    exactly equal to the long basis (noise power per coefficient is
+    threshold^2/36 in either basis, and each group has factor long bins
+    vs factor sub-block slots). Elementwise reshape/mean/sqrt only — the
+    decoder reproduces it bit-exactly from the transmitted sidecar and
+    flags, with no matmul-lowering caveat.
+
+    :param threshold: [B, frames, N, C] long-basis threshold amplitudes.
+    :param flags: [B, frames] bool.
+    :return: [B, frames, N, C] — pooled+tiled where short, untouched
+        where long.
+    """
+    b, f, n, c = threshold.shape
+    m = n // factor
+    grouped = threshold.reshape(b, f, m, factor, c)
+    pooled = jnp.sqrt(jnp.mean(grouped * grouped, axis=3))  # [B,F,M,C]
+    tiled = jnp.tile(pooled, (1, 1, factor, 1))  # [B,F,N,C]
+    return jnp.where(flags[:, :, None, None], tiled, threshold)
+
+
+def frequency_index(flags: jax.Array, filters_n: int,
+                    factor: int = FACTOR) -> jax.Array:
+    """Per-bin frequency index under switching, [B, frames, N]: the long
+    basis is arange(N); in a short frame, bin s*M+j sits at frequency
+    band ~factor*j. Used by band-gated features (noise filling's
+    band_start) so their masks track frequency, not storage index."""
+    n = filters_n
+    long_idx = jnp.arange(n, dtype=jnp.int32)
+    short_idx = jnp.tile(
+        jnp.arange(n // factor, dtype=jnp.int32) * factor, (factor,)
+    )
+    return jnp.where(flags[:, :, None], short_idx[None, None],
+                     long_idx[None, None])
+
+
+def pack_flags(flags: np.ndarray) -> np.ndarray:
+    """bool [B, frames] -> uint8 bitmap [B, ceil(frames/8)] (container
+    wire form; np.packbits big-endian bit order)."""
+    return np.packbits(np.asarray(flags, dtype=bool), axis=-1)
+
+
+def unpack_flags(bits: np.ndarray, frames: int) -> np.ndarray:
+    """Inverse of :func:`pack_flags`."""
+    out = np.unpackbits(np.asarray(bits, dtype=np.uint8), axis=-1)
+    if out.shape[-1] < frames:
+        raise ValueError(
+            f"flag bitmap holds {out.shape[-1]} frames < {frames}"
+        )
+    return out[..., :frames].astype(bool)
