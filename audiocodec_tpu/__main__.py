@@ -166,6 +166,7 @@ def cmd_encode(args):
                 chunk_blocks=args.chunk_blocks,
                 target_kbps=args.kbps, drown=args.drown, ms=args.ms,
                 deadzone=dz, tns=args.tns, nf=args.nf, tmask=args.tmask,
+                bs=args.bs,
             )
             extra = (
                 f", {kbps:.0f} kbit/s CBR, scales "
@@ -178,7 +179,7 @@ def cmd_encode(args):
                     chunk_blocks=args.chunk_blocks,
                     target_kbps=args.kbps, drown=args.drown, ms=args.ms,
                     deadzone=dz, tns=args.tns, nf=args.nf,
-                    tmask=args.tmask,
+                    tmask=args.tmask, bs=args.bs,
                 )
             )
             extra = f", {kbps:.0f} kbit/s, scale {tscale:.2f}"
@@ -187,7 +188,7 @@ def cmd_encode(args):
                 codec, x[:, :usable], args.output,
                 chunk_blocks=args.chunk_blocks, drown=args.drown,
                 ms=args.ms, deadzone=fixed_dz, tns=args.tns, nf=args.nf,
-                tmask=args.tmask,
+                tmask=args.tmask, bs=args.bs,
             )
         size = os.path.getsize(args.output)
         raw = usable * x.shape[2] * 2
@@ -203,7 +204,7 @@ def cmd_encode(args):
 
         result = _rate.encode_with_target_bitrate(
             codec, x, args.kbps, drown=args.drown, ms=args.ms, deadzone=dz,
-            tns=args.tns, nf=args.nf, tmask=args.tmask,
+            tns=args.tns, nf=args.nf, tmask=args.tmask, bs=args.bs,
         )
         # the trial's packed bytes ARE the container — write them verbatim
         # so the measured kbps is exactly the on-disk file's
@@ -221,6 +222,7 @@ def cmd_encode(args):
     enc = codec.encode_frames(
         codec.mdct.transform(x), args.drown, ms=args.ms,
         deadzone=fixed_dz, tns=args.tns, nf=args.nf, tmask=args.tmask,
+        bs=args.bs,
     )
     from audiocodec_tpu import quantize as _quantize
 
@@ -243,6 +245,7 @@ def cmd_encode(args):
         tns_band_start=codec.tns_band_start,
         nf_levels=enc.nf_levels,
         nf_band_start=codec.nf_band_start,
+        bs_flags=enc.bs_flags,
     )
     raw = data.size * 2  # vs 16-bit PCM
     print(
@@ -400,6 +403,8 @@ def cmd_decode(args):
                        else int(meta.get("nf_band_start", 0))),
         nf_seed=_np.uint32(meta.get("nf_seed", 0)),
     )
+    bsf = meta.get("bs_flags")
+    nf_kwargs["bs_flags"] = None if bsf is None else jnp.asarray(bsf)
     if meta.get("ms"):
         wave = codec.decode_bitstream_ms(
             jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
@@ -443,14 +448,15 @@ def cmd_roundtrip(args):
     codec = _build_codec(rate, args)
     data = _trim_to_blocks(data, args.filters_n)
     x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
-    if args.tns or args.nf or args.tmask:
+    if args.tns or args.nf or args.tmask or args.bs:
         enc = codec.encode_frames(
             codec.mdct.transform(x), args.drown, tns=args.tns,
-            nf=args.nf, tmask=args.tmask,
+            nf=args.nf, tmask=args.tmask, bs=args.bs,
         )
         out = codec.decode_bitstream(enc.codes, enc.bark16,
                                      tns_idx=enc.tns_idx,
-                                     nf_levels=enc.nf_levels)
+                                     nf_levels=enc.nf_levels,
+                                     bs_flags=enc.bs_flags)
     else:
         out = codec.round_trip_quantized(x, drown=args.drown)
     n = args.filters_n
@@ -624,9 +630,9 @@ def cmd_corpus(args):
     fixed_dz = 0.5 if dz == "auto" else float(dz)
 
     @functools.partial(
-        jax.jit, static_argnames=("ms", "tns", "nf", "tmask")
+        jax.jit, static_argnames=("ms", "tns", "nf", "tmask", "bs")
     )
-    def encode_batch(b, ms, tns, nf, tmask=0.0):
+    def encode_batch(b, ms, tns, nf, tmask=0.0, bs=False):
         # the ONE int16-wire dequant definition (pipeline._dequant_wire):
         # it is bit-critical, so the CLI must not carry its own copy
         x = _dequant_wire(b, jnp.dtype(codec.mdct.compute_dtype))
@@ -634,7 +640,7 @@ def cmd_corpus(args):
         frames = codec.mdct.transform(x[:, :usable])
         return codec.encode_frames(frames, args.drown, ms=ms,
                                    deadzone=fixed_dz, tns=tns, nf=nf,
-                                   tmask=tmask)
+                                   tmask=tmask, bs=bs)
 
     if args.cache:
         if not os.path.exists(args.cache):
@@ -692,6 +698,8 @@ def cmd_corpus(args):
                      else enc.tns_idx[j : j + 1]),
             nf_levels=(None if enc.nf_levels is None
                        else enc.nf_levels[j : j + 1]),
+            bs_flags=(None if enc.bs_flags is None
+                      else enc.bs_flags[j : j + 1]),
             **meta,
         )
 
@@ -719,12 +727,13 @@ def cmd_corpus(args):
                     codec, x[:, :usable], args.kbps,
                     drown=args.drown, ms=args.ms, deadzone=dz,
                     tns=args.tns, nf=args.nf, tmask=args.tmask,
+                    bs=args.bs,
                 )
                 payload = [res.packed for res in results]
             else:
                 enc_h = jax.device_get(
                     encode_batch(dev, args.ms, args.tns, args.nf,
-                                 tmask=args.tmask)
+                                 tmask=args.tmask, bs=args.bs)
                 )
                 payload = None
             b_n = (len(payload) if payload is not None
@@ -891,6 +900,14 @@ def main(argv=None) -> int:
                  "frames after a loud sound, spending fewer bits where "
                  "noise is inaudible. Encoder-side only — decoders need "
                  "no flag",
+        )
+        p.add_argument(
+            "--bs", action="store_true",
+            help="block switching: transient frames quantize in a "
+                 "time-split short basis (8 sub-spectra), confining "
+                 "quantization noise to ~1/8 of the frame span — the "
+                 "other pre-echo control besides --tns, and composable "
+                 "with it",
         )
         p.add_argument(
             "--chunk-blocks", type=int, default=0,

@@ -174,13 +174,13 @@ def detect(spectrum: jax.Array, factor: int = FACTOR,
     loud = frame_e > DETECT_FLOOR * jnp.max(
         frame_e, axis=-1, keepdims=True
     )
-    out = jnp.logical_and(peaky, loud)
-    # The first and last frames fold against the zero boundary block
-    # (blocks+1 framing), so half their envelope is structurally zero —
-    # always "peaky" regardless of content. They are also the padding
-    # frames a round trip slices off; never switch them.
-    edge = jnp.zeros_like(out[:, :1])
-    return jnp.concatenate([edge, out[:, 1:-1], edge], axis=1)
+    # NOTE: deliberately a pure PER-FRAME function (no positional edge
+    # handling): chunked/streaming encodes then produce bit-identical
+    # flags to a whole-file encode automatically, for any chunking. The
+    # first/last frames fold against the zero boundary block, so loud
+    # content "switches" them — harmless: they are the padding frames a
+    # round trip slices off, and short-basis coding is still exact.
+    return jnp.logical_and(peaky, loud)
 
 
 def pool_threshold(threshold: jax.Array, flags: jax.Array,

@@ -22,6 +22,7 @@ import typing
 import jax
 import jax.numpy as jnp
 
+from audiocodec_tpu import blockswitch as _blockswitch
 from audiocodec_tpu import nf as _nf
 from audiocodec_tpu import psycho as _psycho
 from audiocodec_tpu import quantize as _quantize
@@ -40,6 +41,7 @@ class EncodedFrames(typing.NamedTuple):
     bark16: jax.Array  # bfloat16 [B, frames, bark_n, C or 1 (ms)]
     tns_idx: jax.Array | None  # int8 [B, frames, order, C]
     nf_levels: jax.Array | None  # uint8 [B, frames, C]
+    bs_flags: jax.Array | None = None  # bool [B, frames] (blockswitch)
 
 
 @functools.partial(
@@ -231,7 +233,9 @@ class Codec:
                             tns_band_start: int | None = None,
                             nf_levels: jax.Array | None = None,
                             nf_band_start: int | None = None,
-                            nf_seed=0, nf_frame_offset=0) -> jax.Array:
+                            nf_seed=0, nf_frame_offset=0,
+                            bs_flags: jax.Array | None = None
+                            ) -> jax.Array:
         """Inverse of :meth:`encode_bitstream_ms` -> L/R waveform.
 
         :param dz_recon: dead-zone reconstruction offset (the container's
@@ -253,9 +257,11 @@ class Codec:
             threshold_scale, dtype=self.mdct.compute_dtype
         )
         if tns_idx is not None:
-            bs = (self.tns_band_start if tns_band_start is None
-                  else tns_band_start)
-            thr = _tns.scaled_threshold(thr, tns_idx, bs)
+            tbs = (self.tns_band_start if tns_band_start is None
+                   else tns_band_start)
+            thr = _tns.scaled_threshold(thr, tns_idx, tbs)
+        if bs_flags is not None:
+            thr = _blockswitch.pool_threshold(thr, bs_flags)
         delta = _quantize.step_size(thr)
         spec_ms = _quantize.dequantize(
             codes, delta, dtype=self.mdct.compute_dtype,
@@ -266,8 +272,10 @@ class Codec:
                      else nf_band_start)
             spec_ms = _nf.fill(spec_ms, codes, delta, nf_levels, bs_nf,
                                nf_seed, nf_frame_offset)
+        if bs_flags is not None:
+            spec_ms = _blockswitch.merge_spectrum(spec_ms, bs_flags)
         if tns_idx is not None:
-            spec_ms = _tns.filter_inverse(spec_ms, tns_idx, bs)
+            spec_ms = _tns.filter_inverse(spec_ms, tns_idx, tbs)
         return self.decode(self.from_mid_side(spec_ms))
 
     def encode_bitstream(self, x: jax.Array, drown=0.0,
@@ -290,7 +298,8 @@ class Codec:
 
     def analyze_for_quantization(self, frames: jax.Array, drown=0.0,
                                  ms: bool = False, tmask: float = 0.0,
-                                 tmask_context: jax.Array | None = None):
+                                 tmask_context: jax.Array | None = None,
+                                 bs: bool = False):
         """The bitstream-compatibility-critical analysis, in ONE place:
         tonality -> Bark masking intensity -> bf16-rounded sidecar ->
         threshold (and the mid/side rotation + min-channel sidecar when
@@ -306,8 +315,16 @@ class Codec:
         :param tmask_context: previous chunk's trailing pre-spread Bark
             intensities for streaming continuity (see
             :meth:`tmask_context_frames`).
-        :return: (quantizable spectrum, bark16 sidecar, base threshold).
+        :param bs: block switching (blockswitch.py) — detect transient
+            frames from the (pre-rotation) long spectrum. The returned
+            spectrum/threshold are still long-basis: callers apply
+            split_spectrum / pool_threshold at the bit-exactness-correct
+            point (pooling LAST, after every threshold scaling — the
+            decoders mirror that order).
+        :return: (quantizable spectrum, bark16 sidecar, base threshold,
+            bs_flags bool [B, frames] or None).
         """
+        bs_flags = _blockswitch.detect(frames) if bs else None
         tonality = self.psycho.tonality(frames)
         bark = self.psycho.global_masking_intensity_in_bark(
             frames, tonality, drown
@@ -323,14 +340,13 @@ class Codec:
             bark16 = jnp.min(bark, axis=-1, keepdims=True).astype(
                 jnp.bfloat16
             )
-            return self.to_mid_side(frames), bark16, self._ms_threshold(
-                bark16
-            )
+            return (self.to_mid_side(frames), bark16,
+                    self._ms_threshold(bark16), bs_flags)
         bark16 = bark.astype(jnp.bfloat16)
         threshold = self.psycho.bark_intensity_to_threshold(
             bark16.astype(self.mdct.compute_dtype)
         )
-        return frames, bark16, threshold
+        return frames, bark16, threshold, bs_flags
 
     def _tmask_db_per_frame(self, tmask_db_per_s: float) -> float:
         """dB-per-second forward-masking decay -> dB per frame hop
@@ -361,7 +377,8 @@ class Codec:
                         threshold_scale=1.0, ms: bool = False,
                         deadzone: float = 0.5, nf: bool = False,
                         tmask: float = 0.0,
-                        tmask_context: jax.Array | None = None):
+                        tmask_context: jax.Array | None = None,
+                        bs: bool = False):
         """Spectral frames -> (codes, bf16 Bark sidecar); the frame-level
         half of encode_bitstream[_ms], shared with the streaming container.
 
@@ -385,27 +402,45 @@ class Codec:
         :param tmask: forward-masking decay in dB/s (0 = off); encoder-
             side only, flows into the sidecar — see
             analyze_for_quantization.
+        :param bs: block switching (blockswitch.py) — transient frames
+            quantize in the short (time-split) basis against the
+            RMS-pooled threshold, confining their quantization noise to
+            ~2·N/8 samples instead of ~2·N (pre-echo). The per-frame
+            flags are appended to the return and are bitstream-critical
+            (the ``bsw`` container member). Noise-fill levels are zeroed
+            on short frames (an attack masks; holes are a stationary
+            phenomenon).
         """
-        spec_q, bark16, threshold = self.analyze_for_quantization(
-            frames, drown, ms=ms, tmask=tmask, tmask_context=tmask_context
+        spec_q, bark16, threshold, bs_flags = self.analyze_for_quantization(
+            frames, drown, ms=ms, tmask=tmask,
+            tmask_context=tmask_context, bs=bs,
         )
         threshold = threshold * jnp.asarray(
             threshold_scale, dtype=self.mdct.compute_dtype
         )
+        if bs:
+            spec_q = _blockswitch.split_spectrum(spec_q, bs_flags)
+            threshold = _blockswitch.pool_threshold(threshold, bs_flags)
         codes, delta = _quantize.quantize(spec_q, threshold,
                                           deadzone=deadzone)
-        if not nf:
-            return codes, bark16
-        nfl = _nf.analyze(spec_q, codes, delta, self.nf_band_start,
-                          deadzone=deadzone)
-        return codes, bark16, nfl
+        out = (codes, bark16)
+        if nf:
+            nfl = _nf.analyze(spec_q, codes, delta, self.nf_band_start,
+                              deadzone=deadzone)
+            if bs:
+                nfl = jnp.where(bs_flags[:, :, None],
+                                jnp.zeros_like(nfl), nfl)
+            out = out + (nfl,)
+        if bs:
+            out = out + (bs_flags,)
+        return out
 
     def encode_frames(self, frames: jax.Array, drown=0.0,
                       threshold_scale=1.0, ms: bool = False,
                       deadzone: float = 0.5, tns: bool = False,
                       nf: bool = False, tmask: float = 0.0,
-                      tmask_context: jax.Array | None = None
-                      ) -> EncodedFrames:
+                      tmask_context: jax.Array | None = None,
+                      bs: bool = False) -> EncodedFrames:
         """One entry point for every coded-bitstream encode: wraps
         :meth:`quantize_frames` / :meth:`quantize_frames_tns` and always
         returns an :class:`EncodedFrames` (absent features are None) —
@@ -416,16 +451,18 @@ class Codec:
             out = self.quantize_frames_tns(
                 frames, drown, threshold_scale=threshold_scale, ms=ms,
                 deadzone=deadzone, nf=nf, tmask=tmask,
-                tmask_context=tmask_context,
+                tmask_context=tmask_context, bs=bs,
             )
             return EncodedFrames(out[0], out[1], out[2],
-                                 out[3] if nf else None)
+                                 out[3] if nf else None,
+                                 out[-1] if bs else None)
         out = self.quantize_frames(
             frames, drown, threshold_scale=threshold_scale, ms=ms,
             deadzone=deadzone, nf=nf, tmask=tmask,
-            tmask_context=tmask_context,
+            tmask_context=tmask_context, bs=bs,
         )
-        return EncodedFrames(out[0], out[1], None, out[2] if nf else None)
+        return EncodedFrames(out[0], out[1], None, out[2] if nf else None,
+                             out[-1] if bs else None)
 
     @property
     def tns_band_start(self) -> int:
@@ -441,7 +478,8 @@ class Codec:
                             threshold_scale=1.0, ms: bool = False,
                             deadzone: float = 0.5, nf: bool = False,
                             tmask: float = 0.0,
-                            tmask_context: jax.Array | None = None):
+                            tmask_context: jax.Array | None = None,
+                            bs: bool = False):
         """:meth:`quantize_frames` with temporal noise shaping: frames
         whose spectrum is predictable along frequency (peaky time
         envelopes — transients) are whitened by an order-8 LPC filter
@@ -462,23 +500,40 @@ class Codec:
             BEFORE inverse filtering, so the fill noise gets the frame's
             time envelope too — exactly the AAC ordering).
         """
-        spec_q, bark16, threshold = self.analyze_for_quantization(
-            frames, drown, ms=ms, tmask=tmask, tmask_context=tmask_context
+        spec_q, bark16, threshold, bs_flags = self.analyze_for_quantization(
+            frames, drown, ms=ms, tmask=tmask,
+            tmask_context=tmask_context, bs=bs,
         )
-        bs = self.tns_band_start
-        tns_idx = _tns.analyze(spec_q, bs)
-        spec_f = _tns.filter_forward(spec_q, tns_idx, bs)
+        tbs = self.tns_band_start
+        tns_idx = _tns.analyze(spec_q, tbs)
+        if bs:
+            # short frames never TNS-filter (the block switch IS their
+            # pre-echo treatment, and the LPC-along-frequency model does
+            # not hold in the split basis): zeroed indices make every
+            # TNS op an identity there, on both sides of the wire.
+            tns_idx = jnp.where(bs_flags[:, :, None, None],
+                                jnp.zeros_like(tns_idx), tns_idx)
+        spec_f = _tns.filter_forward(spec_q, tns_idx, tbs)
         threshold = threshold * jnp.asarray(
             threshold_scale, dtype=self.mdct.compute_dtype
         )
-        threshold = _tns.scaled_threshold(threshold, tns_idx, bs)
+        threshold = _tns.scaled_threshold(threshold, tns_idx, tbs)
+        if bs:
+            spec_f = _blockswitch.split_spectrum(spec_f, bs_flags)
+            threshold = _blockswitch.pool_threshold(threshold, bs_flags)
         codes, delta = _quantize.quantize(spec_f, threshold,
                                           deadzone=deadzone)
-        if not nf:
-            return codes, bark16, tns_idx
-        nfl = _nf.analyze(spec_f, codes, delta, self.nf_band_start,
-                          deadzone=deadzone)
-        return codes, bark16, tns_idx, nfl
+        out = (codes, bark16, tns_idx)
+        if nf:
+            nfl = _nf.analyze(spec_f, codes, delta, self.nf_band_start,
+                              deadzone=deadzone)
+            if bs:
+                nfl = jnp.where(bs_flags[:, :, None],
+                                jnp.zeros_like(nfl), nfl)
+            out = out + (nfl,)
+        if bs:
+            out = out + (bs_flags,)
+        return out
 
     def decode_bitstream(self, codes: jax.Array, bark16: jax.Array,
                          threshold_scale=1.0,
@@ -487,7 +542,8 @@ class Codec:
                          tns_band_start: int | None = None,
                          nf_levels: jax.Array | None = None,
                          nf_band_start: int | None = None,
-                         nf_seed=0, nf_frame_offset=0) -> jax.Array:
+                         nf_seed=0, nf_frame_offset=0,
+                         bs_flags: jax.Array | None = None) -> jax.Array:
         """Inverse of :meth:`encode_bitstream`: codes + Bark intensities ->
         waveform [B, (blocks+1)*N, C].
 
@@ -503,14 +559,21 @@ class Codec:
         :param nf_seed: the container's recorded noise seed;
             ``nf_frame_offset`` is the global index of ``codes``' first
             frame (nonzero for chunked/seeking decoders).
+        :param bs_flags: per-frame block-switch flags from the encoder
+            (the ``bsw`` container member, bool [B, frames]); None for
+            long-only streams. Threshold pooling mirrors the encoder's
+            order exactly (pool LAST, after every scaling) so step sizes
+            stay bit-identical.
         """
         threshold = self.psycho.bark_intensity_to_threshold(
             bark16.astype(self.mdct.compute_dtype)
         ) * jnp.asarray(threshold_scale, dtype=self.mdct.compute_dtype)
         if tns_idx is not None:
-            bs = (self.tns_band_start if tns_band_start is None
-                  else tns_band_start)
-            threshold = _tns.scaled_threshold(threshold, tns_idx, bs)
+            tbs = (self.tns_band_start if tns_band_start is None
+                   else tns_band_start)
+            threshold = _tns.scaled_threshold(threshold, tns_idx, tbs)
+        if bs_flags is not None:
+            threshold = _blockswitch.pool_threshold(threshold, bs_flags)
         delta = _quantize.step_size(threshold)
         spec = _quantize.dequantize(codes, delta,
                                     dtype=self.mdct.compute_dtype,
@@ -520,6 +583,8 @@ class Codec:
                      else nf_band_start)
             spec = _nf.fill(spec, codes, delta, nf_levels, bs_nf,
                             nf_seed, nf_frame_offset)
+        if bs_flags is not None:
+            spec = _blockswitch.merge_spectrum(spec, bs_flags)
         if tns_idx is not None:
-            spec = _tns.filter_inverse(spec, tns_idx, bs)
+            spec = _tns.filter_inverse(spec, tns_idx, tbs)
         return self.decode(spec)

@@ -14,6 +14,9 @@ codes well). Format (npz members):
             int64 [order, band_start]; absent = no temporal noise shaping
   nfl       uint8 [B, blocks, C] noise-fill levels + 'nfmeta' int64
             [band_start, seed]; absent = no noise filling (nf.py)
+  bsw       uint8 [B, ceil(blocks/8)] per-frame block-switch flag bitmap
+            + 'bswmeta' int64 [factor]; absent = all-long frames
+            (blockswitch.py)
 """
 
 from __future__ import annotations
@@ -74,7 +77,7 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
          dz_recon: float = 0.0,
          tns_idx=None, tns_band_start: int = 0,
          nf_levels=None, nf_band_start: int = 0,
-         nf_seed: int = 0) -> bytes:
+         nf_seed: int = 0, bs_flags=None) -> bytes:
     """Serialize encoder output to bytes.
 
     :param entropy: "rice" (native Rice/Golomb coder), "rrice" (run-length
@@ -103,6 +106,12 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
         ``nf_seed`` per global frame. Written (with band_start + seed
         in ``nfmeta``) only when some frame has a nonzero level, so
         nf-off encodes stay byte-identical.
+    :param bs_flags: block-switch flags, bool [B, blocks]
+        (blockswitch.py) — bitstream-critical when any frame is short:
+        the decoder must invert the short basis and pool thresholds for
+        exactly these frames. Written (as a packbits bitmap, with the
+        split factor in ``bswmeta``) only when some frame switched, so
+        bs-off encodes stay byte-identical.
     """
     from audiocodec_tpu import native
 
@@ -197,6 +206,18 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
             members["nfmeta"] = np.asarray(
                 [nf_band_start, int(nf_seed)], dtype=np.int64
             )
+    if bs_flags is not None:
+        arr = np.asarray(bs_flags)
+        if arr.shape != (codes.shape[0], codes.shape[1]):
+            raise ValueError(
+                f"bs_flags shape {arr.shape} does not match codes "
+                f"{codes.shape}"
+            )
+        if arr.any():  # all-long = nothing to record
+            from audiocodec_tpu import blockswitch as _bs
+
+            members["bsw"] = _bs.pack_flags(arr)
+            members["bswmeta"] = np.asarray([_bs.FACTOR], dtype=np.int64)
     buf = _io.BytesIO()
     np.savez_compressed(
         buf,
@@ -394,6 +415,29 @@ def _unpack_members(z, ml_dtypes, data_len):
                 f"band_start {nf_band_start} inconsistent with codes "
                 f"{codes.shape}"
             )
+    bs_flags, bs_factor = None, 0
+    if "bsw" in z.files:
+        from audiocodec_tpu import blockswitch as _bs
+
+        bsw = np.asarray(small("bsw"))
+        bm = small("bswmeta")
+        if len(bm) != 1:
+            raise ValueError("corrupt container: bad bswmeta")
+        bs_factor = int(bm[0])
+        if (
+            bsw.dtype != np.uint8
+            or bsw.ndim != 2
+            or bsw.shape[0] != codes.shape[0]
+            or bsw.shape[1] * 8 < codes.shape[1]
+            or not (2 <= bs_factor <= 64)
+            or codes.shape[2] % bs_factor
+        ):
+            raise ValueError(
+                f"corrupt container: bsw member shape {bsw.shape} / "
+                f"factor {bs_factor} inconsistent with codes "
+                f"{codes.shape}"
+            )
+        bs_flags = _bs.unpack_flags(bsw, codes.shape[1])
     meta = {
         "sample_rate": int(meta_arr[0]),
         "filters_n": int(meta_arr[1]),
@@ -411,6 +455,8 @@ def _unpack_members(z, ml_dtypes, data_len):
         "nf_levels": nf_levels,
         "nf_band_start": nf_band_start,
         "nf_seed": nf_seed,
+        "bs_flags": bs_flags,
+        "bs_factor": bs_factor,
     }
     if not (0 < meta["sample_rate"] <= 10_000_000):
         raise ValueError("corrupt container: sample_rate out of bounds")

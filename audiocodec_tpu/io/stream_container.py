@@ -17,6 +17,8 @@ Layout (little-endian):
                 header declares "tns"; see tns.py]
              | [u32 nfl_len | deflated uint8 noise-fill levels — only when
                 the header declares "nf"; see nf.py]
+             | [u32 bsw_len | packbits block-switch flag bitmap — only
+                when the header declares "bs"; see blockswitch.py]
              | u32 crc32
              (crc over every payload — storage/transport corruption is
               detected at read time, not as garbled audio)
@@ -46,6 +48,7 @@ class Chunk(typing.NamedTuple):
     tns: np.ndarray | None  # int8 [blocks, order, C]; None = no TNS
     nfl: np.ndarray | None  # uint8 [blocks, C]; None = no noise filling
     tscale: float | None = None  # per-chunk rate scale (CBR streams)
+    bsw: np.ndarray | None = None  # bool [blocks]; None = all-long
 
 
 class StreamWriter:
@@ -57,7 +60,8 @@ class StreamWriter:
                  bark_precision: str = "highest", dz_recon: float = 0.0,
                  tns_order: int = 0, tns_band_start: int = 0,
                  nf: bool = False, nf_band_start: int = 0,
-                 nf_seed: int = 0, cbr: bool = False):
+                 nf_seed: int = 0, cbr: bool = False,
+                 bs: bool = False):
         self.meta = {
             "sample_rate": int(sample_rate),
             "filters_n": int(filters_n),
@@ -119,6 +123,20 @@ class StreamWriter:
                 "band_start": int(nf_band_start),
                 "seed": int(nf_seed),
             }
+        if bs:
+            # block switching: each chunk carries a per-frame flag
+            # bitmap; absent = all-long (older streams decode unchanged,
+            # bs-off encodes write the old layout). Flags are
+            # bitstream-critical: the decoder inverts the short basis
+            # and pools thresholds for exactly these frames.
+            from audiocodec_tpu import blockswitch as _bs_mod
+
+            if filters_n % _bs_mod.FACTOR:
+                raise ValueError(
+                    f"block switching needs filters_n divisible by "
+                    f"{_bs_mod.FACTOR}, got {filters_n}"
+                )
+            self.meta["bs"] = {"factor": int(_bs_mod.FACTOR)}
         if cbr:
             # constant-bitrate mode: every chunk carries its OWN f64
             # threshold scale (leading the chunk, CRC-covered); the
@@ -139,7 +157,7 @@ class StreamWriter:
         self._closed = False
 
     def append(self, codes, bark16, tns_idx=None, nf_levels=None,
-               tscale=None) -> None:
+               tscale=None, bs_flags=None) -> None:
         """Write one chunk: codes int32 [1, blocks, N, C] (or [blocks, N, C]),
         bark16 bfloat16 [1, blocks, bark_n, C] (or unbatched), for TNS
         streams int8 reflection indices [1, blocks, order, C], for
@@ -166,6 +184,12 @@ class StreamWriter:
             raise ValueError(
                 "chunk noise-fill levels must be passed exactly when the "
                 "stream header declares nf"
+            )
+        bsw = self.meta.get("bs")
+        if (bsw is not None) != (bs_flags is not None):
+            raise ValueError(
+                "chunk block-switch flags must be passed exactly when "
+                "the stream header declares bs"
             )
         cbr = self.meta.get("cbr")
         if (cbr is not None) != (tscale is not None):
@@ -210,6 +234,18 @@ class StreamWriter:
                     f"({blocks}, {codes.shape[-1]})"
                 )
             nfl_bytes = zlib.compress(lv.tobytes(), 6)
+        bsw_bytes = b""
+        if bsw is not None:
+            from audiocodec_tpu import blockswitch as _bs_mod
+
+            fl = np.asarray(bs_flags)
+            if fl.ndim == 2:
+                fl = fl[0]
+            if fl.shape != (blocks,):
+                raise ValueError(
+                    f"chunk bs_flags shape {fl.shape} != ({blocks},)"
+                )
+            bsw_bytes = _bs_mod.pack_flags(fl[None])[0].tobytes()
         # the CRC covers the HEADER FIELDS too (hcrc streams), chained in
         # FILE ORDER: a flipped scale/blocks/length field must fail
         # loudly, not silently truncate or rescale the decode
@@ -237,6 +273,11 @@ class StreamWriter:
             crc = zlib.crc32(nfl_bytes, zlib.crc32(hdr, crc))
             self._f.write(hdr)
             self._f.write(nfl_bytes)
+        if bsw is not None:
+            hdr = struct.pack("<I", len(bsw_bytes))
+            crc = zlib.crc32(bsw_bytes, zlib.crc32(hdr, crc))
+            self._f.write(hdr)
+            self._f.write(bsw_bytes)
         self._f.write(struct.pack("<I", crc))
 
     def close(self) -> None:
@@ -366,6 +407,18 @@ class StreamReader:
                     f"stream header nf={nf!r} out of bounds — corrupt "
                     "stream"
                 )
+        bsm = m.get("bs")
+        if bsm is not None:
+            factor = bsm.get("factor") if isinstance(bsm, dict) else None
+            if (
+                not isinstance(factor, int)
+                or not 2 <= factor <= 64
+                or m["filters_n"] % factor
+            ):
+                raise ValueError(
+                    f"stream header bs={bsm!r} out of bounds — corrupt "
+                    "stream"
+                )
         if not isinstance(m.get("cbr", 0), (int, bool)):
             raise ValueError("stream header cbr must be a flag")
 
@@ -450,6 +503,8 @@ class StreamReader:
         tns_bytes = read_payload("tns") if tns_meta is not None else None
         nf_meta = self.meta.get("nf")
         nfl_bytes = read_payload("nfl") if nf_meta is not None else None
+        bs_meta = self.meta.get("bs")
+        bsw_bytes = read_payload("bsw") if bs_meta is not None else None
         (crc,) = struct.unpack("<I", self._read_exact(4, i))
         if want != crc:
             raise ValueError(f"chunk {i} failed CRC — corrupt stream")
@@ -527,7 +582,20 @@ class StreamReader:
                     f"expected {want_n} — corrupt stream"
                 )
             nfl = np.frombuffer(raw, dtype=np.uint8).reshape(blocks, ch)
-        return Chunk(codes, bark, tns, nfl, tscale)
+        bsw = None
+        if bsw_bytes is not None:
+            from audiocodec_tpu import blockswitch as _bs_mod
+
+            want_n = (blocks + 7) // 8
+            if len(bsw_bytes) != want_n:
+                raise ValueError(
+                    f"chunk {i} block-switch bitmap is {len(bsw_bytes)} "
+                    f"bytes, expected {want_n} — corrupt stream"
+                )
+            bsw = _bs_mod.unpack_flags(
+                np.frombuffer(bsw_bytes, dtype=np.uint8)[None], blocks
+            )[0]
+        return Chunk(codes, bark, tns, nfl, tscale, bsw)
 
     def close(self) -> None:
         if self._owns_file:
@@ -577,17 +645,19 @@ def _jit_encode_chunk():
     import jax.numpy as jnp
 
     @functools.partial(
-        jax.jit, static_argnames=("ms", "deadzone", "tns", "nf", "tmask")
+        jax.jit,
+        static_argnames=("ms", "deadzone", "tns", "nf", "tmask", "bs"),
     )
     def step(codec, carry, x_chunk, drown, threshold_scale, ms, deadzone,
-             tns=False, nf=False, tmask=0.0, tmask_context=None):
+             tns=False, nf=False, tmask=0.0, tmask_context=None,
+             bs=False):
         carry, frames = streaming.mdct_stream_step(
             codec.mdct, carry, x_chunk
         )
         enc = codec.encode_frames(
             frames, drown, threshold_scale=threshold_scale, ms=ms,
             deadzone=deadzone, tns=tns, nf=nf, tmask=tmask,
-            tmask_context=tmask_context,
+            tmask_context=tmask_context, bs=bs,
         )
         new_ctx = None
         if tmask:
@@ -607,15 +677,17 @@ def _jit_encode_chunk():
         return (carry, new_ctx) + tuple(enc)
 
     @functools.partial(
-        jax.jit, static_argnames=("ms", "deadzone", "tns", "nf", "tmask")
+        jax.jit,
+        static_argnames=("ms", "deadzone", "tns", "nf", "tmask", "bs"),
     )
     def flush(codec, carry, drown, threshold_scale, ms, deadzone,
-              tns=False, nf=False, tmask=0.0, tmask_context=None):
+              tns=False, nf=False, tmask=0.0, tmask_context=None,
+              bs=False):
         last = streaming.mdct_stream_flush(codec.mdct, carry)
         return codec.encode_frames(
             last, drown, threshold_scale=threshold_scale, ms=ms,
             deadzone=deadzone, tns=tns, nf=nf, tmask=tmask,
-            tmask_context=tmask_context,
+            tmask_context=tmask_context, bs=bs,
         )
 
     return step, flush
@@ -636,7 +708,7 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
                   threshold_scale: float = 1.0,
                   deadzone: float = 0.5, tns: bool = False,
                   nf: bool = False, nf_seed: int = 0,
-                  tmask: float = 0.0) -> int:
+                  tmask: float = 0.0, bs: bool = False) -> int:
     """Encode a long waveform to a seekable stream with bounded memory.
 
     Uses the streaming MDCT (one carried block across chunks) and per-chunk
@@ -660,6 +732,10 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         decoder's fill noise is keyed by GLOBAL frame index, so an nf
         .acs decodes bit-identically to the same signal's nf .acz
         (same ``nf_seed``), including mid-stream seeks.
+    :param bs: block switching (blockswitch.py). Detection is a pure
+        per-frame function of the spectrum, so chunk flags are
+        bit-identical to a whole-file encode's and ride each chunk as a
+        bitmap.
     :param tmask: forward (post-)masking decay in dB/s, 0 = off (see
         psycho.temporal_masking). Encoder-side only — it raises the
         Bark sidecar before rounding, so nothing rides the header. A
@@ -729,6 +805,7 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         nf_band_start=codec.nf_band_start if nf else 0,
         nf_seed=nf_seed if nf else 0,
         cbr=cbr,
+        bs=bs,
     ) as w:
         step, flush = _encode_chunk_fns()
         carry = streaming.mdct_stream_init(mdct, 1, c)
@@ -741,21 +818,23 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         tctx = None
         for k, start in enumerate(range(0, s, chunk)):
             ts_k = scales[k] if cbr else threshold_scale
-            carry, tctx, codes, bark16, tns_idx, nfl = step(
+            carry, tctx, codes, bark16, tns_idx, nfl, bsw = step(
                 codec, carry, x[:, start : start + chunk], drown,
                 ts_k, ms, deadzone, tns, nf, tmask=tmask,
-                tmask_context=tctx,
+                tmask_context=tctx, bs=bs,
             )
             if pending is not None:
                 w.append(*pending)
             pending = (codes, bark16, tns_idx, nfl,
-                       ts_k if cbr else None)
+                       ts_k if cbr else None, bsw)
         if pending is not None:
             w.append(*pending)
         ts_last = scales[-1] if cbr else threshold_scale
-        w.append(*flush(codec, carry, drown, ts_last, ms, deadzone,
-                        tns, nf, tmask=tmask, tmask_context=tctx),
-                 tscale=ts_last if cbr else None)
+        last = flush(codec, carry, drown, ts_last, ms, deadzone,
+                     tns, nf, tmask=tmask, tmask_context=tctx, bs=bs)
+        w.append(last.codes, last.bark16, last.tns_idx, last.nf_levels,
+                 tscale=ts_last if cbr else None,
+                 bs_flags=last.bs_flags)
         n_chunks = len(w._index)
     return n_chunks
 
@@ -765,7 +844,7 @@ def encode_stream_with_target_bitrate(
     target_kbps: float, drown=0.0, ms: bool = False,
     sample_chunks: int = 8, tolerance: float = 0.08,
     log2_scale_range=(-4.0, 10.0), deadzone="auto", tns: bool = False,
-    nf: bool = False, tmask: float = 0.0,
+    nf: bool = False, tmask: float = 0.0, bs: bool = False,
 ):
     """Rate-controlled stream encode: pick ONE stream-global threshold
     scale from a strided sample of the signal (the vmapped trial search of
@@ -818,14 +897,14 @@ def encode_stream_with_target_bitrate(
         # the rate curve (~1 deflated byte/frame), so trials skip them
         return _rate.encode_with_target_bitrate(
             codec, sample, tgt, drown=drown, ms=ms, deadzone=z, tns=tns,
-            tmask=tmask,
+            tmask=tmask, bs=bs,
         ).threshold_scale
 
     def full_encode(scale):
         n_chunks = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
             threshold_scale=scale, deadzone=z, tns=tns, nf=nf,
-            tmask=tmask,
+            tmask=tmask, bs=bs,
         )
         return n_chunks, os.path.getsize(path) * 8 / seconds / 1000
 
@@ -875,7 +954,7 @@ def encode_stream_cbr(
     target_kbps: float, drown=0.0, ms: bool = False,
     tolerance: float = 0.05, trials_per_round: int = 8,
     deadzone="auto", tns: bool = False, nf: bool = False,
-    tmask: float = 0.0,
+    tmask: float = 0.0, bs: bool = False,
 ):
     """Constant-bitrate stream encode: EVERY chunk is rate-controlled to
     its per-chunk share of the target in ONE vmapped batch search (each
@@ -951,13 +1030,13 @@ def encode_stream_cbr(
             codec, chunks_x, per_chunk_target + acz_overhead_kbps,
             drown=drown, tolerance=tolerance,
             trials_per_round=trials_per_round,
-            ms=ms, deadzone=z, tns=tns, tmask=tmask,
+            ms=ms, deadzone=z, tns=tns, tmask=tmask, bs=bs,
         )
         sc_list = [r.threshold_scale for r in results]
         n_ch = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
             threshold_scale=sc_list, deadzone=z, tns=tns, nf=nf,
-            tmask=tmask,
+            tmask=tmask, bs=bs,
         )
         return n_ch, sc_list, os.path.getsize(path) * 8 / (s / sr) / 1000
 
@@ -980,7 +1059,8 @@ def encode_stream_cbr(
 
 def _dequant_frames(codec, codes, bark, tscale, ms, dzr=0.0,
                     tns=None, tns_bs=0,
-                    nfl=None, nf_bs=0, nf_seed=0, frame_offset=0):
+                    nfl=None, nf_bs=0, nf_seed=0, frame_offset=0,
+                    bsw=None):
     """Mirror EXACTLY the encoder's threshold derivation (ms min-channel
     sidecar, stream-global scale) so step sizes are bit-identical; apply
     the header's dead-zone reconstruction offset ``dzr``, the noise fill
@@ -1005,6 +1085,12 @@ def _dequant_frames(codec, codes, bark, tscale, ms, dzr=0.0,
     if tns is not None:
         tns = jnp.asarray(tns)[None]
         threshold = _tns_mod.scaled_threshold(threshold, tns, tns_bs)
+    if bsw is not None:
+        from audiocodec_tpu import blockswitch as _bs_mod
+
+        bsw = jnp.asarray(bsw)[None]
+        # pooling LAST, after every scaling — mirrors the encoder
+        threshold = _bs_mod.pool_threshold(threshold, bsw)
     delta = _quantize.step_size(threshold)
     codes = jnp.asarray(codes)[None]
     spec = _quantize.dequantize(codes, delta, dtype=dtype, recon_offset=dzr)
@@ -1013,6 +1099,10 @@ def _dequant_frames(codec, codes, bark, tscale, ms, dzr=0.0,
             spec, codes, delta, jnp.asarray(nfl)[None], nf_bs, nf_seed,
             frame_offset,
         )
+    if bsw is not None:
+        from audiocodec_tpu import blockswitch as _bs_mod
+
+        spec = _bs_mod.merge_spectrum(spec, bsw)
     if tns is not None:
         spec = _tns_mod.filter_inverse(spec, tns, tns_bs)
     return codec.from_mid_side(spec) if ms else spec
@@ -1030,10 +1120,11 @@ def _jit_decode_chunk():
         jax.jit, static_argnames=("ms", "dzr", "tns_bs", "nf_bs")
     )
     def step(codec, carry, codes, bark, tscale, ms, dzr, tns=None,
-             tns_bs=0, nfl=None, nf_bs=0, nf_seed=0, frame_offset=0):
+             tns_bs=0, nfl=None, nf_bs=0, nf_seed=0, frame_offset=0,
+             bsw=None):
         frames = _dequant_frames(codec, codes, bark, tscale, ms, dzr,
                                  tns, tns_bs, nfl, nf_bs, nf_seed,
-                                 frame_offset)
+                                 frame_offset, bsw)
         carry, samples = streaming.imdct_stream_step(
             codec.mdct, carry, frames
         )
@@ -1092,26 +1183,27 @@ def _jit_decode_chunk():
     )
     def first_frame(codec, codes, bark, tscale, ms, dzr, tns=None,
                     tns_bs=0, nfl=None, nf_bs=0, nf_seed=0,
-                    frame_offset=0):
+                    frame_offset=0, bsw=None):
         """First dequantized spectral frame of a chunk — the 'next good
         frame' for interpolative concealment (the chunk itself is
         decoded again on the following iteration)."""
         return _dequant_frames(codec, codes, bark, tscale, ms, dzr,
                                tns, tns_bs, nfl, nf_bs, nf_seed,
-                               frame_offset)[:, :1]
+                               frame_offset, bsw)[:, :1]
 
     @functools.partial(
         jax.jit, static_argnames=("ms", "dzr", "tns_bs", "nf_bs")
     )
     def seek_carry(codec, codes, bark, tscale, ms, dzr, tns=None,
-                   tns_bs=0, nfl=None, nf_bs=0, nf_seed=0, frame_offset=0):
+                   tns_bs=0, nfl=None, nf_bs=0, nf_seed=0,
+                   frame_offset=0, bsw=None):
         """-> (overlap-add carry, previous chunk's last spectral frame).
         The frame rides along so concealment of the chunk right AFTER a
         seek can extrapolate from it instead of from silence."""
         mdct = codec.mdct
         prev = _dequant_frames(codec, codes, bark, tscale, ms, dzr,
                                tns, tns_bs, nfl, nf_bs, nf_seed,
-                               frame_offset)[:, -1:]
+                               frame_offset, bsw)[:, -1:]
         yb = jnp.transpose(prev, (0, 3, 1, 2))
         if mdct.dense_inv_cur is not None:
             # dense mode carries the previous RAW spectral frame
@@ -1241,6 +1333,7 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
                     tscale if c.tscale is None else c.tscale,
                     ms, dzr, put_opt(c.tns), tns_bs,
                     put_opt(c.nfl), nf_bs, nf_seed, prev_off,
+                    bsw=put_opt(c.bsw),
                 )
             # else: prime with silence; recovery at start_chunk
         ex = ThreadPoolExecutor(max_workers=1)
@@ -1273,6 +1366,7 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
                             ms, dzr, put_opt(nxt.tns), tns_bs,
                             put_opt(nxt.nfl), nf_bs, nf_seed,
                             frame_off + blocks,
+                            bsw=put_opt(nxt.bsw),
                         )
                         weights = jnp.asarray(
                             np.arange(1, blocks + 1) / (blocks + 1), dtype
@@ -1301,6 +1395,7 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
                     tscale if c.tscale is None else c.tscale,
                     ms, dzr, put_opt(c.tns), tns_bs,
                     put_opt(c.nfl), nf_bs, nf_seed, frame_off,
+                    bsw=put_opt(c.bsw),
                 )
                 frame_off += c.codes.shape[0]
                 yield samples

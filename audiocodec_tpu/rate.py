@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audiocodec_tpu import blockswitch as _blockswitch
 from audiocodec_tpu import nf as _nf
 from audiocodec_tpu import quantize as _quantize
 from audiocodec_tpu import tns as _tns
@@ -46,6 +47,7 @@ class RateControlResult:
     tns_band_start: int = 0
     nf_levels: np.ndarray | None = None
     nf_band_start: int = 0
+    bs_flags: np.ndarray | None = None
 
 
 def resolve_deadzone(deadzone, target_kbps, channels, sample_rate) -> float:
@@ -102,6 +104,7 @@ def encode_with_target_bitrate_batch(
     tns: bool = False,
     nf: bool = False,
     tmask: float = 0.0,
+    bs: bool = False,
 ) -> list:
     """Rate-control every clip of a batch to ``target_kbps``.
 
@@ -136,9 +139,12 @@ def encode_with_target_bitrate_batch(
 
     # One-time analysis (the bitstream-critical derivation lives in ONE
     # place — Codec.analyze_for_quantization); trials only re-quantize+pack.
-    spectrum_q, bark16, base_threshold = codec.analyze_for_quantization(
-        codec.mdct.transform(x), drown, ms=ms, tmask=tmask
+    spectrum_q, bark16, base_threshold, bs_flags_dev = (
+        codec.analyze_for_quantization(
+            codec.mdct.transform(x), drown, ms=ms, tmask=tmask, bs=bs
+        )
     )
+    bs_flags = None if bs_flags_dev is None else np.asarray(bs_flags_dev)
     tns_idx, tns_bs, tns_idx_dev = None, 0, None
     if tns:
         tns_bs = codec.tns_band_start
@@ -146,10 +152,21 @@ def encode_with_target_bitrate_batch(
         @jax.jit
         def _tns_once(s):
             idx = _tns.analyze(s, tns_bs)
+            if bs_flags_dev is not None:
+                # short frames never TNS-filter (codec.quantize_frames_tns
+                # applies the same gate)
+                idx = jnp.where(bs_flags_dev[:, :, None, None],
+                                jnp.zeros_like(idx), idx)
             return idx, _tns.filter_forward(s, idx, tns_bs)
 
         tns_idx_dev, spectrum_q = _tns_once(spectrum_q)
         tns_idx = np.asarray(tns_idx_dev)
+    if bs_flags_dev is not None:
+        # flags are scale-independent; split ONCE, every trial quantizes
+        # the switched spectrum (mirrors the codec's encode order)
+        spectrum_q = jax.jit(_blockswitch.split_spectrum)(
+            spectrum_q, bs_flags_dev
+        )
 
     def _trial_threshold(scale_b):
         thr = base_threshold * scale_b[:, None, None, None].astype(dtype)
@@ -159,6 +176,9 @@ def encode_with_target_bitrate_batch(
             # f32 multiplication is not associative, and step sizes
             # must be bit-identical on both sides
             thr = _tns.scaled_threshold(thr, tns_idx_dev, tns_bs)
+        if bs_flags_dev is not None:
+            # pooling LAST, after every scaling — the decoders mirror it
+            thr = _blockswitch.pool_threshold(thr, bs_flags_dev)
         return thr
 
     nf_fn, nf_bs = None, 0
@@ -168,7 +188,11 @@ def encode_with_target_bitrate_batch(
         @jax.jit
         def nf_fn(scale_b, codes):
             delta = _quantize.step_size(_trial_threshold(scale_b))
-            return _nf.analyze(spectrum_q, codes, delta, nf_bs, deadzone=z)
+            nfl = _nf.analyze(spectrum_q, codes, delta, nf_bs, deadzone=z)
+            if bs_flags_dev is not None:
+                nfl = jnp.where(bs_flags_dev[:, :, None],
+                                jnp.zeros_like(nfl), nfl)
+            return nfl
 
     @jax.jit
     def quantize_trials(scales):
@@ -201,7 +225,7 @@ def encode_with_target_bitrate_batch(
         return _search(
             pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             target_kbps, tolerance, trials_per_round, log2_scale_range,
-            dz_recon, tns_idx, tns_bs, nf_fn, nf_bs,
+            dz_recon, tns_idx, tns_bs, nf_fn, nf_bs, bs_flags,
         )
     finally:
         pool.shutdown(wait=False)
@@ -210,7 +234,7 @@ def encode_with_target_bitrate_batch(
 def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             target_kbps, tolerance, trials_per_round, log2_scale_range,
             dz_recon=0.0, tns_idx=None, tns_band_start=0,
-            nf_fn=None, nf_band_start=0):
+            nf_fn=None, nf_band_start=0, bs_flags=None):
     def _pack_one(codes_b, bark_b, scale, b, entropy="auto", nfl=None):
         return _bitstream.pack(
             codes_b, bark_b, threshold_scale=scale, entropy=entropy,
@@ -218,7 +242,9 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             tns_idx=None if tns_idx is None else tns_idx[b : b + 1],
             tns_band_start=tns_band_start,
             nf_levels=None if nfl is None else nfl[b : b + 1],
-            nf_band_start=nf_band_start, **meta
+            nf_band_start=nf_band_start,
+            bs_flags=None if bs_flags is None else bs_flags[b : b + 1],
+            **meta
         )
 
     from audiocodec_tpu import native as _native
@@ -324,6 +350,7 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             tns_band_start=tns_band_start,
             nf_levels=None if nfl is None else nfl[b : b + 1],
             nf_band_start=nf_band_start,
+            bs_flags=None if bs_flags is None else bs_flags[b : b + 1],
         )
         for b in range(batch)
     ]
@@ -342,6 +369,7 @@ def encode_with_target_bitrate(
     tns: bool = False,
     nf: bool = False,
     tmask: float = 0.0,
+    bs: bool = False,
 ) -> RateControlResult:
     """Single-clip rate control (the batch path with B=1).
 
@@ -367,4 +395,5 @@ def encode_with_target_bitrate(
         tns=tns,
         nf=nf,
         tmask=tmask,
+        bs=bs,
     )[0]

@@ -184,18 +184,19 @@ class CodecServer:
             jax.jit, static_argnames=("ms", "dzr", "tns_bs", "nf_bs")
         )
         def _dec(c, codes, bark, tscale, ms=False, dzr=0.0,
-                 tns=None, tns_bs=0, nfl=None, nf_bs=0, nf_seed=0):
+                 tns=None, tns_bs=0, nfl=None, nf_bs=0, nf_seed=0,
+                 bsw=None):
             # honor EVERY quantization-affecting field a container can
             # record (threshold scale, joint stereo, dead zone, TNS,
-            # noise fill) — decoding with defaults silently produces
-            # wrong audio for rate-controlled / ms / tns / nf containers
+            # noise fill, block switching) — decoding with defaults
+            # silently produces wrong audio
             kw = dict(
                 threshold_scale=tscale, dz_recon=dzr, tns_idx=tns,
                 tns_band_start=tns_bs or None, nf_levels=nfl,
                 # nf band_start 0 is a legal recorded value — pass it
                 # verbatim (no falsy-collapse to the codec default)
                 nf_band_start=None if nfl is None else nf_bs,
-                nf_seed=nf_seed,
+                nf_seed=nf_seed, bs_flags=bsw,
             )
             if ms:
                 return c.decode_bitstream_ms(codes, bark, **kw)
@@ -435,6 +436,7 @@ class CodecServer:
             bucket = max(self._min_blocks + 1, _next_pow2(frames))
             tns = meta["tns_idx"]
             nfl = meta["nf_levels"]
+            bsw = meta.get("bs_flags")
             if bucket != frames:
                 pad = ((0, 0), (0, bucket - frames), (0, 0), (0, 0))
                 codes = np.pad(codes, pad)
@@ -443,6 +445,9 @@ class CodecServer:
                     tns = np.pad(tns, pad)
                 if nfl is not None:
                     nfl = np.pad(nfl, (pad[0], pad[1], pad[3]))
+                if bsw is not None:
+                    # pad frames stay long (False): identity basis
+                    bsw = np.pad(bsw, (pad[0], pad[1]))
             wave = self._dec(
                 self._codec, jnp.asarray(codes),
                 jnp.asarray(bark, dtype=jnp.bfloat16),
@@ -455,6 +460,7 @@ class CodecServer:
                 # uint32 before the jit boundary: [2^31, 2^32) seeds are
                 # legal wire values but overflow jit's int parsing
                 nf_seed=np.uint32(meta["nf_seed"]),
+                bsw=None if bsw is None else jnp.asarray(bsw),
             )
             n = self._codec.mdct.filters_n
             wave = np.asarray(wave.astype(jnp.float32))[
@@ -598,6 +604,7 @@ class _StreamSession:
         self.tmask = float(cfg.get("tmask", 0.0))
         if not 0.0 <= self.tmask < 1e6:
             raise ValueError(f"tmask out of range: {self.tmask}")
+        self.bs = bool(cfg.get("bs", False))
         self._tctx = None
         self._codec = codec
         self._buf = _io.BytesIO()
@@ -623,6 +630,7 @@ class _StreamSession:
             nf=self.nf,
             nf_band_start=codec.nf_band_start if self.nf else 0,
             nf_seed=int(cfg.get("nf_seed", 0)),
+            bs=self.bs,
         )
         self._carry = _streaming.mdct_stream_init(
             codec.mdct, 1, self.channels
@@ -648,21 +656,24 @@ class _StreamSession:
             1, self._samples, self.channels
         )
         x = jnp.asarray(pcm, dtype=self._codec.mdct.compute_dtype)
-        self._carry, self._tctx, codes, bark16, tns_idx, nfl = self._step(
+        (self._carry, self._tctx, codes, bark16, tns_idx, nfl,
+         bsw) = self._step(
             self._codec, self._carry, x, 0.0, self.tscale, self.ms,
             self.deadzone, self.tns, self.nf, tmask=self.tmask,
-            tmask_context=self._tctx,
+            tmask_context=self._tctx, bs=self.bs,
         )
-        self._writer.append(codes, bark16, tns_idx, nfl)
+        self._writer.append(codes, bark16, tns_idx, nfl,
+                            bs_flags=bsw if self.bs else None)
         return self.take_bytes()
 
     def finish(self) -> bytes:
         out = self._flush(
             self._codec, self._carry, 0.0, self.tscale, self.ms,
             self.deadzone, self.tns, self.nf, tmask=self.tmask,
-            tmask_context=self._tctx,
+            tmask_context=self._tctx, bs=self.bs,
         )
-        self._writer.append(*out)
+        self._writer.append(out.codes, out.bark16, out.tns_idx,
+                            out.nf_levels, bs_flags=out.bs_flags)
         self._writer.close()
         return self.take_bytes()
 
@@ -740,6 +751,7 @@ class _DecodeSession:
             self._tscale if c.tscale is None else c.tscale,
             self._ms, self._dzr, put_opt(c.tns), self._tns_bs,
             put_opt(c.nfl), self._nf_bs, self._nf_seed, self._frame_off,
+            bsw=put_opt(c.bsw),
         )
         self._frame_off += c.codes.shape[0]
         return np.ascontiguousarray(
@@ -787,7 +799,7 @@ class Client:
     def begin_stream(self, **cfg) -> bytes:
         """Open a streaming encode session; returns the .acs header
         bytes. Config keys: channels, chunk_blocks, threshold_scale,
-        ms, deadzone, tns, nf, nf_seed, tmask."""
+        ms, deadzone, tns, nf, nf_seed, tmask, bs."""
         return self._call("B", json.dumps(cfg).encode())
 
     def feed(self, pcm) -> bytes:
