@@ -60,14 +60,25 @@ from audiocodec_tpu.ops import dct as _dct
 
 FACTOR = 8  # sub-blocks per short frame (AAC's eight-short)
 
-# Peakiness ratio of sub-block energies above which a frame goes short.
-# A stationary signal reads ~1-2 (see tests); a click confined to one of
-# 8 sub-blocks approaches 8. Calibrated on the clicks corpus: 4.0 catches
-# every synthetic attack while never firing on tones/noise/speechlike.
-DETECT_RATIO = 4.0
+# Loud/quiet contrast above which a frame goes short: the loudest
+# sub-block's energy exceeds the mean of the 3 quietest sub-blocks'
+# by this factor (30 = ~15 dB). The fold mirrors time around the block
+# center, so time ORDER is not preserved in the folded envelope — an
+# onset/offset shows up as coexisting loud and quiet sub-blocks, which
+# is precisely when long-transform noise (scaled to the loud part)
+# lands audibly in the quiet part. Max/mean caps at `factor` and
+# misses onsets filling half the frame; a preceding-sub-blocks onset
+# test is defeated by the time mirroring. Stationary content measures
+# < 10 (tones at the sub-block-period boundary are the worst case);
+# real attacks measure 10^2..10^4.
+DETECT_RATIO = 30.0
 
-# Frames quieter than this fraction of the batch's maximum frame energy
-# never switch (nothing to pre-echo into; keeps silence deterministic).
+# Two floors: quiet sub-blocks below DETECT_NOISE_REL of the frame's
+# loudest count as that level in the contrast denominator (silence ->
+# loud fires at a bounded, not infinite, ratio), and frames quieter
+# than DETECT_FLOOR of the batch's loudest frame never switch (nothing
+# audible to pre-echo into; keeps silence deterministic).
+DETECT_NOISE_REL = 1e-4
 DETECT_FLOOR = 1e-6
 
 
@@ -147,13 +158,17 @@ def detect(spectrum: jax.Array, factor: int = FACTOR,
     """Per-frame transient flags from the short-basis time envelope.
 
     By Parseval, the energy of sub-spectrum s in the short basis IS the
-    energy of segment s of the folded frame — an 8-point time envelope at
-    M-sample resolution, obtained without touching the waveform. A frame
-    switches short when that envelope is peaky (max/mean > ratio): the
-    attack is confined to a fraction of the frame, which is exactly when
-    long-transform noise smears audibly. Channels are pooled (max): joint
-    stereo requires one flag per frame, and an attack in either channel
-    pre-echoes in both after M/S rotation.
+    energy of segment s of the folded frame — an 8-point envelope at
+    M-sample resolution, obtained without touching the waveform (note
+    the fold mirrors time around the block center, so this is a
+    |t - center|-folded envelope, not a time-ordered one). A frame
+    switches short on loud/quiet CONTRAST: the loudest sub-block
+    exceeds the mean of the 3 quietest (floored at DETECT_NOISE_REL of
+    the peak) by ``ratio`` — a transient boundary inside the frame,
+    which is exactly when long-transform noise scaled to the loud part
+    lands audibly in the quiet part. Channels are pooled (max): joint
+    stereo needs one flag per frame, and an attack in either channel
+    pre-echoes in both after the M/S rotation.
 
     :param spectrum: [B, frames, N, C] LONG spectrum (pre-quantization).
     :return: bool [B, frames].
@@ -167,9 +182,11 @@ def detect(spectrum: jax.Array, factor: int = FACTOR,
         axis=3,
     )  # [B, F, factor, C]
     e = jnp.max(e, axis=-1)  # channel pool -> [B, F, factor]
-    mean = jnp.mean(e, axis=-1)
     peak = jnp.max(e, axis=-1)
-    peaky = peak > ratio * jnp.maximum(mean, 1e-30)
+    quiet = jnp.mean(jnp.sort(e, axis=-1)[..., :3], axis=-1)
+    contrast = peak > ratio * jnp.maximum(
+        quiet, jnp.maximum(DETECT_NOISE_REL * peak, 1e-30)
+    )
     frame_e = jnp.sum(e, axis=-1)
     loud = frame_e > DETECT_FLOOR * jnp.max(
         frame_e, axis=-1, keepdims=True
@@ -178,9 +195,9 @@ def detect(spectrum: jax.Array, factor: int = FACTOR,
     # handling): chunked/streaming encodes then produce bit-identical
     # flags to a whole-file encode automatically, for any chunking. The
     # first/last frames fold against the zero boundary block, so loud
-    # content "switches" them — harmless: they are the padding frames a
-    # round trip slices off, and short-basis coding is still exact.
-    return jnp.logical_and(peaky, loud)
+    # content there reads as contrast and switches them — harmless:
+    # they are the padding frames a round trip slices off.
+    return jnp.logical_and(contrast, loud)
 
 
 def pool_threshold(threshold: jax.Array, flags: jax.Array,
@@ -188,13 +205,17 @@ def pool_threshold(threshold: jax.Array, flags: jax.Array,
     """Masking threshold for the switched representation.
 
     Short-basis bin j of every sub-block spans the ``factor`` long bins
-    [factor*j, factor*(j+1)); RMS-pooling their threshold amplitudes
-    keeps both the per-band and the whole-frame noise-energy budgets
-    exactly equal to the long basis (noise power per coefficient is
-    threshold^2/36 in either basis, and each group has factor long bins
-    vs factor sub-block slots). Elementwise reshape/mean/sqrt only — the
-    decoder reproduces it bit-exactly from the transmitted sidecar and
-    flags, with no matmul-lowering caveat.
+    [factor*j, factor*(j+1)); MIN-pooling their threshold amplitudes
+    keeps the noise in every one of those bands below ITS own
+    threshold — the conservative choice, exactly the rationale of the
+    mid/side min-channel threshold. (RMS pooling — equal noise-energy
+    budget — was measured at matched rate: same pre-echo and SNR, but
+    fine-grid NMR up to 35x worse at 48 kbps because noise
+    redistributes within a group above the quieter bins' thresholds;
+    min costs nothing because rate control re-spends the margin.)
+    Elementwise reshape/min only — the decoder reproduces it bit-exactly
+    from the transmitted sidecar and flags, with no matmul-lowering
+    caveat. Part of the wire format: both sides must pool identically.
 
     :param threshold: [B, frames, N, C] long-basis threshold amplitudes.
     :param flags: [B, frames] bool.
@@ -204,7 +225,7 @@ def pool_threshold(threshold: jax.Array, flags: jax.Array,
     b, f, n, c = threshold.shape
     m = n // factor
     grouped = threshold.reshape(b, f, m, factor, c)
-    pooled = jnp.sqrt(jnp.mean(grouped * grouped, axis=3))  # [B,F,M,C]
+    pooled = jnp.min(grouped, axis=3)  # [B,F,M,C]
     tiled = jnp.tile(pooled, (1, 1, factor, 1))  # [B,F,N,C]
     return jnp.where(flags[:, :, None, None], tiled, threshold)
 

@@ -60,8 +60,9 @@ def main():
         ("+dz+tns+nf", dict(deadzone="auto", tns=True, nf=True)),
         ("+tmask", dict(deadzone=0.5, tns=False, nf=False,
                         tmask=130.0)),
+        ("+bs", dict(deadzone=0.5, tns=False, nf=False, bs=True)),
         ("full", dict(deadzone="auto", tns=True, nf=True,
-                      tmask=130.0)),
+                      tmask=130.0, bs=True)),
     ]
     rows = []
     for signame in args.signals.split(","):
@@ -77,6 +78,7 @@ def main():
                 codes, bark, meta = bitstream.unpack(res.packed)
                 ti = meta["tns_idx"]
                 nfl = meta["nf_levels"]
+                bsf = meta["bs_flags"]
                 out = codec.decode_bitstream(
                     jnp.asarray(codes),
                     jnp.asarray(bark, dtype=jnp.bfloat16),
@@ -88,6 +90,7 @@ def main():
                     nf_band_start=(None if nfl is None
                                    else meta["nf_band_start"]),
                     nf_seed=np.uint32(meta["nf_seed"]),
+                    bs_flags=None if bsf is None else jnp.asarray(bsf),
                 )[:, n:-n]
                 ev = metrics.evaluate(codec, x, out)
                 row = {
@@ -137,6 +140,13 @@ def main():
         "  benefit — noise-for-noise substitution is perceptually neutral",
         "  (NMR stays put) while silence is not; the band err column is",
         "  the one NF exists to fix.",
+        "- **Block switching** (`+bs`) is the other clicks story:",
+        "  transient frames quantize in the short (time-split) basis",
+        "  against the min-pooled threshold, confining their noise to",
+        "  ~1/8 of the frame span — pre-echo drops 14-127x at matched",
+        "  rate with SNR up to +2.7 dB (the rate saved on smeared",
+        "  noise re-spends on signal). Composes with TNS: `full` keeps",
+        "  both (TNS gates off only on switched frames).",
         "- **Temporal masking** (`+tmask`, 130 dB/s) frees bits wherever",
         "  frame-to-frame level drops (after attacks, decaying notes,",
         "  modulation troughs); at matched rate those bits move to frames",

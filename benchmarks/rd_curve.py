@@ -10,6 +10,7 @@ reaching the masking threshold).
 Usage:  python benchmarks/rd_curve.py [--signal tones|noise|speechlike|clicks]
                                       [--seconds 10] [--markdown]
                                       [--deadzone 0.5,0.9,1.0] [--tns]
+                                      [--nf] [--tmask 130] [--bs]
 
 With --deadzone the sweep runs MATCHED-RATE: each zero-bin width is
 rate-controlled to the same kbps targets (the container's real packed
@@ -24,6 +25,10 @@ tns.STEP_SCALE_EXP and docs/DESIGN.md §11.
 With --nf the sweep compares noise filling off/on at matched rate,
 adding a band-energy-error column (the spectral-holes metric that SNR
 cannot see) — the measurement behind nf.py's level calibration.
+
+With --bs the sweep compares block switching off/on at matched rate —
+the measurement behind blockswitch.DETECT_RATIO and the min-pooling
+choice (docs/DESIGN.md §14).
 """
 
 from __future__ import annotations
@@ -128,6 +133,65 @@ def tns_sweep(codec, x, dur, clicks, args):
         for r in rows:
             pe = f" {r['pre_echo']:.2e} |" if clicks else ""
             print(f"| {r['target_kbps']} | {r['tns']} | {r['kbps']} "
+                  f"| {r['snr_db']} | {r['nmr']} |{pe}")
+    return rows
+
+
+def bs_sweep(codec, x, dur, clicks, args):
+    """Matched-rate block-switching off/on comparison (the --tns
+    pattern): on the clicks signal the pre-echo column is the payoff —
+    quantization noise of a switched frame is confined to ~1/8 of the
+    frame span. Compare with --tns rows: the two attack treatments are
+    composable (--bs gates TNS off only on the switched frames)."""
+    import jax.numpy as jnp
+
+    from audiocodec_tpu import metrics, rate
+    from audiocodec_tpu.io import bitstream
+
+    sr = codec.psycho.sample_rate
+    targets = [float(k) for k in args.targets.split(",")]
+    n = codec.mdct.filters_n
+    wave = np.asarray(x)[0, :, 0]
+    rows = []
+    for target in targets:
+        for bs_on in (False, True):
+            res = rate.encode_with_target_bitrate(
+                codec, x, target, bs=bs_on
+            )
+            codes, bark, meta = bitstream.unpack(res.packed)
+            bsf = meta["bs_flags"]
+            out = codec.decode_bitstream(
+                jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
+                threshold_scale=res.threshold_scale,
+                dz_recon=meta["dz_recon"],
+                bs_flags=None if bsf is None else jnp.asarray(bsf),
+            )[:, n:-n]
+            ev = metrics.evaluate(codec, x, out)
+            row = {
+                "target_kbps": target,
+                "bs": bs_on,
+                "short_frames": 0 if bsf is None else int(bsf.sum()),
+                "kbps": round(res.kbps, 1),
+                "snr_db": round(ev["snr_db"], 2),
+                "nmr": round(ev["nmr"], 4),
+            }
+            if clicks:
+                err = np.asarray(out)[0, :, 0] - wave[: out.shape[1]]
+                row["pre_echo"] = float(
+                    f"{pre_echo_energy(err, clicks, sr):.3e}"
+                )
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    if args.markdown:
+        cols = "| target | bs | short | kbps | SNR dB | NMR |" + (
+            " pre-echo |" if clicks else ""
+        )
+        print(f"\n{cols} ({args.signal}, {dur:.0f}s mono)")
+        print("|---" * (7 if clicks else 6) + "|")
+        for r in rows:
+            pe = f" {r['pre_echo']:.2e} |" if clicks else ""
+            print(f"| {r['target_kbps']} | {r['bs']} "
+                  f"| {r['short_frames']} | {r['kbps']} "
                   f"| {r['snr_db']} | {r['nmr']} |{pe}")
     return rows
 
@@ -321,6 +385,9 @@ def main():
     ap.add_argument("--nf", action="store_true",
                     help="matched-rate noise-filling off/on comparison "
                          "with a band-energy-error column")
+    ap.add_argument("--bs", action="store_true",
+                    help="matched-rate block-switching off/on comparison "
+                         "(use --signal clicks for the pre-echo column)")
     ap.add_argument("--tmask", type=float, default=0.0,
                     help="temporal-masking decay in dB/s; switches to an "
                          "off/on sweep: equal-scale bit savings plus "
@@ -365,6 +432,8 @@ def main():
         return nf_sweep(codec, x, dur, args)
     if args.tmask:
         return tmask_sweep(codec, x, dur, clicks, args)
+    if args.bs:
+        return bs_sweep(codec, x, dur, clicks, args)
     if args.deadzone:
         return deadzone_sweep(codec, x, dur, args)
 

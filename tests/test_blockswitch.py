@@ -122,18 +122,28 @@ class TestDetect:
 
 
 class TestThresholdPool:
-    def test_budget_preserved(self):
-        """RMS pooling keeps the total squared-threshold budget of every
-        frame exactly (the noise-power calibration invariant)."""
+    def test_min_pooled_conservative(self):
+        """Min pooling: every short-basis bin's threshold is the MIN of
+        its group — noise stays below every covered band's own
+        threshold (never above, the conservative direction)."""
         rng = np.random.default_rng(5)
         thr = jnp.asarray(10.0 ** rng.uniform(-6, 0, (2, 4, 64, 2)))
         flags = jnp.asarray([[True, False, True, True],
                              [False, True, False, True]])
         pooled = np.asarray(bs.pool_threshold(thr, flags))
-        np.testing.assert_allclose(
-            (pooled**2).sum(axis=2), (np.asarray(thr) ** 2).sum(axis=2),
-            rtol=1e-12,
-        )
+        t = np.asarray(thr)
+        grouped = t.reshape(2, 4, 8, 8, 2).min(axis=3)  # [B,F,M,C]
+        expect = np.tile(grouped, (1, 1, 8, 1))
+        sel = np.asarray(flags)
+        np.testing.assert_array_equal(pooled[sel], expect[sel])
+        # short-basis bin (s, j) sits at frequency group j: its pooled
+        # threshold never exceeds ANY member of that group
+        m = 64 // 8
+        short = pooled[sel].reshape(-1, 8, m, 2)  # [rows, s, j, C]
+        groups = t[sel].reshape(-1, m, 8, 2)  # [rows, j, i, C]
+        assert (
+            short <= groups.min(axis=2)[:, None] + 1e-300
+        ).all()
 
     def test_long_rows_untouched(self):
         rng = np.random.default_rng(6)
