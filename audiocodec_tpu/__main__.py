@@ -813,6 +813,15 @@ def cmd_info(args):
             f"{meta.get('nf_seed')}, filled {int((_np.asarray(nfl) > 0).sum())}"
             f"/{nfl.size} frame-channels"
         )
+    bsf = meta.pop("bs_flags", None)
+    if bsf is not None:
+        import numpy as _np
+
+        meta["bs"] = (
+            f"factor {meta.get('bs_factor')}, switched "
+            f"{int(_np.asarray(bsf).sum())}/{bsf.size} frames"
+        )
+    meta.pop("bs_factor", None)
     meta.pop("nf_band_start", None)
     meta.pop("nf_seed", None)
     print(f"{args.input}:")

@@ -75,11 +75,14 @@ DETECT_RATIO = 30.0
 
 # Two floors: quiet sub-blocks below DETECT_NOISE_REL of the frame's
 # loudest count as that level in the contrast denominator (silence ->
-# loud fires at a bounded, not infinite, ratio), and frames quieter
-# than DETECT_FLOOR of the batch's loudest frame never switch (nothing
-# audible to pre-echo into; keeps silence deterministic).
+# loud fires at a bounded, not infinite, ratio), and frames whose total
+# spectral energy sits below the ABSOLUTE floor never switch (nothing
+# audible to pre-echo into). The floor is absolute — NOT relative to
+# the batch/file maximum — so flags stay a pure per-frame function and
+# chunked encodes match whole-file encodes bit-exactly. Spectra are
+# normalized to ]-1, 1[; 1e-12 total frame energy is ~-100 dBFS.
 DETECT_NOISE_REL = 1e-4
-DETECT_FLOOR = 1e-6
+DETECT_FLOOR = 1e-12
 
 
 @functools.lru_cache(maxsize=8)
@@ -188,9 +191,7 @@ def detect(spectrum: jax.Array, factor: int = FACTOR,
         quiet, jnp.maximum(DETECT_NOISE_REL * peak, 1e-30)
     )
     frame_e = jnp.sum(e, axis=-1)
-    loud = frame_e > DETECT_FLOOR * jnp.max(
-        frame_e, axis=-1, keepdims=True
-    )
+    loud = frame_e > DETECT_FLOOR
     # NOTE: deliberately a pure PER-FRAME function (no positional edge
     # handling): chunked/streaming encodes then produce bit-identical
     # flags to a whole-file encode automatically, for any chunking. The
@@ -228,21 +229,6 @@ def pool_threshold(threshold: jax.Array, flags: jax.Array,
     pooled = jnp.min(grouped, axis=3)  # [B,F,M,C]
     tiled = jnp.tile(pooled, (1, 1, factor, 1))  # [B,F,N,C]
     return jnp.where(flags[:, :, None, None], tiled, threshold)
-
-
-def frequency_index(flags: jax.Array, filters_n: int,
-                    factor: int = FACTOR) -> jax.Array:
-    """Per-bin frequency index under switching, [B, frames, N]: the long
-    basis is arange(N); in a short frame, bin s*M+j sits at frequency
-    band ~factor*j. Used by band-gated features (noise filling's
-    band_start) so their masks track frequency, not storage index."""
-    n = filters_n
-    long_idx = jnp.arange(n, dtype=jnp.int32)
-    short_idx = jnp.tile(
-        jnp.arange(n // factor, dtype=jnp.int32) * factor, (factor,)
-    )
-    return jnp.where(flags[:, :, None], short_idx[None, None],
-                     long_idx[None, None])
 
 
 def pack_flags(flags: np.ndarray) -> np.ndarray:

@@ -404,7 +404,7 @@ class Codec:
             analyze_for_quantization.
         :param bs: block switching (blockswitch.py) — transient frames
             quantize in the short (time-split) basis against the
-            RMS-pooled threshold, confining their quantization noise to
+            MIN-pooled threshold, confining their quantization noise to
             ~2·N/8 samples instead of ~2·N (pre-echo). The per-frame
             flags are appended to the return and are bitstream-critical
             (the ``bsw`` container member). Noise-fill levels are zeroed

@@ -429,13 +429,21 @@ def _unpack_members(z, ml_dtypes, data_len):
             or bsw.ndim != 2
             or bsw.shape[0] != codes.shape[0]
             or bsw.shape[1] * 8 < codes.shape[1]
-            or not (2 <= bs_factor <= 64)
-            or codes.shape[2] % bs_factor
+            or codes.shape[2] % max(bs_factor, 1)
         ):
             raise ValueError(
                 f"corrupt container: bsw member shape {bsw.shape} / "
                 f"factor {bs_factor} inconsistent with codes "
                 f"{codes.shape}"
+            )
+        if bs_factor != _bs.FACTOR:
+            # the decode paths derive pooling groups and the inverse
+            # basis from FACTOR; a different recorded factor would decode
+            # WRONG audio silently — refuse loudly instead
+            raise ValueError(
+                f"container uses block-switch factor {bs_factor}; this "
+                f"decoder supports {_bs.FACTOR} (newer framework "
+                "version?)"
             )
         bs_flags = _bs.unpack_flags(bsw, codes.shape[1])
     meta = {

@@ -419,6 +419,17 @@ class StreamReader:
                     f"stream header bs={bsm!r} out of bounds — corrupt "
                     "stream"
                 )
+            from audiocodec_tpu import blockswitch as _bs_mod
+
+            if factor != _bs_mod.FACTOR:
+                # decode derives pooling groups and the inverse basis
+                # from FACTOR; refuse a mismatch instead of decoding
+                # wrong audio silently
+                raise ValueError(
+                    f"stream uses block-switch factor {factor}; this "
+                    f"decoder supports {_bs_mod.FACTOR} (newer "
+                    "framework version?)"
+                )
         if not isinstance(m.get("cbr", 0), (int, bool)):
             raise ValueError("stream header cbr must be a flag")
 

@@ -209,6 +209,13 @@ def temporal_masking(bark_intensity, decay_db_per_frame: float,
     steps = max(1, int(np.ceil(np.log2(window + 1))))
     shift = 1
     for _ in range(steps):
+        if shift >= x.shape[frame_axis]:
+            # a shift past the array is an exact no-op (the zero-filled
+            # frames never win the max against positive intensities):
+            # stop so tiny decays (astronomical windows) stay O(log
+            # frames) in ops and pad widths — chunked/whole equality is
+            # unaffected because skipped steps change nothing
+            break
         # lambda^shift precomputed in float64 on host, downcast once
         lam = _dtypes.scalar(
             10.0 ** (-decay_db_per_frame * shift / 10.0), x.dtype

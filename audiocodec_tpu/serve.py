@@ -602,7 +602,9 @@ class _StreamSession:
         self.tns = bool(cfg.get("tns", False))
         self.nf = bool(cfg.get("nf", False))
         self.tmask = float(cfg.get("tmask", 0.0))
-        if not 0.0 <= self.tmask < 1e6:
+        # 0 = off; positive values below 1 dB/s mean a >30 s masking
+        # window — senseless physically and an easy resource sink
+        if self.tmask != 0.0 and not 1.0 <= self.tmask < 1e6:
             raise ValueError(f"tmask out of range: {self.tmask}")
         self.bs = bool(cfg.get("bs", False))
         self._tctx = None

@@ -120,6 +120,27 @@ class TestDetect:
         flags = np.asarray(bs.detect(mdct.transform(x)))
         assert not flags.any()
 
+    def test_chunk_parity_of_flags(self):
+        """detect() is a pure per-frame function: evaluating it on any
+        frame slice gives the slice of the whole-signal flags — even
+        when the chunk's loudness distribution differs wildly from the
+        file's (the loud gate must be ABSOLUTE, not batch-relative)."""
+        mdct = MDCT.create(256)
+        rng = np.random.default_rng(13)
+        n = 256 * 24
+        x = 0.5 * rng.standard_normal(n).astype(np.float32)  # loud half
+        quiet = 2e-6 * rng.standard_normal(n).astype(np.float32)
+        quiet[n // 2 : n // 2 + 64] += 2e-4  # contrasty but inaudible
+        sig = np.concatenate([x, quiet])
+        y = mdct.transform(jnp.asarray(sig[None, :, None]))
+        whole = np.asarray(bs.detect(y))[0]
+        for split in (8, 24, 40):
+            a = np.asarray(bs.detect(y[:, :split]))[0]
+            b = np.asarray(bs.detect(y[:, split:]))[0]
+            np.testing.assert_array_equal(
+                np.concatenate([a, b]), whole, err_msg=f"split={split}"
+            )
+
 
 class TestThresholdPool:
     def test_min_pooled_conservative(self):
@@ -178,13 +199,6 @@ class TestFlagsWire:
         with pytest.raises(ValueError):
             bs.unpack_flags(np.zeros((1, 1), np.uint8), 9)
 
-    def test_frequency_index(self):
-        flags = jnp.asarray([[False, True]])
-        idx = np.asarray(bs.frequency_index(flags, 64))
-        np.testing.assert_array_equal(idx[0, 0], np.arange(64))
-        m = 64 // 8
-        expect = np.tile(np.arange(m) * 8, 8)
-        np.testing.assert_array_equal(idx[0, 1], expect)
 
 
 class TestPreEcho:

@@ -100,6 +100,21 @@ class TestTemporalMasking:
             )
             np.testing.assert_array_equal(got, whole)
 
+    def test_tiny_decay_is_bounded(self):
+        """A near-zero decay implies an astronomical window; the
+        log-doubling loop must cap its shifts at the frame count (a
+        shift past the array is an exact no-op) instead of building
+        2^1000-wide pads."""
+        x = jnp.asarray(
+            10.0 ** np.random.default_rng(3).uniform(-14, 0, (1, 16, 8, 1))
+        )
+        out = psycho.temporal_masking(x, 1e-12)  # window ~ 3e13
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()
+        # decay ~0 over 16 frames: the spread is the running max
+        ref = np.maximum.accumulate(np.asarray(x), axis=1)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-9)
+
     def test_context_rank_mismatch_raises(self):
         with pytest.raises(ValueError):
             psycho.temporal_masking(
