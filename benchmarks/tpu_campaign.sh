@@ -72,6 +72,64 @@ step "composed_bench" python benchmarks/composed_bench.py
 
 step "tpu hardware lane" python -m pytest tests/ -m tpu -q
 
+step "coded-feature device cost (bs/tmask/tns/nf)" python - <<'EOF'
+# Slope-timed composed encode cost of the coded-path features on the
+# real chip: quantize_frames baseline vs +tmask vs +bs vs the full
+# ladder. bs adds one [N,N] HIGHEST einsum + a where; tmask adds
+# log-doubling maxes — both should be small next to the MDCT+psycho
+# core. Chains feed abs() back into the input (linear-chain trap).
+import time
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import jax.numpy as jnp
+import numpy as np
+
+from audiocodec_tpu.codec import Codec
+
+codec = Codec.create(44100, filters_n=1024, bark_bands_n=64)
+B, SECONDS = 32, 10
+n = 1024
+samples = SECONDS * 44100 // n * n
+rng = np.random.default_rng(0)
+x = jax.device_put(jnp.asarray(
+    (0.3 * rng.standard_normal((B, samples, 1))).astype(np.float32)
+))
+
+def chain(fn, iters):
+    @jax.jit
+    def run(x0):
+        def body(c, _):
+            out = fn(c)
+            # nonlinear feedback so XLA cannot decouple iterations
+            probe = jnp.abs(out[0].astype(jnp.float32)).mean() * 1e-6
+            return c * (1.0 + probe * 0.0) + probe.astype(c.dtype), out[0][0, 0, 0, 0]
+        return jax.lax.scan(body, x0, None, length=iters)[1]
+    return run
+
+variants = {
+    "baseline": lambda v: codec.quantize_frames(codec.mdct.transform(v)),
+    "tmask": lambda v: codec.quantize_frames(codec.mdct.transform(v), tmask=130.0),
+    "bs": lambda v: codec.quantize_frames(codec.mdct.transform(v), bs=True),
+    "full": lambda v: codec.encode_frames(
+        codec.mdct.transform(v), tns=True, nf=True, tmask=130.0, bs=True
+    ),
+}
+for name, fn in variants.items():
+    run = chain(fn, 4)
+    jax.block_until_ready(run(x))  # compile + warm
+    times = {}
+    for iters in (4, 12):
+        run_i = chain(fn, iters)
+        jax.block_until_ready(run_i(x))
+        t0 = time.perf_counter()
+        float(run_i(x).sum())
+        times[iters] = time.perf_counter() - t0
+    per_iter = (times[12] - times[4]) / 8
+    thr = B * SECONDS / per_iter
+    print(f"{name}: {per_iter*1e3:.2f} ms/encode, {thr:,.0f} audio-s/s")
+EOF
+
 step "bench.py headline" python bench.py
 
 echo "campaign complete -> $LOG" | tee -a "$LOG"
