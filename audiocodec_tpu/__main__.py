@@ -846,6 +846,32 @@ def _ensure_compile_cache():
         )
 
 
+_PRESETS = {
+    # attr -> value; applied only where the user left the flag at its
+    # argparse default, so explicit flags always win over the preset
+    "archive": {},
+    "music": {"deadzone": "auto", "tns": True, "bs": True},
+    "low": {"deadzone": "auto", "tns": True, "bs": True, "nf": True,
+            "tmask": 130.0},
+}
+
+_PRESET_DEFAULTS = {
+    "deadzone": "auto", "tns": False, "bs": False, "nf": False,
+    "tmask": 0.0,
+}
+
+
+def _apply_preset(args, parser) -> None:
+    preset = getattr(args, "preset", None)
+    if not preset:
+        return
+    for attr, value in _PRESETS[preset].items():
+        if not hasattr(args, attr):
+            continue
+        if getattr(args, attr) == _PRESET_DEFAULTS[attr]:
+            setattr(args, attr, value)
+
+
 def main(argv=None) -> int:
     _ensure_compile_cache()
     parser = argparse.ArgumentParser(
@@ -909,6 +935,17 @@ def main(argv=None) -> int:
                  "frames after a loud sound, spending fewer bits where "
                  "noise is inaudible. Encoder-side only — decoders need "
                  "no flag",
+        )
+        p.add_argument(
+            "--preset", choices=["archive", "music", "low"], default=None,
+            help="bundle of coded-path settings (each only applies where "
+                 "you left the individual flag at its default): 'archive' "
+                 "= plain rounding, no coding tools (bit-least-surprising"
+                 "); 'music' = --deadzone auto --tns --bs (the measured "
+                 "pre-echo + rate-adaptive ladder, QUALITY.md); 'low' = "
+                 "music plus --nf --tmask 130 (for targets under ~64 "
+                 "kbps/channel: spectral-hole repair + post-masking bit "
+                 "savings)",
         )
         p.add_argument(
             "--bs", action="store_true",
@@ -1042,6 +1079,7 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_info)
 
     args = parser.parse_args(argv)
+    _apply_preset(args, parser)
     try:
         return args.fn(args)
     except FileNotFoundError as e:

@@ -167,6 +167,35 @@ class TestCLI:
         y, _ = read_wav(rec)
         assert np.isfinite(y).all() and np.abs(y).max() > 0.05
 
+    def test_preset_low_bundles_flags(self, tmp_path, capsys):
+        """--preset low turns on tns/bs/nf/tmask where the user left
+        them default; the container shows the members, and an explicit
+        flag still wins over the preset."""
+        rate = 16000
+        rng = np.random.default_rng(14)
+        x = 0.02 * rng.standard_normal(8 * 2048).astype(np.float32)
+        x[4096:4196] += 0.8
+        wav_path = str(tmp_path / "p.wav")
+        write_wav(wav_path, np.clip(x, -1, 1)[:, None], rate)
+        acz = str(tmp_path / "p.acz")
+        assert cli.main(["encode", wav_path, acz, "--filters-n", "256",
+                         "--preset", "low", "--kbps", "48"]) == 0
+        _, _, meta = bitstream.load(acz)
+        # the transient fires block switching (tns's gain gate and nf's
+        # levels are content-dependent — all-zero members aren't
+        # written, so only bs is guaranteed on this corpus)
+        assert meta["bs_flags"] is not None and meta["bs_flags"].any()
+        capsys.readouterr()
+        # preset parsing: explicit flag beats preset (tmask stays 77)
+        import audiocodec_tpu.__main__ as m
+
+        args = type("A", (), dict(preset="low", deadzone="auto",
+                                  tns=False, bs=False, nf=False,
+                                  tmask=77.0))()
+        m._apply_preset(args, None)
+        assert args.tmask == 77.0  # user's explicit value preserved
+        assert args.tns and args.bs and args.nf
+
     def test_roundtrip_command(self, tmp_path, wav_file, capsys):
         wav_path, _, _ = wav_file
         rec = str(tmp_path / "rt.wav")
