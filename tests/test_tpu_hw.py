@@ -459,3 +459,129 @@ class TestCodedToolsOnHardware:
         )(np.asarray(spec), np.asarray(codes), np.asarray(delta),
           np.asarray(levels))
         np.testing.assert_allclose(dev, np.asarray(cpu), atol=1e-6)
+
+
+class TestBlockSwitchTmaskOnHardware:
+    """Block switching + temporal masking on compiled TPU programs.
+
+    The transition einsum runs at Precision.HIGHEST (multi-pass bf16 on
+    the MXU — a different lowering from CPU f32), and the detector's
+    contrast decision must survive it; the tmask log-doubling maxes are
+    trivially portable but only compiled execution proves the fused
+    program. The bitstream-critical derivations (flag bits, min-pooled
+    thresholds from a given sidecar) must MATCH the CPU decoder exactly."""
+
+    @staticmethod
+    def _click_signal():
+        rng = np.random.default_rng(7)
+        n = 1024 * 64
+        t = np.arange(n) / 44100
+        x = 0.02 * np.sin(2 * np.pi * 330 * t)
+        x += 0.003 * rng.standard_normal(n)
+        for s0 in (20 * 1024, 40 * 1024 + 512):
+            x[s0 : s0 + 600] += 0.8 * np.exp(
+                -np.arange(600) / 120.0
+            ) * rng.standard_normal(600)
+        return x.astype(np.float32)
+
+    def test_bs_flags_match_cpu(self):
+        """The per-frame flags ARE wire bits: device and CPU encoders
+        must agree on them for the same input."""
+        from audiocodec_tpu.codec import Codec
+
+        codec = Codec.create(44100, filters_n=1024, bark_bands_n=64)
+        x = jnp.asarray(self._click_signal()[None, :, None])
+
+        @jax.jit
+        def flags_of(c, xx):
+            return c.analyze_for_quantization(
+                c.mdct.transform(xx), bs=True
+            )[3]
+
+        dev = np.asarray(flags_of(codec, x))
+        cpu_codec = Codec.create(
+            44100, filters_n=1024, bark_bands_n=64, use_pallas=False
+        )
+        cpu = np.asarray(
+            jax.jit(flags_of, backend="cpu")(
+                cpu_codec, np.asarray(x)
+            )
+        )
+        assert dev.any()
+        np.testing.assert_array_equal(dev, cpu)
+
+    def test_bs_round_trip_on_device(self):
+        from audiocodec_tpu.codec import Codec
+
+        codec = Codec.create(44100, filters_n=1024, bark_bands_n=64)
+        wave = self._click_signal()
+        x = jnp.asarray(wave[None, :, None])
+
+        @jax.jit
+        def enc_dec(c, xx):
+            enc = c.encode_frames(c.mdct.transform(xx), bs=True)
+            out = c.decode_bitstream(
+                enc.codes, enc.bark16, bs_flags=enc.bs_flags
+            )
+            return out, enc.bs_flags
+
+        out, flags = enc_dec(codec, x)
+        out = np.asarray(out)[:, 1024:-1024]
+        assert np.asarray(flags).any()
+        assert np.isfinite(out).all()
+        snr = 10 * np.log10(
+            (wave**2).sum() / ((wave - out[0, :, 0]) ** 2).sum()
+        )
+        assert snr > 6.0  # noisy-bed clicks at scale 1: ~8.7 nominal
+
+    def test_tmask_sidecar_matches_cpu(self):
+        """tmask flows into the bf16 sidecar (wire bytes): the spread
+        intensities must round to identical bfloat16 on both backends
+        (elementwise maxes/multiplies — no matmul in the spread)."""
+        from audiocodec_tpu import psycho
+
+        rng = np.random.default_rng(8)
+        bark = (10.0 ** rng.uniform(-12, 0, (1, 48, 64, 1))).astype(
+            np.float32
+        )
+
+        def spread16(b):
+            return psycho.temporal_masking(b, 3.0).astype(jnp.bfloat16)
+
+        dev = np.asarray(
+            jax.jit(spread16)(jnp.asarray(bark))
+        ).view(np.uint16)
+        cpu = np.asarray(
+            jax.jit(spread16, backend="cpu")(bark)
+        ).view(np.uint16)
+        np.testing.assert_array_equal(dev, cpu)
+
+    def test_full_ladder_on_device(self):
+        """The --preset low ladder (dz+tns+bs+nf+tmask) compiles and
+        decodes cleanly as ONE program on the chip."""
+        from audiocodec_tpu.codec import Codec
+
+        codec = Codec.create(44100, filters_n=1024, bark_bands_n=64)
+        wave = self._click_signal()
+        x = jnp.asarray(wave[None, :, None])
+
+        @jax.jit
+        def enc_dec(c, xx):
+            enc = c.encode_frames(
+                c.mdct.transform(xx), deadzone=1.0, tns=True, nf=True,
+                tmask=130.0, bs=True,
+            )
+            return c.decode_bitstream(
+                enc.codes, enc.bark16, dz_recon=0.45,
+                tns_idx=enc.tns_idx, nf_levels=enc.nf_levels,
+                bs_flags=enc.bs_flags,
+            )
+
+        out = np.asarray(enc_dec(codec, x))[:, 1024:-1024]
+        assert np.isfinite(out).all()
+        snr = 10 * np.log10(
+            (wave**2).sum() / ((wave - out[0, :, 0]) ** 2).sum()
+        )
+        # ~7.96 nominal: nf's structural SNR cost (DESIGN.md §12) plus
+        # the wide dead zone, on a noisy-bed transient signal
+        assert snr > 5.5
