@@ -132,6 +132,22 @@ def _trim_to_blocks(data, filters_n):
     return data[:, :samples]
 
 
+def _pad_to_blocks(data, block):
+    """Zero-pad the tail to a multiple of ``block`` samples instead of
+    dropping it; returns (padded, original_samples). The container
+    records the original count (``nsamp``) so decode trims back —
+    round trips are length-exact (gapless)."""
+    import numpy as np
+
+    orig = data.shape[1]
+    if orig == 0:
+        raise ValueError("input has no samples")
+    pad = (-orig) % block
+    if pad:
+        data = np.pad(data, ((0, 0), (0, pad), (0, 0)))
+    return data, orig
+
+
 def cmd_encode(args):
     import jax.numpy as jnp
 
@@ -140,7 +156,10 @@ def cmd_encode(args):
     data, rate = _read(args.input)
     data, rate = _maybe_resample(data, rate, args.resample_to)
     codec = _build_codec(rate, args)
-    data = _trim_to_blocks(data, args.filters_n)
+    # pad (not trim) so decode can reproduce the EXACT input length via
+    # the container's nsamp field (gapless round trips)
+    block = args.filters_n * (args.chunk_blocks or 1)
+    data, orig_samples = _pad_to_blocks(data, block)
     x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
     if args.ms and x.shape[2] != 2:
         raise ValueError("--ms (joint mid/side) needs a stereo input")
@@ -152,21 +171,14 @@ def cmd_encode(args):
     if args.chunk_blocks:
         from audiocodec_tpu.io import stream_container
 
-        chunk = args.chunk_blocks * args.filters_n
-        usable = x.shape[1] - x.shape[1] % chunk
-        if usable == 0:
-            raise ValueError(
-                f"input shorter than one chunk ({chunk} samples); lower "
-                "--chunk-blocks"
-            )
         extra = ""
         if args.kbps and getattr(args, "cbr", False):
             n_chunks, scales, kbps = stream_container.encode_stream_cbr(
-                codec, x[:, :usable], args.output,
+                codec, x, args.output,
                 chunk_blocks=args.chunk_blocks,
                 target_kbps=args.kbps, drown=args.drown, ms=args.ms,
                 deadzone=dz, tns=args.tns, nf=args.nf, tmask=args.tmask,
-                bs=args.bs,
+                bs=args.bs, orig_samples=orig_samples,
             )
             extra = (
                 f", {kbps:.0f} kbit/s CBR, scales "
@@ -175,25 +187,28 @@ def cmd_encode(args):
         elif args.kbps:
             n_chunks, tscale, kbps = (
                 stream_container.encode_stream_with_target_bitrate(
-                    codec, x[:, :usable], args.output,
+                    codec, x, args.output,
                     chunk_blocks=args.chunk_blocks,
                     target_kbps=args.kbps, drown=args.drown, ms=args.ms,
                     deadzone=dz, tns=args.tns, nf=args.nf,
                     tmask=args.tmask, bs=args.bs,
+                    orig_samples=orig_samples,
                 )
             )
             extra = f", {kbps:.0f} kbit/s, scale {tscale:.2f}"
         else:
             n_chunks = stream_container.encode_stream(
-                codec, x[:, :usable], args.output,
+                codec, x, args.output,
                 chunk_blocks=args.chunk_blocks, drown=args.drown,
                 ms=args.ms, deadzone=fixed_dz, tns=args.tns, nf=args.nf,
                 tmask=args.tmask, bs=args.bs,
+                orig_samples=orig_samples,
             )
         size = os.path.getsize(args.output)
-        raw = usable * x.shape[2] * 2
+        raw = orig_samples * x.shape[2] * 2
         print(
-            f"{args.input}: {usable} samples @ {rate} Hz -> {args.output} "
+            f"{args.input}: {orig_samples} samples @ {rate} Hz -> "
+            f"{args.output} "
             f"(.acs stream, {n_chunks} chunks, {size} bytes, "
             f"{raw / size:.1f}x smaller than 16-bit PCM{extra})"
         )
@@ -205,6 +220,7 @@ def cmd_encode(args):
         result = _rate.encode_with_target_bitrate(
             codec, x, args.kbps, drown=args.drown, ms=args.ms, deadzone=dz,
             tns=args.tns, nf=args.nf, tmask=args.tmask, bs=args.bs,
+            orig_samples=orig_samples,
         )
         # the trial's packed bytes ARE the container — write them verbatim
         # so the measured kbps is exactly the on-disk file's
@@ -246,10 +262,11 @@ def cmd_encode(args):
         nf_levels=enc.nf_levels,
         nf_band_start=codec.nf_band_start,
         bs_flags=enc.bs_flags,
+        orig_samples=orig_samples,
     )
-    raw = data.size * 2  # vs 16-bit PCM
+    raw = orig_samples * data.shape[2] * 2  # vs 16-bit PCM
     print(
-        f"{args.input}: {data.shape[1]} samples @ {rate} Hz, "
+        f"{args.input}: {orig_samples} samples @ {rate} Hz, "
         f"{data.shape[2]} ch -> {args.output} ({size} bytes, "
         f"{raw / size:.1f}x smaller than 16-bit PCM)"
     )
@@ -419,6 +436,10 @@ def cmd_decode(args):
         )
     n = meta["filters_n"]
     wave = np.asarray(wave.astype(jnp.float32))[:, n:-n]
+    nsamp = meta.get("orig_samples", 0)
+    if nsamp:
+        # gapless: trim the encoder's tail padding back off
+        wave = wave[:, :nsamp]
     if getattr(args, "start", 0.0) or getattr(args, "duration", 0.0):
         wave = _slice_window(
             wave, meta["sample_rate"], args.start, args.duration
@@ -446,7 +467,7 @@ def cmd_roundtrip(args):
     data, rate = _read(args.input)
     data, rate = _maybe_resample(data, rate, args.resample_to)
     codec = _build_codec(rate, args)
-    data = _trim_to_blocks(data, args.filters_n)
+    data, orig_samples = _pad_to_blocks(data, args.filters_n)
     x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
     if args.tns or args.nf or args.tmask or args.bs:
         enc = codec.encode_frames(
@@ -460,8 +481,8 @@ def cmd_roundtrip(args):
     else:
         out = codec.round_trip_quantized(x, drown=args.drown)
     n = args.filters_n
-    rec = np.asarray(out.astype(jnp.float32))[:, n:-n]
-    orig = np.asarray(data)
+    rec = np.asarray(out.astype(jnp.float32))[:, n:-n][:, :orig_samples]
+    orig = np.asarray(data)[:, :orig_samples]
     noise = ((orig - rec) ** 2).sum()
     snr = 10 * np.log10((orig**2).sum() / max(noise, 1e-30))
     native.write_wav(args.output, rec, rate)
@@ -509,6 +530,10 @@ def _decode_stream(args):
             cb = [r.chunk_blocks(i) for i in range(r.n_chunks)]
     total_blocks = sum(cb)
     total = (total_blocks - 1) * n  # decoded samples after the pad trim
+    nsamp = int(meta.get("nsamp", 0))
+    if nsamp:
+        # gapless: the header records the exact pre-padding length
+        total = min(total, nsamp)
     start = float(getattr(args, "start", 0.0) or 0.0)
     duration = float(getattr(args, "duration", 0.0) or 0.0)
     s0 = int(round(start * sr))

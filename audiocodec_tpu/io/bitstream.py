@@ -77,7 +77,8 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
          dz_recon: float = 0.0,
          tns_idx=None, tns_band_start: int = 0,
          nf_levels=None, nf_band_start: int = 0,
-         nf_seed: int = 0, bs_flags=None) -> bytes:
+         nf_seed: int = 0, bs_flags=None,
+         orig_samples: int = 0) -> bytes:
     """Serialize encoder output to bytes.
 
     :param entropy: "rice" (native Rice/Golomb coder), "rrice" (run-length
@@ -106,6 +107,11 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
         ``nf_seed`` per global frame. Written (with band_start + seed
         in ``nfmeta``) only when some frame has a nonzero level, so
         nf-off encodes stay byte-identical.
+    :param orig_samples: the waveform's EXACT pre-padding sample count
+        (0 = not recorded). Encoders pad the tail to a block multiple
+        instead of dropping it; decoders trim their output back to this
+        many samples, so round trips are length-exact (gapless). Only
+        written when nonzero, so legacy encodes stay byte-identical.
     :param bs_flags: block-switch flags, bool [B, blocks]
         (blockswitch.py) — bitstream-critical when any frame is short:
         the decoder must invert the short basis and pool thresholds for
@@ -206,6 +212,13 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
             members["nfmeta"] = np.asarray(
                 [nf_band_start, int(nf_seed)], dtype=np.int64
             )
+    if orig_samples:
+        max_len = codes.shape[1] * filters_n
+        if not 0 < int(orig_samples) <= max_len:
+            raise ValueError(
+                f"orig_samples={orig_samples} outside (0, {max_len}]"
+            )
+        members["nsamp"] = np.asarray([int(orig_samples)], dtype=np.int64)
     if bs_flags is not None:
         arr = np.asarray(bs_flags)
         if arr.shape != (codes.shape[0], codes.shape[1]):
@@ -465,6 +478,9 @@ def _unpack_members(z, ml_dtypes, data_len):
         "nf_seed": nf_seed,
         "bs_flags": bs_flags,
         "bs_factor": bs_factor,
+        "orig_samples": (
+            int(small("nsamp")[0]) if "nsamp" in z.files else 0
+        ),
     }
     if not (0 < meta["sample_rate"] <= 10_000_000):
         raise ValueError("corrupt container: sample_rate out of bounds")
@@ -474,6 +490,9 @@ def _unpack_members(z, ml_dtypes, data_len):
         raise ValueError("corrupt container: bark_bands_n out of bounds")
     if not (1 <= meta["channels"] <= 64):
         raise ValueError("corrupt container: channels out of bounds")
+    if not (0 <= meta["orig_samples"] <=
+            codes.shape[1] * meta["filters_n"]):
+        raise ValueError("corrupt container: nsamp out of bounds")
     # cross-check payload shapes against the validated meta so a
     # shape/meta mismatch fails HERE, not as a raw shape error deep
     # inside the decoder's jit trace

@@ -61,7 +61,7 @@ class StreamWriter:
                  tns_order: int = 0, tns_band_start: int = 0,
                  nf: bool = False, nf_band_start: int = 0,
                  nf_seed: int = 0, cbr: bool = False,
-                 bs: bool = False):
+                 bs: bool = False, orig_samples: int = 0):
         self.meta = {
             "sample_rate": int(sample_rate),
             "filters_n": int(filters_n),
@@ -87,6 +87,12 @@ class StreamWriter:
             # without the flag keep payload-only CRCs.
             "hcrc": 1,
         }
+        if orig_samples:
+            # exact pre-padding length for gapless decode (see
+            # io/bitstream.py nsamp); absent = no trim (legacy streams)
+            if int(orig_samples) <= 0:
+                raise ValueError(f"bad orig_samples: {orig_samples}")
+            self.meta["nsamp"] = int(orig_samples)
         if dz_recon:
             # dead-zone reconstruction offset; absent = 0 (plain rounding)
             # so pre-dead-zone streams and default encodes are unchanged
@@ -432,6 +438,12 @@ class StreamReader:
                 )
         if not isinstance(m.get("cbr", 0), (int, bool)):
             raise ValueError("stream header cbr must be a flag")
+        ns = m.get("nsamp", 0)
+        if not isinstance(ns, int) or ns < 0:
+            raise ValueError(
+                f"stream header nsamp={ns!r} out of bounds — corrupt "
+                "stream"
+            )
 
     @property
     def n_chunks(self) -> int:
@@ -719,7 +731,8 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
                   threshold_scale: float = 1.0,
                   deadzone: float = 0.5, tns: bool = False,
                   nf: bool = False, nf_seed: int = 0,
-                  tmask: float = 0.0, bs: bool = False) -> int:
+                  tmask: float = 0.0, bs: bool = False,
+                  orig_samples: int = 0) -> int:
     """Encode a long waveform to a seekable stream with bounded memory.
 
     Uses the streaming MDCT (one carried block across chunks) and per-chunk
@@ -817,6 +830,7 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         nf_seed=nf_seed if nf else 0,
         cbr=cbr,
         bs=bs,
+        orig_samples=orig_samples,
     ) as w:
         step, flush = _encode_chunk_fns()
         carry = streaming.mdct_stream_init(mdct, 1, c)
@@ -856,6 +870,7 @@ def encode_stream_with_target_bitrate(
     sample_chunks: int = 8, tolerance: float = 0.08,
     log2_scale_range=(-4.0, 10.0), deadzone="auto", tns: bool = False,
     nf: bool = False, tmask: float = 0.0, bs: bool = False,
+    orig_samples: int = 0,
 ):
     """Rate-controlled stream encode: pick ONE stream-global threshold
     scale from a strided sample of the signal (the vmapped trial search of
@@ -915,7 +930,7 @@ def encode_stream_with_target_bitrate(
         n_chunks = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
             threshold_scale=scale, deadzone=z, tns=tns, nf=nf,
-            tmask=tmask, bs=bs,
+            tmask=tmask, bs=bs, orig_samples=orig_samples,
         )
         return n_chunks, os.path.getsize(path) * 8 / seconds / 1000
 
@@ -965,7 +980,7 @@ def encode_stream_cbr(
     target_kbps: float, drown=0.0, ms: bool = False,
     tolerance: float = 0.05, trials_per_round: int = 8,
     deadzone="auto", tns: bool = False, nf: bool = False,
-    tmask: float = 0.0, bs: bool = False,
+    tmask: float = 0.0, bs: bool = False, orig_samples: int = 0,
 ):
     """Constant-bitrate stream encode: EVERY chunk is rate-controlled to
     its per-chunk share of the target in ONE vmapped batch search (each
@@ -1047,7 +1062,7 @@ def encode_stream_cbr(
         n_ch = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
             threshold_scale=sc_list, deadzone=z, tns=tns, nf=nf,
-            tmask=tmask, bs=bs,
+            tmask=tmask, bs=bs, orig_samples=orig_samples,
         )
         return n_ch, sc_list, os.path.getsize(path) * 8 / (s / sr) / 1000
 

@@ -105,6 +105,7 @@ def encode_with_target_bitrate_batch(
     nf: bool = False,
     tmask: float = 0.0,
     bs: bool = False,
+    orig_samples: int = 0,
 ) -> list:
     """Rate-control every clip of a batch to ``target_kbps``.
 
@@ -208,6 +209,11 @@ def encode_with_target_bitrate_batch(
         return jax.vmap(one)(scales)
 
     meta = _meta(codec, ms)
+    if orig_samples:
+        # exact-length (gapless) round trips: the container records the
+        # pre-padding sample count; trial packs carry it too so trial
+        # and final sizes stay aligned
+        meta["orig_samples"] = int(orig_samples)
     bark_np = np.asarray(bark16)
 
     # K x B trial packs between the two device passes were the measured
@@ -370,6 +376,7 @@ def encode_with_target_bitrate(
     nf: bool = False,
     tmask: float = 0.0,
     bs: bool = False,
+    orig_samples: int = 0,
 ) -> RateControlResult:
     """Single-clip rate control (the batch path with B=1).
 
@@ -396,4 +403,5 @@ def encode_with_target_bitrate(
         nf=nf,
         tmask=tmask,
         bs=bs,
+        orig_samples=orig_samples,
     )[0]

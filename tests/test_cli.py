@@ -949,3 +949,102 @@ class TestNormalizeLufs:
         assert abs(got - metrics.loudness_lufs(pw, r)) > 0.5 or (
             abs(got - (-20.0)) < 0.5
         )
+
+
+class TestGapless:
+    """Exact-length (gapless) round trips: the CLI pads the tail instead
+    of dropping it, records nsamp, and decode trims back — output length
+    equals input length EXACTLY, for .acz and .acs, VBR and rate
+    control."""
+
+    def _wav(self, tmp_path, samples, name="g.wav", rate=16000):
+        rng = np.random.default_rng(samples)
+        t = np.arange(samples) / rate
+        x = (0.4 * np.sin(2 * np.pi * 440 * t)
+             + 0.05 * rng.standard_normal(samples)).astype(np.float32)
+        path = str(tmp_path / name)
+        write_wav(path, np.clip(x, -1, 1)[:, None], rate)
+        return path, x
+
+    @pytest.mark.parametrize("samples", [8 * 256 + 1, 8 * 256 + 137,
+                                         9 * 256 - 1])
+    def test_acz_length_exact(self, tmp_path, samples, capsys):
+        wav_path, x = self._wav(tmp_path, samples)
+        acz = str(tmp_path / "g.acz")
+        rec = str(tmp_path / "g_rec.wav")
+        assert cli.main(["encode", wav_path, acz,
+                         "--filters-n", "256"]) == 0
+        _, _, meta = bitstream.load(acz)
+        assert meta["orig_samples"] == samples
+        assert cli.main(["decode", acz, rec]) == 0
+        capsys.readouterr()
+        y, _ = read_wav(rec)
+        assert y.shape[1] == samples
+        # the real tail (not the pad) is reconstructed: compare the
+        # last 200 samples against the input at coarse tolerance
+        a, b = x[-200:], y[0, -200:, 0]
+        snr = 10 * np.log10(
+            max((a**2).sum(), 1e-30) / max(((a - b) ** 2).sum(), 1e-30)
+        )
+        assert snr > 5.0
+
+    def test_acs_length_exact(self, tmp_path, capsys):
+        samples = 3 * 4 * 256 + 731  # not a chunk multiple
+        wav_path, x = self._wav(tmp_path, samples)
+        acs = str(tmp_path / "g.acs")
+        rec = str(tmp_path / "g_rec.wav")
+        assert cli.main(["encode", wav_path, acs, "--filters-n", "256",
+                         "--chunk-blocks", "4"]) == 0
+        assert cli.main(["decode", acs, rec]) == 0
+        capsys.readouterr()
+        y, _ = read_wav(rec)
+        assert y.shape[1] == samples
+
+    def test_kbps_acz_length_exact(self, tmp_path, capsys):
+        samples = 8 * 256 + 99
+        wav_path, x = self._wav(tmp_path, samples)
+        acz = str(tmp_path / "k.acz")
+        rec = str(tmp_path / "k_rec.wav")
+        assert cli.main(["encode", wav_path, acz, "--filters-n", "256",
+                         "--kbps", "64"]) == 0
+        _, _, meta = bitstream.load(acz)
+        assert meta["orig_samples"] == samples
+        assert cli.main(["decode", acz, rec]) == 0
+        capsys.readouterr()
+        y, _ = read_wav(rec)
+        assert y.shape[1] == samples
+
+    def test_roundtrip_length_exact(self, tmp_path, capsys):
+        samples = 8 * 256 + 55
+        wav_path, x = self._wav(tmp_path, samples)
+        rec = str(tmp_path / "rt.wav")
+        assert cli.main(["roundtrip", wav_path, rec,
+                         "--filters-n", "256"]) == 0
+        capsys.readouterr()
+        y, _ = read_wav(rec)
+        assert y.shape[1] == samples
+
+    def test_legacy_containers_still_decode(self, tmp_path, capsys):
+        """Containers without nsamp (pre-gapless encoders) decode to the
+        full padded length as before."""
+        import jax.numpy as jnp
+
+        from audiocodec_tpu.codec import Codec
+
+        codec = Codec.create(16000, filters_n=256, bark_bands_n=32)
+        rng = np.random.default_rng(3)
+        x = (0.2 * rng.standard_normal(8 * 256)).astype(np.float32)
+        enc = codec.encode_frames(
+            codec.mdct.transform(jnp.asarray(x[None, :, None]))
+        )
+        acz = str(tmp_path / "legacy.acz")
+        bitstream.save(
+            acz, np.asarray(enc.codes), np.asarray(enc.bark16),
+            sample_rate=16000, filters_n=256, bark_bands_n=32,
+            alpha=0.6, window_type="vorbis",
+        )
+        rec = str(tmp_path / "legacy.wav")
+        assert cli.main(["decode", acz, rec]) == 0
+        capsys.readouterr()
+        y, _ = read_wav(rec)
+        assert y.shape[1] == 8 * 256
