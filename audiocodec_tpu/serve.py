@@ -466,6 +466,9 @@ class CodecServer:
             wave = np.asarray(wave.astype(jnp.float32))[
                 :, n : n + (frames - 1) * n
             ]
+            nsamp = meta.get("orig_samples", 0)
+            if nsamp:  # gapless: trim the encoder's tail padding
+                wave = wave[:, :nsamp]
             with self._lock:
                 self.stats["decode_requests"] += 1
             return 0, _wav.write_wav_bytes(wave[0], self._rate)
@@ -507,12 +510,15 @@ class CodecServer:
                         f"server encodes at {self._rate} Hz, request is "
                         f"{rate} Hz; resample client-side"
                     )
-                blocks = wave.shape[1] // n
-                if blocks == 0:
+                samples = wave.shape[1]
+                if samples < n:
                     raise ValueError(
                         f"need at least one MDCT block ({n} samples)"
                     )
-                parsed.append((req, wave[0, : blocks * n], blocks))
+                # gapless: CEIL to blocks (the batch buffer pads with
+                # zeros) and record the exact length in the container
+                blocks = -(-samples // n)
+                parsed.append((req, wave[0], blocks, samples))
             except Exception as e:
                 with self._lock:
                     self.stats["errors"] += 1
@@ -523,14 +529,14 @@ class CodecServer:
         # padded to the next power of two
         groups: dict = {}
         for item in parsed:
-            _, wave, blocks = item
+            _, wave, blocks, _ = item
             bucket = max(self._min_blocks, _next_pow2(blocks))
             groups.setdefault((bucket, wave.shape[-1]), []).append(item)
         for (bucket, ch), items in groups.items():
             g = _next_pow2(len(items))
             x = np.zeros((g, bucket * n, ch), dtype=np.float32)
-            for j, (_, wave, blocks) in enumerate(items):
-                x[j, : blocks * n] = wave
+            for j, (_, wave, blocks, samples) in enumerate(items):
+                x[j, :samples] = wave
             try:
                 codes, bark = self._enc(
                     self._codec, jnp.asarray(x, dtype=dtype)
@@ -544,7 +550,7 @@ class CodecServer:
                 continue
             with self._lock:
                 self.stats["encode_batches"] += 1
-            for j, (req, _, blocks) in enumerate(items):
+            for j, (req, _, blocks, samples) in enumerate(items):
                 # frames 0..blocks fully determine the unpadded clip: a
                 # frame depends only on blocks i-1, i and the pad blocks
                 # are zeros — trimming is bit-identical to solo encode
@@ -552,11 +558,14 @@ class CodecServer:
                     self._pack_one, req,
                     codes_h[j : j + 1, : blocks + 1],
                     bark_h[j : j + 1, : blocks + 1],
+                    samples,
                 )
 
-    def _pack_one(self, req, codes, bark):
+    def _pack_one(self, req, codes, bark, orig_samples=0):
         try:
-            req.finish(0, bitstream.pack(codes, bark, **self._meta))
+            req.finish(0, bitstream.pack(codes, bark,
+                                         orig_samples=orig_samples,
+                                         **self._meta))
         except Exception as e:
             with self._lock:
                 self.stats["errors"] += 1

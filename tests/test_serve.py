@@ -76,8 +76,27 @@ class TestEncodeServing:
             compute_dtype="float32", ms=False,
             bark_precision=codec.psycho.bark_precision,
             entropy="rrice" if native.available() else "zlib",
+            # the server records the exact request length (gapless)
+            orig_samples=wave.shape[1],
         )
         assert got == want
+
+    def test_gapless_round_trip(self, codec, server):
+        """A request whose length is NOT a block multiple round-trips
+        through encode + decode at its EXACT length (the server pads the
+        tail and records nsamp)."""
+        samples = 5 * N + 37
+        t = np.arange(samples) / SR
+        x = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[:, None]
+        blob = write_wav_bytes(x, SR)
+        with serve.Client(port=server.port) as c:
+            acz = c.encode(blob)
+            wav_out = c.decode(acz)
+        _, _, meta = bitstream.unpack(acz)
+        assert meta["orig_samples"] == samples
+        y, rate = read_wav_bytes(wav_out)
+        assert rate == SR
+        assert y.shape[1] == samples
 
     def test_padding_trim_is_bit_exact(self, codec, server):
         """A clip whose block count is NOT the bucket size (5 blocks in
