@@ -273,6 +273,178 @@ def cmd_encode(args):
     return 0
 
 
+def cmd_corpus_decode(args):
+    """Bulk-decode a directory of .acz files to WAVs with batched,
+    shape-bucketed device passes — the decode-side mirror of `corpus`.
+
+    Containers are host-unpacked concurrently, grouped by everything
+    that shapes or parameterizes the decode program (frame bucket,
+    channels, ms, dead zone, dtype, member presence), padded to
+    power-of-two frame buckets (pad frames decode to silence the trim
+    discards — MDCT frame locality), and decoded as batches through ONE
+    jitted program per group. Per-clip threshold scales ride a traced
+    [B,1,1,1] vector, so rate-controlled corpora stay one program too.
+    Noise-filled clips are the exception: the fill PRNG is keyed by
+    batch position, so agreement with a solo decode forces them
+    through single-clip batches (still bucket-cached programs).
+
+    Bulk output matches a solo `decode` to float ulps (quantization
+    STEP SIZES are bit-identical — the format obligation — but a
+    differently-shaped XLA program may fuse the float synthesis
+    differently, landing within one 16-bit LSB of the solo result)."""
+    import functools
+    import glob as _glob
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiocodec_tpu import native
+    from audiocodec_tpu.io import bitstream
+
+    paths = sorted(_glob.glob(os.path.join(args.indir, "*.acz")))
+    if not paths:
+        raise ValueError(f"no .acz files under {args.indir}")
+    os.makedirs(args.outdir, exist_ok=True)
+
+    with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as ex:
+        loaded = list(ex.map(bitstream.load, paths))
+
+    ref = loaded[0][2]
+    keys = ("sample_rate", "filters_n", "bark_bands_n", "alpha",
+            "window_type", "compute_dtype", "bark_precision")
+    for path, (_, _, meta) in zip(paths, loaded):
+        if tuple(meta[k] for k in keys) != tuple(ref[k] for k in keys):
+            raise ValueError(
+                f"{path} was encoded with a different codec config than "
+                f"{paths[0]}; decode mixed corpora separately"
+            )
+    args.filters_n = ref["filters_n"]
+    args.bark_bands_n = ref["bark_bands_n"]
+    args.alpha = ref["alpha"]
+    args.window = ref["window_type"] or "none"
+    codec = _build_codec(
+        ref["sample_rate"], args, _dtype_from_meta(ref),
+        bark_precision=ref.get("bark_precision", "highest"),
+    )
+    n = ref["filters_n"]
+    sr = ref["sample_rate"]
+
+    def _next_pow2(v):
+        return 1 << (int(v) - 1).bit_length()
+
+    groups: dict = {}
+    for idx, (codes, bark, meta) in enumerate(loaded):
+        frames = codes.shape[1]
+        ti = meta["tns_idx"]
+        key = (
+            _next_pow2(frames), codes.shape[-1], bool(meta["ms"]),
+            float(meta["dz_recon"]),
+            None if ti is None else ti.shape[2], meta["tns_band_start"],
+            meta["nf_levels"] is not None, meta["nf_band_start"],
+            int(meta["nf_seed"]), meta["bs_flags"] is not None,
+        )
+        groups.setdefault(key, []).append(idx)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("ms", "dzr", "tns_bs", "nf_bs"),
+    )
+    def dec(c, codes, bark, tscale, ms, dzr, tns, tns_bs, nfl, nf_bs,
+            nf_seed, bsw):
+        kw = dict(
+            threshold_scale=tscale, dz_recon=dzr, tns_idx=tns,
+            tns_band_start=tns_bs or None, nf_levels=nfl,
+            nf_band_start=None if nfl is None else nf_bs,
+            nf_seed=nf_seed, bs_flags=bsw,
+        )
+        if ms:
+            return c.decode_bitstream_ms(codes, bark, **kw)
+        return c.decode_bitstream(codes, bark, **kw)
+
+    def write_one(idx, wave_np, frames):
+        meta = loaded[idx][2]
+        out = wave_np[None, n:-n]
+        out = out[:, : (frames - 1) * n]
+        nsamp = meta.get("orig_samples", 0)
+        if nsamp:
+            out = out[:, :nsamp]
+        stem = os.path.splitext(os.path.basename(paths[idx]))[0]
+        native.write_wav(
+            os.path.join(args.outdir, stem + ".wav"), out, sr
+        )
+
+    done = 0
+    with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as ex:
+        jobs = []
+        for key, idxs in groups.items():
+            (bucket, ch, ms, dzr, tns_order, tns_bs, has_nf, nf_bs,
+             nf_seed, has_bsw) = key
+            has_tns = tns_order is not None
+            # noise-filled clips: batch position keys the fill PRNG
+            sub_batches = (
+                [[i] for i in idxs] if has_nf
+                else [idxs[j : j + args.batch]
+                      for j in range(0, len(idxs), args.batch)]
+            )
+            for sub in sub_batches:
+                b = len(sub)
+                codes_b = np.zeros((b, bucket + 1, n, ch), np.int32)
+                bark_ch = 1 if ms else ch
+                bark_b = np.zeros(
+                    (b, bucket + 1, ref["bark_bands_n"], bark_ch),
+                    np.uint16,
+                )
+                ts = np.ones((b, 1, 1, 1), np.float64)
+                tns_b = (np.zeros((b, bucket + 1, tns_order, ch),
+                                   np.int8)
+                         if has_tns else None)
+                nfl_b = (np.zeros((b, bucket + 1, ch), np.uint8)
+                         if has_nf else None)
+                bsw_b = (np.zeros((b, bucket + 1), bool)
+                         if has_bsw else None)
+                for j, idx in enumerate(sub):
+                    codes, bark, meta = loaded[idx]
+                    f = codes.shape[1]
+                    codes_b[j, :f] = codes[0]
+                    bark_b[j, :f] = np.asarray(bark).view(np.uint16)[0]
+                    ts[j] = meta["threshold_scale"]
+                    if has_tns:
+                        tns_b[j, :f] = meta["tns_idx"][0]
+                    if has_nf:
+                        nfl_b[j, :f] = meta["nf_levels"][0]
+                    if has_bsw:
+                        bsw_b[j, :f] = meta["bs_flags"][0]
+                import ml_dtypes  # noqa: F401 (local, gated import)
+
+                wave = dec(
+                    codec, jnp.asarray(codes_b),
+                    jnp.asarray(bark_b.view(ml_dtypes.bfloat16)),
+                    jnp.asarray(ts, codec.mdct.compute_dtype),
+                    ms, dzr,
+                    None if tns_b is None else jnp.asarray(tns_b),
+                    tns_bs,
+                    None if nfl_b is None else jnp.asarray(nfl_b),
+                    nf_bs, np.uint32(nf_seed),
+                    None if bsw_b is None else jnp.asarray(bsw_b),
+                )
+                wave_h = np.asarray(wave.astype(jnp.float32))
+                for j, idx in enumerate(sub):
+                    frames = loaded[idx][0].shape[1]
+                    jobs.append(ex.submit(
+                        write_one, idx, wave_h[j], frames
+                    ))
+        for job in jobs:
+            job.result()
+            done += 1
+    print(
+        f"{args.indir}: decoded {done}/{len(paths)} containers -> "
+        f"{args.outdir} ({len(groups)} program groups)"
+    )
+    return 0
+
+
 def cmd_serve(args):
     """Run the dynamic-batching codec server (serve.py) until killed."""
     import time as _time
@@ -1059,6 +1231,18 @@ def main(argv=None) -> int:
                         "memmapped on repeat runs (skips WAV decoding)")
     add_model_args(p)
     p.set_defaults(fn=cmd_corpus)
+
+    p = sub.add_parser(
+        "corpus-decode",
+        help="bulk-decode a directory of .acz files to WAVs (batched, "
+             "shape-bucketed device passes)",
+    )
+    p.add_argument("indir")
+    p.add_argument("outdir")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--bf16", action="store_true",
+                   help=argparse.SUPPRESS)  # dtype comes from the files
+    p.set_defaults(fn=cmd_corpus_decode)
 
     p = sub.add_parser(
         "serve",

@@ -1048,3 +1048,65 @@ class TestGapless:
         capsys.readouterr()
         y, _ = read_wav(rec)
         assert y.shape[1] == 8 * 256
+
+
+class TestCorpusDecode:
+    def test_bulk_matches_solo_within_one_lsb(self, tmp_path, capsys):
+        """corpus-decode output equals per-file decode within one 16-bit
+        LSB (step sizes are bit-identical; float synthesis may fuse
+        differently across program shapes), at the exact gapless
+        lengths, across mixed per-file feature sets."""
+        rate = 16000
+        rng = np.random.default_rng(21)
+        indir = tmp_path / "wavs"
+        aczdir = tmp_path / "acz"
+        recdir = tmp_path / "rec"
+        indir.mkdir()
+        aczdir.mkdir()
+        lens = [8 * 256 + 37, 6 * 256, 12 * 256 + 200]
+        flags = [[], ["--bs"], ["--tns", "--nf", "--kbps", "64"]]
+        for i, L in enumerate(lens):
+            t = np.arange(L) / rate
+            x = (0.3 * np.sin(2 * np.pi * (300 + 80 * i) * t)
+                 + 0.02 * rng.standard_normal(L)).astype(np.float32)
+            x[L // 2 : L // 2 + 80] += 0.7
+            write_wav(str(indir / f"c{i}.wav"),
+                      np.clip(x, -1, 1)[:, None], rate)
+            assert cli.main(
+                ["encode", str(indir / f"c{i}.wav"),
+                 str(aczdir / f"c{i}.acz"), "--filters-n", "256"]
+                + flags[i]
+            ) == 0
+        assert cli.main(
+            ["corpus-decode", str(aczdir), str(recdir)]
+        ) == 0
+        capsys.readouterr()
+        lsb = 1.0 / 32768 + 1e-7
+        for i, L in enumerate(lens):
+            y, _ = read_wav(str(recdir / f"c{i}.wav"))
+            assert y.shape[1] == L
+            solo = str(tmp_path / f"solo{i}.wav")
+            assert cli.main(
+                ["decode", str(aczdir / f"c{i}.acz"), solo]
+            ) == 0
+            capsys.readouterr()
+            ys, _ = read_wav(solo)
+            np.testing.assert_allclose(y, ys, atol=lsb)
+
+    def test_mixed_codec_config_rejected(self, tmp_path, capsys):
+        rate = 16000
+        t = np.arange(8 * 256) / rate
+        x = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        w = str(tmp_path / "a.wav")
+        write_wav(w, x[:, None], rate)
+        aczdir = tmp_path / "acz"
+        aczdir.mkdir()
+        assert cli.main(["encode", w, str(aczdir / "a.acz"),
+                         "--filters-n", "256"]) == 0
+        assert cli.main(["encode", w, str(aczdir / "b.acz"),
+                         "--filters-n", "128"]) == 0
+        capsys.readouterr()
+        rc = cli.main(["corpus-decode", str(aczdir),
+                       str(tmp_path / "out")])
+        err = capsys.readouterr().err
+        assert rc == 1 and "different codec config" in err
