@@ -567,6 +567,52 @@ class TestCorruptAcz:
         with pytest.raises(ValueError, match="declares"):
             bitstream.unpack(data)
 
+    def test_random_mutation_fuzz(self):
+        """Breadth over the targeted tamper tests: random single- and
+        multi-byte mutations anywhere in a feature-rich container either
+        raise ValueError (the unpack contract) or decode to well-formed
+        arrays — never an unexpected exception type, hang, or crash."""
+        import jax.numpy as jnp
+
+        from audiocodec_tpu.codec import Codec
+
+        codec = Codec.create(16000, filters_n=64, bark_bands_n=16)
+        rng = np.random.default_rng(0)
+        x = (0.2 * rng.standard_normal(8 * 64)).astype(np.float32)
+        x[200:260] += 0.7
+        enc = codec.encode_frames(
+            codec.mdct.transform(jnp.asarray(x[None, :, None])),
+            tns=True, nf=True, bs=True,
+        )
+        valid = bitstream.pack(
+            np.asarray(enc.codes), np.asarray(enc.bark16),
+            sample_rate=16000, filters_n=64, bark_bands_n=16,
+            alpha=0.6, window_type="vorbis",
+            tns_idx=(None if enc.tns_idx is None
+                     else np.asarray(enc.tns_idx)),
+            tns_band_start=codec.tns_band_start,
+            nf_levels=(None if enc.nf_levels is None
+                       else np.asarray(enc.nf_levels)),
+            nf_band_start=codec.nf_band_start,
+            bs_flags=np.asarray(enc.bs_flags),
+            orig_samples=8 * 64,
+        )
+        outcomes = {"ok": 0, "valueerror": 0}
+        for trial in range(300):
+            buf = bytearray(valid)
+            for _ in range(rng.integers(1, 4)):
+                pos = int(rng.integers(0, len(buf)))
+                buf[pos] = int(rng.integers(0, 256))
+            try:
+                codes, bark, meta = bitstream.unpack(bytes(buf))
+            except ValueError:
+                outcomes["valueerror"] += 1
+            else:
+                assert codes.ndim == 4 and bark.ndim == 4
+                outcomes["ok"] += 1
+        # most mutations must be caught; a few land in don't-care bytes
+        assert outcomes["valueerror"] > 150, outcomes
+
     def test_corrupted_member_payload_is_valueerror(self):
         """Bit flips inside member payloads surface as ValueError (the
         unpack contract), not a raw zipfile.BadZipFile 'Bad CRC-32'
