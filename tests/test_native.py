@@ -468,7 +468,8 @@ class TestEntropyFormatCompat:
             f.write(struct.pack("<Q", off))
             f.write(struct.pack("<QQ", 1, index_off))
         with sc.StreamReader(path) as r:
-            got_codes, got_bark, _, _, _ = r.read_chunk(0)
+            chunk = r.read_chunk(0)
+            got_codes, got_bark = chunk.codes, chunk.bark
         np.testing.assert_array_equal(got_codes, np.asarray(codes)[0])
         np.testing.assert_array_equal(
             np.asarray(got_bark).view(np.uint16),
