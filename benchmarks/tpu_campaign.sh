@@ -130,6 +130,9 @@ for name, fn in variants.items():
     print(f"{name}: {per_iter*1e3:.2f} ms/encode, {thr:,.0f} audio-s/s")
 EOF
 
+step "serving throughput" python benchmarks/serve_bench.py \
+  --clients 8 --requests 64 --seconds 2.0
+
 step "bench.py headline" python bench.py
 
 echo "campaign complete -> $LOG" | tee -a "$LOG"
