@@ -338,13 +338,24 @@ class CodecServer:
                     except Exception as e:  # bad config -> error frame
                         session = None
                         _write_frame(conn, 1, str(e).encode())
-                elif op == ord("C"):
+                elif op in (ord("C"), ord("A")):
                     if session is None:
                         _write_frame(conn, 1, b"no active stream session")
                         continue
                     try:
                         t0 = time.monotonic()
-                        chunk = session.feed(payload)
+                        if op == ord("A"):
+                            # adaptive feed: 8-byte f64 per-chunk scale
+                            # prefix, then the PCM payload (cbr sessions)
+                            if len(payload) < 8:
+                                raise ValueError(
+                                    "adaptive chunk needs an 8-byte "
+                                    "scale prefix"
+                                )
+                            (ts,) = struct.unpack("<d", payload[:8])
+                            chunk = session.feed(payload[8:], tscale=ts)
+                        else:
+                            chunk = session.feed(payload)
                         self._note_latency(
                             "stream_chunk", time.monotonic() - t0
                         )
@@ -616,6 +627,8 @@ class _StreamSession:
         if self.tmask != 0.0 and not 1.0 <= self.tmask < 1e6:
             raise ValueError(f"tmask out of range: {self.tmask}")
         self.bs = bool(cfg.get("bs", False))
+        self.cbr = bool(cfg.get("cbr", False))
+        self._last_ts = self.tscale
         self._tctx = None
         self._codec = codec
         self._buf = _io.BytesIO()
@@ -642,6 +655,7 @@ class _StreamSession:
             nf_band_start=codec.nf_band_start if self.nf else 0,
             nf_seed=int(cfg.get("nf_seed", 0)),
             bs=self.bs,
+            cbr=self.cbr,
         )
         self._carry = _streaming.mdct_stream_init(
             codec.mdct, 1, self.channels
@@ -655,7 +669,23 @@ class _StreamSession:
         self._sent = len(data)
         return out
 
-    def feed(self, payload: bytes) -> bytes:
+    def feed(self, payload: bytes, tscale=None) -> bytes:
+        """One chunk of PCM -> that chunk's .acs bytes. ``tscale``
+        (adaptive sessions only, the protocol's "A" op) sets THIS
+        chunk's rate-control scale — the network-adaptive streaming
+        knob: the per-chunk scale rides the wire exactly like offline
+        encode_stream_cbr's, so any .acs decoder plays the stream."""
+        if tscale is not None:
+            if not self.cbr:
+                raise ValueError(
+                    "per-chunk scales need a cbr session (begin_stream "
+                    "cfg {'cbr': true})"
+                )
+            ts = float(tscale)
+            if not 0 < ts < 2**32:
+                raise ValueError(f"chunk scale out of range: {ts}")
+        else:
+            ts = self.tscale
         want = self._samples * self.channels * 4
         if len(payload) != want:
             raise ValueError(
@@ -669,22 +699,28 @@ class _StreamSession:
         x = jnp.asarray(pcm, dtype=self._codec.mdct.compute_dtype)
         (self._carry, self._tctx, codes, bark16, tns_idx, nfl,
          bsw) = self._step(
-            self._codec, self._carry, x, 0.0, self.tscale, self.ms,
+            self._codec, self._carry, x, 0.0, ts, self.ms,
             self.deadzone, self.tns, self.nf, tmask=self.tmask,
             tmask_context=self._tctx, bs=self.bs,
         )
+        self._last_ts = ts
         self._writer.append(codes, bark16, tns_idx, nfl,
+                            tscale=ts if self.cbr else None,
                             bs_flags=bsw if self.bs else None)
         return self.take_bytes()
 
     def finish(self) -> bytes:
+        # the flush frame reuses the last chunk's scale, mirroring
+        # offline encode_stream's CBR behavior byte-for-byte
         out = self._flush(
-            self._codec, self._carry, 0.0, self.tscale, self.ms,
+            self._codec, self._carry, 0.0, self._last_ts, self.ms,
             self.deadzone, self.tns, self.nf, tmask=self.tmask,
             tmask_context=self._tctx, bs=self.bs,
         )
         self._writer.append(out.codes, out.bark16, out.tns_idx,
-                            out.nf_levels, bs_flags=out.bs_flags)
+                            out.nf_levels,
+                            tscale=self._last_ts if self.cbr else None,
+                            bs_flags=out.bs_flags)
         self._writer.close()
         return self.take_bytes()
 
@@ -810,15 +846,26 @@ class Client:
     def begin_stream(self, **cfg) -> bytes:
         """Open a streaming encode session; returns the .acs header
         bytes. Config keys: channels, chunk_blocks, threshold_scale,
-        ms, deadzone, tns, nf, nf_seed, tmask, bs."""
+        ms, deadzone, tns, nf, nf_seed, tmask, bs, cbr (per-chunk
+        adaptive scales via feed(..., threshold_scale=))."""
         return self._call("B", json.dumps(cfg).encode())
 
-    def feed(self, pcm) -> bytes:
+    def feed(self, pcm, threshold_scale=None) -> bytes:
         """One chunk of audio (float32 array [samples, channels] or raw
-        little-endian float32 bytes) -> the .acs chunk bytes."""
+        little-endian float32 bytes) -> the .acs chunk bytes.
+        ``threshold_scale`` sets THIS chunk's rate-control scale on an
+        adaptive (cbr) session — raise it when the network chokes,
+        lower it when headroom returns; the scale rides the stream so
+        any decoder plays it."""
         if not isinstance(pcm, (bytes, bytearray)):
             pcm = np.ascontiguousarray(pcm, dtype="<f4").tobytes()
-        return self._call("C", bytes(pcm))
+        if threshold_scale is None:
+            return self._call("C", bytes(pcm))
+        import struct as _struct
+
+        return self._call(
+            "A", _struct.pack("<d", float(threshold_scale)) + bytes(pcm)
+        )
 
     def finish_stream(self) -> bytes:
         """Close the session; returns the flush chunk + index/trailer.
