@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Generate the committed conformance vectors (tests/vectors/).
+
+Run ONCE on CPU when the format deliberately changes, then commit the
+outputs; tests/test_vectors.py decodes the committed files forever
+after. The vectors freeze the WIRE FORMAT and the decoder contract:
+
+* container bytes must keep parsing (members, validation, meta),
+* the recovered integer codes must match bit-exactly (container
+  parsing and entropy coding are deterministic), and
+* the decoded waveform must stay within a small tolerance of the
+  recorded one (float synthesis may drift by ulps across XLA versions
+  and backends — step sizes, not output floats, are the bit contract).
+
+    python tests/make_vectors.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VEC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vectors")
+
+SR, N, BARK = 16000, 64, 16
+
+
+def _signal(channels=1, blocks=12):
+    rng = np.random.default_rng(0xC0DEC)
+    t = np.arange(blocks * N) / SR
+    x = 0.3 * np.sin(2 * np.pi * 440 * t) + 0.02 * rng.standard_normal(
+        t.size
+    )
+    x[5 * N + 11 : 5 * N + 60] += 0.7  # a transient for tns/bs
+    x = np.clip(x, -1, 1).astype(np.float32)[:, None]
+    if channels == 2:
+        x = np.concatenate(
+            [x, x + 0.01 * rng.standard_normal(x.shape).astype(np.float32)],
+            axis=1,
+        )
+    return x
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from audiocodec_tpu.codec import Codec
+    from audiocodec_tpu.io import bitstream
+    from audiocodec_tpu.io import stream_container as sc
+
+    os.makedirs(VEC_DIR, exist_ok=True)
+    codec = Codec.create(SR, filters_n=N, bark_bands_n=BARK)
+    meta_kw = dict(
+        sample_rate=SR, filters_n=N, bark_bands_n=BARK,
+        alpha=codec.psycho.alpha, window_type="vorbis",
+    )
+    manifest = {}
+
+    def record(name, container_bytes, wave, codes):
+        path = os.path.join(VEC_DIR, name)
+        with open(path, "wb") as f:
+            f.write(container_bytes)
+        pcm = np.clip(np.asarray(wave, np.float64), -1, 1)
+        pcm16 = np.round(pcm * 32767.0).astype(np.int16)
+        np.save(os.path.join(VEC_DIR, name + ".pcm.npy"), pcm16)
+        import hashlib
+
+        manifest[name] = {
+            "codes_sha256": hashlib.sha256(
+                np.ascontiguousarray(codes, np.int32).tobytes()
+            ).hexdigest(),
+            "pcm_shape": list(pcm16.shape),
+        }
+
+    x1 = jnp.asarray(_signal()[None])
+    frames = codec.mdct.transform(x1)
+
+    # 1. plain VBR
+    enc = codec.encode_frames(frames)
+    blob = bitstream.pack(np.asarray(enc.codes), np.asarray(enc.bark16),
+                          **meta_kw)
+    out = codec.decode_bitstream(enc.codes, enc.bark16)[0, N:-N]
+    record("plain.acz", blob, out, np.asarray(enc.codes))
+
+    # 2. the full coded ladder: dz + tns + nf + tmask + bs + nsamp
+    from audiocodec_tpu import quantize as q
+
+    enc = codec.encode_frames(
+        frames, deadzone=1.0, tns=True, nf=True, tmask=130.0, bs=True,
+    )
+    blob = bitstream.pack(
+        np.asarray(enc.codes), np.asarray(enc.bark16),
+        dz_recon=q.dz_recon_offset(1.0),
+        tns_idx=np.asarray(enc.tns_idx),
+        tns_band_start=codec.tns_band_start,
+        nf_levels=np.asarray(enc.nf_levels),
+        nf_band_start=codec.nf_band_start, nf_seed=7,
+        bs_flags=np.asarray(enc.bs_flags),
+        orig_samples=12 * N - 5,
+        **meta_kw,
+    )
+    out = codec.decode_bitstream(
+        enc.codes, enc.bark16, dz_recon=q.dz_recon_offset(1.0),
+        tns_idx=enc.tns_idx, nf_levels=enc.nf_levels, nf_seed=7,
+        bs_flags=enc.bs_flags,
+    )[0, N:-N][: 12 * N - 5]
+    record("ladder.acz", blob, out, np.asarray(enc.codes))
+
+    # 3. joint stereo with rate scale
+    x2 = jnp.asarray(_signal(channels=2)[None])
+    f2 = codec.mdct.transform(x2)
+    codes, bark = codec.quantize_frames(f2, threshold_scale=4.0, ms=True)
+    blob = bitstream.pack(
+        np.asarray(codes), np.asarray(bark), ms=True,
+        threshold_scale=4.0, **meta_kw,
+    )
+    out = codec.decode_bitstream_ms(codes, bark, threshold_scale=4.0)[
+        0, N:-N
+    ]
+    record("stereo_ms.acz", blob, out, np.asarray(codes))
+
+    # 4. CBR seekable stream with per-chunk scales + bs + nsamp
+    path = os.path.join(VEC_DIR, "cbr_stream.acs")
+    x3 = _signal(blocks=16)[None]
+    sc.encode_stream(
+        codec, jnp.asarray(x3), path, chunk_blocks=4,
+        threshold_scale=[1.0, 4.0, 2.0, 8.0], bs=True,
+        orig_samples=16 * N - 9,
+    )
+    dec = np.concatenate(
+        [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
+    )[0][: 16 * N - 9]
+    with sc.StreamReader(path) as r:
+        all_codes = np.concatenate(
+            [r.read_chunk(i).codes for i in range(r.n_chunks)], axis=0
+        )
+    record("cbr_stream.acs", open(path, "rb").read(), dec, all_codes)
+
+    with open(os.path.join(VEC_DIR, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    print(f"wrote {len(manifest)} vectors -> {VEC_DIR}")
+
+
+if __name__ == "__main__":
+    main()
