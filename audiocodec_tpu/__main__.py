@@ -320,14 +320,7 @@ def cmd_corpus_decode(args):
                 f"{path} was encoded with a different codec config than "
                 f"{paths[0]}; decode mixed corpora separately"
             )
-    args.filters_n = ref["filters_n"]
-    args.bark_bands_n = ref["bark_bands_n"]
-    args.alpha = ref["alpha"]
-    args.window = ref["window_type"] or "none"
-    codec = _build_codec(
-        ref["sample_rate"], args, _dtype_from_meta(ref),
-        bark_precision=ref.get("bark_precision", "highest"),
-    )
+    codec = _codec_from_container_meta(args, ref)
     n = ref["filters_n"]
     sr = ref["sample_rate"]
 
@@ -389,7 +382,11 @@ def cmd_corpus_decode(args):
                       for j in range(0, len(idxs), args.batch)]
             )
             for sub in sub_batches:
-                b = len(sub)
+                # pow2-bucket the batch dim too (pad rows are zero
+                # codes, never written out): residual sub-batch sizes
+                # must not each compile their own XLA program — cold
+                # compiles cost 30 s - minutes on this rig
+                b = 1 << (len(sub) - 1).bit_length()
                 codes_b = np.zeros((b, bucket + 1, n, ch), np.int32)
                 bark_ch = 1 if ms else ch
                 bark_b = np.zeros(
@@ -552,6 +549,23 @@ def _is_acs(path):
         return f.read(4) == b"ACS1"
 
 
+def _codec_from_container_meta(args, meta):
+    """THE ONE place a decoding command rebuilds its codec from a
+    container's recorded config — the bitstream records the encoder's
+    compute dtype and Bark precision, and the decoder MUST match them
+    so both sides derive identical quantization steps (CLAUDE.md
+    invariant); duplicating this block risks the two decode commands
+    drifting apart on a future step-size-critical field."""
+    args.filters_n = meta["filters_n"]
+    args.bark_bands_n = meta["bark_bands_n"]
+    args.alpha = meta["alpha"]
+    args.window = meta["window_type"] or "none"
+    return _build_codec(
+        meta["sample_rate"], args, _dtype_from_meta(meta),
+        bark_precision=meta.get("bark_precision", "highest"),
+    )
+
+
 def cmd_decode(args):
     import jax.numpy as jnp
     import numpy as np
@@ -563,16 +577,7 @@ def cmd_decode(args):
         return _decode_stream(args)
 
     codes, bark, meta = bitstream.load(args.input)
-    args.filters_n = meta["filters_n"]
-    args.bark_bands_n = meta["bark_bands_n"]
-    args.alpha = meta["alpha"]
-    args.window = meta["window_type"] or "none"
-    # the bitstream records the encoder's compute dtype; the decoder MUST
-    # match it so both derive identical quantization steps
-    codec = _build_codec(
-        meta["sample_rate"], args, _dtype_from_meta(meta),
-        bark_precision=meta.get("bark_precision", "highest"),
-    )
+    codec = _codec_from_container_meta(args, meta)
     tscale = meta.get("threshold_scale", 1.0)
     dzr = meta.get("dz_recon", 0.0)
     tns_idx = meta.get("tns_idx")

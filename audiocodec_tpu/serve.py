@@ -556,7 +556,7 @@ class CodecServer:
             except Exception as e:
                 with self._lock:
                     self.stats["errors"] += 1
-                for req, _, _ in items:
+                for req, *_ in items:
                     req.finish(1, str(e).encode())
                 continue
             with self._lock:
@@ -643,7 +643,9 @@ class _StreamSession:
             channels=self.channels,
             compute_dtype=str(jnp.dtype(codec.mdct.compute_dtype)),
             ms=self.ms,
-            threshold_scale=self.tscale,
+            # cbr streams record 1.0 stream-globally (per-chunk scales
+            # ride the wire) — byte-identical to offline encode_stream
+            threshold_scale=1.0 if self.cbr else self.tscale,
             bark_precision=codec.psycho.bark_precision,
             dz_recon=(
                 _q.dz_recon_offset(self.deadzone)
@@ -861,10 +863,8 @@ class Client:
             pcm = np.ascontiguousarray(pcm, dtype="<f4").tobytes()
         if threshold_scale is None:
             return self._call("C", bytes(pcm))
-        import struct as _struct
-
         return self._call(
-            "A", _struct.pack("<d", float(threshold_scale)) + bytes(pcm)
+            "A", struct.pack("<d", float(threshold_scale)) + bytes(pcm)
         )
 
     def finish_stream(self) -> bytes:

@@ -102,8 +102,10 @@ def main():
             total = sum(r or 0 for r in results)
             return total, dt
 
-        # warmup pass (compiles, connection setup)
-        run_pass()
+        # warmup pass (compiles, connection setup) — must exercise
+        # every direction the measured pass will (cold compiles cost
+        # 30 s - minutes on the remote-attached rig)
+        run_pass(measure_decode=args.decode)
         with serve.Client(port=server.port) as c:
             stats0 = c.stats()
         total, dt = run_pass(measure_decode=args.decode)

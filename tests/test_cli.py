@@ -1139,6 +1139,52 @@ class TestCorpusDecode:
             ys, _ = read_wav(solo)
             np.testing.assert_allclose(y, ys, atol=lsb)
 
+    def test_multi_clip_batch_group(self, tmp_path, capsys):
+        """Clips sharing a program group (same bucket, same features,
+        different rate scales) decode as ONE batch — the row-assembly
+        and traced per-clip scale vector the command exists for."""
+        rate = 16000
+        rng = np.random.default_rng(22)
+        indir = tmp_path / "wavs"
+        aczdir = tmp_path / "acz"
+        recdir = tmp_path / "rec"
+        indir.mkdir()
+        aczdir.mkdir()
+        L = 64 * 256  # ~1 s: long enough for the targets to bite;
+        # same frame bucket for all three
+        kbps = ["24", "48", "96"]  # different scales, same group
+        for i in range(3):
+            t = np.arange(L) / rate
+            x = (0.3 * np.sin(2 * np.pi * (300 + 90 * i) * t)
+                 + 0.1 * rng.standard_normal(L)).astype(np.float32)
+            write_wav(str(indir / f"m{i}.wav"),
+                      np.clip(x, -1, 1)[:, None], rate)
+            assert cli.main(
+                ["encode", str(indir / f"m{i}.wav"),
+                 str(aczdir / f"m{i}.acz"), "--filters-n", "256",
+                 "--kbps", kbps[i], "--deadzone", "0.5"]
+            ) == 0
+        scales = sorted(
+            float(bitstream.load(str(aczdir / f"m{i}.acz"))[2]
+                  ["threshold_scale"]) for i in range(3)
+        )
+        assert scales[0] != scales[-1]  # genuinely different scales
+        assert cli.main(
+            ["corpus-decode", str(aczdir), str(recdir)]
+        ) == 0
+        out = capsys.readouterr().out
+        assert "1 program groups" in out  # ONE batch program
+        lsb = 1.0 / 32768 + 1e-7
+        for i in range(3):
+            y, _ = read_wav(str(recdir / f"m{i}.wav"))
+            solo = str(tmp_path / f"ms{i}.wav")
+            assert cli.main(
+                ["decode", str(aczdir / f"m{i}.acz"), solo]
+            ) == 0
+            capsys.readouterr()
+            ys, _ = read_wav(solo)
+            np.testing.assert_allclose(y, ys, atol=lsb)
+
     def test_mixed_codec_config_rejected(self, tmp_path, capsys):
         rate = 16000
         t = np.arange(8 * 256) / rate

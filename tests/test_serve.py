@@ -289,15 +289,20 @@ class TestStreamingSessions:
 
         rng = np.random.default_rng(17)
         chunks = 4
-        scales = [1.0, 4.0, 16.0, 2.0]
+        scales = [1.5, 4.0, 16.0, 2.0]
         x = (0.3 * rng.standard_normal((1, chunks * 8 * N, 1))).astype(
             np.float32
         )
         parts = []
         with serve.Client(port=server.port) as c:
+            # non-default cfg scale: a feed WITHOUT an explicit scale
+            # must fall back to it, and the header must still record
+            # 1.0 (cbr streams carry scales per chunk) so the bytes
+            # equal offline encode_stream with the same scale list
             parts.append(c.begin_stream(channels=1, chunk_blocks=8,
-                                        cbr=True))
-            for k in range(chunks):
+                                        cbr=True, threshold_scale=1.5))
+            parts.append(c.feed(x[0, : 8 * N]))  # default -> 1.5
+            for k in range(1, chunks):
                 parts.append(c.feed(
                     x[0, k * 8 * N : (k + 1) * 8 * N],
                     threshold_scale=scales[k],
