@@ -84,16 +84,22 @@ def _maybe_resample(data, rate, target_rate, zeros=16):
     return out, target_rate
 
 
-def _maybe_normalize(wave, rate, target_lufs):
+def _maybe_normalize(wave, rate, target_lufs, recorded=None):
     """Gain the decoded audio to ``target_lufs`` integrated loudness
-    (BS.1770), with a peak guard at -1 dBFS. 0/None = no-op."""
+    (BS.1770), with a peak guard at -1 dBFS. 0/None = no-op. When the
+    container recorded the source loudness (``--tag-loudness``), use it
+    instead of re-measuring — one less pass, and it normalizes by the
+    SOURCE loudness, unbiased by coding noise."""
     if not target_lufs:
         return wave
     import numpy as np
 
     from audiocodec_tpu import metrics
 
-    measured = metrics.loudness_lufs(wave, rate)
+    measured = (
+        float(recorded) if recorded is not None
+        else metrics.loudness_lufs(wave, rate)
+    )
     gain = 10.0 ** ((float(target_lufs) - measured) / 20.0)
     peak = float(np.abs(wave).max()) * gain
     limit = 10.0 ** (-1.0 / 20.0)
@@ -156,6 +162,11 @@ def cmd_encode(args):
     data, rate = _read(args.input)
     data, rate = _maybe_resample(data, rate, args.resample_to)
     codec = _build_codec(rate, args)
+    lufs = None
+    if getattr(args, "tag_loudness", False):
+        from audiocodec_tpu import metrics as _metrics
+
+        lufs = round(float(_metrics.loudness_lufs(data, rate)), 2)
     # pad (not trim) so decode can reproduce the EXACT input length via
     # the container's nsamp field (gapless round trips)
     block = args.filters_n * (args.chunk_blocks or 1)
@@ -178,7 +189,7 @@ def cmd_encode(args):
                 chunk_blocks=args.chunk_blocks,
                 target_kbps=args.kbps, drown=args.drown, ms=args.ms,
                 deadzone=dz, tns=args.tns, nf=args.nf, tmask=args.tmask,
-                bs=args.bs, orig_samples=orig_samples,
+                bs=args.bs, orig_samples=orig_samples, lufs=lufs,
             )
             extra = (
                 f", {kbps:.0f} kbit/s CBR, scales "
@@ -192,7 +203,7 @@ def cmd_encode(args):
                     target_kbps=args.kbps, drown=args.drown, ms=args.ms,
                     deadzone=dz, tns=args.tns, nf=args.nf,
                     tmask=args.tmask, bs=args.bs,
-                    orig_samples=orig_samples,
+                    orig_samples=orig_samples, lufs=lufs,
                 )
             )
             extra = f", {kbps:.0f} kbit/s, scale {tscale:.2f}"
@@ -202,7 +213,7 @@ def cmd_encode(args):
                 chunk_blocks=args.chunk_blocks, drown=args.drown,
                 ms=args.ms, deadzone=fixed_dz, tns=args.tns, nf=args.nf,
                 tmask=args.tmask, bs=args.bs,
-                orig_samples=orig_samples,
+                orig_samples=orig_samples, lufs=lufs,
             )
         size = os.path.getsize(args.output)
         raw = orig_samples * x.shape[2] * 2
@@ -220,7 +231,7 @@ def cmd_encode(args):
         result = _rate.encode_with_target_bitrate(
             codec, x, args.kbps, drown=args.drown, ms=args.ms, deadzone=dz,
             tns=args.tns, nf=args.nf, tmask=args.tmask, bs=args.bs,
-            orig_samples=orig_samples,
+            orig_samples=orig_samples, lufs=lufs,
         )
         # the trial's packed bytes ARE the container — write them verbatim
         # so the measured kbps is exactly the on-disk file's
@@ -263,6 +274,7 @@ def cmd_encode(args):
         nf_band_start=codec.nf_band_start,
         bs_flags=enc.bs_flags,
         orig_samples=orig_samples,
+        lufs=lufs,
     )
     raw = orig_samples * data.shape[2] * 2  # vs 16-bit PCM
     print(
@@ -625,7 +637,8 @@ def cmd_decode(args):
         wave, meta["sample_rate"], args.resample_to
     )
     wave = _maybe_normalize(
-        wave, out_rate, getattr(args, "normalize_lufs", 0.0)
+        wave, out_rate, getattr(args, "normalize_lufs", 0.0),
+        recorded=meta.get("lufs"),
     )
     native.write_wav(args.output, wave, out_rate)
     print(
@@ -749,7 +762,8 @@ def _decode_stream(args):
             break
     wave, out_rate = _maybe_resample(wave, sr, args.resample_to)
     wave = _maybe_normalize(
-        wave, out_rate, getattr(args, "normalize_lufs", 0.0)
+        wave, out_rate, getattr(args, "normalize_lufs", 0.0),
+        recorded=meta.get("lufs"),
     )
     native.write_wav(args.output, wave, out_rate)
     window = f" [{s0 / sr:.3f}s..{s1 / sr:.3f}s]" if (s0 or s1 < total) else ""
@@ -1148,6 +1162,12 @@ def main(argv=None) -> int:
                  "music plus --nf --tmask 130 (for targets under ~64 "
                  "kbps/channel: spectral-hole repair + post-masking bit "
                  "savings)",
+        )
+        p.add_argument(
+            "--tag-loudness", action="store_true",
+            help="measure the source's BS.1770 integrated loudness and "
+                 "record it in the container — decode --normalize-lufs "
+                 "then uses the tag instead of re-measuring",
         )
         p.add_argument(
             "--bs", action="store_true",

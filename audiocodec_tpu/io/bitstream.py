@@ -78,7 +78,7 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
          tns_idx=None, tns_band_start: int = 0,
          nf_levels=None, nf_band_start: int = 0,
          nf_seed: int = 0, bs_flags=None,
-         orig_samples: int = 0) -> bytes:
+         orig_samples: int = 0, lufs=None) -> bytes:
     """Serialize encoder output to bytes.
 
     :param entropy: "rice" (native Rice/Golomb coder), "rrice" (run-length
@@ -107,6 +107,11 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
         ``nf_seed`` per global frame. Written (with band_start + seed
         in ``nfmeta``) only when some frame has a nonzero level, so
         nf-off encodes stay byte-identical.
+    :param lufs: measured BS.1770 integrated loudness of the SOURCE
+        (None = not tagged). Informational loudness metadata: decoders
+        can normalize (`--normalize-lufs`) without re-measuring, and
+        players can apply gain before decoding a single frame. Never
+        quantization-affecting.
     :param orig_samples: the waveform's EXACT pre-padding sample count
         (0 = not recorded). Encoders pad the tail to a block multiple
         instead of dropping it; decoders trim their output back to this
@@ -212,6 +217,11 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
             members["nfmeta"] = np.asarray(
                 [nf_band_start, int(nf_seed)], dtype=np.int64
             )
+    if lufs is not None:
+        lv = float(lufs)
+        if not -150.0 <= lv <= 20.0:
+            raise ValueError(f"lufs out of range: {lv}")
+        members["lufs"] = np.asarray([lv], dtype=np.float64)
     if orig_samples:
         max_len = codes.shape[1] * filters_n
         if not 0 < int(orig_samples) <= max_len:
@@ -481,6 +491,9 @@ def _unpack_members(z, ml_dtypes, data_len):
         "orig_samples": (
             int(small("nsamp")[0]) if "nsamp" in z.files else 0
         ),
+        "lufs": (
+            float(small("lufs")[0]) if "lufs" in z.files else None
+        ),
     }
     if not (0 < meta["sample_rate"] <= 10_000_000):
         raise ValueError("corrupt container: sample_rate out of bounds")
@@ -493,6 +506,10 @@ def _unpack_members(z, ml_dtypes, data_len):
     if not (0 <= meta["orig_samples"] <=
             codes.shape[1] * meta["filters_n"]):
         raise ValueError("corrupt container: nsamp out of bounds")
+    if meta["lufs"] is not None and not (
+        np.isfinite(meta["lufs"]) and -150.0 <= meta["lufs"] <= 20.0
+    ):
+        raise ValueError("corrupt container: lufs out of bounds")
     # cross-check payload shapes against the validated meta so a
     # shape/meta mismatch fails HERE, not as a raw shape error deep
     # inside the decoder's jit trace

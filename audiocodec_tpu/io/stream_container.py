@@ -61,7 +61,8 @@ class StreamWriter:
                  tns_order: int = 0, tns_band_start: int = 0,
                  nf: bool = False, nf_band_start: int = 0,
                  nf_seed: int = 0, cbr: bool = False,
-                 bs: bool = False, orig_samples: int = 0):
+                 bs: bool = False, orig_samples: int = 0,
+                 lufs=None):
         self.meta = {
             "sample_rate": int(sample_rate),
             "filters_n": int(filters_n),
@@ -93,6 +94,11 @@ class StreamWriter:
             if int(orig_samples) <= 0:
                 raise ValueError(f"bad orig_samples: {orig_samples}")
             self.meta["nsamp"] = int(orig_samples)
+        if lufs is not None:
+            # loudness metadata (see io/bitstream.py lufs)
+            if not -150.0 <= float(lufs) <= 20.0:
+                raise ValueError(f"lufs out of range: {lufs}")
+            self.meta["lufs"] = float(lufs)
         if dz_recon:
             # dead-zone reconstruction offset; absent = 0 (plain rounding)
             # so pre-dead-zone streams and default encodes are unchanged
@@ -444,6 +450,14 @@ class StreamReader:
                 f"stream header nsamp={ns!r} out of bounds — corrupt "
                 "stream"
             )
+        lv = m.get("lufs")
+        if lv is not None and (
+            not isinstance(lv, (int, float)) or not -150.0 <= lv <= 20.0
+        ):
+            raise ValueError(
+                f"stream header lufs={lv!r} out of bounds — corrupt "
+                "stream"
+            )
 
     @property
     def n_chunks(self) -> int:
@@ -732,7 +746,7 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
                   deadzone: float = 0.5, tns: bool = False,
                   nf: bool = False, nf_seed: int = 0,
                   tmask: float = 0.0, bs: bool = False,
-                  orig_samples: int = 0) -> int:
+                  orig_samples: int = 0, lufs=None) -> int:
     """Encode a long waveform to a seekable stream with bounded memory.
 
     Uses the streaming MDCT (one carried block across chunks) and per-chunk
@@ -831,6 +845,7 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         cbr=cbr,
         bs=bs,
         orig_samples=orig_samples,
+        lufs=lufs,
     ) as w:
         step, flush = _encode_chunk_fns()
         carry = streaming.mdct_stream_init(mdct, 1, c)

@@ -106,6 +106,7 @@ def encode_with_target_bitrate_batch(
     tmask: float = 0.0,
     bs: bool = False,
     orig_samples: int = 0,
+    lufs=None,
 ) -> list:
     """Rate-control every clip of a batch to ``target_kbps``.
 
@@ -209,6 +210,8 @@ def encode_with_target_bitrate_batch(
         return jax.vmap(one)(scales)
 
     meta = _meta(codec, ms)
+    if lufs is not None:
+        meta["lufs"] = float(lufs)
     if orig_samples:
         # exact-length (gapless) round trips: the container records the
         # pre-padding sample count; trial packs carry it too so trial
@@ -377,6 +380,7 @@ def encode_with_target_bitrate(
     tmask: float = 0.0,
     bs: bool = False,
     orig_samples: int = 0,
+    lufs=None,
 ) -> RateControlResult:
     """Single-clip rate control (the batch path with B=1).
 
@@ -404,4 +408,5 @@ def encode_with_target_bitrate(
         tmask=tmask,
         bs=bs,
         orig_samples=orig_samples,
+        lufs=lufs,
     )[0]

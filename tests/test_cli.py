@@ -1096,6 +1096,48 @@ class TestGapless:
         assert y.shape[1] == 8 * 256
 
 
+class TestLoudnessTag:
+    def test_tag_records_and_decode_normalizes_from_it(self, tmp_path,
+                                                       capsys):
+        rate = 16000
+        t = np.arange(8 * 2048) / rate
+        x = (0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        w = str(tmp_path / "l.wav")
+        write_wav(w, x[:, None], rate)
+        acz = str(tmp_path / "l.acz")
+        assert cli.main(["encode", w, acz, "--filters-n", "256",
+                         "--tag-loudness"]) == 0
+        _, _, meta = bitstream.load(acz)
+        assert meta["lufs"] is not None and -60 < meta["lufs"] < 0
+        rec = str(tmp_path / "l_norm.wav")
+        assert cli.main(["decode", acz, rec,
+                         "--normalize-lufs", "-20"]) == 0
+        out = capsys.readouterr().out
+        # the decode used the RECORDED value (it prints the measured
+        # source loudness, which equals the tag)
+        assert f"{meta['lufs']:.2f} LUFS" in out
+        from audiocodec_tpu import metrics
+
+        y, _ = read_wav(rec)
+        assert abs(float(metrics.loudness_lufs(y, rate)) + 20.0) < 0.5
+
+    def test_untagged_still_measures(self, tmp_path, wav_file, capsys):
+        wav_path, _, rate = wav_file
+        acz = str(tmp_path / "u.acz")
+        assert cli.main(["encode", wav_path, acz,
+                         "--filters-n", "256"]) == 0
+        _, _, meta = bitstream.load(acz)
+        assert meta["lufs"] is None
+        rec = str(tmp_path / "u.wav")
+        assert cli.main(["decode", acz, rec,
+                         "--normalize-lufs", "-23"]) == 0
+        capsys.readouterr()
+        from audiocodec_tpu import metrics
+
+        y, _ = read_wav(rec)
+        assert abs(float(metrics.loudness_lufs(y, rate)) + 23.0) < 1.0
+
+
 class TestCorpusDecode:
     def test_bulk_matches_solo_within_one_lsb(self, tmp_path, capsys):
         """corpus-decode output equals per-file decode within one 16-bit
