@@ -336,6 +336,15 @@ def cmd_corpus_decode(args):
     n = ref["filters_n"]
     sr = ref["sample_rate"]
 
+    # batch-parallel over every device on the mesh, like the corpus
+    # encoder: the decode batch shards over dp (GSPMD splits the whole
+    # program; pow2 batch buckets always tile a pow2 dp axis)
+    from audiocodec_tpu.parallel import mesh as _mesh
+
+    mesh = _mesh.make_mesh()
+    dp = mesh.shape["dp"]
+    bsh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp"))
+
     def _next_pow2(v):
         return 1 << (int(v) - 1).bit_length()
 
@@ -427,16 +436,26 @@ def cmd_corpus_decode(args):
                         bsw_b[j, :f] = meta["bs_flags"][0]
                 import ml_dtypes  # noqa: F401 (local, gated import)
 
+                def put(a):
+                    # shard the batch axis over dp when it tiles evenly
+                    # (pow2 buckets tile pow2 meshes; a 1-clip nf batch
+                    # on an 8-device mesh stays replicated)
+                    if a is None:
+                        return None
+                    if a.shape[0] % dp == 0:
+                        return jax.device_put(a, bsh)
+                    return jax.device_put(a)
+
                 wave = dec(
-                    codec, jnp.asarray(codes_b),
-                    jnp.asarray(bark_b.view(ml_dtypes.bfloat16)),
-                    jnp.asarray(ts, codec.mdct.compute_dtype),
+                    codec, put(jnp.asarray(codes_b)),
+                    put(jnp.asarray(bark_b.view(ml_dtypes.bfloat16))),
+                    put(jnp.asarray(ts, codec.mdct.compute_dtype)),
                     ms, dzr,
-                    None if tns_b is None else jnp.asarray(tns_b),
+                    None if tns_b is None else put(jnp.asarray(tns_b)),
                     tns_bs,
-                    None if nfl_b is None else jnp.asarray(nfl_b),
+                    None if nfl_b is None else put(jnp.asarray(nfl_b)),
                     nf_bs, np.uint32(nf_seed),
-                    None if bsw_b is None else jnp.asarray(bsw_b),
+                    None if bsw_b is None else put(jnp.asarray(bsw_b)),
                 )
                 wave_h = np.asarray(wave.astype(jnp.float32))
                 for j, idx in enumerate(sub):
