@@ -885,7 +885,7 @@ def encode_stream_with_target_bitrate(
     sample_chunks: int = 8, tolerance: float = 0.08,
     log2_scale_range=(-4.0, 10.0), deadzone="auto", tns: bool = False,
     nf: bool = False, tmask: float = 0.0, bs: bool = False,
-    orig_samples: int = 0,
+    orig_samples: int = 0, lufs=None,
 ):
     """Rate-controlled stream encode: pick ONE stream-global threshold
     scale from a strided sample of the signal (the vmapped trial search of
@@ -945,7 +945,7 @@ def encode_stream_with_target_bitrate(
         n_chunks = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
             threshold_scale=scale, deadzone=z, tns=tns, nf=nf,
-            tmask=tmask, bs=bs, orig_samples=orig_samples,
+            tmask=tmask, bs=bs, orig_samples=orig_samples, lufs=lufs,
         )
         return n_chunks, os.path.getsize(path) * 8 / seconds / 1000
 
@@ -996,6 +996,7 @@ def encode_stream_cbr(
     tolerance: float = 0.05, trials_per_round: int = 8,
     deadzone="auto", tns: bool = False, nf: bool = False,
     tmask: float = 0.0, bs: bool = False, orig_samples: int = 0,
+    lufs=None,
 ):
     """Constant-bitrate stream encode: EVERY chunk is rate-controlled to
     its per-chunk share of the target in ONE vmapped batch search (each
@@ -1077,7 +1078,7 @@ def encode_stream_cbr(
         n_ch = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
             threshold_scale=sc_list, deadzone=z, tns=tns, nf=nf,
-            tmask=tmask, bs=bs, orig_samples=orig_samples,
+            tmask=tmask, bs=bs, orig_samples=orig_samples, lufs=lufs,
         )
         return n_ch, sc_list, os.path.getsize(path) * 8 / (s / sr) / 1000
 

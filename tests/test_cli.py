@@ -1121,6 +1121,27 @@ class TestLoudnessTag:
         y, _ = read_wav(rec)
         assert abs(float(metrics.loudness_lufs(y, rate)) + 20.0) < 0.5
 
+    def test_tag_rides_rate_controlled_streams(self, tmp_path, capsys):
+        """--tag-loudness must reach BOTH stream rate-control paths
+        (ABR and CBR) — the plumbing that once raised TypeError."""
+        from audiocodec_tpu.io import stream_container as sc
+
+        rate = 16000
+        rng = np.random.default_rng(31)
+        x = (0.2 * rng.standard_normal(4 * 4 * 256)).astype(np.float32)
+        w = str(tmp_path / "s.wav")
+        write_wav(w, np.clip(x, -1, 1)[:, None], rate)
+        for extra, name in ([], "abr.acs"), (["--cbr"], "cbr.acs"):
+            acs = str(tmp_path / name)
+            assert cli.main(
+                ["encode", w, acs, "--filters-n", "256",
+                 "--chunk-blocks", "4", "--kbps", "48",
+                 "--tag-loudness"] + extra
+            ) == 0
+            with sc.StreamReader(acs) as r:
+                assert r.meta.get("lufs") is not None, name
+        capsys.readouterr()
+
     def test_untagged_still_measures(self, tmp_path, wav_file, capsys):
         wav_path, _, rate = wav_file
         acz = str(tmp_path / "u.acz")
