@@ -380,6 +380,53 @@ class TestCodecIntegration:
         assert snr_good > snr_bad + 3.0
 
 
+class TestDtypes:
+    """bf16 and f64 pipelines: the basis change casts around its f32/f64
+    matrix and must round-trip deterministically in each compute dtype
+    (the same coverage contract the nf suite keeps)."""
+
+    def test_bf16_pipeline(self):
+        codec = act.Codec.create(
+            44100, filters_n=256, bark_bands_n=32,
+            compute_dtype=jnp.bfloat16,
+        )
+        rng = np.random.default_rng(30)
+        x = 0.02 * rng.standard_normal(256 * 16).astype(np.float32)
+        x[800:900] += 0.7
+        xs = jnp.asarray(x[None, :, None], dtype=jnp.bfloat16)
+        frames = codec.mdct.transform(xs)
+        enc = codec.encode_frames(frames, bs=True)
+        assert np.asarray(enc.bs_flags).any()
+        out = codec.decode_bitstream(enc.codes, enc.bark16,
+                                     bs_flags=enc.bs_flags)
+        assert out.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+        # deterministic: same input -> identical codes
+        enc2 = codec.encode_frames(frames, bs=True)
+        np.testing.assert_array_equal(np.asarray(enc.codes),
+                                      np.asarray(enc2.codes))
+
+    def test_f64_pipeline(self):
+        codec = act.Codec.create(
+            44100, filters_n=256, bark_bands_n=32,
+            compute_dtype=jnp.float64,
+        )
+        rng = np.random.default_rng(31)
+        x = 0.02 * rng.standard_normal(256 * 16)
+        x[800:900] += 0.7
+        xs = jnp.asarray(x[None, :, None], dtype=jnp.float64)
+        frames = codec.mdct.transform(xs)
+        enc = codec.encode_frames(frames, bs=True)
+        assert np.asarray(enc.bs_flags).any()
+        out = codec.decode_bitstream(enc.codes, enc.bark16,
+                                     bs_flags=enc.bs_flags)
+        assert out.dtype == jnp.float64
+        w = x
+        o = np.asarray(out)[0, 256:-256, 0]
+        snr = 10 * np.log10((w**2).sum() / ((w - o) ** 2).sum())
+        assert snr > 8.0
+
+
 class TestContainers:
     def test_acz_roundtrip_carries_flags(self, codec, click_signal,
                                          tmp_path):
