@@ -345,6 +345,20 @@ def cmd_corpus_decode(args):
     dp = mesh.shape["dp"]
     bsh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp"))
 
+    import ml_dtypes
+
+    def put(a):
+        """ONE placement with the target sharding (CLAUDE.md: never
+        route host arrays through a default-device put + reshard; the
+        tunnel H2D path is ~35-40 MB/s). Batch axes that tile the mesh
+        shard over dp (pow2 buckets tile pow2 meshes); under-mesh
+        batches (e.g. single-clip nf batches) replicate."""
+        if a is None:
+            return None
+        if a.shape[0] % dp == 0:
+            return jax.device_put(a, bsh)
+        return jax.device_put(a)
+
     def _next_pow2(v):
         return 1 << (int(v) - 1).bit_length()
 
@@ -434,28 +448,12 @@ def cmd_corpus_decode(args):
                         nfl_b[j, :f] = meta["nf_levels"][0]
                     if has_bsw:
                         bsw_b[j, :f] = meta["bs_flags"][0]
-                import ml_dtypes  # noqa: F401 (local, gated import)
-
-                def put(a):
-                    # shard the batch axis over dp when it tiles evenly
-                    # (pow2 buckets tile pow2 meshes; a 1-clip nf batch
-                    # on an 8-device mesh stays replicated)
-                    if a is None:
-                        return None
-                    if a.shape[0] % dp == 0:
-                        return jax.device_put(a, bsh)
-                    return jax.device_put(a)
-
                 wave = dec(
-                    codec, put(jnp.asarray(codes_b)),
-                    put(jnp.asarray(bark_b.view(ml_dtypes.bfloat16))),
-                    put(jnp.asarray(ts, codec.mdct.compute_dtype)),
-                    ms, dzr,
-                    None if tns_b is None else put(jnp.asarray(tns_b)),
-                    tns_bs,
-                    None if nfl_b is None else put(jnp.asarray(nfl_b)),
-                    nf_bs, np.uint32(nf_seed),
-                    None if bsw_b is None else put(jnp.asarray(bsw_b)),
+                    codec, put(codes_b),
+                    put(bark_b.view(ml_dtypes.bfloat16)),
+                    put(ts.astype(codec.mdct.compute_dtype)),
+                    ms, dzr, put(tns_b), tns_bs, put(nfl_b),
+                    nf_bs, np.uint32(nf_seed), put(bsw_b),
                 )
                 wave_h = np.asarray(wave.astype(jnp.float32))
                 for j, idx in enumerate(sub):
@@ -863,6 +861,18 @@ def cmd_corpus(args):
     # the CLI's coded-path flags apply to corpus encodes too
     dz = getattr(args, "deadzone", "auto")
     fixed_dz = 0.5 if dz == "auto" else float(dz)
+    tag_loudness = getattr(args, "tag_loudness", False)
+
+    def batch_lufs(dev_batch):
+        """Per-clip BS.1770 loudness of a wire batch, [B] float64 —
+        one vectorized device pass (metrics.loudness_lufs_batch) over
+        the SAME dequantized wave the encoder sees."""
+        from audiocodec_tpu import metrics as _metrics
+
+        x = _dequant_wire(dev_batch, jnp.dtype(jnp.float32))
+        return np.round(
+            _metrics.loudness_lufs_batch(x, args.sample_rate), 2
+        )
 
     @functools.partial(
         jax.jit, static_argnames=("ms", "tns", "nf", "tmask", "bs")
@@ -926,7 +936,7 @@ def cmd_corpus(args):
         stem = os.path.splitext(os.path.basename(paths[idx]))[0]
         return os.path.join(args.outdir, stem + ".acz")
 
-    def pack_one(idx, enc, j):
+    def pack_one(idx, enc, j, lufs_j=None):
         return bitstream.save(
             _out_path(idx), enc.codes[j : j + 1], enc.bark16[j : j + 1],
             tns_idx=(None if enc.tns_idx is None
@@ -935,6 +945,7 @@ def cmd_corpus(args):
                        else enc.nf_levels[j : j + 1]),
             bs_flags=(None if enc.bs_flags is None
                       else enc.bs_flags[j : j + 1]),
+            lufs=lufs_j,
             **meta,
         )
 
@@ -963,6 +974,7 @@ def cmd_corpus(args):
                     drown=args.drown, ms=args.ms, deadzone=dz,
                     tns=args.tns, nf=args.nf, tmask=args.tmask,
                     bs=args.bs,
+                    lufs=batch_lufs(dev) if tag_loudness else None,
                 )
                 payload = [res.packed for res in results]
             else:
@@ -971,6 +983,7 @@ def cmd_corpus(args):
                                  tmask=args.tmask, bs=args.bs)
                 )
                 payload = None
+            lufs_b = batch_lufs(dev) if tag_loudness else None
             b_n = (len(payload) if payload is not None
                    else enc_h.codes.shape[0])
             jobs = []
@@ -988,7 +1001,10 @@ def cmd_corpus(args):
                 if payload is not None:
                     jobs.append(ex.submit(write_packed, idx, payload[j]))
                 else:
-                    jobs.append(ex.submit(pack_one, idx, enc_h, j))
+                    jobs.append(ex.submit(
+                        pack_one, idx, enc_h, j,
+                        None if lufs_b is None else float(lufs_b[j]),
+                    ))
             for f in jobs:
                 total_bytes += f.result()
                 ok += 1
@@ -1048,6 +1064,8 @@ def cmd_info(args):
             f"{meta.get('nf_seed')}, filled {int((_np.asarray(nfl) > 0).sum())}"
             f"/{nfl.size} frame-channels"
         )
+    if meta.get("lufs") is None:
+        meta.pop("lufs", None)  # untagged: don't print a None row
     bsf = meta.pop("bs_flags", None)
     if bsf is not None:
         import numpy as _np
@@ -1097,6 +1115,13 @@ _PRESET_DEFAULTS = {
 
 
 def _apply_preset(args, parser) -> None:
+    if getattr(args, "tag_loudness", False) and args.fn not in (
+        cmd_encode, cmd_corpus
+    ):
+        raise SystemExit(
+            "--tag-loudness only applies to commands that write "
+            "containers (encode, corpus)"
+        )
     preset = getattr(args, "preset", None)
     if not preset:
         return

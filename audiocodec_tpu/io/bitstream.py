@@ -219,7 +219,7 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
             )
     if lufs is not None:
         lv = float(lufs)
-        if not -150.0 <= lv <= 20.0:
+        if not LUFS_MIN <= lv <= LUFS_MAX:
             raise ValueError(f"lufs out of range: {lv}")
         members["lufs"] = np.asarray([lv], dtype=np.float64)
     if orig_samples:
@@ -309,6 +309,12 @@ def _bounded_member(z, name, data_len, max_bytes=None):
 # legitimate one (a dtype/window string array is < 200 bytes, shapes are
 # 4 int64s) yet 5 orders of magnitude below the advisor's measured bomb.
 _SMALL_MEMBER_CAP = 1 << 16
+
+# Accepted range for the loudness tag, shared by BOTH container formats'
+# writers and readers (four call sites) so accept/reject behavior can
+# never drift between them. loudness_lufs floors around -120.7 LUFS for
+# digital silence; +20 leaves headroom for absurd-but-finite tags.
+LUFS_MIN, LUFS_MAX = -150.0, 20.0
 
 
 def unpack(data: bytes):
@@ -507,7 +513,8 @@ def _unpack_members(z, ml_dtypes, data_len):
             codes.shape[1] * meta["filters_n"]):
         raise ValueError("corrupt container: nsamp out of bounds")
     if meta["lufs"] is not None and not (
-        np.isfinite(meta["lufs"]) and -150.0 <= meta["lufs"] <= 20.0
+        np.isfinite(meta["lufs"])
+        and LUFS_MIN <= meta["lufs"] <= LUFS_MAX
     ):
         raise ValueError("corrupt container: lufs out of bounds")
     # cross-check payload shapes against the validated meta so a

@@ -96,7 +96,9 @@ class StreamWriter:
             self.meta["nsamp"] = int(orig_samples)
         if lufs is not None:
             # loudness metadata (see io/bitstream.py lufs)
-            if not -150.0 <= float(lufs) <= 20.0:
+            from audiocodec_tpu.io import bitstream as _bs_fmt
+
+            if not _bs_fmt.LUFS_MIN <= float(lufs) <= _bs_fmt.LUFS_MAX:
                 raise ValueError(f"lufs out of range: {lufs}")
             self.meta["lufs"] = float(lufs)
         if dz_recon:
@@ -451,8 +453,11 @@ class StreamReader:
                 "stream"
             )
         lv = m.get("lufs")
+        from audiocodec_tpu.io import bitstream as _bs_fmt
+
         if lv is not None and (
-            not isinstance(lv, (int, float)) or not -150.0 <= lv <= 20.0
+            not isinstance(lv, (int, float))
+            or not _bs_fmt.LUFS_MIN <= lv <= _bs_fmt.LUFS_MAX
         ):
             raise ValueError(
                 f"stream header lufs={lv!r} out of bounds — corrupt "

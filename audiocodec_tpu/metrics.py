@@ -171,6 +171,15 @@ def loudness_lufs(x: jax.Array, sample_rate: int) -> float:
     :param x: [B, samples, C] float waveform in [−1, 1].
     :return: integrated loudness of the batch's first clip, as a float.
     """
+    return float(loudness_lufs_batch(x, sample_rate)[0])
+
+
+def loudness_lufs_batch(x: jax.Array, sample_rate: int) -> np.ndarray:
+    """Per-clip integrated loudness for a batch: [B, samples, C] ->
+    float64 [B]. Same algorithm as :func:`loudness_lufs` (which is this
+    function's first element), with the block powers and both gates
+    vectorized over the batch axis — one device pass tags a whole
+    corpus batch."""
     x = jnp.asarray(x, jnp.float32)
     (b1, a1), (b2, a2) = _k_weighting_coeffs(float(sample_rate))
     z = _biquad(_biquad(x, b1, a1), b2, a2)
@@ -184,22 +193,26 @@ def loudness_lufs(x: jax.Array, sample_rate: int) -> float:
     starts = np.arange(n_blocks) * step
     # power per block, channels summed with unit weights
     idx = starts[:, None] + np.arange(block)[None, :]
-    zb = z[0][idx]  # [n_blocks, block, C]
+    zb = z[:, idx]  # [B, n_blocks, block, C]
     # l_j = -0.691 + 10 log10( sum_ch mean_t z^2 ) — unit channel weights
     power = jnp.maximum(
-        jnp.sum(jnp.mean(zb**2, axis=1), axis=-1), 1e-12
-    )
+        jnp.sum(jnp.mean(zb**2, axis=2), axis=-1), 1e-12
+    )  # [B, n_blocks]
     l_blocks = -0.691 + 10.0 * jnp.log10(power)
     abs_mask = l_blocks > -70.0
-    p_abs = jnp.sum(jnp.where(abs_mask, power, 0.0)) / jnp.maximum(
-        jnp.sum(abs_mask), 1
+    p_abs = jnp.sum(
+        jnp.where(abs_mask, power, 0.0), axis=1
+    ) / jnp.maximum(jnp.sum(abs_mask, axis=1), 1)
+    rel_gate = (
+        -0.691 + 10.0 * jnp.log10(jnp.maximum(p_abs, 1e-12)) - 10.0
     )
-    rel_gate = -0.691 + 10.0 * jnp.log10(jnp.maximum(p_abs, 1e-12)) - 10.0
-    mask = abs_mask & (l_blocks > rel_gate)
-    p_int = jnp.sum(jnp.where(mask, power, 0.0)) / jnp.maximum(
-        jnp.sum(mask), 1
+    mask = abs_mask & (l_blocks > rel_gate[:, None])
+    p_int = jnp.sum(
+        jnp.where(mask, power, 0.0), axis=1
+    ) / jnp.maximum(jnp.sum(mask, axis=1), 1)
+    return np.asarray(
+        -0.691 + 10.0 * jnp.log10(jnp.maximum(p_int, 1e-12)), np.float64
     )
-    return float(-0.691 + 10.0 * jnp.log10(jnp.maximum(p_int, 1e-12)))
 
 
 @jax.jit

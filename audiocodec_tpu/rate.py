@@ -123,6 +123,9 @@ def encode_with_target_bitrate_batch(
         they are computed ONCE here and every trial quantizes the same
         filtered spectrum — the indices ride every trial pack (they count
         toward the rate) and the final container.
+    :param lufs: loudness tag — a scalar applied to every clip, or a
+        per-clip sequence (loudness is a per-clip property; see
+        metrics.loudness_lufs_batch).
     :param nf: noise filling (nf.py). Levels depend on the FINAL codes, so
         they are computed once for the winning scale and ride only the
         final container; trial packs omit them (the uint8-per-frame member
@@ -210,8 +213,6 @@ def encode_with_target_bitrate_batch(
         return jax.vmap(one)(scales)
 
     meta = _meta(codec, ms)
-    if lufs is not None:
-        meta["lufs"] = float(lufs)
     if orig_samples:
         # exact-length (gapless) round trips: the container records the
         # pre-padding sample count; trial packs carry it too so trial
@@ -231,10 +232,23 @@ def encode_with_target_bitrate_batch(
         max_workers=min(32, (_os.cpu_count() or 4))
     )
     try:
+        lufs_per_clip = None
+        if lufs is not None:
+            lufs_per_clip = (
+                [float(v) for v in lufs]
+                if np.ndim(lufs) > 0 or isinstance(lufs, (list, tuple))
+                else [float(lufs)] * batch
+            )
+            if len(lufs_per_clip) != batch:
+                raise ValueError(
+                    f"lufs needs one value per clip ({batch}), got "
+                    f"{len(lufs_per_clip)}"
+                )
         return _search(
             pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             target_kbps, tolerance, trials_per_round, log2_scale_range,
             dz_recon, tns_idx, tns_bs, nf_fn, nf_bs, bs_flags,
+            lufs_per_clip,
         )
     finally:
         pool.shutdown(wait=False)
@@ -243,7 +257,8 @@ def encode_with_target_bitrate_batch(
 def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             target_kbps, tolerance, trials_per_round, log2_scale_range,
             dz_recon=0.0, tns_idx=None, tns_band_start=0,
-            nf_fn=None, nf_band_start=0, bs_flags=None):
+            nf_fn=None, nf_band_start=0, bs_flags=None,
+            lufs_per_clip=None):
     def _pack_one(codes_b, bark_b, scale, b, entropy="auto", nfl=None):
         return _bitstream.pack(
             codes_b, bark_b, threshold_scale=scale, entropy=entropy,
@@ -253,6 +268,7 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             nf_levels=None if nfl is None else nfl[b : b + 1],
             nf_band_start=nf_band_start,
             bs_flags=None if bs_flags is None else bs_flags[b : b + 1],
+            lufs=None if lufs_per_clip is None else lufs_per_clip[b],
             **meta
         )
 
