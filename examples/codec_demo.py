@@ -46,10 +46,16 @@ def main():
     parser.add_argument("--input", default="")
     parser.add_argument("--out-dir", default="/tmp/codec_demo")
     parser.add_argument("--bitrates", default="48,96,160")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (quality is "
+                             "identical; use when the TPU tunnel is "
+                             "down)")
     args = parser.parse_args()
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
 
