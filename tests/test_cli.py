@@ -71,6 +71,44 @@ class TestBitstream:
         with np.load(_io.BytesIO(data)) as z:
             assert z["codes"].dtype == np.int8
 
+    def test_sidecar_2d_coder_roundtrip_and_pick(self):
+        """The 2-D (time+band) sidecar delta: bit-exact round trip, and
+        the post-deflate auto-pick selects it on smooth sidecars (it
+        measured 18-30 % smaller than the time-only delta on every
+        signal class — whole files shrink 3-9 % losslessly)."""
+        import io as _io
+
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(40)
+        # smooth-in-both-axes sidecar, like real masking intensities
+        base = np.cumsum(rng.normal(0, 40, size=(1, 60, 32, 1)), axis=1)
+        base = np.cumsum(base, axis=2) % 30000 + 2000
+        bark = base.astype(np.uint16).view(
+            __import__("ml_dtypes").bfloat16
+        )
+        for coder in ("rice", "rrice", "rrice2d"):
+            enc = bitstream.encode_bark_sidecar(bark, 1, coder)
+            dec = bitstream.decode_bark_sidecar(
+                enc, bark.shape, 1, coder
+            )
+            np.testing.assert_array_equal(
+                np.asarray(dec).view(np.uint16),
+                np.asarray(bark).view(np.uint16), err_msg=coder,
+            )
+        codes = rng.integers(-4, 4, size=(1, 60, 64, 1)).astype(np.int32)
+        blob = bitstream.pack(
+            codes, bark, sample_rate=16000, filters_n=64,
+            bark_bands_n=32, alpha=0.6, window_type="vorbis",
+        )
+        with np.load(_io.BytesIO(blob)) as z:
+            assert "bark_rrice2d" in z.files
+        _, b2, _ = bitstream.unpack(blob)
+        np.testing.assert_array_equal(
+            np.asarray(b2).view(np.uint16),
+            np.asarray(bark).view(np.uint16),
+        )
+
     def test_rice_beats_zlib(self):
         import jax.numpy as jnp
 
