@@ -189,7 +189,8 @@ def cmd_encode(args):
                 chunk_blocks=args.chunk_blocks,
                 target_kbps=args.kbps, drown=args.drown, ms=args.ms,
                 deadzone=dz, tns=args.tns, nf=args.nf, tmask=args.tmask,
-                bs=args.bs, orig_samples=orig_samples, lufs=lufs,
+                bs=args.bs, bwe=args.bwe, orig_samples=orig_samples,
+                lufs=lufs,
             )
             extra = (
                 f", {kbps:.0f} kbit/s CBR, scales "
@@ -202,7 +203,7 @@ def cmd_encode(args):
                     chunk_blocks=args.chunk_blocks,
                     target_kbps=args.kbps, drown=args.drown, ms=args.ms,
                     deadzone=dz, tns=args.tns, nf=args.nf,
-                    tmask=args.tmask, bs=args.bs,
+                    tmask=args.tmask, bs=args.bs, bwe=args.bwe,
                     orig_samples=orig_samples, lufs=lufs,
                 )
             )
@@ -212,7 +213,7 @@ def cmd_encode(args):
                 codec, x, args.output,
                 chunk_blocks=args.chunk_blocks, drown=args.drown,
                 ms=args.ms, deadzone=fixed_dz, tns=args.tns, nf=args.nf,
-                tmask=args.tmask, bs=args.bs,
+                tmask=args.tmask, bs=args.bs, bwe=args.bwe,
                 orig_samples=orig_samples, lufs=lufs,
             )
         size = os.path.getsize(args.output)
@@ -231,7 +232,7 @@ def cmd_encode(args):
         result = _rate.encode_with_target_bitrate(
             codec, x, args.kbps, drown=args.drown, ms=args.ms, deadzone=dz,
             tns=args.tns, nf=args.nf, tmask=args.tmask, bs=args.bs,
-            orig_samples=orig_samples, lufs=lufs,
+            bwe=args.bwe, orig_samples=orig_samples, lufs=lufs,
         )
         # the trial's packed bytes ARE the container — write them verbatim
         # so the measured kbps is exactly the on-disk file's
@@ -249,7 +250,7 @@ def cmd_encode(args):
     enc = codec.encode_frames(
         codec.mdct.transform(x), args.drown, ms=args.ms,
         deadzone=fixed_dz, tns=args.tns, nf=args.nf, tmask=args.tmask,
-        bs=args.bs,
+        bs=args.bs, bwe=args.bwe,
     )
     from audiocodec_tpu import quantize as _quantize
 
@@ -273,6 +274,8 @@ def cmd_encode(args):
         nf_levels=enc.nf_levels,
         nf_band_start=codec.nf_band_start,
         bs_flags=enc.bs_flags,
+        bwe_gains=enc.bwe_gains,
+        bwe_start=codec.bwe_start if args.bwe else 0,
         orig_samples=orig_samples,
         lufs=lufs,
     )
@@ -372,20 +375,23 @@ def cmd_corpus_decode(args):
             None if ti is None else ti.shape[2], meta["tns_band_start"],
             meta["nf_levels"] is not None, meta["nf_band_start"],
             int(meta["nf_seed"]), meta["bs_flags"] is not None,
+            (meta["bwe_start"]
+             if meta["bwe_gains"] is not None else 0),
         )
         groups.setdefault(key, []).append(idx)
 
     @functools.partial(
         jax.jit,
-        static_argnames=("ms", "dzr", "tns_bs", "nf_bs"),
+        static_argnames=("ms", "dzr", "tns_bs", "nf_bs", "bwe_start"),
     )
     def dec(c, codes, bark, tscale, ms, dzr, tns, tns_bs, nfl, nf_bs,
-            nf_seed, bsw):
+            nf_seed, bsw, bweg, bwe_start):
         kw = dict(
             threshold_scale=tscale, dz_recon=dzr, tns_idx=tns,
             tns_band_start=tns_bs or None, nf_levels=nfl,
             nf_band_start=None if nfl is None else nf_bs,
             nf_seed=nf_seed, bs_flags=bsw,
+            bwe_gains=bweg, bwe_start=bwe_start or None,
         )
         if ms:
             return c.decode_bitstream_ms(codes, bark, **kw)
@@ -408,7 +414,7 @@ def cmd_corpus_decode(args):
         jobs = []
         for key, idxs in groups.items():
             (bucket, ch, ms, dzr, tns_order, tns_bs, has_nf, nf_bs,
-             nf_seed, has_bsw) = key
+             nf_seed, has_bsw, bwe_start) = key
             has_tns = tns_order is not None
             # noise-filled clips: batch position keys the fill PRNG
             sub_batches = (
@@ -436,6 +442,15 @@ def cmd_corpus_decode(args):
                          if has_nf else None)
                 bsw_b = (np.zeros((b, bucket + 1), bool)
                          if has_bsw else None)
+                bwe_b = None
+                if bwe_start:
+                    from audiocodec_tpu import bwe as _bwe_mod
+
+                    bwe_b = np.zeros(
+                        (b, bucket + 1,
+                         _bwe_mod.n_groups(n, bwe_start), ch),
+                        np.uint8,
+                    )
                 for j, idx in enumerate(sub):
                     codes, bark, meta = loaded[idx]
                     f = codes.shape[1]
@@ -448,12 +463,15 @@ def cmd_corpus_decode(args):
                         nfl_b[j, :f] = meta["nf_levels"][0]
                     if has_bsw:
                         bsw_b[j, :f] = meta["bs_flags"][0]
+                    if bwe_start:
+                        bwe_b[j, :f] = meta["bwe_gains"][0]
                 wave = dec(
                     codec, put(codes_b),
                     put(bark_b.view(ml_dtypes.bfloat16)),
                     put(ts.astype(codec.mdct.compute_dtype)),
                     ms, dzr, put(tns_b), tns_bs, put(nfl_b),
                     nf_bs, np.uint32(nf_seed), put(bsw_b),
+                    put(bwe_b), bwe_start,
                 )
                 wave_h = np.asarray(wave.astype(jnp.float32))
                 for j, idx in enumerate(sub):
@@ -628,6 +646,11 @@ def cmd_decode(args):
     )
     bsf = meta.get("bs_flags")
     nf_kwargs["bs_flags"] = None if bsf is None else jnp.asarray(bsf)
+    bweg = meta.get("bwe_gains")
+    nf_kwargs["bwe_gains"] = None if bweg is None else jnp.asarray(bweg)
+    if bweg is not None:
+        # honor the RECORDED crossover verbatim, like nf_band_start
+        nf_kwargs["bwe_start"] = int(meta.get("bwe_start", 0))
     if meta.get("ms"):
         wave = codec.decode_bitstream_ms(
             jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
@@ -676,15 +699,16 @@ def cmd_roundtrip(args):
     codec = _build_codec(rate, args)
     data, orig_samples = _pad_to_blocks(data, args.filters_n)
     x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
-    if args.tns or args.nf or args.tmask or args.bs:
+    if args.tns or args.nf or args.tmask or args.bs or args.bwe:
         enc = codec.encode_frames(
             codec.mdct.transform(x), args.drown, tns=args.tns,
-            nf=args.nf, tmask=args.tmask, bs=args.bs,
+            nf=args.nf, tmask=args.tmask, bs=args.bs, bwe=args.bwe,
         )
         out = codec.decode_bitstream(enc.codes, enc.bark16,
                                      tns_idx=enc.tns_idx,
                                      nf_levels=enc.nf_levels,
-                                     bs_flags=enc.bs_flags)
+                                     bs_flags=enc.bs_flags,
+                                     bwe_gains=enc.bwe_gains)
     else:
         out = codec.round_trip_quantized(x, drown=args.drown)
     n = args.filters_n
@@ -875,9 +899,9 @@ def cmd_corpus(args):
         )
 
     @functools.partial(
-        jax.jit, static_argnames=("ms", "tns", "nf", "tmask", "bs")
+        jax.jit, static_argnames=("ms", "tns", "nf", "tmask", "bs", "bwe")
     )
-    def encode_batch(b, ms, tns, nf, tmask=0.0, bs=False):
+    def encode_batch(b, ms, tns, nf, tmask=0.0, bs=False, bwe=False):
         # the ONE int16-wire dequant definition (pipeline._dequant_wire):
         # it is bit-critical, so the CLI must not carry its own copy
         x = _dequant_wire(b, jnp.dtype(codec.mdct.compute_dtype))
@@ -885,7 +909,7 @@ def cmd_corpus(args):
         frames = codec.mdct.transform(x[:, :usable])
         return codec.encode_frames(frames, args.drown, ms=ms,
                                    deadzone=fixed_dz, tns=tns, nf=nf,
-                                   tmask=tmask, bs=bs)
+                                   tmask=tmask, bs=bs, bwe=bwe)
 
     if args.cache:
         if not os.path.exists(args.cache):
@@ -930,6 +954,7 @@ def cmd_corpus(args):
         ),
         tns_band_start=codec.tns_band_start,
         nf_band_start=codec.nf_band_start,
+        bwe_start=codec.bwe_start if args.bwe else 0,
     )
 
     def _out_path(idx):
@@ -945,6 +970,8 @@ def cmd_corpus(args):
                        else enc.nf_levels[j : j + 1]),
             bs_flags=(None if enc.bs_flags is None
                       else enc.bs_flags[j : j + 1]),
+            bwe_gains=(None if enc.bwe_gains is None
+                       else enc.bwe_gains[j : j + 1]),
             lufs=lufs_j,
             **meta,
         )
@@ -973,14 +1000,15 @@ def cmd_corpus(args):
                     codec, x[:, :usable], args.kbps,
                     drown=args.drown, ms=args.ms, deadzone=dz,
                     tns=args.tns, nf=args.nf, tmask=args.tmask,
-                    bs=args.bs,
+                    bs=args.bs, bwe=args.bwe,
                     lufs=batch_lufs(dev) if tag_loudness else None,
                 )
                 payload = [res.packed for res in results]
             else:
                 enc_h = jax.device_get(
                     encode_batch(dev, args.ms, args.tns, args.nf,
-                                 tmask=args.tmask, bs=args.bs)
+                                 tmask=args.tmask, bs=args.bs,
+                                 bwe=args.bwe)
                 )
                 payload = None
             lufs_b = batch_lufs(dev) if tag_loudness else None
@@ -1074,6 +1102,16 @@ def cmd_info(args):
             f"factor {meta.get('bs_factor')}, switched "
             f"{int(_np.asarray(bsf).sum())}/{bsf.size} frames"
         )
+    bweg = meta.pop("bwe_gains", None)
+    if bweg is not None:
+        import numpy as _np
+
+        meta["bwe"] = (
+            f"start bin {meta.get('bwe_start')}, replicated "
+            f"{int((_np.asarray(bweg) > 0).sum())}/{bweg.size} "
+            "frame-groups"
+        )
+    meta.pop("bwe_start", None)
     meta.pop("bs_factor", None)
     meta.pop("nf_band_start", None)
     meta.pop("nf_seed", None)
@@ -1105,12 +1143,12 @@ _PRESETS = {
     "archive": {},
     "music": {"deadzone": "auto", "tns": True, "bs": True},
     "low": {"deadzone": "auto", "tns": True, "bs": True, "nf": True,
-            "tmask": 130.0},
+            "tmask": 130.0, "bwe": True},
 }
 
 _PRESET_DEFAULTS = {
     "deadzone": "auto", "tns": False, "bs": False, "nf": False,
-    "tmask": 0.0,
+    "tmask": 0.0, "bwe": False,
 }
 
 
@@ -1188,6 +1226,15 @@ def main(argv=None) -> int:
                  "low --kbps targets",
         )
         p.add_argument(
+            "--bwe", action="store_true",
+            help="bandwidth extension: rebuild quantizer-zeroed bins "
+                 "above ~10.5 kHz by copying the decoded low band up in "
+                 "frequency, scaled to transmitted per-group envelopes "
+                 "(~1 byte per frame/group/channel) — restores harmonic "
+                 "brightness at low --kbps targets where --nf alone "
+                 "paints hiss",
+        )
+        p.add_argument(
             "--tmask", type=float, default=0.0,
             help="forward (post-)masking decay in dB per second (0 = "
                  "off; ~130 matches the literature's 100-200 ms "
@@ -1203,9 +1250,9 @@ def main(argv=None) -> int:
                  "= plain rounding, no coding tools (bit-least-surprising"
                  "); 'music' = --deadzone auto --tns --bs (the measured "
                  "pre-echo + rate-adaptive ladder, QUALITY.md); 'low' = "
-                 "music plus --nf --tmask 130 (for targets under ~64 "
-                 "kbps/channel: spectral-hole repair + post-masking bit "
-                 "savings)",
+                 "music plus --nf --tmask 130 --bwe (for targets under "
+                 "~64 kbps/channel: spectral-hole repair, post-masking "
+                 "bit savings, and high-band replication)",
         )
         p.add_argument(
             "--tag-loudness", action="store_true",

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from audiocodec_tpu import blockswitch as _blockswitch
+from audiocodec_tpu import bwe as _bwe
 from audiocodec_tpu import nf as _nf
 from audiocodec_tpu import psycho as _psycho
 from audiocodec_tpu import quantize as _quantize
@@ -42,6 +43,7 @@ class EncodedFrames(typing.NamedTuple):
     tns_idx: jax.Array | None  # int8 [B, frames, order, C]
     nf_levels: jax.Array | None  # uint8 [B, frames, C]
     bs_flags: jax.Array | None = None  # bool [B, frames] (blockswitch)
+    bwe_gains: jax.Array | None = None  # uint8 [B, frames, groups, C]
 
 
 @functools.partial(
@@ -234,7 +236,9 @@ class Codec:
                             nf_levels: jax.Array | None = None,
                             nf_band_start: int | None = None,
                             nf_seed=0, nf_frame_offset=0,
-                            bs_flags: jax.Array | None = None
+                            bs_flags: jax.Array | None = None,
+                            bwe_gains: jax.Array | None = None,
+                            bwe_start: int | None = None
                             ) -> jax.Array:
         """Inverse of :meth:`encode_bitstream_ms` -> L/R waveform.
 
@@ -252,6 +256,11 @@ class Codec:
         :param nf_seed: the container's recorded noise seed;
             ``nf_frame_offset`` is the global index of ``codes``' first
             frame (nonzero for chunked/seeking decoders).
+        :param bwe_gains: bandwidth-extension replication gains from the
+            encoder (the ``bwe`` container member); None for
+            non-replicated streams. The copy-up happens in the coded
+            domain, before the noise fill (which it caps at
+            ``bwe_start``) and the TNS inverse filter (bwe.py).
         """
         thr = self._ms_threshold(bark16) * jnp.asarray(
             threshold_scale, dtype=self.mdct.compute_dtype
@@ -267,11 +276,15 @@ class Codec:
             codes, delta, dtype=self.mdct.compute_dtype,
             recon_offset=dz_recon,
         )
+        bst = None
+        if bwe_gains is not None:
+            bst = self.bwe_start if bwe_start is None else bwe_start
+            spec_ms = _bwe.fill(spec_ms, codes, delta, bwe_gains, bst)
         if nf_levels is not None:
             bs_nf = (self.nf_band_start if nf_band_start is None
                      else nf_band_start)
             spec_ms = _nf.fill(spec_ms, codes, delta, nf_levels, bs_nf,
-                               nf_seed, nf_frame_offset)
+                               nf_seed, nf_frame_offset, band_end=bst)
         if bs_flags is not None:
             spec_ms = _blockswitch.merge_spectrum(spec_ms, bs_flags)
         if tns_idx is not None:
@@ -378,7 +391,7 @@ class Codec:
                         deadzone: float = 0.5, nf: bool = False,
                         tmask: float = 0.0,
                         tmask_context: jax.Array | None = None,
-                        bs: bool = False):
+                        bs: bool = False, bwe: bool = False):
         """Spectral frames -> (codes, bf16 Bark sidecar); the frame-level
         half of encode_bitstream[_ms], shared with the streaming container.
 
@@ -410,6 +423,15 @@ class Codec:
             (the ``bsw`` container member). Noise-fill levels are zeroed
             on short frames (an attack masks; holes are a stationary
             phenomenon).
+        :param bwe: bandwidth extension (bwe.py) — additionally returns
+            uint8 replication gains [B, frames, groups, C]: the decoder
+            rebuilds zero-coded bins above the crossover
+            (:attr:`bwe_start`) by copying the decoded low band up and
+            scaling each 16-bin group to the transmitted envelope (the
+            ``bwe`` container member). With ``nf`` too, the noise fill
+            caps at the crossover — BWE owns the top. Gains are zeroed
+            on short block-switch frames (the split basis is not a
+            frequency axis).
         """
         spec_q, bark16, threshold, bs_flags = self.analyze_for_quantization(
             frames, drown, ms=ms, tmask=tmask,
@@ -426,11 +448,18 @@ class Codec:
         out = (codes, bark16)
         if nf:
             nfl = _nf.analyze(spec_q, codes, delta, self.nf_band_start,
-                              deadzone=deadzone)
+                              deadzone=deadzone,
+                              band_end=self.bwe_start if bwe else None)
             if bs:
                 nfl = jnp.where(bs_flags[:, :, None],
                                 jnp.zeros_like(nfl), nfl)
             out = out + (nfl,)
+        if bwe:
+            gains = _bwe.analyze(spec_q, codes, delta, self.bwe_start)
+            if bs:
+                gains = jnp.where(bs_flags[:, :, None, None],
+                                  jnp.zeros_like(gains), gains)
+            out = out + (gains,)
         if bs:
             out = out + (bs_flags,)
         return out
@@ -440,29 +469,27 @@ class Codec:
                       deadzone: float = 0.5, tns: bool = False,
                       nf: bool = False, tmask: float = 0.0,
                       tmask_context: jax.Array | None = None,
-                      bs: bool = False) -> EncodedFrames:
+                      bs: bool = False, bwe: bool = False
+                      ) -> EncodedFrames:
         """One entry point for every coded-bitstream encode: wraps
         :meth:`quantize_frames` / :meth:`quantize_frames_tns` and always
         returns an :class:`EncodedFrames` (absent features are None) —
         the CLI, containers, and dryrun all unpack THIS, not
         flag-dependent tuple arities.
         """
-        if tns:
-            out = self.quantize_frames_tns(
-                frames, drown, threshold_scale=threshold_scale, ms=ms,
-                deadzone=deadzone, nf=nf, tmask=tmask,
-                tmask_context=tmask_context, bs=bs,
-            )
-            return EncodedFrames(out[0], out[1], out[2],
-                                 out[3] if nf else None,
-                                 out[-1] if bs else None)
-        out = self.quantize_frames(
+        fn = self.quantize_frames_tns if tns else self.quantize_frames
+        out = fn(
             frames, drown, threshold_scale=threshold_scale, ms=ms,
             deadzone=deadzone, nf=nf, tmask=tmask,
-            tmask_context=tmask_context, bs=bs,
+            tmask_context=tmask_context, bs=bs, bwe=bwe,
         )
-        return EncodedFrames(out[0], out[1], None, out[2] if nf else None,
-                             out[-1] if bs else None)
+        i = 3 if tns else 2
+        nfl = out[i] if nf else None
+        i += 1 if nf else 0
+        gains = out[i] if bwe else None
+        i += 1 if bwe else 0
+        return EncodedFrames(out[0], out[1], out[2] if tns else None,
+                             nfl, out[i] if bs else None, gains)
 
     @property
     def tns_band_start(self) -> int:
@@ -474,12 +501,20 @@ class Codec:
         """First bin noise filling covers (nf.default_band_start)."""
         return _nf.default_band_start(self.mdct.filters_n)
 
+    @property
+    def bwe_start(self) -> int:
+        """First bin bandwidth extension replicates
+        (bwe.default_start for this configuration)."""
+        return _bwe.default_start(
+            self.mdct.filters_n, self.psycho.sample_rate
+        )
+
     def quantize_frames_tns(self, frames: jax.Array, drown=0.0,
                             threshold_scale=1.0, ms: bool = False,
                             deadzone: float = 0.5, nf: bool = False,
                             tmask: float = 0.0,
                             tmask_context: jax.Array | None = None,
-                            bs: bool = False):
+                            bs: bool = False, bwe: bool = False):
         """:meth:`quantize_frames` with temporal noise shaping: frames
         whose spectrum is predictable along frequency (peaky time
         envelopes — transients) are whitened by an order-8 LPC filter
@@ -526,11 +561,20 @@ class Codec:
         out = (codes, bark16, tns_idx)
         if nf:
             nfl = _nf.analyze(spec_f, codes, delta, self.nf_band_start,
-                              deadzone=deadzone)
+                              deadzone=deadzone,
+                              band_end=self.bwe_start if bwe else None)
             if bs:
                 nfl = jnp.where(bs_flags[:, :, None],
                                 jnp.zeros_like(nfl), nfl)
             out = out + (nfl,)
+        if bwe:
+            # analyzed in the TNS-filtered domain (where the decoder
+            # fills, before its inverse filter) — same ordering as nf
+            gains = _bwe.analyze(spec_f, codes, delta, self.bwe_start)
+            if bs:
+                gains = jnp.where(bs_flags[:, :, None, None],
+                                  jnp.zeros_like(gains), gains)
+            out = out + (gains,)
         if bs:
             out = out + (bs_flags,)
         return out
@@ -543,7 +587,9 @@ class Codec:
                          nf_levels: jax.Array | None = None,
                          nf_band_start: int | None = None,
                          nf_seed=0, nf_frame_offset=0,
-                         bs_flags: jax.Array | None = None) -> jax.Array:
+                         bs_flags: jax.Array | None = None,
+                         bwe_gains: jax.Array | None = None,
+                         bwe_start: int | None = None) -> jax.Array:
         """Inverse of :meth:`encode_bitstream`: codes + Bark intensities ->
         waveform [B, (blocks+1)*N, C].
 
@@ -564,6 +610,11 @@ class Codec:
             long-only streams. Threshold pooling mirrors the encoder's
             order exactly (pool LAST, after every scaling) so step sizes
             stay bit-identical.
+        :param bwe_gains: bandwidth-extension replication gains from the
+            encoder (the ``bwe`` container member); None for
+            non-replicated streams. The copy-up happens in the coded
+            domain, before the noise fill (which it caps at
+            ``bwe_start``) and the TNS inverse filter (bwe.py).
         """
         threshold = self.psycho.bark_intensity_to_threshold(
             bark16.astype(self.mdct.compute_dtype)
@@ -578,11 +629,15 @@ class Codec:
         spec = _quantize.dequantize(codes, delta,
                                     dtype=self.mdct.compute_dtype,
                                     recon_offset=dz_recon)
+        bst = None
+        if bwe_gains is not None:
+            bst = self.bwe_start if bwe_start is None else bwe_start
+            spec = _bwe.fill(spec, codes, delta, bwe_gains, bst)
         if nf_levels is not None:
             bs_nf = (self.nf_band_start if nf_band_start is None
                      else nf_band_start)
             spec = _nf.fill(spec, codes, delta, nf_levels, bs_nf,
-                            nf_seed, nf_frame_offset)
+                            nf_seed, nf_frame_offset, band_end=bst)
         if bs_flags is not None:
             spec = _blockswitch.merge_spectrum(spec, bs_flags)
         if tns_idx is not None:

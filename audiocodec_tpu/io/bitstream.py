@@ -17,6 +17,11 @@ codes well). Format (npz members):
   bsw       uint8 [B, ceil(blocks/8)] per-frame block-switch flag bitmap
             + 'bswmeta' int64 [factor]; absent = all-long frames
             (blockswitch.py)
+  bwe       uint8 [B, blocks, groups, C] bandwidth-extension replication
+            gains + 'bwemeta' int64 [start, group]; absent = no
+            replication. Written whenever the encoder ran with bwe —
+            even all-zero — because its PRESENCE caps the noise fill's
+            band at the crossover on both sides (bwe.py).
 """
 
 from __future__ import annotations
@@ -89,6 +94,7 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
          tns_idx=None, tns_band_start: int = 0,
          nf_levels=None, nf_band_start: int = 0,
          nf_seed: int = 0, bs_flags=None,
+         bwe_gains=None, bwe_start: int = 0,
          orig_samples: int = 0, lufs=None) -> bytes:
     """Serialize encoder output to bytes.
 
@@ -134,6 +140,12 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
         exactly these frames. Written (as a packbits bitmap, with the
         split factor in ``bswmeta``) only when some frame switched, so
         bs-off encodes stay byte-identical.
+    :param bwe_gains: bandwidth-extension replication gains, uint8
+        [B, blocks, groups, C] (bwe.py) — the decoder rebuilds zero-coded
+        bins above ``bwe_start`` from the low band scaled to these.
+        Unlike the other sidecars this member is written even when
+        all-zero: its PRESENCE tells the decoder the noise fill stops at
+        the crossover (all-zero gains deflate to a few bytes).
     """
     from audiocodec_tpu import native
 
@@ -187,7 +199,11 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
                 break
         members["codes"] = packed
 
-    if "bark_rrice" not in members and "bark_rice" not in members:
+    if "bark_shape" not in members:
+        # no coded sidecar was written (bark_shape rides exactly with
+        # one) — ship the raw bfloat16 view instead. Checking the shape
+        # member covers every bark_* coder; matching only rice/rrice
+        # here once shipped DOUBLED sidecars whenever rrice2d won.
         members["bark"] = np.asarray(bark16).view(np.uint16)
     if dz_recon:
         if not -1.0 <= dz_recon <= 2.0:
@@ -229,6 +245,23 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
             members["nfmeta"] = np.asarray(
                 [nf_band_start, int(nf_seed)], dtype=np.int64
             )
+    if bwe_gains is not None:
+        from audiocodec_tpu import bwe as _bwe_mod
+
+        arr = np.ascontiguousarray(bwe_gains, dtype=np.uint8)
+        _bwe_mod.validate_start(filters_n, int(bwe_start))
+        groups = _bwe_mod.n_groups(filters_n, int(bwe_start))
+        if arr.shape != (
+            codes.shape[0], codes.shape[1], groups, codes.shape[3]
+        ):
+            raise ValueError(
+                f"bwe_gains shape {arr.shape} does not match codes "
+                f"{codes.shape} at start {bwe_start}"
+            )
+        members["bwe"] = arr
+        members["bwemeta"] = np.asarray(
+            [int(bwe_start), _bwe_mod.GROUP], dtype=np.int64
+        )
     if lufs is not None:
         lv = float(lufs)
         if not LUFS_MIN <= lv <= LUFS_MAX:
@@ -345,6 +378,7 @@ def unpack(data: bytes):
     except (
         zipfile.BadZipFile, zlib.error, OSError, EOFError,
         NotImplementedError,  # tampered version-needed / compression fields
+        RuntimeError,  # tampered encryption flag bits
     ) as e:
         raise ValueError(f"corrupt .acz container: {e}") from e
     if not hasattr(ctx, "files"):  # a bare .npy payload, not an archive
@@ -358,6 +392,7 @@ def unpack(data: bytes):
     except (
         zipfile.BadZipFile, zlib.error, OSError, EOFError,
         NotImplementedError,  # tampered compression-method field
+        RuntimeError,  # tampered encryption flag bits ("password required")
     ) as e:
         # lazy member reads re-enter zipfile: a corrupted member payload
         # (bad CRC, truncated deflate stream) surfaces HERE, not at np.load
@@ -460,6 +495,41 @@ def _unpack_members(z, ml_dtypes, data_len):
                 f"band_start {nf_band_start} inconsistent with codes "
                 f"{codes.shape}"
             )
+    bwe_gains, bwe_start = None, 0
+    if "bwe" in z.files:
+        from audiocodec_tpu import bwe as _bwe_mod
+
+        bwe_gains = np.asarray(_bounded_member(z, "bwe", data_len))
+        bm = small("bwemeta")
+        if len(bm) != 2:
+            raise ValueError("corrupt container: bad bwemeta")
+        bwe_start, bwe_group = int(bm[0]), int(bm[1])
+        if bwe_group != _bwe_mod.GROUP:
+            # the fill derives group slices and the copy-up map from
+            # GROUP; refuse a mismatch instead of decoding wrong audio
+            raise ValueError(
+                f"container uses bwe group width {bwe_group}; this "
+                f"decoder supports {_bwe_mod.GROUP} (newer framework "
+                "version?)"
+            )
+        try:
+            _bwe_mod.validate_start(codes.shape[2], bwe_start)
+        except ValueError as e:
+            raise ValueError(f"corrupt container: {e}") from None
+        if (
+            bwe_gains.dtype != np.uint8
+            or bwe_gains.ndim != 4
+            or bwe_gains.shape != (
+                codes.shape[0], codes.shape[1],
+                _bwe_mod.n_groups(codes.shape[2], bwe_start),
+                codes.shape[3],
+            )
+        ):
+            raise ValueError(
+                f"corrupt container: bwe member shape {bwe_gains.shape} "
+                f"/ start {bwe_start} inconsistent with codes "
+                f"{codes.shape}"
+            )
     bs_flags, bs_factor = None, 0
     if "bsw" in z.files:
         from audiocodec_tpu import blockswitch as _bs
@@ -510,6 +580,8 @@ def _unpack_members(z, ml_dtypes, data_len):
         "nf_seed": nf_seed,
         "bs_flags": bs_flags,
         "bs_factor": bs_factor,
+        "bwe_gains": bwe_gains,
+        "bwe_start": bwe_start,
         "orig_samples": (
             int(small("nsamp")[0]) if "nsamp" in z.files else 0
         ),

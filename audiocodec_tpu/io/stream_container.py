@@ -17,6 +17,8 @@ Layout (little-endian):
                 header declares "tns"; see tns.py]
              | [u32 nfl_len | deflated uint8 noise-fill levels — only when
                 the header declares "nf"; see nf.py]
+             | [u32 bwe_len | deflated uint8 replication gains — only
+                when the header declares "bwe"; see bwe.py]
              | [u32 bsw_len | packbits block-switch flag bitmap — only
                 when the header declares "bs"; see blockswitch.py]
              | u32 crc32
@@ -49,6 +51,7 @@ class Chunk(typing.NamedTuple):
     nfl: np.ndarray | None  # uint8 [blocks, C]; None = no noise filling
     tscale: float | None = None  # per-chunk rate scale (CBR streams)
     bsw: np.ndarray | None = None  # bool [blocks]; None = all-long
+    bwe: np.ndarray | None = None  # uint8 [blocks, groups, C]; None = off
 
 
 class StreamWriter:
@@ -61,8 +64,8 @@ class StreamWriter:
                  tns_order: int = 0, tns_band_start: int = 0,
                  nf: bool = False, nf_band_start: int = 0,
                  nf_seed: int = 0, cbr: bool = False,
-                 bs: bool = False, orig_samples: int = 0,
-                 lufs=None):
+                 bs: bool = False, bwe_start: int = 0,
+                 orig_samples: int = 0, lufs=None):
         self.meta = {
             "sample_rate": int(sample_rate),
             "filters_n": int(filters_n),
@@ -141,6 +144,21 @@ class StreamWriter:
                 "band_start": int(nf_band_start),
                 "seed": int(nf_seed),
             }
+        if bwe_start:
+            # bandwidth extension: each chunk carries per-(frame, group,
+            # channel) uint8 replication gains; absent = no replication
+            # (older streams decode unchanged, bwe-off encodes write the
+            # old layout). The crossover is bitstream-critical — it also
+            # caps the noise fill's band on both sides (see bwe.py) —
+            # and so is the group width, so both are validated against
+            # this build's format constant like the bs factor.
+            from audiocodec_tpu import bwe as _bwe_mod
+
+            _bwe_mod.validate_start(filters_n, int(bwe_start))
+            self.meta["bwe"] = {
+                "start": int(bwe_start),
+                "group": int(_bwe_mod.GROUP),
+            }
         if bs:
             # block switching: each chunk carries a per-frame flag
             # bitmap; absent = all-long (older streams decode unchanged,
@@ -175,12 +193,13 @@ class StreamWriter:
         self._closed = False
 
     def append(self, codes, bark16, tns_idx=None, nf_levels=None,
-               tscale=None, bs_flags=None) -> None:
+               tscale=None, bs_flags=None, bwe_gains=None) -> None:
         """Write one chunk: codes int32 [1, blocks, N, C] (or [blocks, N, C]),
         bark16 bfloat16 [1, blocks, bark_n, C] (or unbatched), for TNS
         streams int8 reflection indices [1, blocks, order, C], for
-        noise-filling streams uint8 levels [1, blocks, C], and for CBR
-        streams this chunk's threshold scale."""
+        noise-filling streams uint8 levels [1, blocks, C], for CBR
+        streams this chunk's threshold scale, and for bandwidth-extension
+        streams uint8 replication gains [1, blocks, groups, C]."""
         from audiocodec_tpu import native
 
         codes = np.asarray(codes)
@@ -208,6 +227,12 @@ class StreamWriter:
             raise ValueError(
                 "chunk block-switch flags must be passed exactly when "
                 "the stream header declares bs"
+            )
+        bwe_meta = self.meta.get("bwe")
+        if (bwe_meta is not None) != (bwe_gains is not None):
+            raise ValueError(
+                "chunk replication gains must be passed exactly when "
+                "the stream header declares bwe"
             )
         cbr = self.meta.get("cbr")
         if (cbr is not None) != (tscale is not None):
@@ -253,6 +278,23 @@ class StreamWriter:
                     f"({blocks}, {codes.shape[-1]})"
                 )
             nfl_bytes = zlib.compress(lv.tobytes(), 6)
+        bwe_bytes = b""
+        if bwe_meta is not None:
+            from audiocodec_tpu import bwe as _bwe_mod
+
+            gz = np.ascontiguousarray(bwe_gains, dtype=np.uint8)
+            if gz.ndim == 4:
+                gz = gz[0]
+            groups = _bwe_mod.n_groups(
+                self.meta["filters_n"], bwe_meta["start"]
+            )
+            if gz.shape != (blocks, groups, codes.shape[-1]):
+                raise ValueError(
+                    f"chunk bwe_gains shape {gz.shape} != "
+                    f"({blocks}, {groups}, {codes.shape[-1]})"
+                )
+            # smooth envelopes: deflate eats the small-delta structure
+            bwe_bytes = zlib.compress(gz.tobytes(), 6)
         bsw_bytes = b""
         if bsw is not None:
             from audiocodec_tpu import blockswitch as _bs_mod
@@ -292,6 +334,11 @@ class StreamWriter:
             crc = zlib.crc32(nfl_bytes, zlib.crc32(hdr, crc))
             self._f.write(hdr)
             self._f.write(nfl_bytes)
+        if bwe_meta is not None:
+            hdr = struct.pack("<I", len(bwe_bytes))
+            crc = zlib.crc32(bwe_bytes, zlib.crc32(hdr, crc))
+            self._f.write(hdr)
+            self._f.write(bwe_bytes)
         if bsw is not None:
             hdr = struct.pack("<I", len(bsw_bytes))
             crc = zlib.crc32(bsw_bytes, zlib.crc32(hdr, crc))
@@ -449,6 +496,28 @@ class StreamReader:
                     f"decoder supports {_bs_mod.FACTOR} (newer "
                     "framework version?)"
                 )
+        bwem = m.get("bwe")
+        if bwem is not None:
+            start = bwem.get("start") if isinstance(bwem, dict) else None
+            group = bwem.get("group") if isinstance(bwem, dict) else None
+            from audiocodec_tpu import bwe as _bwe_mod
+
+            if not isinstance(start, int) or not isinstance(group, int):
+                raise ValueError(
+                    f"stream header bwe={bwem!r} out of bounds — corrupt "
+                    "stream"
+                )
+            if group != _bwe_mod.GROUP:
+                # the fill derives group slices and the copy-up map from
+                # GROUP; refuse a mismatch instead of decoding wrong audio
+                raise ValueError(
+                    f"stream uses bwe group width {group}; this decoder "
+                    f"supports {_bwe_mod.GROUP} (newer framework version?)"
+                )
+            try:
+                _bwe_mod.validate_start(m["filters_n"], start)
+            except ValueError as e:
+                raise ValueError(f"corrupt stream: {e}") from None
         if not isinstance(m.get("cbr", 0), (int, bool)):
             raise ValueError("stream header cbr must be a flag")
         ns = m.get("nsamp", 0)
@@ -550,6 +619,8 @@ class StreamReader:
         tns_bytes = read_payload("tns") if tns_meta is not None else None
         nf_meta = self.meta.get("nf")
         nfl_bytes = read_payload("nfl") if nf_meta is not None else None
+        bwe_meta = self.meta.get("bwe")
+        bwe_bytes = read_payload("bwe") if bwe_meta is not None else None
         bs_meta = self.meta.get("bs")
         bsw_bytes = read_payload("bsw") if bs_meta is not None else None
         (crc,) = struct.unpack("<I", self._read_exact(4, i))
@@ -636,6 +707,27 @@ class StreamReader:
                     f"expected {want_n} — corrupt stream"
                 )
             nfl = np.frombuffer(raw, dtype=np.uint8).reshape(blocks, ch)
+        bwe = None
+        if bwe_bytes is not None:
+            from audiocodec_tpu import bwe as _bwe_mod
+
+            groups = _bwe_mod.n_groups(n, bwe_meta["start"])
+            want_n = blocks * groups * ch
+            try:
+                d = zlib.decompressobj()
+                raw = d.decompress(bwe_bytes, want_n + 1)
+            except zlib.error as e:
+                raise ValueError(
+                    f"chunk {i} bwe payload corrupt: {e}"
+                ) from None
+            if len(raw) != want_n:
+                raise ValueError(
+                    f"chunk {i} bwe payload is {len(raw)} bytes, "
+                    f"expected {want_n} — corrupt stream"
+                )
+            bwe = np.frombuffer(raw, dtype=np.uint8).reshape(
+                blocks, groups, ch
+            )
         bsw = None
         if bsw_bytes is not None:
             from audiocodec_tpu import blockswitch as _bs_mod
@@ -649,7 +741,7 @@ class StreamReader:
             bsw = _bs_mod.unpack_flags(
                 np.frombuffer(bsw_bytes, dtype=np.uint8)[None], blocks
             )[0]
-        return Chunk(codes, bark, tns, nfl, tscale, bsw)
+        return Chunk(codes, bark, tns, nfl, tscale, bsw, bwe)
 
     def close(self) -> None:
         if self._owns_file:
@@ -700,18 +792,20 @@ def _jit_encode_chunk():
 
     @functools.partial(
         jax.jit,
-        static_argnames=("ms", "deadzone", "tns", "nf", "tmask", "bs"),
+        static_argnames=(
+            "ms", "deadzone", "tns", "nf", "tmask", "bs", "bwe",
+        ),
     )
     def step(codec, carry, x_chunk, drown, threshold_scale, ms, deadzone,
              tns=False, nf=False, tmask=0.0, tmask_context=None,
-             bs=False):
+             bs=False, bwe=False):
         carry, frames = streaming.mdct_stream_step(
             codec.mdct, carry, x_chunk
         )
         enc = codec.encode_frames(
             frames, drown, threshold_scale=threshold_scale, ms=ms,
             deadzone=deadzone, tns=tns, nf=nf, tmask=tmask,
-            tmask_context=tmask_context, bs=bs,
+            tmask_context=tmask_context, bs=bs, bwe=bwe,
         )
         new_ctx = None
         if tmask:
@@ -732,16 +826,18 @@ def _jit_encode_chunk():
 
     @functools.partial(
         jax.jit,
-        static_argnames=("ms", "deadzone", "tns", "nf", "tmask", "bs"),
+        static_argnames=(
+            "ms", "deadzone", "tns", "nf", "tmask", "bs", "bwe",
+        ),
     )
     def flush(codec, carry, drown, threshold_scale, ms, deadzone,
               tns=False, nf=False, tmask=0.0, tmask_context=None,
-              bs=False):
+              bs=False, bwe=False):
         last = streaming.mdct_stream_flush(codec.mdct, carry)
         return codec.encode_frames(
             last, drown, threshold_scale=threshold_scale, ms=ms,
             deadzone=deadzone, tns=tns, nf=nf, tmask=tmask,
-            tmask_context=tmask_context, bs=bs,
+            tmask_context=tmask_context, bs=bs, bwe=bwe,
         )
 
     return step, flush
@@ -763,6 +859,7 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
                   deadzone: float = 0.5, tns: bool = False,
                   nf: bool = False, nf_seed: int = 0,
                   tmask: float = 0.0, bs: bool = False,
+                  bwe: bool = False,
                   orig_samples: int = 0, lufs=None) -> int:
     """Encode a long waveform to a seekable stream with bounded memory.
 
@@ -791,6 +888,11 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         per-frame function of the spectrum, so chunk flags are
         bit-identical to a whole-file encode's and ride each chunk as a
         bitmap.
+    :param bwe: bandwidth extension (bwe.py). Gains are a pure per-frame
+        function of (codes, steps, spectrum) with a static copy-up map,
+        so a bwe .acs decodes bit-identically to the same signal's bwe
+        .acz, including mid-stream seeks. Gains ride each chunk; the
+        crossover rides the header.
     :param tmask: forward (post-)masking decay in dB/s, 0 = off (see
         psycho.temporal_masking). Encoder-side only — it raises the
         Bark sidecar before rounding, so nothing rides the header. A
@@ -861,6 +963,7 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         nf_seed=nf_seed if nf else 0,
         cbr=cbr,
         bs=bs,
+        bwe_start=codec.bwe_start if bwe else 0,
         orig_samples=orig_samples,
         lufs=lufs,
     ) as w:
@@ -875,23 +978,24 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         tctx = None
         for k, start in enumerate(range(0, s, chunk)):
             ts_k = scales[k] if cbr else threshold_scale
-            carry, tctx, codes, bark16, tns_idx, nfl, bsw = step(
+            carry, tctx, codes, bark16, tns_idx, nfl, bsw, gains = step(
                 codec, carry, x[:, start : start + chunk], drown,
                 ts_k, ms, deadzone, tns, nf, tmask=tmask,
-                tmask_context=tctx, bs=bs,
+                tmask_context=tctx, bs=bs, bwe=bwe,
             )
             if pending is not None:
                 w.append(*pending)
             pending = (codes, bark16, tns_idx, nfl,
-                       ts_k if cbr else None, bsw)
+                       ts_k if cbr else None, bsw, gains)
         if pending is not None:
             w.append(*pending)
         ts_last = scales[-1] if cbr else threshold_scale
         last = flush(codec, carry, drown, ts_last, ms, deadzone,
-                     tns, nf, tmask=tmask, tmask_context=tctx, bs=bs)
+                     tns, nf, tmask=tmask, tmask_context=tctx, bs=bs,
+                     bwe=bwe)
         w.append(last.codes, last.bark16, last.tns_idx, last.nf_levels,
                  tscale=ts_last if cbr else None,
-                 bs_flags=last.bs_flags)
+                 bs_flags=last.bs_flags, bwe_gains=last.bwe_gains)
         n_chunks = len(w._index)
     return n_chunks
 
@@ -902,7 +1006,7 @@ def encode_stream_with_target_bitrate(
     sample_chunks: int = 8, tolerance: float = 0.08,
     log2_scale_range=(-4.0, 10.0), deadzone="auto", tns: bool = False,
     nf: bool = False, tmask: float = 0.0, bs: bool = False,
-    orig_samples: int = 0, lufs=None,
+    bwe: bool = False, orig_samples: int = 0, lufs=None,
 ):
     """Rate-controlled stream encode: pick ONE stream-global threshold
     scale from a strided sample of the signal (the vmapped trial search of
@@ -952,17 +1056,19 @@ def encode_stream_with_target_bitrate(
 
     def search(tgt):
         # the sampled search only picks a scale; fill levels don't change
-        # the rate curve (~1 deflated byte/frame), so trials skip them
+        # the rate curve (~1 deflated byte/frame), so trials skip them.
+        # BWE gains DO (rate.py packs them per trial when bwe is set).
         return _rate.encode_with_target_bitrate(
             codec, sample, tgt, drown=drown, ms=ms, deadzone=z, tns=tns,
-            tmask=tmask, bs=bs,
+            tmask=tmask, bs=bs, bwe=bwe,
         ).threshold_scale
 
     def full_encode(scale):
         n_chunks = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
             threshold_scale=scale, deadzone=z, tns=tns, nf=nf,
-            tmask=tmask, bs=bs, orig_samples=orig_samples, lufs=lufs,
+            tmask=tmask, bs=bs, bwe=bwe, orig_samples=orig_samples,
+            lufs=lufs,
         )
         return n_chunks, os.path.getsize(path) * 8 / seconds / 1000
 
@@ -1012,8 +1118,8 @@ def encode_stream_cbr(
     target_kbps: float, drown=0.0, ms: bool = False,
     tolerance: float = 0.05, trials_per_round: int = 8,
     deadzone="auto", tns: bool = False, nf: bool = False,
-    tmask: float = 0.0, bs: bool = False, orig_samples: int = 0,
-    lufs=None,
+    tmask: float = 0.0, bs: bool = False, bwe: bool = False,
+    orig_samples: int = 0, lufs=None,
 ):
     """Constant-bitrate stream encode: EVERY chunk is rate-controlled to
     its per-chunk share of the target in ONE vmapped batch search (each
@@ -1051,7 +1157,9 @@ def encode_stream_cbr(
     chunk_seconds = chunk / sr
     # fixed per-chunk framing: 8 B scale + 16 B headers/CRC + 8 B index
     # (+4 B per optional member length), plus the stream header amortized
-    overhead_bytes = 32 + (4 if tns else 0) + (4 if nf else 0)
+    overhead_bytes = (
+        32 + (4 if tns else 0) + (4 if nf else 0) + (4 if bwe else 0)
+    )
     overhead_kbps = (overhead_bytes + 350 / max(n_body, 1)) * 8 / (
         chunk_seconds * 1000
     )
@@ -1089,13 +1197,14 @@ def encode_stream_cbr(
             codec, chunks_x, per_chunk_target + acz_overhead_kbps,
             drown=drown, tolerance=tolerance,
             trials_per_round=trials_per_round,
-            ms=ms, deadzone=z, tns=tns, tmask=tmask, bs=bs,
+            ms=ms, deadzone=z, tns=tns, tmask=tmask, bs=bs, bwe=bwe,
         )
         sc_list = [r.threshold_scale for r in results]
         n_ch = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
             threshold_scale=sc_list, deadzone=z, tns=tns, nf=nf,
-            tmask=tmask, bs=bs, orig_samples=orig_samples, lufs=lufs,
+            tmask=tmask, bs=bs, bwe=bwe, orig_samples=orig_samples,
+            lufs=lufs,
         )
         return n_ch, sc_list, os.path.getsize(path) * 8 / (s / sr) / 1000
 
@@ -1119,7 +1228,7 @@ def encode_stream_cbr(
 def _dequant_frames(codec, codes, bark, tscale, ms, dzr=0.0,
                     tns=None, tns_bs=0,
                     nfl=None, nf_bs=0, nf_seed=0, frame_offset=0,
-                    bsw=None):
+                    bsw=None, bwe=None, bwe_start=0):
     """Mirror EXACTLY the encoder's threshold derivation (ms min-channel
     sidecar, stream-global scale) so step sizes are bit-identical; apply
     the header's dead-zone reconstruction offset ``dzr``, the noise fill
@@ -1153,10 +1262,19 @@ def _dequant_frames(codec, codes, bark, tscale, ms, dzr=0.0,
     delta = _quantize.step_size(threshold)
     codes = jnp.asarray(codes)[None]
     spec = _quantize.dequantize(codes, delta, dtype=dtype, recon_offset=dzr)
+    if bwe is not None:
+        from audiocodec_tpu import bwe as _bwe_mod
+
+        # copy-up BEFORE the noise fill (which it caps at the crossover)
+        # and the TNS inverse — mirroring Codec.decode_bitstream
+        spec = _bwe_mod.fill(
+            spec, codes, delta, jnp.asarray(bwe)[None], bwe_start
+        )
     if nfl is not None:
         spec = _nf_mod.fill(
             spec, codes, delta, jnp.asarray(nfl)[None], nf_bs, nf_seed,
             frame_offset,
+            band_end=bwe_start if bwe is not None else None,
         )
     if bsw is not None:
         from audiocodec_tpu import blockswitch as _bs_mod
@@ -1176,14 +1294,15 @@ def _jit_decode_chunk():
     from audiocodec_tpu import streaming
 
     @functools.partial(
-        jax.jit, static_argnames=("ms", "dzr", "tns_bs", "nf_bs")
+        jax.jit,
+        static_argnames=("ms", "dzr", "tns_bs", "nf_bs", "bwe_start"),
     )
     def step(codec, carry, codes, bark, tscale, ms, dzr, tns=None,
              tns_bs=0, nfl=None, nf_bs=0, nf_seed=0, frame_offset=0,
-             bsw=None):
+             bsw=None, bwe=None, bwe_start=0):
         frames = _dequant_frames(codec, codes, bark, tscale, ms, dzr,
                                  tns, tns_bs, nfl, nf_bs, nf_seed,
-                                 frame_offset, bsw)
+                                 frame_offset, bsw, bwe, bwe_start)
         carry, samples = streaming.imdct_stream_step(
             codec.mdct, carry, frames
         )
@@ -1238,31 +1357,33 @@ def _jit_decode_chunk():
         return carry, samples, frames[:, -1:]
 
     @functools.partial(
-        jax.jit, static_argnames=("ms", "dzr", "tns_bs", "nf_bs")
+        jax.jit,
+        static_argnames=("ms", "dzr", "tns_bs", "nf_bs", "bwe_start"),
     )
     def first_frame(codec, codes, bark, tscale, ms, dzr, tns=None,
                     tns_bs=0, nfl=None, nf_bs=0, nf_seed=0,
-                    frame_offset=0, bsw=None):
+                    frame_offset=0, bsw=None, bwe=None, bwe_start=0):
         """First dequantized spectral frame of a chunk — the 'next good
         frame' for interpolative concealment (the chunk itself is
         decoded again on the following iteration)."""
         return _dequant_frames(codec, codes, bark, tscale, ms, dzr,
                                tns, tns_bs, nfl, nf_bs, nf_seed,
-                               frame_offset, bsw)[:, :1]
+                               frame_offset, bsw, bwe, bwe_start)[:, :1]
 
     @functools.partial(
-        jax.jit, static_argnames=("ms", "dzr", "tns_bs", "nf_bs")
+        jax.jit,
+        static_argnames=("ms", "dzr", "tns_bs", "nf_bs", "bwe_start"),
     )
     def seek_carry(codec, codes, bark, tscale, ms, dzr, tns=None,
                    tns_bs=0, nfl=None, nf_bs=0, nf_seed=0,
-                   frame_offset=0, bsw=None):
+                   frame_offset=0, bsw=None, bwe=None, bwe_start=0):
         """-> (overlap-add carry, previous chunk's last spectral frame).
         The frame rides along so concealment of the chunk right AFTER a
         seek can extrapolate from it instead of from silence."""
         mdct = codec.mdct
         prev = _dequant_frames(codec, codes, bark, tscale, ms, dzr,
                                tns, tns_bs, nfl, nf_bs, nf_seed,
-                               frame_offset, bsw)[:, -1:]
+                               frame_offset, bsw, bwe, bwe_start)[:, -1:]
         yb = jnp.transpose(prev, (0, 3, 1, 2))
         if mdct.dense_inv_cur is not None:
             # dense mode carries the previous RAW spectral frame
@@ -1324,6 +1445,8 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
         # wire values but overflow jit's Python-int argument parsing
         # when x64 is off
         nf_seed = np.uint32(nf_meta["seed"]) if nf_meta else np.uint32(0)
+        bwe_meta = r.meta.get("bwe")
+        bwe_start = int(bwe_meta["start"]) if bwe_meta else 0
         import jax
         import jax.numpy as jnp
 
@@ -1392,7 +1515,8 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
                     tscale if c.tscale is None else c.tscale,
                     ms, dzr, put_opt(c.tns), tns_bs,
                     put_opt(c.nfl), nf_bs, nf_seed, prev_off,
-                    bsw=put_opt(c.bsw),
+                    bsw=put_opt(c.bsw), bwe=put_opt(c.bwe),
+                    bwe_start=bwe_start,
                 )
             # else: prime with silence; recovery at start_chunk
         ex = ThreadPoolExecutor(max_workers=1)
@@ -1425,7 +1549,8 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
                             ms, dzr, put_opt(nxt.tns), tns_bs,
                             put_opt(nxt.nfl), nf_bs, nf_seed,
                             frame_off + blocks,
-                            bsw=put_opt(nxt.bsw),
+                            bsw=put_opt(nxt.bsw), bwe=put_opt(nxt.bwe),
+                            bwe_start=bwe_start,
                         )
                         weights = jnp.asarray(
                             np.arange(1, blocks + 1) / (blocks + 1), dtype
@@ -1454,7 +1579,8 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
                     tscale if c.tscale is None else c.tscale,
                     ms, dzr, put_opt(c.tns), tns_bs,
                     put_opt(c.nfl), nf_bs, nf_seed, frame_off,
-                    bsw=put_opt(c.bsw),
+                    bsw=put_opt(c.bsw), bwe=put_opt(c.bwe),
+                    bwe_start=bwe_start,
                 )
                 frame_off += c.codes.shape[0]
                 yield samples

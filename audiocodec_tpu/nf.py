@@ -68,7 +68,8 @@ def _work_dtype(spec: jax.Array):
 
 
 def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
-            band_start: int, *, deadzone: float = 0.5) -> jax.Array:
+            band_start: int, *, deadzone: float = 0.5,
+            band_end: int | None = None) -> jax.Array:
     """Per-(frame, channel) fill level from the encoder's zeroed residual.
 
     The level is the uniform-noise half-width ``a`` (in units of each
@@ -91,12 +92,16 @@ def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
     :param codes: the integer codes quantize() produced from it.
     :param delta: the step sizes quantize() used (threshold-scale and
         TNS-gain included).
+    :param band_end: one past the last bin the fill covers (None = the
+        full band). Bandwidth extension (bwe.py) owns [bwe_start, N)
+        when active, so both sides cap the noise fill there.
     :return: uint8 [B, frames, C] levels in LEVEL_STEP units.
     """
     wdt = _work_dtype(spec)
-    s = spec[..., band_start:, :].astype(wdt)
-    d = delta[..., band_start:, :].astype(wdt)
-    zero = (codes[..., band_start:, :] == 0).astype(wdt)
+    end = spec.shape[-2] if band_end is None else band_end
+    s = spec[..., band_start:end, :].astype(wdt)
+    d = delta[..., band_start:end, :].astype(wdt)
+    zero = (codes[..., band_start:end, :] == 0).astype(wdt)
     cnt = jnp.sum(zero, axis=-2)  # [B, F, C]
     e_lost = jnp.sum(jnp.square(s) * zero, axis=-2)
     e_cap = jnp.sum(jnp.square(d) * zero, axis=-2)
@@ -114,7 +119,7 @@ def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
 
 def fill(spec: jax.Array, codes: jax.Array, delta: jax.Array,
          levels: jax.Array, band_start: int, seed,
-         frame_offset=0) -> jax.Array:
+         frame_offset=0, band_end: int | None = None) -> jax.Array:
     """Decoder fill: add uniform noise of half-width
     ``level_to_amp(level) * delta`` to every in-band zero-code bin.
 
@@ -134,10 +139,16 @@ def fill(spec: jax.Array, codes: jax.Array, delta: jax.Array,
         traced or static.
     :param frame_offset: global index of ``spec``'s first frame (chunked
         decoders pass their running frame count; monolithic decoders 0).
+    :param band_end: one past the last filled bin (None = the full band);
+        must MATCH the encoder's analyze() cap — with bandwidth extension
+        active both sides use bwe_start, derived from the container.
+        The noise tensor's shape depends on it, so a mismatched cap would
+        also desync the fill noise of bins below it.
     :return: spectrum with holes filled, same shape/dtype as ``spec``.
     """
-    b_n, f_n, _, c_n = spec.shape
-    band = spec[..., band_start:, :]
+    b_n, f_n, n_bins, c_n = spec.shape
+    end = n_bins if band_end is None else band_end
+    band = spec[..., band_start:end, :]
     m = band.shape[-2]
     key = jax.random.key(jnp.asarray(seed, jnp.uint32))
 
@@ -154,7 +165,9 @@ def fill(spec: jax.Array, codes: jax.Array, delta: jax.Array,
 
     noise = jax.vmap(batch_noise)(jnp.arange(b_n))  # [B, F, M, C]
     amp = level_to_amp(levels, band.dtype)
-    amp = amp[..., None, :] * delta[..., band_start:, :].astype(band.dtype)
-    hole = codes[..., band_start:, :] == 0
+    amp = amp[..., None, :] * delta[..., band_start:end, :].astype(band.dtype)
+    hole = codes[..., band_start:end, :] == 0
     band = band + jnp.where(hole, noise * amp, 0.0)
-    return jnp.concatenate([spec[..., :band_start, :], band], axis=-2)
+    return jnp.concatenate(
+        [spec[..., :band_start, :], band, spec[..., end:, :]], axis=-2
+    )

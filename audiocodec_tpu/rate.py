@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audiocodec_tpu import blockswitch as _blockswitch
+from audiocodec_tpu import bwe as _bwe
 from audiocodec_tpu import nf as _nf
 from audiocodec_tpu import quantize as _quantize
 from audiocodec_tpu import tns as _tns
@@ -48,6 +49,8 @@ class RateControlResult:
     nf_levels: np.ndarray | None = None
     nf_band_start: int = 0
     bs_flags: np.ndarray | None = None
+    bwe_gains: np.ndarray | None = None
+    bwe_start: int = 0
 
 
 def resolve_deadzone(deadzone, target_kbps, channels, sample_rate) -> float:
@@ -105,6 +108,7 @@ def encode_with_target_bitrate_batch(
     nf: bool = False,
     tmask: float = 0.0,
     bs: bool = False,
+    bwe: bool = False,
     orig_samples: int = 0,
     lufs=None,
 ) -> list:
@@ -130,6 +134,12 @@ def encode_with_target_bitrate_batch(
         they are computed once for the winning scale and ride only the
         final container; trial packs omit them (the uint8-per-frame member
         deflates to a few bytes — well inside the rate tolerance).
+    :param bwe: bandwidth extension (bwe.py). Gains also depend on the
+        codes, but UNLIKE nf they are a per-(frame, group, channel)
+        member whose deflated size is a real fraction of a low-rate
+        budget — so every trial computes and packs its own gains (one
+        extra vmapped device pass per round) and the measured sizes are
+        honest.
     :return: list of B :class:`RateControlResult`.
     """
     if not (np.isfinite(target_kbps) and target_kbps > 0):
@@ -186,6 +196,19 @@ def encode_with_target_bitrate_batch(
             thr = _blockswitch.pool_threshold(thr, bs_flags_dev)
         return thr
 
+    bwe_fn, bwe_bs = None, 0
+    if bwe:
+        bwe_bs = codec.bwe_start
+
+        @jax.jit
+        def bwe_fn(scale_b, codes):
+            delta = _quantize.step_size(_trial_threshold(scale_b))
+            g = _bwe.analyze(spectrum_q, codes, delta, bwe_bs)
+            if bs_flags_dev is not None:
+                g = jnp.where(bs_flags_dev[:, :, None, None],
+                              jnp.zeros_like(g), g)
+            return g
+
     nf_fn, nf_bs = None, 0
     if nf:
         nf_bs = codec.nf_band_start
@@ -193,7 +216,8 @@ def encode_with_target_bitrate_batch(
         @jax.jit
         def nf_fn(scale_b, codes):
             delta = _quantize.step_size(_trial_threshold(scale_b))
-            nfl = _nf.analyze(spectrum_q, codes, delta, nf_bs, deadzone=z)
+            nfl = _nf.analyze(spectrum_q, codes, delta, nf_bs, deadzone=z,
+                              band_end=bwe_bs if bwe else None)
             if bs_flags_dev is not None:
                 nfl = jnp.where(bs_flags_dev[:, :, None],
                                 jnp.zeros_like(nfl), nfl)
@@ -248,7 +272,7 @@ def encode_with_target_bitrate_batch(
             pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             target_kbps, tolerance, trials_per_round, log2_scale_range,
             dz_recon, tns_idx, tns_bs, nf_fn, nf_bs, bs_flags,
-            lufs_per_clip,
+            lufs_per_clip, bwe_fn, bwe_bs,
         )
     finally:
         pool.shutdown(wait=False)
@@ -258,8 +282,9 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             target_kbps, tolerance, trials_per_round, log2_scale_range,
             dz_recon=0.0, tns_idx=None, tns_band_start=0,
             nf_fn=None, nf_band_start=0, bs_flags=None,
-            lufs_per_clip=None):
-    def _pack_one(codes_b, bark_b, scale, b, entropy="auto", nfl=None):
+            lufs_per_clip=None, bwe_fn=None, bwe_band_start=0):
+    def _pack_one(codes_b, bark_b, scale, b, entropy="auto", nfl=None,
+                  bweg=None):
         return _bitstream.pack(
             codes_b, bark_b, threshold_scale=scale, entropy=entropy,
             dz_recon=dz_recon,
@@ -268,22 +293,35 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             nf_levels=None if nfl is None else nfl[b : b + 1],
             nf_band_start=nf_band_start,
             bs_flags=None if bs_flags is None else bs_flags[b : b + 1],
+            bwe_gains=None if bweg is None else bweg[b : b + 1],
+            bwe_start=bwe_band_start,
             lufs=None if lufs_per_clip is None else lufs_per_clip[b],
             **meta
         )
 
     from audiocodec_tpu import native as _native
 
-    # "auto" costs BOTH coders (each post-deflate) to pick the smaller —
-    # right for the shipped container, 2x the work for a size probe.
-    # Trials pin one coder (the usual auto winner); its size tracks the
-    # final auto pick within a few bytes, which is inside the rate
-    # tolerance. Finals still pack with "auto".
-    trial_entropy = "rrice" if _native.available() else "zlib"
+    # Trials must pack with the SAME coder selection the final pack
+    # ships ("auto" = best of rice/rrice post-deflate), or the search
+    # converges on a size the container won't have: the auto pick flips
+    # to rice at coarse scales on tonal content, where a pinned-rrice
+    # trial overestimates by 5-6% — measured as a systematic ~10%
+    # bitrate undershoot. The 2x coder work is host-side C++ on
+    # kilobyte buffers, far below the device quantize pass it rides.
+    trial_entropy = "auto" if _native.available() else "zlib"
 
     def sizes(log2_scales):
         """Pack every (trial, clip) concurrently; return kbps [K, B]."""
-        codes = np.asarray(quantize_trials(jnp.exp2(jnp.asarray(log2_scales))))
+        scales_dev = jnp.exp2(jnp.asarray(log2_scales))
+        codes_dev = quantize_trials(scales_dev)
+        codes = np.asarray(codes_dev)
+        gains = None
+        if bwe_fn is not None:
+            # gains cost real kbps at low rates — every trial carries its
+            # own so measured sizes stay honest (one vmapped pass/round)
+            gains = np.asarray(
+                jax.vmap(bwe_fn)(scales_dev.astype(dtype), codes_dev)
+            )
         k_n = log2_scales.shape[0]
         pairs = [(k, b) for k in range(k_n) for b in range(batch)]
         packs = pool.map(
@@ -294,6 +332,7 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
                     float(2.0 ** log2_scales[kb[0], kb[1]]),
                     kb[1],
                     entropy=trial_entropy,
+                    bweg=None if gains is None else gains[kb[0]],
                 )
             ),
             pairs,
@@ -351,6 +390,11 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
         nfl = np.asarray(
             nf_fn(jnp.asarray(win_scales, dtype), win_codes_dev)
         )
+    win_gains = None
+    if bwe_fn is not None:
+        win_gains = np.asarray(
+            bwe_fn(jnp.asarray(win_scales, dtype), win_codes_dev)
+        )
     final_packs = list(
         pool.map(
             lambda b: _pack_one(
@@ -359,6 +403,7 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
                 float(win_scales[b]),
                 b,
                 nfl=nfl,
+                bweg=win_gains,
             ),
             range(batch),
         )
@@ -376,6 +421,8 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             nf_levels=None if nfl is None else nfl[b : b + 1],
             nf_band_start=nf_band_start,
             bs_flags=None if bs_flags is None else bs_flags[b : b + 1],
+            bwe_gains=None if win_gains is None else win_gains[b : b + 1],
+            bwe_start=bwe_band_start,
         )
         for b in range(batch)
     ]
@@ -395,6 +442,7 @@ def encode_with_target_bitrate(
     nf: bool = False,
     tmask: float = 0.0,
     bs: bool = False,
+    bwe: bool = False,
     orig_samples: int = 0,
     lufs=None,
 ) -> RateControlResult:
@@ -423,6 +471,7 @@ def encode_with_target_bitrate(
         nf=nf,
         tmask=tmask,
         bs=bs,
+        bwe=bwe,
         orig_samples=orig_samples,
         lufs=lufs,
     )[0]

@@ -181,15 +181,16 @@ class CodecServer:
         import functools
 
         @functools.partial(
-            jax.jit, static_argnames=("ms", "dzr", "tns_bs", "nf_bs")
+            jax.jit,
+            static_argnames=("ms", "dzr", "tns_bs", "nf_bs", "bwe_start"),
         )
         def _dec(c, codes, bark, tscale, ms=False, dzr=0.0,
                  tns=None, tns_bs=0, nfl=None, nf_bs=0, nf_seed=0,
-                 bsw=None):
+                 bsw=None, bweg=None, bwe_start=0):
             # honor EVERY quantization-affecting field a container can
             # record (threshold scale, joint stereo, dead zone, TNS,
-            # noise fill, block switching) — decoding with defaults
-            # silently produces wrong audio
+            # noise fill, block switching, bandwidth extension) —
+            # decoding with defaults silently produces wrong audio
             kw = dict(
                 threshold_scale=tscale, dz_recon=dzr, tns_idx=tns,
                 tns_band_start=tns_bs or None, nf_levels=nfl,
@@ -197,6 +198,7 @@ class CodecServer:
                 # verbatim (no falsy-collapse to the codec default)
                 nf_band_start=None if nfl is None else nf_bs,
                 nf_seed=nf_seed, bs_flags=bsw,
+                bwe_gains=bweg, bwe_start=bwe_start or None,
             )
             if ms:
                 return c.decode_bitstream_ms(codes, bark, **kw)
@@ -448,6 +450,7 @@ class CodecServer:
             tns = meta["tns_idx"]
             nfl = meta["nf_levels"]
             bsw = meta.get("bs_flags")
+            bweg = meta.get("bwe_gains")
             if bucket != frames:
                 pad = ((0, 0), (0, bucket - frames), (0, 0), (0, 0))
                 codes = np.pad(codes, pad)
@@ -459,6 +462,9 @@ class CodecServer:
                 if bsw is not None:
                     # pad frames stay long (False): identity basis
                     bsw = np.pad(bsw, (pad[0], pad[1]))
+                if bweg is not None:
+                    # pad gains are 0 = no fill on the zero-code pad rows
+                    bweg = np.pad(bweg, pad)
             wave = self._dec(
                 self._codec, jnp.asarray(codes),
                 jnp.asarray(bark, dtype=jnp.bfloat16),
@@ -472,6 +478,8 @@ class CodecServer:
                 # legal wire values but overflow jit's int parsing
                 nf_seed=np.uint32(meta["nf_seed"]),
                 bsw=None if bsw is None else jnp.asarray(bsw),
+                bweg=None if bweg is None else jnp.asarray(bweg),
+                bwe_start=meta.get("bwe_start", 0),
             )
             n = self._codec.mdct.filters_n
             wave = np.asarray(wave.astype(jnp.float32))[
@@ -627,6 +635,7 @@ class _StreamSession:
         if self.tmask != 0.0 and not 1.0 <= self.tmask < 1e6:
             raise ValueError(f"tmask out of range: {self.tmask}")
         self.bs = bool(cfg.get("bs", False))
+        self.bwe = bool(cfg.get("bwe", False))
         self.cbr = bool(cfg.get("cbr", False))
         self._last_ts = self.tscale
         self._tctx = None
@@ -657,6 +666,7 @@ class _StreamSession:
             nf_band_start=codec.nf_band_start if self.nf else 0,
             nf_seed=int(cfg.get("nf_seed", 0)),
             bs=self.bs,
+            bwe_start=codec.bwe_start if self.bwe else 0,
             cbr=self.cbr,
         )
         self._carry = _streaming.mdct_stream_init(
@@ -700,15 +710,16 @@ class _StreamSession:
         )
         x = jnp.asarray(pcm, dtype=self._codec.mdct.compute_dtype)
         (self._carry, self._tctx, codes, bark16, tns_idx, nfl,
-         bsw) = self._step(
+         bsw, gains) = self._step(
             self._codec, self._carry, x, 0.0, ts, self.ms,
             self.deadzone, self.tns, self.nf, tmask=self.tmask,
-            tmask_context=self._tctx, bs=self.bs,
+            tmask_context=self._tctx, bs=self.bs, bwe=self.bwe,
         )
         self._last_ts = ts
         self._writer.append(codes, bark16, tns_idx, nfl,
                             tscale=ts if self.cbr else None,
-                            bs_flags=bsw if self.bs else None)
+                            bs_flags=bsw if self.bs else None,
+                            bwe_gains=gains if self.bwe else None)
         return self.take_bytes()
 
     def finish(self) -> bytes:
@@ -717,12 +728,13 @@ class _StreamSession:
         out = self._flush(
             self._codec, self._carry, 0.0, self._last_ts, self.ms,
             self.deadzone, self.tns, self.nf, tmask=self.tmask,
-            tmask_context=self._tctx, bs=self.bs,
+            tmask_context=self._tctx, bs=self.bs, bwe=self.bwe,
         )
         self._writer.append(out.codes, out.bark16, out.tns_idx,
                             out.nf_levels,
                             tscale=self._last_ts if self.cbr else None,
-                            bs_flags=out.bs_flags)
+                            bs_flags=out.bs_flags,
+                            bwe_gains=out.bwe_gains)
         self._writer.close()
         return self.take_bytes()
 
@@ -765,6 +777,8 @@ class _DecodeSession:
         self._nf_seed = np.uint32(nf_meta["seed"]) if nf_meta else (
             np.uint32(0)
         )
+        bwe_meta = meta.get("bwe")
+        self._bwe_start = int(bwe_meta["start"]) if bwe_meta else 0
         self._frame_off = 0
         self._carry = _streaming.imdct_stream_init(
             codec.mdct, 1, self._ch
@@ -800,7 +814,8 @@ class _DecodeSession:
             self._tscale if c.tscale is None else c.tscale,
             self._ms, self._dzr, put_opt(c.tns), self._tns_bs,
             put_opt(c.nfl), self._nf_bs, self._nf_seed, self._frame_off,
-            bsw=put_opt(c.bsw),
+            bsw=put_opt(c.bsw), bwe=put_opt(c.bwe),
+            bwe_start=self._bwe_start,
         )
         self._frame_off += c.codes.shape[0]
         return np.ascontiguousarray(

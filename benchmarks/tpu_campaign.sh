@@ -112,7 +112,8 @@ variants = {
     "tmask": lambda v: codec.quantize_frames(codec.mdct.transform(v), tmask=130.0),
     "bs": lambda v: codec.quantize_frames(codec.mdct.transform(v), bs=True),
     "full": lambda v: codec.encode_frames(
-        codec.mdct.transform(v), tns=True, nf=True, tmask=130.0, bs=True
+        codec.mdct.transform(v), tns=True, nf=True, tmask=130.0, bs=True,
+        bwe=True
     ),
 }
 for name, fn in variants.items():
