@@ -45,11 +45,23 @@ import numpy as np
 GROUP = 16
 
 # Gains are log-coded: level 0 = no fill, else the amplitude ratio is
-# g = 2^((level - BIAS) / K). K=16 gives 0.38 dB resolution; levels
-# 1..255 span g in [2^-7.94, 2^7.94] (+-48 dB) — measured envelopes sit
-# well inside (the source and target are neighbors on a ~1/f spectrum).
-LEVEL_K = 16.0
+# g = 2^((level - BIAS) / K). K=4 gives a 1.5 dB grid spanning ~+-32 dB
+# — envelope resolution far inside what hearing resolves at 10+ kHz,
+# and the coarse grid is what makes the member compress: measured vs
+# the K=16 grid it deflates ~30% smaller at a fill-energy match that
+# moved from 0.998 to 1.002 of the lost energy (i.e., not at all).
+LEVEL_K = 4.0
 LEVEL_BIAS = 128.0
+
+# Per-bin fill ceiling in units of the TARGET bin's own step size. A bin
+# that coded to zero had |x| < deadzone*delta <= ~delta, so any fill
+# louder than delta is provably louder than what was lost AT THAT BIN —
+# without the clamp, group-energy matching concentrates a spread-out
+# loss onto the source's copied peaks and pushes them past the masking
+# threshold (measured: NMR 0.74 -> 2.53 at 32 kbps on a harmonic
+# stack; clamped, the energy win survives and NMR stays put). The
+# clamp is part of the FORMAT: both sides derive it from delta alone.
+FILL_CLAMP = 1.0
 
 
 def default_start(filters_n: int, sample_rate: int) -> int:
@@ -139,9 +151,9 @@ def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
     e_src = group_sum(jnp.square(src) * zero)
     g = jnp.sqrt(e_lost / jnp.maximum(e_src, 1e-30))
     level = jnp.round(LEVEL_BIAS + LEVEL_K * jnp.log2(jnp.maximum(g, 1e-30)))
-    # a source group more than ~48 dB under the lost energy carries no
-    # structure worth amplifying (and the wire can't code the gain);
-    # silent sources (e_src ~ 0) fall out here too
+    # a source group far under the lost energy (past the grid's ~+32 dB
+    # ceiling) carries no structure worth amplifying (and the wire
+    # can't code the gain); silent sources (e_src ~ 0) fall out here too
     level = jnp.where(
         (e_lost > 0) & (g <= 2.0 ** ((255 - LEVEL_BIAS) / LEVEL_K)),
         level, 0.0,
@@ -168,5 +180,11 @@ def fill(spec: jax.Array, codes: jax.Array, delta: jax.Array,
     amp = gain_to_amp(gains, spec.dtype)  # [B, F, G, C]
     amp = jnp.repeat(amp, GROUP, axis=-2)  # [B, F, W, C]
     hole = codes[..., start:, :] == 0
-    band = spec[..., start:, :] + jnp.where(hole, amp * src, 0.0)
+    # per-bin ceiling: never louder than the bin's own step size (see
+    # FILL_CLAMP) — sign rides the source, magnitude saturates
+    cap = spec.dtype.type(FILL_CLAMP) * delta[..., start:, :].astype(
+        spec.dtype
+    )
+    fill_v = jnp.clip(amp * src, -cap, cap)
+    band = spec[..., start:, :] + jnp.where(hole, fill_v, 0.0)
     return jnp.concatenate([spec[..., :start, :], band], axis=-2)

@@ -65,6 +65,17 @@ def make_signal(kind: str, sr: int, seconds: float):
             dt = np.arange(2000)
             burst = np.exp(-dt / 300.0) * rng.normal(size=2000)
             x[s0 : s0 + 2000] += 0.8 * burst / np.max(np.abs(burst))
+    elif kind == "harmonics":
+        # a bright harmonic stack reaching past the BWE crossover
+        # (~10.5 kHz) — the content class whose zeroed high band reads
+        # as structure, not noise (bwe.py)
+        f0 = 330.0
+        k_max = int((sr / 2 - 1) // f0)
+        x = sum(
+            (0.5 / k) * np.sin(2 * np.pi * k * f0 * t + 2.39996 * k)
+            for k in range(1, k_max + 1)
+        )
+        x = 0.6 * x / np.max(np.abs(x)) + 0.01 * rng.normal(size=t.size)
     else:  # speechlike: tones + noise + amplitude modulation
         env = 0.5 + 0.5 * np.sin(2 * np.pi * 3.1 * t) ** 2
         x = env * (
@@ -284,6 +295,88 @@ def band_energy_err_db(codec, x, out):
     )
 
 
+def hi_band_stats(codec, x, out, start):
+    """(energy error dB, spectral-flatness delta) above the crossover.
+
+    Flatness (geomean/mean of per-bin power, per frame, averaged) is the
+    texture metric energy cannot see: harmonic content sits near 0,
+    white fill near 1. Noise filling matches the ENERGY but pushes
+    flatness toward 1; replication should hold it near the original's.
+    """
+    ref = np.asarray(codec.mdct.transform(x))[:, :, start:, :]
+    dec = np.asarray(codec.mdct.transform(out))[:, : ref.shape[1], start:, :]
+
+    def flatness(s):
+        p = s.astype(np.float64) ** 2 + 1e-20
+        return float(
+            np.exp(np.log(p).mean(axis=2)).__truediv__(p.mean(axis=2)).mean()
+        )
+
+    e_err = float(np.abs(
+        10 * np.log10(((dec**2).sum(axis=2) + 1e-12)
+                      / ((ref**2).sum(axis=2) + 1e-12))
+    ).mean())
+    return e_err, abs(flatness(dec) - flatness(ref))
+
+
+def bwe_sweep(codec, x, dur, args):
+    """Matched-rate bandwidth-extension comparison at low rates: both
+    arms run noise filling (the honest baseline — energy restoration is
+    table stakes); the bwe arm additionally replicates structure above
+    the crossover. Columns report the high-band energy error AND the
+    high-band spectral-flatness delta — the hiss-vs-harmonics metric
+    that energy matching cannot see."""
+    import jax.numpy as jnp
+
+    from audiocodec_tpu import metrics, rate
+    from audiocodec_tpu.io import bitstream
+
+    targets = [float(k) for k in args.targets.split(",")]
+    n = codec.mdct.filters_n
+    start = codec.bwe_start
+    rows = []
+    for target in targets:
+        for bwe_on in (False, True):
+            res = rate.encode_with_target_bitrate(
+                codec, x, target, nf=True, bwe=bwe_on
+            )
+            codes, bark, meta = bitstream.unpack(res.packed)
+            nfl = meta["nf_levels"]
+            bweg = meta["bwe_gains"]
+            out = codec.decode_bitstream(
+                jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
+                threshold_scale=res.threshold_scale,
+                dz_recon=meta["dz_recon"],
+                nf_levels=None if nfl is None else jnp.asarray(nfl),
+                nf_band_start=(None if nfl is None
+                               else meta["nf_band_start"]),
+                nf_seed=np.uint32(meta["nf_seed"]),
+                bwe_gains=None if bweg is None else jnp.asarray(bweg),
+                bwe_start=meta["bwe_start"],
+            )[:, n:-n]
+            ev = metrics.evaluate(codec, x, out)
+            e_err, flat_d = hi_band_stats(codec, x, out, start)
+            rows.append({
+                "target_kbps": target,
+                "bwe": bwe_on,
+                "kbps": round(res.kbps, 1),
+                "snr_db": round(ev["snr_db"], 2),
+                "nmr": round(ev["nmr"], 4),
+                "hi_err_db": round(e_err, 2),
+                "hi_flat_delta": round(flat_d, 4),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+    if args.markdown:
+        print(f"\n| target | bwe | kbps | SNR dB | NMR | hi err dB | "
+              f"hi flat Δ | ({args.signal}, {dur:.0f}s mono, nf on) |")
+        print("|---|---|---|---|---|---|---|---|")
+        for r in rows:
+            print(f"| {r['target_kbps']} | {r['bwe']} | {r['kbps']} "
+                  f"| {r['snr_db']} | {r['nmr']} | {r['hi_err_db']} "
+                  f"| {r['hi_flat_delta']} | |")
+    return rows
+
+
 def nf_sweep(codec, x, dur, args):
     """Matched-rate noise-filling off/on comparison: same kbps targets,
     columns report SNR (expected to dip slightly — the fill is synthetic
@@ -378,13 +471,19 @@ def deadzone_sweep(codec, x, dur, args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--signal", default="speechlike",
-                    choices=["tones", "noise", "speechlike", "clicks"])
+                    choices=["tones", "noise", "speechlike", "clicks",
+                             "harmonics"])
     ap.add_argument("--tns", action="store_true",
                     help="matched-rate TNS off/on comparison (use "
                          "--signal clicks for the pre-echo column)")
     ap.add_argument("--nf", action="store_true",
                     help="matched-rate noise-filling off/on comparison "
                          "with a band-energy-error column")
+    ap.add_argument("--bwe", action="store_true",
+                    help="matched-rate bandwidth-extension comparison "
+                         "(nf on in both arms; use --signal harmonics) "
+                         "with high-band energy-error and spectral-"
+                         "flatness-delta columns")
     ap.add_argument("--bs", action="store_true",
                     help="matched-rate block-switching off/on comparison "
                          "(use --signal clicks for the pre-echo column)")
@@ -430,6 +529,8 @@ def main():
         return tns_sweep(codec, x, dur, clicks, args)
     if args.nf:
         return nf_sweep(codec, x, dur, args)
+    if args.bwe:
+        return bwe_sweep(codec, x, dur, args)
     if args.tmask:
         return tmask_sweep(codec, x, dur, clicks, args)
     if args.bs:

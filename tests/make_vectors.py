@@ -12,7 +12,14 @@ after. The vectors freeze the WIRE FORMAT and the decoder contract:
   recorded one (float synthesis may drift by ulps across XLA versions
   and backends — step sizes, not output floats, are the bit contract).
 
-    python tests/make_vectors.py
+    python tests/make_vectors.py [--only name.acz ...]
+
+``--only`` regenerates just the named vectors (and their manifest
+entries), leaving the other committed files byte-untouched. Prefer it
+when ADDING a vector: vectors written by older encoder versions are
+themselves coverage — they prove today's decoder still reads
+yesterday's writers — so wholesale regeneration throws away exactly
+the compatibility the vectors exist to freeze.
 """
 
 from __future__ import annotations
@@ -46,7 +53,7 @@ def _signal(channels=1, blocks=12):
     return x
 
 
-def main():
+def main(only=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -62,9 +69,15 @@ def main():
         sample_rate=SR, filters_n=N, bark_bands_n=BARK,
         alpha=codec.psycho.alpha, window_type="vorbis",
     )
+    manifest_path = os.path.join(VEC_DIR, "manifest.json")
     manifest = {}
+    if only and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
 
     def record(name, container_bytes, wave, codes):
+        if only and name not in only:
+            return
         path = os.path.join(VEC_DIR, name)
         with open(path, "wb") as f:
             f.write(container_bytes)
@@ -144,10 +157,38 @@ def main():
         )
     record("cbr_stream.acs", open(path, "rb").read(), dec, all_codes)
 
-    with open(os.path.join(VEC_DIR, "manifest.json"), "w") as f:
+    # 5. bandwidth extension (+ the noise fill it caps at the crossover)
+    enc = codec.encode_frames(frames, threshold_scale=4.0, nf=True,
+                              bwe=True)
+    blob = bitstream.pack(
+        np.asarray(enc.codes), np.asarray(enc.bark16),
+        threshold_scale=4.0,
+        nf_levels=np.asarray(enc.nf_levels),
+        nf_band_start=codec.nf_band_start, nf_seed=5,
+        bwe_gains=np.asarray(enc.bwe_gains),
+        bwe_start=codec.bwe_start,
+        **meta_kw,
+    )
+    out = codec.decode_bitstream(
+        enc.codes, enc.bark16, threshold_scale=4.0,
+        nf_levels=enc.nf_levels, nf_seed=5,
+        bwe_gains=enc.bwe_gains,
+    )[0, N:-N]
+    record("bwe.acz", blob, out, np.asarray(enc.codes))
+
+    with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
-    print(f"wrote {len(manifest)} vectors -> {VEC_DIR}")
+    print(f"wrote {len(only) if only else len(manifest)} vectors -> "
+          f"{VEC_DIR}")
 
 
 if __name__ == "__main__":
-    main()
+    args = sys.argv[1:]
+    names = None
+    if args and args[0] == "--only":
+        names = set(args[1:])
+        if not names:
+            sys.exit("--only requires at least one vector name")
+    elif args:
+        sys.exit(f"unknown arguments: {args}")
+    main(only=names)

@@ -67,15 +67,19 @@ class TestSourceMap:
 
 
 class TestAnalyze:
-    def _setup(self, start=128):
-        """Spectrum with known source content and zeroed target bins."""
+    def _setup(self, start=128, sigma=0.1, step=0.3):
+        """Spectrum with known source content and zeroed target bins.
+        The step is wide relative to sigma so the zeroed bins sit below
+        one step — the regime real quantization produces (a bin only
+        codes to zero when |x| < deadzone*delta), where the per-bin
+        fill clamp stays slack."""
         rng = np.random.default_rng(3)
         spec = jnp.asarray(
-            rng.normal(scale=0.1, size=(1, 4, N, 1)).astype(np.float32)
+            rng.normal(scale=sigma, size=(1, 4, N, 1)).astype(np.float32)
         )
-        delta = jnp.full((1, 4, N, 1), 0.05, F32)
+        delta = jnp.full((1, 4, N, 1), step, F32)
         codes = jnp.asarray(
-            np.round(np.asarray(spec) / 0.05).astype(np.int32)
+            np.round(np.asarray(spec) / step).astype(np.int32)
         )
         # zero the whole target range (as an aggressive scale would)
         codes = codes.at[..., start:, :].set(0)
@@ -88,7 +92,8 @@ class TestAnalyze:
         assert gains.shape == (1, 4, (N - start) // bwe.GROUP, 1)
         assert int((gains > 0).sum()) > 0
         # decoder fill restores each group's energy within the uint8
-        # log-grid resolution (0.38 dB) plus estimator slack
+        # log-grid resolution (1.5 dB = up to ~19% per-group amplitude
+        # rounding) plus estimator slack
         dq = q.dequantize(codes, delta)
         filled = bwe.fill(dq, codes, delta, gains, start)
         e_want = np.asarray(
@@ -97,7 +102,7 @@ class TestAnalyze:
         e_got = np.asarray(
             jnp.sum(jnp.square(filled[..., start:, :]), axis=-2)
         )
-        np.testing.assert_allclose(e_got, e_want, rtol=0.15)
+        np.testing.assert_allclose(e_got, e_want, rtol=0.45)
 
     def test_silence_gives_zero(self):
         z = jnp.zeros((1, 3, N, 1), F32)
@@ -167,7 +172,9 @@ class TestFill:
 
     def test_fill_copies_source_structure(self):
         """The filled bins are scaled copies of the decoded source —
-        per-bin proportionality, not just group energy."""
+        per-bin proportionality, not just group energy — saturating at
+        the target bin's own step size (FILL_CLAMP: a zero-coded bin's
+        true magnitude was below ~one step)."""
         start = 128
         rng = np.random.default_rng(8)
         codes = jnp.asarray(
@@ -180,10 +187,14 @@ class TestFill:
                          int(bwe.LEVEL_BIAS), jnp.uint8)  # gain = 1.0
         out = bwe.fill(spec, codes, delta, gains, start)
         idx = bwe.source_index(N, start)
-        src = np.asarray(spec)[..., idx, :]
+        cap = bwe.FILL_CLAMP * 0.1
+        src = np.clip(np.asarray(spec)[..., idx, :], -cap, cap)
         np.testing.assert_allclose(
             np.asarray(out[..., start:, :]), src, atol=1e-7
         )
+        # at least one source bin actually saturates in this setup, so
+        # the clamp is exercised, not vacuously equal
+        assert (np.abs(np.asarray(spec)[..., idx, :]) > cap).any()
 
 
 class TestCodecIntegration:

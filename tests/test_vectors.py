@@ -110,6 +110,26 @@ class TestVectors:
         )[0, N:-N]
         _check("stereo_ms.acz", codes, out, manifest)
 
+    def test_bwe(self, codec, manifest):
+        import jax.numpy as jnp
+
+        codes, bark, meta = bitstream.load(
+            os.path.join(VEC_DIR, "bwe.acz")
+        )
+        assert meta["bwe_gains"] is not None
+        assert meta["bwe_start"] == codec.bwe_start
+        assert meta["nf_levels"] is not None
+        out = codec.decode_bitstream(
+            jnp.asarray(codes), jnp.asarray(bark, jnp.bfloat16),
+            threshold_scale=meta["threshold_scale"],
+            nf_levels=jnp.asarray(meta["nf_levels"]),
+            nf_band_start=meta["nf_band_start"],
+            nf_seed=np.uint32(meta["nf_seed"]),
+            bwe_gains=jnp.asarray(meta["bwe_gains"]),
+            bwe_start=meta["bwe_start"],
+        )[0, N:-N]
+        _check("bwe.acz", codes, out, manifest)
+
     def test_cbr_stream(self, codec, manifest):
         path = os.path.join(VEC_DIR, "cbr_stream.acs")
         with sc.StreamReader(path) as r:
