@@ -27,6 +27,7 @@ from audiocodec_tpu import bwe as _bwe
 from audiocodec_tpu import nf as _nf
 from audiocodec_tpu import psycho as _psycho
 from audiocodec_tpu import quantize as _quantize
+from audiocodec_tpu import scq as _scq
 from audiocodec_tpu import tns as _tns
 from audiocodec_tpu.mdct import MDCT
 from audiocodec_tpu.psycho import PsychoacousticModel
@@ -49,7 +50,7 @@ class EncodedFrames(typing.NamedTuple):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["mdct", "psycho"],
-    meta_fields=[],
+    meta_fields=["sidecar_grid"],
 )
 @dataclasses.dataclass(frozen=True)
 class Codec:
@@ -57,6 +58,10 @@ class Codec:
 
     mdct: MDCT
     psycho: PsychoacousticModel
+    # levels-per-octave of the sidecar's log grid (scq.py); 0 = legacy
+    # raw-bfloat16 sidecars. Encoder-side: the wire records the grid, so
+    # decoders never need a matching field.
+    sidecar_grid: int = _scq.DEFAULT_K2
 
     @classmethod
     def create(
@@ -72,6 +77,7 @@ class Codec:
         dct_precision: str = "highest",
         bark_precision: str | None = None,
         pallas_kernel: str = "auto",
+        sidecar_grid: int = _scq.DEFAULT_K2,
     ) -> "Codec":
         """Build the codec pytree.
 
@@ -85,8 +91,17 @@ class Codec:
             the whole pipeline). Decoders of transmitted bitstreams must
             use the precision recorded in the container — it is
             step-size-critical (the Bark sidecar expands through W_inv).
+        :param sidecar_grid: levels per octave of the Bark sidecar's log
+            grid (scq.py); 0 ships legacy raw-bfloat16 sidecars. The
+            default (4 -> 0.75 dB steps) shrinks the sidecar — the
+            LARGEST member of low-rate containers — ~3.4x at measured-
+            unchanged SNR/NMR. Recorded in containers; decode needs no
+            matching knob.
         """
+        if sidecar_grid:
+            _scq.validate_k2(sidecar_grid)
         return cls(
+            sidecar_grid=int(sidecar_grid),
             mdct=MDCT.create(
                 filters_n=filters_n,
                 window_type=window_type,
@@ -350,12 +365,13 @@ class Codec:
         if ms:
             if frames.shape[-1] != 2:
                 raise ValueError("joint stereo needs exactly 2 channels")
-            bark16 = jnp.min(bark, axis=-1, keepdims=True).astype(
-                jnp.bfloat16
-            )
+            bark_m = jnp.min(bark, axis=-1, keepdims=True)
+            bark16 = (_scq.snap(bark_m, self.sidecar_grid)
+                      if self.sidecar_grid else bark_m.astype(jnp.bfloat16))
             return (self.to_mid_side(frames), bark16,
                     self._ms_threshold(bark16), bs_flags)
-        bark16 = bark.astype(jnp.bfloat16)
+        bark16 = (_scq.snap(bark, self.sidecar_grid)
+                  if self.sidecar_grid else bark.astype(jnp.bfloat16))
         threshold = self.psycho.bark_intensity_to_threshold(
             bark16.astype(self.mdct.compute_dtype)
         )

@@ -22,6 +22,12 @@ codes well). Format (npz members):
             replication. Written whenever the encoder ran with bwe —
             even all-zero — because its PRESENCE caps the noise fill's
             band at the crossover on both sides (bwe.py).
+  bark_lvl  2-D-delta run-length-Rice coded integer grid levels of the
+            sidecar + 'scq' int64 [k2] (levels per octave, scq.py) —
+            replaces the bfloat16 sidecar members when the encoder
+            quantized the sidecar to the log grid (the default: ~3.4x
+            smaller at measured-unchanged quality). Decoders rebuild
+            the exact bfloat16 values through scq's shared table.
 """
 
 from __future__ import annotations
@@ -95,6 +101,7 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
          nf_levels=None, nf_band_start: int = 0,
          nf_seed: int = 0, bs_flags=None,
          bwe_gains=None, bwe_start: int = 0,
+         sidecar_grid: int = 0,
          orig_samples: int = 0, lufs=None) -> bytes:
     """Serialize encoder output to bytes.
 
@@ -174,17 +181,30 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
             )
         members[entropy] = np.frombuffer(code_bytes, dtype=np.uint8)
         members["shape"] = np.asarray(codes.shape, dtype=np.int64)
-        # The Bark sidecar dominates tonal file size; pick its coder
-        # post-deflate too (deflate often beats RLE on the delta field)
-        candidates = [
-            ("bark_" + c, encode_bark_sidecar(bark16, block_axis=1,
-                                              coder=c))
-            for c in ("rice", "rrice", "rrice2d")
-        ]
-        bname, side = min(
-            candidates, key=lambda kv: _deflated_len(kv[1])
-        )
-        members[bname] = np.frombuffer(side, dtype=np.uint8)
+        if sidecar_grid:
+            # grid-quantized sidecar (scq.py): ship the small-integer
+            # levels, ~3.4x smaller than any coding of the bf16 bits
+            from audiocodec_tpu import scq as _scq
+
+            _scq.validate_k2(int(sidecar_grid))
+            lv = _scq.levels_from_bark16(bark16, int(sidecar_grid))
+            members["bark_lvl"] = np.frombuffer(
+                _scq.encode_levels(lv, block_axis=1), dtype=np.uint8
+            )
+            members["scq"] = np.asarray([int(sidecar_grid)],
+                                        dtype=np.int64)
+        else:
+            # The Bark sidecar dominates tonal file size; pick its coder
+            # post-deflate too (deflate often beats RLE on the deltas)
+            candidates = [
+                ("bark_" + c, encode_bark_sidecar(bark16, block_axis=1,
+                                                  coder=c))
+                for c in ("rice", "rrice", "rrice2d")
+            ]
+            bname, side = min(
+                candidates, key=lambda kv: _deflated_len(kv[1])
+            )
+            members[bname] = np.frombuffer(side, dtype=np.uint8)
         members["bark_shape"] = np.asarray(
             np.asarray(bark16).shape, dtype=np.int64
         )
@@ -427,7 +447,33 @@ def _unpack_members(z, ml_dtypes, data_len):
         "bark_rrice2d": "rrice2d",
     }
     bname = next((nm for nm in bark_names if nm in z.files), None)
-    if bname is not None:
+    if "bark_lvl" in z.files:
+        from audiocodec_tpu import scq as _scq
+
+        sm = small("scq")
+        if len(sm) != 1:
+            raise ValueError("corrupt container: bad scq member")
+        try:
+            _scq.validate_k2(int(sm[0]))
+        except ValueError as e:
+            raise ValueError(
+                f"container sidecar grid unsupported: {e} — newer "
+                "framework version?"
+            ) from None
+        lvl_bytes = _bounded_member(z, "bark_lvl", data_len)
+        bshape, total = _checked_shape(
+            small("bark_shape"), lvl_bytes.nbytes, "bark shape",
+            max_per_byte=96,
+        )
+        try:
+            bark = _scq.bark16_from_levels(
+                _scq.decode_levels(lvl_bytes.tobytes(), bshape,
+                                   block_axis=1),
+                int(sm[0]), bshape,
+            )
+        except ValueError as e:
+            raise ValueError(f"corrupt container: {e}") from None
+    elif bname is not None:
         bark_rice = _bounded_member(z, bname, data_len)
         bshape, _ = _checked_shape(
             small("bark_shape"), bark_rice.nbytes, "bark shape",
@@ -580,6 +626,9 @@ def _unpack_members(z, ml_dtypes, data_len):
         "nf_seed": nf_seed,
         "bs_flags": bs_flags,
         "bs_factor": bs_factor,
+        "sidecar_grid": (
+            int(small("scq")[0]) if "bark_lvl" in z.files else 0
+        ),
         "bwe_gains": bwe_gains,
         "bwe_start": bwe_start,
         "orig_samples": (

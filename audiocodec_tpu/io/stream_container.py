@@ -65,6 +65,7 @@ class StreamWriter:
                  nf: bool = False, nf_band_start: int = 0,
                  nf_seed: int = 0, cbr: bool = False,
                  bs: bool = False, bwe_start: int = 0,
+                 sidecar_grid: int = 0,
                  orig_samples: int = 0, lufs=None):
         self.meta = {
             "sample_rate": int(sample_rate),
@@ -88,6 +89,10 @@ class StreamWriter:
             # smaller on every signal class; absent = same as "coder"
             # (older streams)
             "scoder": "rrice2d",
+            # "scq" (added below when nonzero): levels-per-octave of the
+            # grid-quantized sidecar — chunk bark payloads then carry 2-D
+            # delta-coded integer LEVELS (scq.py), ~3.4x smaller than
+            # any coding of the bfloat16 bits. Absent = bfloat16 wire.
             # header-field CRC coverage: the per-chunk blocks/length
             # fields are included in each chunk's CRC (a corrupted
             # blocks field otherwise silently TRUNCATES the decode —
@@ -144,6 +149,16 @@ class StreamWriter:
                 "band_start": int(nf_band_start),
                 "seed": int(nf_seed),
             }
+        if sidecar_grid:
+            # grid-quantized sidecar: chunk bark payloads carry integer
+            # levels (scq.py); absent = bfloat16 wire (older streams and
+            # scq-off encodes write the old layout). Bitstream-critical:
+            # the reader reconstructs the exact bfloat16 values through
+            # the grid's shared table.
+            from audiocodec_tpu import scq as _scq_mod
+
+            _scq_mod.validate_k2(int(sidecar_grid))
+            self.meta["scq"] = int(sidecar_grid)
         if bwe_start:
             # bandwidth extension: each chunk carries per-(frame, group,
             # channel) uint8 replication gains; absent = no replication
@@ -250,10 +265,18 @@ class StreamWriter:
         code_bytes = enc(codes.astype(np.int32))
         from audiocodec_tpu.io import bitstream as _bitstream
 
-        bark_bytes = _bitstream.encode_bark_sidecar(
-            bark, block_axis=0,
-            coder=self.meta.get("scoder", self.meta["coder"]),
-        )
+        scq_k2 = self.meta.get("scq", 0)
+        if scq_k2:
+            from audiocodec_tpu import scq as _scq_mod
+
+            bark_bytes = _scq_mod.encode_levels(
+                _scq_mod.levels_from_bark16(bark, scq_k2), block_axis=0
+            )
+        else:
+            bark_bytes = _bitstream.encode_bark_sidecar(
+                bark, block_axis=0,
+                coder=self.meta.get("scoder", self.meta["coder"]),
+            )
         tns_bytes = b""
         if tns is not None:
             ti = np.ascontiguousarray(tns_idx, dtype=np.int8)
@@ -449,6 +472,22 @@ class StreamReader:
                 "stream header bark_precision must be one of "
                 "highest/high/default — corrupt stream"
             )
+        scq_k2 = m.get("scq", 0)
+        if scq_k2:
+            from audiocodec_tpu import scq as _scq_mod
+
+            if not isinstance(scq_k2, int):
+                raise ValueError(
+                    f"stream header scq={scq_k2!r} must be an integer — "
+                    "corrupt stream"
+                )
+            try:
+                _scq_mod.validate_k2(scq_k2)
+            except ValueError as e:
+                raise ValueError(
+                    f"stream sidecar grid unsupported: {e} — written by "
+                    "a newer framework version?"
+                ) from None
         tns = m.get("tns")
         if tns is not None:
             order = tns.get("order") if isinstance(tns, dict) else None
@@ -666,10 +705,25 @@ class StreamReader:
                 f"sidecar values from a {len(bark_bytes)}-byte payload "
                 "— corrupt stream"
             )
-        bark = _bitstream.decode_bark_sidecar(
-            bark_bytes, (blocks, bark_n, bark_ch), block_axis=0,
-            coder=scoder,
-        )
+        scq_k2 = self.meta.get("scq", 0)
+        if scq_k2:
+            from audiocodec_tpu import scq as _scq_mod
+
+            try:
+                bark = _scq_mod.bark16_from_levels(
+                    _scq_mod.decode_levels(
+                        bark_bytes, (blocks, bark_n, bark_ch),
+                        block_axis=0,
+                    ),
+                    scq_k2, (blocks, bark_n, bark_ch),
+                )
+            except ValueError as e:
+                raise ValueError(f"chunk {i}: {e}") from None
+        else:
+            bark = _bitstream.decode_bark_sidecar(
+                bark_bytes, (blocks, bark_n, bark_ch), block_axis=0,
+                coder=scoder,
+            )
         tns = None
         if tns_bytes is not None:
             order = tns_meta["order"]
@@ -964,6 +1018,7 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         cbr=cbr,
         bs=bs,
         bwe_start=codec.bwe_start if bwe else 0,
+        sidecar_grid=codec.sidecar_grid,
         orig_samples=orig_samples,
         lufs=lufs,
     ) as w:

@@ -91,6 +91,7 @@ def _meta(codec, ms):
         compute_dtype=str(jnp.dtype(codec.mdct.compute_dtype)),
         ms=ms,
         bark_precision=codec.psycho.bark_precision,
+        sidecar_grid=codec.sidecar_grid,
     )
 
 

@@ -1,0 +1,156 @@
+"""Sidecar quantization — the Bark sidecar on a coarse log grid.
+
+The Bark sidecar (per-frame masking intensities, the data every step
+size derives from) ships as bfloat16 in legacy containers: ~8 bits of
+mantissa entropy per value AFTER delta coding, which makes it the
+LARGEST member of low-rate containers (measured 16 kbps of a 32 kbps
+budget on dense content — half the file spent on envelope precision
+hearing cannot use). Audio codecs transmit the equivalent data
+(scalefactors) on a 1.5 dB logarithmic grid; this module does the same
+for the intensity sidecar: values snap to ``2^(level / K2)`` with K2
+integer levels per octave of intensity (K2=4 -> 0.75 dB steps), and the
+wire carries the small-integer LEVELS instead of bfloat16 bit patterns.
+Measured on 8 s of dense harmonics: sidecar 15.8 -> 4.6 kbps at SNR
+7.37 -> 7.36 dB and unchanged NMR (the threshold wobble of a 0.75 dB
+grid is ~60 dB below quantization noise).
+
+Exactness contract: encoder and decoder must derive BIT-IDENTICAL
+bfloat16 sidecar values or every step size shifts. Both sides therefore
+reconstruct through the same host-precomputed float64 lookup table
+(``table(k2)``) — the encoder snaps intensities to grid levels and
+GATHERS the bf16 value (never recomputing exp2 on-device), the decoder
+indexes the identical table with the wire's levels. The reference has
+no bitstream at all (/root/reference/audiocodec/psychoacoustic.py —
+its "encode" is noise injection); this is framework-added surface, the
+sidecar sibling of the code-side entropy coders (io/bitstream.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+# Allowed levels-per-octave-of-intensity. One octave of intensity is
+# ~3.01 dB, so the grid step is 3.01/K2 dB: 4 -> 0.75 dB (default,
+# measured indistinguishable from bf16), 2 -> 1.5 dB (the AAC
+# scalefactor grid), 1 -> 3 dB. 0 everywhere means "legacy bf16".
+ALLOWED_K2 = (1, 2, 4, 8)
+DEFAULT_K2 = 4
+
+# Level bounds, in octaves of intensity, shared by every K2. The
+# psychoacoustic floor is EPS=1e-14 (2^-46.5); normalized intensities
+# top out near 1 (dB_MAX calibration), with headroom for drown noise
+# and spreading sums. Values outside clip to the edge — by construction
+# nothing audible lives there.
+_OCT_MIN, _OCT_MAX = -52, 12
+
+
+def validate_k2(k2: int) -> None:
+    if k2 not in ALLOWED_K2:
+        raise ValueError(
+            f"sidecar grid {k2!r} not supported; expected one of "
+            f"{ALLOWED_K2} (levels per octave) or 0 for legacy bfloat16"
+        )
+
+
+def level_bounds(k2: int) -> tuple[int, int]:
+    return _OCT_MIN * k2, _OCT_MAX * k2
+
+
+@functools.lru_cache(maxsize=None)
+def table(k2: int):
+    """bfloat16 grid values for every legal level, float64-precomputed.
+
+    THE shared artifact: both sides map level -> bf16 through this
+    exact array, so reconstruction can never drift by a rounding ulp
+    between backends (exp2 re-evaluation could).
+    """
+    import ml_dtypes
+
+    validate_k2(k2)
+    lo, hi = level_bounds(k2)
+    return (2.0 ** (np.arange(lo, hi + 1, dtype=np.float64) / k2)).astype(
+        ml_dtypes.bfloat16
+    )
+
+
+def snap(bark, k2: int):
+    """Device-side: intensities -> nearest grid value, as bfloat16.
+
+    Level math runs in float32 regardless of the pipeline dtype (a bf16
+    log2 would wobble the ROUNDING of borderline levels; the result
+    only picks a table entry, so f32 is exact enough for every grid).
+    Encoder-side only — the wire and the decoder see levels/table.
+    """
+    import jax.numpy as jnp
+
+    validate_k2(k2)
+    lo, hi = level_bounds(k2)
+    b = jnp.maximum(bark.astype(jnp.float32), jnp.float32(2.0) ** lo)
+    lvl = jnp.clip(
+        jnp.round(jnp.float32(k2) * jnp.log2(b)), lo, hi
+    ).astype(jnp.int32)
+    return jnp.asarray(table(k2))[lvl - lo]
+
+
+def levels_from_bark16(bark16, k2: int) -> np.ndarray:
+    """Host-side exact inverse of the table gather, for packing.
+
+    The sidecar array a grid-snapping encoder produces contains ONLY
+    table values, so searchsorted against the (strictly increasing)
+    table recovers each level exactly — pack never needs the levels
+    threaded through the device pipeline.
+    """
+    import ml_dtypes
+
+    t = table(k2)
+    lo, _ = level_bounds(k2)
+    vals = np.asarray(bark16)
+    if vals.dtype != ml_dtypes.bfloat16:
+        raise ValueError(f"sidecar must be bfloat16, got {vals.dtype}")
+    idx = np.searchsorted(t, vals.astype(np.float32))
+    idx = np.clip(idx, 0, len(t) - 1)
+    # searchsorted returns the left insertion point; exact matches can
+    # land on either neighbor depending on float widening — verify and
+    # take the exact one
+    down = np.clip(idx - 1, 0, len(t) - 1)
+    exact_here = t[idx] == vals
+    exact_down = t[down] == vals
+    if not np.logical_or(exact_here, exact_down).all():
+        raise ValueError(
+            "sidecar values are not on the declared grid — the array "
+            "was not produced by a grid-snapping encoder (scq mismatch)"
+        )
+    return np.where(exact_here, idx, down).astype(np.int32) + lo
+
+
+def bark16_from_levels(levels: np.ndarray, k2: int, shape) -> np.ndarray:
+    """Decoder-side reconstruction: wire levels -> bfloat16 sidecar."""
+    lo, hi = level_bounds(k2)
+    lv = np.asarray(levels, dtype=np.int64).reshape(shape)
+    if lv.min() < lo or lv.max() > hi:
+        raise ValueError(
+            f"sidecar levels outside the grid's [{lo}, {hi}] range — "
+            "corrupt container"
+        )
+    return table(k2)[lv - lo]
+
+
+def encode_levels(levels: np.ndarray, block_axis: int) -> bytes:
+    """2-D delta + run-length Rice of the grid levels (the same MED-
+    predictor shape as the bfloat16 sidecar coder, io/bitstream.py
+    encode_bark_sidecar — small integers on a smooth surface)."""
+    from audiocodec_tpu import native
+
+    d = np.diff(levels.astype(np.int32), axis=block_axis, prepend=0)
+    d = np.diff(d, axis=block_axis + 1, prepend=0)
+    return native.rrice_encode(d)
+
+
+def decode_levels(data: bytes, shape, block_axis: int) -> np.ndarray:
+    from audiocodec_tpu import native
+
+    d = native.rrice_decode(data, int(np.prod(shape))).reshape(shape)
+    d = np.cumsum(d, axis=block_axis + 1)
+    return np.cumsum(d, axis=block_axis)

@@ -219,6 +219,7 @@ class CodecServer:
             compute_dtype=str(jnp.dtype(codec.mdct.compute_dtype)),
             ms=False,
             bark_precision=codec.psycho.bark_precision,
+            sidecar_grid=codec.sidecar_grid,
         )
 
     # -- lifecycle ---------------------------------------------------
@@ -667,6 +668,7 @@ class _StreamSession:
             nf_seed=int(cfg.get("nf_seed", 0)),
             bs=self.bs,
             bwe_start=codec.bwe_start if self.bwe else 0,
+            sidecar_grid=codec.sidecar_grid,
             cbr=self.cbr,
         )
         self._carry = _streaming.mdct_stream_init(

@@ -35,6 +35,7 @@ def codec_config(codec: Codec) -> dict:
         "dct_precision": codec.mdct.dct_precision,
         "bark_precision": codec.psycho.bark_precision,
         "pallas_kernel": codec.mdct.pallas_kernel,
+        "sidecar_grid": codec.sidecar_grid,
     }
 
 
@@ -58,6 +59,11 @@ def load_codec(path: str) -> Codec:
     # single-matmul design; like use_pallas it is a perf knob, never
     # quantization-affecting.
     cfg.setdefault("pallas_kernel", "mono")
+    # Configs saved before sidecar quantization existed were written by
+    # codecs that shipped raw-bfloat16 sidecars; defaulting to the new
+    # grid would rebuild an encoder whose sidecars (and therefore step
+    # sizes) differ from every bitstream the checkpoint already produced.
+    cfg.setdefault("sidecar_grid", 0)
     # use_pallas is saved RESOLVED ("auto" became a concrete direction on
     # the machine that saved it); Mosaic kernels only run on a real TPU,
     # so loading that config elsewhere falls back to the XLA path. The

@@ -64,7 +64,14 @@ def main(only=None):
     from audiocodec_tpu.io import stream_container as sc
 
     os.makedirs(VEC_DIR, exist_ok=True)
-    codec = Codec.create(SR, filters_n=N, bark_bands_n=BARK)
+    # NOTE: vectors 1-5 predate sidecar quantization and were committed
+    # from a raw-bf16 encoder; their blocks keep sidecar_grid=0 so a
+    # targeted regeneration reproduces the committed semantics, and the
+    # committed files double as backward-compat coverage (use --only).
+    # Vector 6 carries the default grid.
+    codec = Codec.create(SR, filters_n=N, bark_bands_n=BARK,
+                         sidecar_grid=0)
+    codec_g = Codec.create(SR, filters_n=N, bark_bands_n=BARK)
     meta_kw = dict(
         sample_rate=SR, filters_n=N, bark_bands_n=BARK,
         alpha=codec.psycho.alpha, window_type="vorbis",
@@ -175,6 +182,18 @@ def main(only=None):
         bwe_gains=enc.bwe_gains,
     )[0, N:-N]
     record("bwe.acz", blob, out, np.asarray(enc.codes))
+
+    # 6. grid-quantized sidecar (scq.py; the default encoder config)
+    enc = codec_g.encode_frames(codec_g.mdct.transform(x1),
+                                threshold_scale=4.0)
+    blob = bitstream.pack(
+        np.asarray(enc.codes), np.asarray(enc.bark16),
+        threshold_scale=4.0, sidecar_grid=codec_g.sidecar_grid,
+        **meta_kw,
+    )
+    out = codec_g.decode_bitstream(enc.codes, enc.bark16,
+                                   threshold_scale=4.0)[0, N:-N]
+    record("scq.acz", blob, out, np.asarray(enc.codes))
 
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)

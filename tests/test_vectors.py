@@ -110,6 +110,19 @@ class TestVectors:
         )[0, N:-N]
         _check("stereo_ms.acz", codes, out, manifest)
 
+    def test_scq(self, codec, manifest):
+        import jax.numpy as jnp
+
+        codes, bark, meta = bitstream.load(
+            os.path.join(VEC_DIR, "scq.acz")
+        )
+        assert meta["sidecar_grid"] == 4
+        out = codec.decode_bitstream(
+            jnp.asarray(codes), jnp.asarray(bark, jnp.bfloat16),
+            threshold_scale=meta["threshold_scale"],
+        )[0, N:-N]
+        _check("scq.acz", codes, out, manifest)
+
     def test_bwe(self, codec, manifest):
         import jax.numpy as jnp
 
