@@ -76,6 +76,8 @@ class TestEncodeServing:
             compute_dtype="float32", ms=False,
             bark_precision=codec.psycho.bark_precision,
             entropy="rrice" if native.available() else "zlib",
+            # the server records the codec's sidecar grid (scq.py)
+            sidecar_grid=codec.sidecar_grid,
             # the server records the exact request length (gapless)
             orig_samples=wave.shape[1],
         )
@@ -210,7 +212,16 @@ class TestDecodeHonorsContainerMeta:
         )
         direct = np.asarray(direct.astype(jnp.float32))[:, N:-N]
         expected, _ = read_wav_bytes(write_wav_bytes(direct[0], SR))
-        np.testing.assert_array_equal(wave, expected)
+        # The server decodes through a frame-bucketed (padded) jitted
+        # program; the offline reference is eager and unpadded.
+        # Different XLA fusion can land isolated samples on the other
+        # side of a 16-bit rounding boundary — a meta-honoring bug
+        # would be off by whole step sizes, so gate at one PCM LSB on
+        # a vanishing fraction of samples instead of bit equality.
+        diff = np.abs(wave.astype(np.float64)
+                      - expected.astype(np.float64))
+        assert diff.max() <= (1.0 / 32768.0) * 1.0001
+        assert (diff > 0).mean() <= 0.005
 
     def test_mismatched_dtype_rejected(self, server):
         blob, _ = _wav_blob(blocks=8)

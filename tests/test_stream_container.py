@@ -107,6 +107,7 @@ class TestContainerRoundTrip:
             window_type=mdct.window_type,
             channels=1,
             compute_dtype=str(jnp.dtype(mdct.compute_dtype)),
+            sidecar_grid=codec.sidecar_grid,
         ) as w:
             carry = streaming.mdct_stream_init(mdct, 1, 1)
             for start in range(0, signal.shape[1], chunk):
