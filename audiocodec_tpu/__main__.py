@@ -597,7 +597,7 @@ def cmd_resample(args):
 
 def _is_acs(path):
     with open(path, "rb") as f:
-        return f.read(4) == b"ACS1"
+        return f.read(4) in (b"ACS1", b"ACS2")
 
 
 def _codec_from_container_meta(args, meta):

@@ -49,6 +49,31 @@ def _deflated_len(b: bytes) -> int:
     return len(zlib.compress(b, 6))
 
 
+def encode_int2d(values: np.ndarray, block_axis: int) -> bytes:
+    """2-D delta (blocks then bands — algebraically the JPEG-LS MED
+    left+up-upleft prediction) + run-length Rice of an integer field.
+
+    THE one implementation of this bit-critical wire coding: the
+    bfloat16 sidecar's "rrice2d" coder and the grid-level sidecar
+    (scq.py) both ride it, so the predictor/framing can never diverge
+    between them."""
+    from audiocodec_tpu import native
+
+    d = np.diff(np.asarray(values, dtype=np.int32), axis=block_axis,
+                prepend=0)
+    d = np.diff(d, axis=block_axis + 1, prepend=0)
+    return native.rrice_encode(d)
+
+
+def decode_int2d(data: bytes, shape, block_axis: int) -> np.ndarray:
+    """Inverse of :func:`encode_int2d` -> int32 array of ``shape``."""
+    from audiocodec_tpu import native
+
+    d = native.rrice_decode(data, int(np.prod(shape))).reshape(shape)
+    d = np.cumsum(d, axis=block_axis + 1)
+    return np.cumsum(d, axis=block_axis)
+
+
 def encode_bark_sidecar(bark16, block_axis: int, coder: str = "rrice") -> bytes:
     """Delta + Rice coding of the bfloat16 Bark sidecar.
 
@@ -64,10 +89,9 @@ def encode_bark_sidecar(bark16, block_axis: int, coder: str = "rrice") -> bytes:
     from audiocodec_tpu import native
 
     bark_i32 = np.asarray(bark16).view(np.uint16).astype(np.int32)
-    deltas = np.diff(bark_i32, axis=block_axis, prepend=0)
     if coder == "rrice2d":
-        deltas = np.diff(deltas, axis=block_axis + 1, prepend=0)
-        return native.rrice_encode(deltas)
+        return encode_int2d(bark_i32, block_axis)
+    deltas = np.diff(bark_i32, axis=block_axis, prepend=0)
     enc = native.rrice_encode if coder == "rrice" else native.rice_encode
     return enc(deltas)
 
@@ -79,16 +103,14 @@ def decode_bark_sidecar(data: bytes, shape, block_axis: int,
 
     from audiocodec_tpu import native
 
-    dec = (native.rrice_decode if coder in ("rrice", "rrice2d")
-           else native.rice_decode)
-    deltas = dec(data, int(np.prod(shape))).reshape(shape)
     if coder == "rrice2d":
-        deltas = np.cumsum(deltas, axis=block_axis + 1)
-    return (
-        np.cumsum(deltas, axis=block_axis)
-        .astype(np.uint16)
-        .view(ml_dtypes.bfloat16)
-    )
+        vals = decode_int2d(data, shape, block_axis)
+    else:
+        dec = (native.rrice_decode if coder == "rrice"
+               else native.rice_decode)
+        deltas = dec(data, int(np.prod(shape))).reshape(shape)
+        vals = np.cumsum(deltas, axis=block_axis)
+    return vals.astype(np.uint16).view(ml_dtypes.bfloat16)
 
 
 def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
@@ -194,12 +216,15 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
             members["scq"] = np.asarray([int(sidecar_grid)],
                                         dtype=np.int64)
         else:
-            # The Bark sidecar dominates tonal file size; pick its coder
-            # post-deflate too (deflate often beats RLE on the deltas)
+            # sidecar_grid=0 is the LEGACY-COMPAT mode: raw-bfloat16
+            # sidecar AND only the coders pre-scq decoders understand
+            # (rrice2d postdates them — a bark_rrice2d member would make
+            # old unpack error out). Pick the winner post-deflate
+            # (deflate often beats RLE on the deltas).
             candidates = [
                 ("bark_" + c, encode_bark_sidecar(bark16, block_axis=1,
                                                   coder=c))
-                for c in ("rice", "rrice", "rrice2d")
+                for c in ("rice", "rrice")
             ]
             bname, side = min(
                 candidates, key=lambda kv: _deflated_len(kv[1])

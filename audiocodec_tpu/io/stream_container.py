@@ -10,7 +10,9 @@ chunk k-1's last frame — nothing else.
 
 Layout (little-endian):
 
-  magic b"ACS1" | u32 header_len | header JSON (meta incl. chunk_blocks)
+  magic b"ACS1"/b"ACS2" | u32 header_len | header JSON (meta incl.
+  chunk_blocks; "ACS2" iff the header carries "scq" — grid-quantized
+  sidecars, which pre-scq readers would silently mis-decode)
   per chunk: u32 blocks | u32 codes_len | codes rice bytes
              | u32 bark_len | bark-delta rice bytes
              | [u32 tns_len | deflated int8 TNS indices — only when the
@@ -39,7 +41,15 @@ import zlib
 
 import numpy as np
 
-_MAGIC = b"ACS1"
+# Wire versions. "ACS1" readers predate the grid-quantized sidecar
+# (scq.py); an ACS1 reader handed a grid-quantized stream would decode
+# the integer-level payload as bfloat16 deltas and play GARBAGE without
+# any error, so streams whose bark payloads carry levels are stamped
+# "ACS2" — old readers refuse loudly at the magic. Everything else
+# (including every optional header feature old readers reject by key)
+# stays ACS1, and this reader accepts both.
+_MAGIC_V1 = b"ACS1"
+_MAGIC_V2 = b"ACS2"
 
 
 class Chunk(typing.NamedTuple):
@@ -85,14 +95,13 @@ class StreamWriter:
             # 1.2-6x smaller on tonal/quiet chunks. Readers honor the
             # field; streams without it (older files) decode as "rice".
             "coder": "rrice",
-            # sidecar coder: the 2-D (time+band) delta measures 18-30 %
-            # smaller on every signal class; absent = same as "coder"
-            # (older streams)
-            "scoder": "rrice2d",
             # "scq" (added below when nonzero): levels-per-octave of the
             # grid-quantized sidecar — chunk bark payloads then carry 2-D
             # delta-coded integer LEVELS (scq.py), ~3.4x smaller than
             # any coding of the bfloat16 bits. Absent = bfloat16 wire.
+            # sidecar_grid=0 is the LEGACY-COMPAT mode: no "scq", no
+            # "scoder" (sidecar rides the plain "coder"), magic ACS1 —
+            # byte-readable by pre-scq decoders (see _MAGIC_V2 note).
             # header-field CRC coverage: the per-chunk blocks/length
             # fields are included in each chunk's CRC (a corrupted
             # blocks field otherwise silently TRUNCATES the decode —
@@ -203,7 +212,8 @@ class StreamWriter:
             self._f = path
             self._owns_file = False
         header = json.dumps(self.meta).encode()
-        self._f.write(_MAGIC + struct.pack("<I", len(header)) + header)
+        magic = _MAGIC_V2 if "scq" in self.meta else _MAGIC_V1
+        self._f.write(magic + struct.pack("<I", len(header)) + header)
         self._index = []
         self._closed = False
 
@@ -406,7 +416,7 @@ class StreamReader:
             self._f.seek(0)
             self._owns_file = False
         magic = self._f.read(4)
-        if magic != _MAGIC:
+        if magic not in (_MAGIC_V1, _MAGIC_V2):
             raise ValueError(f"not an ACS stream (magic {magic!r})")
         try:
             (hlen,) = struct.unpack("<I", self._f.read(4))

@@ -61,6 +61,23 @@ def default_band_start(filters_n: int) -> int:
     return filters_n // 16
 
 
+def _check_band(band_start: int, band_end: int) -> None:
+    """The fill band must be non-empty — an INVERTED band (band_end <=
+    band_start, e.g. a bwe crossover below the fill's start at extreme
+    sample-rate/filters_n combinations) would make fill() concatenate a
+    wrong-width spectrum: the encoder would happily write a container
+    its own decoder crashes on. Both sides share this check, so the
+    encode fails loudly instead."""
+    if band_end <= band_start:
+        raise ValueError(
+            f"noise-fill band is empty: band_start={band_start} >= "
+            f"band_end={band_end} (with bandwidth extension the bwe "
+            "crossover caps the fill band — this configuration puts it "
+            "at or below the fill's start; disable --nf or --bwe, or "
+            "change filters_n/sample_rate)"
+        )
+
+
 def _work_dtype(spec: jax.Array):
     # level math in f32 (it only steers an int8 wire value), except f64
     # pipelines stay f64 so the x64 test configuration never narrows
@@ -99,6 +116,7 @@ def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
     """
     wdt = _work_dtype(spec)
     end = spec.shape[-2] if band_end is None else band_end
+    _check_band(band_start, end)
     s = spec[..., band_start:end, :].astype(wdt)
     d = delta[..., band_start:end, :].astype(wdt)
     zero = (codes[..., band_start:end, :] == 0).astype(wdt)
@@ -148,6 +166,7 @@ def fill(spec: jax.Array, codes: jax.Array, delta: jax.Array,
     """
     b_n, f_n, n_bins, c_n = spec.shape
     end = n_bins if band_end is None else band_end
+    _check_band(band_start, end)
     band = spec[..., band_start:end, :]
     m = band.shape[-2]
     key = jax.random.key(jnp.asarray(seed, jnp.uint32))

@@ -138,19 +138,15 @@ def bark16_from_levels(levels: np.ndarray, k2: int, shape) -> np.ndarray:
 
 
 def encode_levels(levels: np.ndarray, block_axis: int) -> bytes:
-    """2-D delta + run-length Rice of the grid levels (the same MED-
-    predictor shape as the bfloat16 sidecar coder, io/bitstream.py
-    encode_bark_sidecar — small integers on a smooth surface)."""
-    from audiocodec_tpu import native
+    """Grid levels -> bytes through THE shared 2-D MED-delta + run-
+    length-Rice integer coder (io/bitstream.py encode_int2d — the same
+    bit-critical coding the bfloat16 sidecar's "rrice2d" mode uses)."""
+    from audiocodec_tpu.io import bitstream
 
-    d = np.diff(levels.astype(np.int32), axis=block_axis, prepend=0)
-    d = np.diff(d, axis=block_axis + 1, prepend=0)
-    return native.rrice_encode(d)
+    return bitstream.encode_int2d(levels, block_axis)
 
 
 def decode_levels(data: bytes, shape, block_axis: int) -> np.ndarray:
-    from audiocodec_tpu import native
+    from audiocodec_tpu.io import bitstream
 
-    d = native.rrice_decode(data, int(np.prod(shape))).reshape(shape)
-    d = np.cumsum(d, axis=block_axis + 1)
-    return np.cumsum(d, axis=block_axis)
+    return bitstream.decode_int2d(data, shape, block_axis)

@@ -147,22 +147,31 @@ def main(only=None):
     ]
     record("stereo_ms.acz", blob, out, np.asarray(codes))
 
-    # 4. CBR seekable stream with per-chunk scales + bs + nsamp
-    path = os.path.join(VEC_DIR, "cbr_stream.acs")
-    x3 = _signal(blocks=16)[None]
-    sc.encode_stream(
-        codec, jnp.asarray(x3), path, chunk_blocks=4,
-        threshold_scale=[1.0, 4.0, 2.0, 8.0], bs=True,
-        orig_samples=16 * N - 9,
-    )
-    dec = np.concatenate(
-        [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
-    )[0][: 16 * N - 9]
-    with sc.StreamReader(path) as r:
-        all_codes = np.concatenate(
-            [r.read_chunk(i).codes for i in range(r.n_chunks)], axis=0
+    # 4. CBR seekable stream with per-chunk scales + bs + nsamp.
+    # Encode to a TEMP path: writing straight into VEC_DIR would
+    # overwrite the committed old-writer bytes even under --only
+    # (record() is the single gatekeeper for what lands in VEC_DIR).
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tdir:
+        path = os.path.join(tdir, "cbr_stream.acs")
+        x3 = _signal(blocks=16)[None]
+        sc.encode_stream(
+            codec, jnp.asarray(x3), path, chunk_blocks=4,
+            threshold_scale=[1.0, 4.0, 2.0, 8.0], bs=True,
+            orig_samples=16 * N - 9,
         )
-    record("cbr_stream.acs", open(path, "rb").read(), dec, all_codes)
+        dec = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, path)],
+            axis=1,
+        )[0][: 16 * N - 9]
+        with sc.StreamReader(path) as r:
+            all_codes = np.concatenate(
+                [r.read_chunk(i).codes for i in range(r.n_chunks)],
+                axis=0,
+            )
+        record("cbr_stream.acs", open(path, "rb").read(), dec,
+               all_codes)
 
     # 5. bandwidth extension (+ the noise fill it caps at the crossover)
     enc = codec.encode_frames(frames, threshold_scale=4.0, nf=True,

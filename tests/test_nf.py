@@ -71,6 +71,24 @@ class TestAnalyze:
         assert a <= np.sqrt(3.0) * 1.0 * 1.03  # one log step of slack
 
 
+class TestBandGuard:
+    def test_inverted_band_rejected_both_sides(self):
+        """An empty fill band (band_end <= band_start — e.g. a bwe
+        crossover below the fill's start at extreme sample-rate/
+        filters_n combinations) must refuse LOUDLY on analyze AND fill:
+        silently accepting it lets the encoder write a container whose
+        decode builds a wrong-width spectrum and crashes."""
+        spec = jnp.zeros((1, 2, 64, 1), F32)
+        delta = jnp.ones((1, 2, 64, 1), F32)
+        codes = jnp.zeros((1, 2, 64, 1), jnp.int32)
+        levels = jnp.zeros((1, 2, 1), jnp.uint8)
+        for end in (8, 4, 0):
+            with pytest.raises(ValueError, match="empty"):
+                nf.analyze(spec, codes, delta, 8, band_end=end)
+            with pytest.raises(ValueError, match="empty"):
+                nf.fill(spec, codes, delta, levels, 8, 0, band_end=end)
+
+
 class TestFill:
     def _setup(self):
         rng = np.random.default_rng(2)

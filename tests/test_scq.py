@@ -173,6 +173,9 @@ class TestContainer:
                             **self._pack_kw(grid=0))
         names = zipfile.ZipFile(_io.BytesIO(p0)).namelist()
         assert "scq.npy" not in names and "bark_lvl.npy" not in names
+        # the sidecar must also ride a coder pre-scq readers know —
+        # rrice2d postdates them and would make old unpack error out
+        assert "bark_rrice2d.npy" not in names
         _, _, meta = bitstream.unpack(p0)
         assert meta["sidecar_grid"] == 0
 
@@ -257,6 +260,35 @@ class TestStream:
             part, streamed[:, streamed.shape[1] - part.shape[1]:],
             atol=1e-6,
         )
+
+    def test_magic_versioning(self, codec, legacy_codec, signal,
+                              tmp_path):
+        """Grid-quantized streams carry the ACS2 magic (pre-scq readers
+        would MIS-decode the level payload as bfloat16 deltas, so they
+        must refuse at the magic); grid-0 streams stay ACS1 and carry
+        neither scq nor a sidecar coder old readers don't know."""
+        import json
+        import struct
+
+        p2 = str(tmp_path / "v2.acs")
+        sc.encode_stream(codec, signal, p2, chunk_blocks=8,
+                         threshold_scale=self.SCALE)
+        assert open(p2, "rb").read(4) == b"ACS2"
+
+        p1 = str(tmp_path / "v1.acs")
+        sc.encode_stream(legacy_codec, signal, p1, chunk_blocks=8,
+                         threshold_scale=self.SCALE)
+        raw = open(p1, "rb").read()
+        assert raw[:4] == b"ACS1"
+        (hlen,) = struct.unpack("<I", raw[4:8])
+        header = json.loads(raw[8 : 8 + hlen])
+        assert "scq" not in header and "scoder" not in header
+        # both versions decode through this reader
+        for p in (p1, p2):
+            out = np.concatenate(
+                [np.asarray(c) for c in sc.decode_stream(
+                    legacy_codec if p is p1 else codec, p)], axis=1)
+            assert out.shape[1] > 0
 
     def test_corrupt_header_scq_rejected(self, codec, signal, tmp_path):
         import json

@@ -205,23 +205,32 @@ class TestDecodeHonorsContainerMeta:
         with serve.Client(port=server.port) as c:
             wav = c.decode(blob)
         wave, rate = read_wav_bytes(wav)
-        direct = codec.decode_bitstream_ms(
-            codes, bark, threshold_scale=8.0,
-            dz_recon=q.dz_recon_offset(1.0),
-            tns_idx=tns_idx, nf_levels=nfl, nf_seed=4,
+        # Reference: the SAME bucketed jitted program the server runs
+        # (jit-composed vs eager can differ by one PCM LSB at rounding
+        # boundaries — CLAUDE.md), but with every meta field passed
+        # EXPLICITLY. If the server drops or mangles any recorded field
+        # on its unpack -> kwargs path, the bytes diverge; the float
+        # program itself is shared, so the comparison stays bit-exact.
+        frames = np.asarray(codes).shape[1]
+        bucket = 32  # server: max(min_blocks + 1, next_pow2(17))
+        pad = ((0, 0), (0, bucket - frames), (0, 0), (0, 0))
+        direct = server._dec(
+            codec,
+            jnp.asarray(np.pad(np.asarray(codes), pad)),
+            jnp.asarray(np.pad(np.asarray(bark), pad),
+                        dtype=jnp.bfloat16),
+            8.0, ms=True, dzr=q.dz_recon_offset(1.0),
+            tns=jnp.asarray(np.pad(np.asarray(tns_idx), pad)),
+            tns_bs=codec.tns_band_start,
+            nfl=jnp.asarray(np.pad(np.asarray(nfl),
+                                   (pad[0], pad[1], pad[3]))),
+            nf_bs=codec.nf_band_start, nf_seed=np.uint32(4),
         )
-        direct = np.asarray(direct.astype(jnp.float32))[:, N:-N]
+        direct = np.asarray(direct.astype(jnp.float32))[
+            :, N : N + (frames - 1) * N
+        ]
         expected, _ = read_wav_bytes(write_wav_bytes(direct[0], SR))
-        # The server decodes through a frame-bucketed (padded) jitted
-        # program; the offline reference is eager and unpadded.
-        # Different XLA fusion can land isolated samples on the other
-        # side of a 16-bit rounding boundary — a meta-honoring bug
-        # would be off by whole step sizes, so gate at one PCM LSB on
-        # a vanishing fraction of samples instead of bit equality.
-        diff = np.abs(wave.astype(np.float64)
-                      - expected.astype(np.float64))
-        assert diff.max() <= (1.0 / 32768.0) * 1.0001
-        assert (diff > 0).mean() <= 0.005
+        np.testing.assert_array_equal(wave, expected)
 
     def test_mismatched_dtype_rejected(self, server):
         blob, _ = _wav_blob(blocks=8)
