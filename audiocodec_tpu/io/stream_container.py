@@ -21,6 +21,8 @@ Layout (little-endian):
                 the header declares "nf"; see nf.py]
              | [u32 bwe_len | deflated uint8 replication gains — only
                 when the header declares "bwe"; see bwe.py]
+             | [u32 isg_len | deflated uint8 intensity image gains —
+                only when the header declares "isf"; see intensity.py]
              | [u32 bsw_len | packbits block-switch flag bitmap — only
                 when the header declares "bs"; see blockswitch.py]
              | u32 crc32
@@ -62,6 +64,7 @@ class Chunk(typing.NamedTuple):
     tscale: float | None = None  # per-chunk rate scale (CBR streams)
     bsw: np.ndarray | None = None  # bool [blocks]; None = all-long
     bwe: np.ndarray | None = None  # uint8 [blocks, groups, C]; None = off
+    isg: np.ndarray | None = None  # uint8 [blocks, groups]; None = off
 
 
 class StreamWriter:
@@ -75,6 +78,7 @@ class StreamWriter:
                  nf: bool = False, nf_band_start: int = 0,
                  nf_seed: int = 0, cbr: bool = False,
                  bs: bool = False, bwe_start: int = 0,
+                 is_start: int = 0,
                  sidecar_grid: int = 0,
                  orig_samples: int = 0, lufs=None):
         self.meta = {
@@ -183,6 +187,22 @@ class StreamWriter:
                 "start": int(bwe_start),
                 "group": int(_bwe_mod.GROUP),
             }
+        if is_start:
+            # intensity stereo: each chunk carries per-(frame, group)
+            # uint8 image gains; absent = fully-coded side (older
+            # streams and intensity-off encodes write the old layout).
+            # Requires joint stereo: the fill rebuilds side from mid.
+            from audiocodec_tpu import intensity as _is_mod
+
+            if not ms:
+                raise ValueError(
+                    "intensity streams require joint stereo (ms)"
+                )
+            _is_mod.validate_start(filters_n, int(is_start))
+            self.meta["isf"] = {
+                "start": int(is_start),
+                "group": int(_is_mod.GROUP),
+            }
         if bs:
             # block switching: each chunk carries a per-frame flag
             # bitmap; absent = all-long (older streams decode unchanged,
@@ -218,13 +238,15 @@ class StreamWriter:
         self._closed = False
 
     def append(self, codes, bark16, tns_idx=None, nf_levels=None,
-               tscale=None, bs_flags=None, bwe_gains=None) -> None:
+               tscale=None, bs_flags=None, bwe_gains=None,
+               is_gains=None) -> None:
         """Write one chunk: codes int32 [1, blocks, N, C] (or [blocks, N, C]),
         bark16 bfloat16 [1, blocks, bark_n, C] (or unbatched), for TNS
         streams int8 reflection indices [1, blocks, order, C], for
         noise-filling streams uint8 levels [1, blocks, C], for CBR
-        streams this chunk's threshold scale, and for bandwidth-extension
-        streams uint8 replication gains [1, blocks, groups, C]."""
+        streams this chunk's threshold scale, for bandwidth-extension
+        streams uint8 replication gains [1, blocks, groups, C], and for
+        intensity streams uint8 image gains [1, blocks, groups]."""
         from audiocodec_tpu import native
 
         codes = np.asarray(codes)
@@ -258,6 +280,12 @@ class StreamWriter:
             raise ValueError(
                 "chunk replication gains must be passed exactly when "
                 "the stream header declares bwe"
+            )
+        is_meta = self.meta.get("isf")
+        if (is_meta is not None) != (is_gains is not None):
+            raise ValueError(
+                "chunk intensity gains must be passed exactly when "
+                "the stream header declares isf"
             )
         cbr = self.meta.get("cbr")
         if (cbr is not None) != (tscale is not None):
@@ -328,6 +356,23 @@ class StreamWriter:
                 )
             # smooth envelopes: deflate eats the small-delta structure
             bwe_bytes = zlib.compress(gz.tobytes(), 6)
+        isg_bytes = b""
+        if is_meta is not None:
+            from audiocodec_tpu import intensity as _is_mod
+
+            gz = np.ascontiguousarray(is_gains, dtype=np.uint8)
+            if gz.ndim == 3:
+                gz = gz[0]
+            groups = _is_mod.n_groups(
+                self.meta["filters_n"], is_meta["start"]
+            )
+            if gz.shape != (blocks, groups):
+                raise ValueError(
+                    f"chunk is_gains shape {gz.shape} != "
+                    f"({blocks}, {groups})"
+                )
+            # pans are stable frame to frame: deflate eats the runs
+            isg_bytes = zlib.compress(gz.tobytes(), 6)
         bsw_bytes = b""
         if bsw is not None:
             from audiocodec_tpu import blockswitch as _bs_mod
@@ -372,6 +417,11 @@ class StreamWriter:
             crc = zlib.crc32(bwe_bytes, zlib.crc32(hdr, crc))
             self._f.write(hdr)
             self._f.write(bwe_bytes)
+        if is_meta is not None:
+            hdr = struct.pack("<I", len(isg_bytes))
+            crc = zlib.crc32(isg_bytes, zlib.crc32(hdr, crc))
+            self._f.write(hdr)
+            self._f.write(isg_bytes)
         if bsw is not None:
             hdr = struct.pack("<I", len(bsw_bytes))
             crc = zlib.crc32(bsw_bytes, zlib.crc32(hdr, crc))
@@ -567,6 +617,34 @@ class StreamReader:
                 _bwe_mod.validate_start(m["filters_n"], start)
             except ValueError as e:
                 raise ValueError(f"corrupt stream: {e}") from None
+        ism = m.get("isf")
+        if ism is not None:
+            start = ism.get("start") if isinstance(ism, dict) else None
+            group = ism.get("group") if isinstance(ism, dict) else None
+            from audiocodec_tpu import intensity as _is_mod
+
+            if not isinstance(start, int) or not isinstance(group, int):
+                raise ValueError(
+                    f"stream header isf={ism!r} out of bounds — corrupt "
+                    "stream"
+                )
+            if group != _is_mod.GROUP:
+                # the fill derives group slices from GROUP; refuse a
+                # mismatch instead of decoding wrong audio
+                raise ValueError(
+                    f"stream uses intensity group width {group}; this "
+                    f"decoder supports {_is_mod.GROUP} (newer framework "
+                    "version?)"
+                )
+            try:
+                _is_mod.validate_start(m["filters_n"], start)
+            except ValueError as e:
+                raise ValueError(f"corrupt stream: {e}") from None
+            if not m.get("ms"):
+                raise ValueError(
+                    "stream header declares intensity without joint "
+                    "stereo — corrupt stream"
+                )
         if not isinstance(m.get("cbr", 0), (int, bool)):
             raise ValueError("stream header cbr must be a flag")
         ns = m.get("nsamp", 0)
@@ -670,6 +748,8 @@ class StreamReader:
         nfl_bytes = read_payload("nfl") if nf_meta is not None else None
         bwe_meta = self.meta.get("bwe")
         bwe_bytes = read_payload("bwe") if bwe_meta is not None else None
+        is_meta = self.meta.get("isf")
+        isg_bytes = read_payload("isg") if is_meta is not None else None
         bs_meta = self.meta.get("bs")
         bsw_bytes = read_payload("bsw") if bs_meta is not None else None
         (crc,) = struct.unpack("<I", self._read_exact(4, i))
@@ -792,6 +872,27 @@ class StreamReader:
             bwe = np.frombuffer(raw, dtype=np.uint8).reshape(
                 blocks, groups, ch
             )
+        isg = None
+        if isg_bytes is not None:
+            from audiocodec_tpu import intensity as _is_mod
+
+            groups = _is_mod.n_groups(n, is_meta["start"])
+            want_n = blocks * groups
+            try:
+                d = zlib.decompressobj()
+                raw = d.decompress(isg_bytes, want_n + 1)
+            except zlib.error as e:
+                raise ValueError(
+                    f"chunk {i} intensity payload corrupt: {e}"
+                ) from None
+            if len(raw) != want_n:
+                raise ValueError(
+                    f"chunk {i} intensity payload is {len(raw)} bytes, "
+                    f"expected {want_n} — corrupt stream"
+                )
+            isg = np.frombuffer(raw, dtype=np.uint8).reshape(
+                blocks, groups
+            )
         bsw = None
         if bsw_bytes is not None:
             from audiocodec_tpu import blockswitch as _bs_mod
@@ -805,7 +906,7 @@ class StreamReader:
             bsw = _bs_mod.unpack_flags(
                 np.frombuffer(bsw_bytes, dtype=np.uint8)[None], blocks
             )[0]
-        return Chunk(codes, bark, tns, nfl, tscale, bsw, bwe)
+        return Chunk(codes, bark, tns, nfl, tscale, bsw, bwe, isg)
 
     def close(self) -> None:
         if self._owns_file:
@@ -858,11 +959,12 @@ def _jit_encode_chunk():
         jax.jit,
         static_argnames=(
             "ms", "deadzone", "tns", "nf", "tmask", "bs", "bwe",
+            "intensity",
         ),
     )
     def step(codec, carry, x_chunk, drown, threshold_scale, ms, deadzone,
              tns=False, nf=False, tmask=0.0, tmask_context=None,
-             bs=False, bwe=False):
+             bs=False, bwe=False, intensity=False):
         carry, frames = streaming.mdct_stream_step(
             codec.mdct, carry, x_chunk
         )
@@ -870,6 +972,7 @@ def _jit_encode_chunk():
             frames, drown, threshold_scale=threshold_scale, ms=ms,
             deadzone=deadzone, tns=tns, nf=nf, tmask=tmask,
             tmask_context=tmask_context, bs=bs, bwe=bwe,
+            intensity=intensity,
         )
         new_ctx = None
         if tmask:
@@ -886,22 +989,26 @@ def _jit_encode_chunk():
                     [tmask_context, pre], axis=1
                 )[:, -w:]
             new_ctx = pre
-        return (carry, new_ctx) + tuple(enc)
+        # the EncodedFrames rides through whole: positional re-tupling
+        # here is exactly the arity coupling EncodedFrames exists to end
+        return carry, new_ctx, enc
 
     @functools.partial(
         jax.jit,
         static_argnames=(
             "ms", "deadzone", "tns", "nf", "tmask", "bs", "bwe",
+            "intensity",
         ),
     )
     def flush(codec, carry, drown, threshold_scale, ms, deadzone,
               tns=False, nf=False, tmask=0.0, tmask_context=None,
-              bs=False, bwe=False):
+              bs=False, bwe=False, intensity=False):
         last = streaming.mdct_stream_flush(codec.mdct, carry)
         return codec.encode_frames(
             last, drown, threshold_scale=threshold_scale, ms=ms,
             deadzone=deadzone, tns=tns, nf=nf, tmask=tmask,
             tmask_context=tmask_context, bs=bs, bwe=bwe,
+            intensity=intensity,
         )
 
     return step, flush
@@ -923,7 +1030,7 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
                   deadzone: float = 0.5, tns: bool = False,
                   nf: bool = False, nf_seed: int = 0,
                   tmask: float = 0.0, bs: bool = False,
-                  bwe: bool = False,
+                  bwe: bool = False, intensity: bool = False,
                   orig_samples: int = 0, lufs=None) -> int:
     """Encode a long waveform to a seekable stream with bounded memory.
 
@@ -963,6 +1070,11 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         rolling context of pre-spread intensities is carried across
         chunks, making the .acs bit-identical to the same signal's
         tmask .acz.
+    :param intensity: intensity stereo (intensity.py, requires ``ms``).
+        Gains are a pure per-frame function of (codes, steps,
+        spectrum), so an intensity .acs decodes bit-identically to the
+        same signal's intensity .acz, including mid-stream seeks. Gains
+        ride each chunk; the crossover rides the header.
     :return: number of chunks written.
     """
     import jax.numpy as jnp
@@ -1028,6 +1140,7 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         cbr=cbr,
         bs=bs,
         bwe_start=codec.bwe_start if bwe else 0,
+        is_start=codec.is_start if intensity else 0,
         sidecar_grid=codec.sidecar_grid,
         orig_samples=orig_samples,
         lufs=lufs,
@@ -1043,24 +1156,26 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         tctx = None
         for k, start in enumerate(range(0, s, chunk)):
             ts_k = scales[k] if cbr else threshold_scale
-            carry, tctx, codes, bark16, tns_idx, nfl, bsw, gains = step(
+            carry, tctx, enc = step(
                 codec, carry, x[:, start : start + chunk], drown,
                 ts_k, ms, deadzone, tns, nf, tmask=tmask,
-                tmask_context=tctx, bs=bs, bwe=bwe,
+                tmask_context=tctx, bs=bs, bwe=bwe, intensity=intensity,
             )
             if pending is not None:
                 w.append(*pending)
-            pending = (codes, bark16, tns_idx, nfl,
-                       ts_k if cbr else None, bsw, gains)
+            pending = (enc.codes, enc.bark16, enc.tns_idx,
+                       enc.nf_levels, ts_k if cbr else None,
+                       enc.bs_flags, enc.bwe_gains, enc.is_gains)
         if pending is not None:
             w.append(*pending)
         ts_last = scales[-1] if cbr else threshold_scale
         last = flush(codec, carry, drown, ts_last, ms, deadzone,
                      tns, nf, tmask=tmask, tmask_context=tctx, bs=bs,
-                     bwe=bwe)
+                     bwe=bwe, intensity=intensity)
         w.append(last.codes, last.bark16, last.tns_idx, last.nf_levels,
                  tscale=ts_last if cbr else None,
-                 bs_flags=last.bs_flags, bwe_gains=last.bwe_gains)
+                 bs_flags=last.bs_flags, bwe_gains=last.bwe_gains,
+                 is_gains=last.is_gains)
         n_chunks = len(w._index)
     return n_chunks
 
@@ -1071,7 +1186,8 @@ def encode_stream_with_target_bitrate(
     sample_chunks: int = 8, tolerance: float = 0.08,
     log2_scale_range=(-4.0, 10.0), deadzone="auto", tns: bool = False,
     nf: bool = False, tmask: float = 0.0, bs: bool = False,
-    bwe: bool = False, orig_samples: int = 0, lufs=None,
+    bwe: bool = False, intensity: bool = False,
+    orig_samples: int = 0, lufs=None,
 ):
     """Rate-controlled stream encode: pick ONE stream-global threshold
     scale from a strided sample of the signal (the vmapped trial search of
@@ -1125,15 +1241,15 @@ def encode_stream_with_target_bitrate(
         # BWE gains DO (rate.py packs them per trial when bwe is set).
         return _rate.encode_with_target_bitrate(
             codec, sample, tgt, drown=drown, ms=ms, deadzone=z, tns=tns,
-            tmask=tmask, bs=bs, bwe=bwe,
+            tmask=tmask, bs=bs, bwe=bwe, intensity=intensity,
         ).threshold_scale
 
     def full_encode(scale):
         n_chunks = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
             threshold_scale=scale, deadzone=z, tns=tns, nf=nf,
-            tmask=tmask, bs=bs, bwe=bwe, orig_samples=orig_samples,
-            lufs=lufs,
+            tmask=tmask, bs=bs, bwe=bwe, intensity=intensity,
+            orig_samples=orig_samples, lufs=lufs,
         )
         return n_chunks, os.path.getsize(path) * 8 / seconds / 1000
 
@@ -1184,7 +1300,7 @@ def encode_stream_cbr(
     tolerance: float = 0.05, trials_per_round: int = 8,
     deadzone="auto", tns: bool = False, nf: bool = False,
     tmask: float = 0.0, bs: bool = False, bwe: bool = False,
-    orig_samples: int = 0, lufs=None,
+    intensity: bool = False, orig_samples: int = 0, lufs=None,
 ):
     """Constant-bitrate stream encode: EVERY chunk is rate-controlled to
     its per-chunk share of the target in ONE vmapped batch search (each
@@ -1224,6 +1340,7 @@ def encode_stream_cbr(
     # (+4 B per optional member length), plus the stream header amortized
     overhead_bytes = (
         32 + (4 if tns else 0) + (4 if nf else 0) + (4 if bwe else 0)
+        + (4 if intensity else 0)
     )
     overhead_kbps = (overhead_bytes + 350 / max(n_body, 1)) * 8 / (
         chunk_seconds * 1000
@@ -1263,13 +1380,14 @@ def encode_stream_cbr(
             drown=drown, tolerance=tolerance,
             trials_per_round=trials_per_round,
             ms=ms, deadzone=z, tns=tns, tmask=tmask, bs=bs, bwe=bwe,
+            intensity=intensity,
         )
         sc_list = [r.threshold_scale for r in results]
         n_ch = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
             threshold_scale=sc_list, deadzone=z, tns=tns, nf=nf,
-            tmask=tmask, bs=bs, bwe=bwe, orig_samples=orig_samples,
-            lufs=lufs,
+            tmask=tmask, bs=bs, bwe=bwe, intensity=intensity,
+            orig_samples=orig_samples, lufs=lufs,
         )
         return n_ch, sc_list, os.path.getsize(path) * 8 / (s / sr) / 1000
 
@@ -1293,7 +1411,8 @@ def encode_stream_cbr(
 def _dequant_frames(codec, codes, bark, tscale, ms, dzr=0.0,
                     tns=None, tns_bs=0,
                     nfl=None, nf_bs=0, nf_seed=0, frame_offset=0,
-                    bsw=None, bwe=None, bwe_start=0):
+                    bsw=None, bwe=None, bwe_start=0,
+                    isg=None, is_start=0):
     """Mirror EXACTLY the encoder's threshold derivation (ms min-channel
     sidecar, stream-global scale) so step sizes are bit-identical; apply
     the header's dead-zone reconstruction offset ``dzr``, the noise fill
@@ -1327,19 +1446,34 @@ def _dequant_frames(codec, codes, bark, tscale, ms, dzr=0.0,
     delta = _quantize.step_size(threshold)
     codes = jnp.asarray(codes)[None]
     spec = _quantize.dequantize(codes, delta, dtype=dtype, recon_offset=dzr)
+    excl = None
+    if isg is not None:
+        from audiocodec_tpu import intensity as _is_mod
+
+        excl = jnp.asarray(
+            _is_mod.owned_mask(codec.mdct.filters_n, is_start)
+        )
     if bwe is not None:
         from audiocodec_tpu import bwe as _bwe_mod
 
         # copy-up BEFORE the noise fill (which it caps at the crossover)
         # and the TNS inverse — mirroring Codec.decode_bitstream
         spec = _bwe_mod.fill(
-            spec, codes, delta, jnp.asarray(bwe)[None], bwe_start
+            spec, codes, delta, jnp.asarray(bwe)[None], bwe_start,
+            exclude=excl,
         )
     if nfl is not None:
         spec = _nf_mod.fill(
             spec, codes, delta, jnp.asarray(nfl)[None], nf_bs, nf_seed,
             frame_offset,
             band_end=bwe_start if bwe is not None else None,
+            exclude=excl,
+        )
+    if isg is not None:
+        from audiocodec_tpu import intensity as _is_mod
+
+        spec = _is_mod.fill(
+            spec, codes, delta, jnp.asarray(isg)[None], is_start
         )
     if bsw is not None:
         from audiocodec_tpu import blockswitch as _bs_mod
@@ -1360,14 +1494,16 @@ def _jit_decode_chunk():
 
     @functools.partial(
         jax.jit,
-        static_argnames=("ms", "dzr", "tns_bs", "nf_bs", "bwe_start"),
+        static_argnames=("ms", "dzr", "tns_bs", "nf_bs", "bwe_start",
+                         "is_start"),
     )
     def step(codec, carry, codes, bark, tscale, ms, dzr, tns=None,
              tns_bs=0, nfl=None, nf_bs=0, nf_seed=0, frame_offset=0,
-             bsw=None, bwe=None, bwe_start=0):
+             bsw=None, bwe=None, bwe_start=0, isg=None, is_start=0):
         frames = _dequant_frames(codec, codes, bark, tscale, ms, dzr,
                                  tns, tns_bs, nfl, nf_bs, nf_seed,
-                                 frame_offset, bsw, bwe, bwe_start)
+                                 frame_offset, bsw, bwe, bwe_start,
+                                 isg, is_start)
         carry, samples = streaming.imdct_stream_step(
             codec.mdct, carry, frames
         )
@@ -1423,32 +1559,38 @@ def _jit_decode_chunk():
 
     @functools.partial(
         jax.jit,
-        static_argnames=("ms", "dzr", "tns_bs", "nf_bs", "bwe_start"),
+        static_argnames=("ms", "dzr", "tns_bs", "nf_bs", "bwe_start",
+                         "is_start"),
     )
     def first_frame(codec, codes, bark, tscale, ms, dzr, tns=None,
                     tns_bs=0, nfl=None, nf_bs=0, nf_seed=0,
-                    frame_offset=0, bsw=None, bwe=None, bwe_start=0):
+                    frame_offset=0, bsw=None, bwe=None, bwe_start=0,
+                    isg=None, is_start=0):
         """First dequantized spectral frame of a chunk — the 'next good
         frame' for interpolative concealment (the chunk itself is
         decoded again on the following iteration)."""
         return _dequant_frames(codec, codes, bark, tscale, ms, dzr,
                                tns, tns_bs, nfl, nf_bs, nf_seed,
-                               frame_offset, bsw, bwe, bwe_start)[:, :1]
+                               frame_offset, bsw, bwe, bwe_start,
+                               isg, is_start)[:, :1]
 
     @functools.partial(
         jax.jit,
-        static_argnames=("ms", "dzr", "tns_bs", "nf_bs", "bwe_start"),
+        static_argnames=("ms", "dzr", "tns_bs", "nf_bs", "bwe_start",
+                         "is_start"),
     )
     def seek_carry(codec, codes, bark, tscale, ms, dzr, tns=None,
                    tns_bs=0, nfl=None, nf_bs=0, nf_seed=0,
-                   frame_offset=0, bsw=None, bwe=None, bwe_start=0):
+                   frame_offset=0, bsw=None, bwe=None, bwe_start=0,
+                   isg=None, is_start=0):
         """-> (overlap-add carry, previous chunk's last spectral frame).
         The frame rides along so concealment of the chunk right AFTER a
         seek can extrapolate from it instead of from silence."""
         mdct = codec.mdct
         prev = _dequant_frames(codec, codes, bark, tscale, ms, dzr,
                                tns, tns_bs, nfl, nf_bs, nf_seed,
-                               frame_offset, bsw, bwe, bwe_start)[:, -1:]
+                               frame_offset, bsw, bwe, bwe_start,
+                               isg, is_start)[:, -1:]
         yb = jnp.transpose(prev, (0, 3, 1, 2))
         if mdct.dense_inv_cur is not None:
             # dense mode carries the previous RAW spectral frame
@@ -1512,6 +1654,8 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
         nf_seed = np.uint32(nf_meta["seed"]) if nf_meta else np.uint32(0)
         bwe_meta = r.meta.get("bwe")
         bwe_start = int(bwe_meta["start"]) if bwe_meta else 0
+        is_meta = r.meta.get("isf")
+        is_start = int(is_meta["start"]) if is_meta else 0
         import jax
         import jax.numpy as jnp
 
@@ -1582,6 +1726,7 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
                     put_opt(c.nfl), nf_bs, nf_seed, prev_off,
                     bsw=put_opt(c.bsw), bwe=put_opt(c.bwe),
                     bwe_start=bwe_start,
+                    isg=put_opt(c.isg), is_start=is_start,
                 )
             # else: prime with silence; recovery at start_chunk
         ex = ThreadPoolExecutor(max_workers=1)
@@ -1616,6 +1761,7 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
                             frame_off + blocks,
                             bsw=put_opt(nxt.bsw), bwe=put_opt(nxt.bwe),
                             bwe_start=bwe_start,
+                            isg=put_opt(nxt.isg), is_start=is_start,
                         )
                         weights = jnp.asarray(
                             np.arange(1, blocks + 1) / (blocks + 1), dtype
@@ -1646,6 +1792,7 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
                     put_opt(c.nfl), nf_bs, nf_seed, frame_off,
                     bsw=put_opt(c.bsw), bwe=put_opt(c.bwe),
                     bwe_start=bwe_start,
+                    isg=put_opt(c.isg), is_start=is_start,
                 )
                 frame_off += c.codes.shape[0]
                 yield samples

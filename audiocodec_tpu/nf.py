@@ -86,7 +86,8 @@ def _work_dtype(spec: jax.Array):
 
 def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
             band_start: int, *, deadzone: float = 0.5,
-            band_end: int | None = None) -> jax.Array:
+            band_end: int | None = None,
+            exclude: jax.Array | None = None) -> jax.Array:
     """Per-(frame, channel) fill level from the encoder's zeroed residual.
 
     The level is the uniform-noise half-width ``a`` (in units of each
@@ -112,6 +113,13 @@ def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
     :param band_end: one past the last bin the fill covers (None = the
         full band). Bandwidth extension (bwe.py) owns [bwe_start, N)
         when active, so both sides cap the noise fill there.
+    :param exclude: static bool [N, C] mask of bins some OTHER mechanism
+        owns (intensity.owned_mask when intensity stereo is active):
+        excluded zero bins are neither metered here nor filled by
+        fill(). Without it the analyzer would count deliberately-dropped
+        side content as holes and pour noise over the pan-reconstructed
+        image. Both sides must pass the same mask (derived from the
+        container's recorded crossover).
     :return: uint8 [B, frames, C] levels in LEVEL_STEP units.
     """
     wdt = _work_dtype(spec)
@@ -120,6 +128,10 @@ def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
     s = spec[..., band_start:end, :].astype(wdt)
     d = delta[..., band_start:end, :].astype(wdt)
     zero = (codes[..., band_start:end, :] == 0).astype(wdt)
+    if exclude is not None:
+        zero = zero * (~jnp.asarray(exclude)[band_start:end, :]).astype(
+            wdt
+        )
     cnt = jnp.sum(zero, axis=-2)  # [B, F, C]
     e_lost = jnp.sum(jnp.square(s) * zero, axis=-2)
     e_cap = jnp.sum(jnp.square(d) * zero, axis=-2)
@@ -137,7 +149,8 @@ def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
 
 def fill(spec: jax.Array, codes: jax.Array, delta: jax.Array,
          levels: jax.Array, band_start: int, seed,
-         frame_offset=0, band_end: int | None = None) -> jax.Array:
+         frame_offset=0, band_end: int | None = None,
+         exclude: jax.Array | None = None) -> jax.Array:
     """Decoder fill: add uniform noise of half-width
     ``level_to_amp(level) * delta`` to every in-band zero-code bin.
 
@@ -162,6 +175,10 @@ def fill(spec: jax.Array, codes: jax.Array, delta: jax.Array,
         active both sides use bwe_start, derived from the container.
         The noise tensor's shape depends on it, so a mismatched cap would
         also desync the fill noise of bins below it.
+    :param exclude: static bool [N, C] bins another mechanism owns —
+        must MATCH the encoder's analyze() mask (see there). The noise
+        DRAW is unaffected (same tensor shape), only the write mask, so
+        unexcluded bins keep bit-identical noise either way.
     :return: spectrum with holes filled, same shape/dtype as ``spec``.
     """
     b_n, f_n, n_bins, c_n = spec.shape
@@ -186,6 +203,8 @@ def fill(spec: jax.Array, codes: jax.Array, delta: jax.Array,
     amp = level_to_amp(levels, band.dtype)
     amp = amp[..., None, :] * delta[..., band_start:end, :].astype(band.dtype)
     hole = codes[..., band_start:end, :] == 0
+    if exclude is not None:
+        hole = hole & ~jnp.asarray(exclude)[band_start:end, :]
     band = band + jnp.where(hole, noise * amp, 0.0)
     return jnp.concatenate(
         [spec[..., :band_start, :], band, spec[..., end:, :]], axis=-2

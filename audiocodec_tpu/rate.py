@@ -30,6 +30,7 @@ import numpy as np
 
 from audiocodec_tpu import blockswitch as _blockswitch
 from audiocodec_tpu import bwe as _bwe
+from audiocodec_tpu import intensity as _intensity
 from audiocodec_tpu import nf as _nf
 from audiocodec_tpu import quantize as _quantize
 from audiocodec_tpu import tns as _tns
@@ -51,6 +52,8 @@ class RateControlResult:
     bs_flags: np.ndarray | None = None
     bwe_gains: np.ndarray | None = None
     bwe_start: int = 0
+    is_gains: np.ndarray | None = None
+    is_start: int = 0
 
 
 def resolve_deadzone(deadzone, target_kbps, channels, sample_rate) -> float:
@@ -110,6 +113,7 @@ def encode_with_target_bitrate_batch(
     tmask: float = 0.0,
     bs: bool = False,
     bwe: bool = False,
+    intensity: bool = False,
     orig_samples: int = 0,
     lufs=None,
 ) -> list:
@@ -197,6 +201,15 @@ def encode_with_target_bitrate_batch(
             thr = _blockswitch.pool_threshold(thr, bs_flags_dev)
         return thr
 
+    is_excl, is_bs = None, 0
+    if intensity:
+        if not ms:
+            raise ValueError("intensity stereo requires ms=True")
+        is_bs = codec.is_start
+        is_excl = jnp.asarray(
+            _intensity.owned_mask(codec.mdct.filters_n, is_bs)
+        )
+
     bwe_fn, bwe_bs = None, 0
     if bwe:
         bwe_bs = codec.bwe_start
@@ -204,7 +217,8 @@ def encode_with_target_bitrate_batch(
         @jax.jit
         def bwe_fn(scale_b, codes):
             delta = _quantize.step_size(_trial_threshold(scale_b))
-            g = _bwe.analyze(spectrum_q, codes, delta, bwe_bs)
+            g = _bwe.analyze(spectrum_q, codes, delta, bwe_bs,
+                             exclude=is_excl)
             if bs_flags_dev is not None:
                 g = jnp.where(bs_flags_dev[:, :, None, None],
                               jnp.zeros_like(g), g)
@@ -218,22 +232,40 @@ def encode_with_target_bitrate_batch(
         def nf_fn(scale_b, codes):
             delta = _quantize.step_size(_trial_threshold(scale_b))
             nfl = _nf.analyze(spectrum_q, codes, delta, nf_bs, deadzone=z,
-                              band_end=bwe_bs if bwe else None)
+                              band_end=bwe_bs if bwe else None,
+                              exclude=is_excl)
             if bs_flags_dev is not None:
                 nfl = jnp.where(bs_flags_dev[:, :, None],
                                 jnp.zeros_like(nfl), nfl)
             return nfl
 
+    is_fn = None
+    if intensity:
+
+        @jax.jit
+        def is_fn(scale_b, codes):
+            delta = _quantize.step_size(_trial_threshold(scale_b))
+            g = _intensity.analyze(spectrum_q, codes, delta, is_bs)
+            if bs_flags_dev is not None:
+                g = jnp.where(bs_flags_dev[:, :, None],
+                              jnp.zeros_like(g), g)
+            return g
+
     @jax.jit
     def quantize_trials(scales):
         """scales [K, B] -> codes [K, B, blocks, N, C]: every trial of the
         round in one device pass (vmap over the scale axis; each clip sees
-        its own column)."""
+        its own column). With intensity the forced side-band zeroing is
+        applied HERE — it is scale-independent, and the trial sizes must
+        measure the codes the container will actually ship."""
 
         def one(scale_b):
-            return _quantize.quantize(
+            codes = _quantize.quantize(
                 spectrum_q, _trial_threshold(scale_b), deadzone=z
             )[0]
+            if intensity:
+                codes = _intensity.force_codes(codes, is_bs, bs_flags_dev)
+            return codes
 
         return jax.vmap(one)(scales)
 
@@ -273,7 +305,7 @@ def encode_with_target_bitrate_batch(
             pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             target_kbps, tolerance, trials_per_round, log2_scale_range,
             dz_recon, tns_idx, tns_bs, nf_fn, nf_bs, bs_flags,
-            lufs_per_clip, bwe_fn, bwe_bs,
+            lufs_per_clip, bwe_fn, bwe_bs, is_fn, is_bs,
         )
     finally:
         pool.shutdown(wait=False)
@@ -283,9 +315,10 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             target_kbps, tolerance, trials_per_round, log2_scale_range,
             dz_recon=0.0, tns_idx=None, tns_band_start=0,
             nf_fn=None, nf_band_start=0, bs_flags=None,
-            lufs_per_clip=None, bwe_fn=None, bwe_band_start=0):
+            lufs_per_clip=None, bwe_fn=None, bwe_band_start=0,
+            is_fn=None, is_band_start=0):
     def _pack_one(codes_b, bark_b, scale, b, entropy="auto", nfl=None,
-                  bweg=None):
+                  bweg=None, isg=None):
         return _bitstream.pack(
             codes_b, bark_b, threshold_scale=scale, entropy=entropy,
             dz_recon=dz_recon,
@@ -296,6 +329,8 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             bs_flags=None if bs_flags is None else bs_flags[b : b + 1],
             bwe_gains=None if bweg is None else bweg[b : b + 1],
             bwe_start=bwe_band_start,
+            is_gains=None if isg is None else isg[b : b + 1],
+            is_start=is_band_start,
             lufs=None if lufs_per_clip is None else lufs_per_clip[b],
             **meta
         )
@@ -323,6 +358,11 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             gains = np.asarray(
                 jax.vmap(bwe_fn)(scales_dev.astype(dtype), codes_dev)
             )
+        igains = None
+        if is_fn is not None:
+            igains = np.asarray(
+                jax.vmap(is_fn)(scales_dev.astype(dtype), codes_dev)
+            )
         k_n = log2_scales.shape[0]
         pairs = [(k, b) for k in range(k_n) for b in range(batch)]
         packs = pool.map(
@@ -334,6 +374,7 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
                     kb[1],
                     entropy=trial_entropy,
                     bweg=None if gains is None else gains[kb[0]],
+                    isg=None if igains is None else igains[kb[0]],
                 )
             ),
             pairs,
@@ -396,6 +437,11 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
         win_gains = np.asarray(
             bwe_fn(jnp.asarray(win_scales, dtype), win_codes_dev)
         )
+    win_igains = None
+    if is_fn is not None:
+        win_igains = np.asarray(
+            is_fn(jnp.asarray(win_scales, dtype), win_codes_dev)
+        )
     final_packs = list(
         pool.map(
             lambda b: _pack_one(
@@ -405,6 +451,7 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
                 b,
                 nfl=nfl,
                 bweg=win_gains,
+                isg=win_igains,
             ),
             range(batch),
         )
@@ -424,6 +471,8 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             bs_flags=None if bs_flags is None else bs_flags[b : b + 1],
             bwe_gains=None if win_gains is None else win_gains[b : b + 1],
             bwe_start=bwe_band_start,
+            is_gains=None if win_igains is None else win_igains[b : b + 1],
+            is_start=is_band_start,
         )
         for b in range(batch)
     ]
@@ -444,6 +493,7 @@ def encode_with_target_bitrate(
     tmask: float = 0.0,
     bs: bool = False,
     bwe: bool = False,
+    intensity: bool = False,
     orig_samples: int = 0,
     lufs=None,
 ) -> RateControlResult:
@@ -473,6 +523,7 @@ def encode_with_target_bitrate(
         tmask=tmask,
         bs=bs,
         bwe=bwe,
+        intensity=intensity,
         orig_samples=orig_samples,
         lufs=lufs,
     )[0]

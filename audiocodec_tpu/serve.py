@@ -182,11 +182,12 @@ class CodecServer:
 
         @functools.partial(
             jax.jit,
-            static_argnames=("ms", "dzr", "tns_bs", "nf_bs", "bwe_start"),
+            static_argnames=("ms", "dzr", "tns_bs", "nf_bs", "bwe_start",
+                             "is_start"),
         )
         def _dec(c, codes, bark, tscale, ms=False, dzr=0.0,
                  tns=None, tns_bs=0, nfl=None, nf_bs=0, nf_seed=0,
-                 bsw=None, bweg=None, bwe_start=0):
+                 bsw=None, bweg=None, bwe_start=0, isg=None, is_start=0):
             # honor EVERY quantization-affecting field a container can
             # record (threshold scale, joint stereo, dead zone, TNS,
             # noise fill, block switching, bandwidth extension) —
@@ -200,6 +201,8 @@ class CodecServer:
                 nf_seed=nf_seed, bs_flags=bsw,
                 bwe_gains=bweg, bwe_start=bwe_start or None,
             )
+            if ms:
+                kw.update(is_gains=isg, is_start=is_start or None)
             if ms:
                 return c.decode_bitstream_ms(codes, bark, **kw)
             return c.decode_bitstream(codes, bark, **kw)
@@ -452,6 +455,7 @@ class CodecServer:
             nfl = meta["nf_levels"]
             bsw = meta.get("bs_flags")
             bweg = meta.get("bwe_gains")
+            isg = meta.get("is_gains")
             if bucket != frames:
                 pad = ((0, 0), (0, bucket - frames), (0, 0), (0, 0))
                 codes = np.pad(codes, pad)
@@ -466,6 +470,9 @@ class CodecServer:
                 if bweg is not None:
                     # pad gains are 0 = no fill on the zero-code pad rows
                     bweg = np.pad(bweg, pad)
+                if isg is not None:
+                    # pad gains are 0 = no fill on the zero-code pad rows
+                    isg = np.pad(isg, (pad[0], pad[1], pad[2]))
             wave = self._dec(
                 self._codec, jnp.asarray(codes),
                 jnp.asarray(bark, dtype=jnp.bfloat16),
@@ -481,6 +488,8 @@ class CodecServer:
                 bsw=None if bsw is None else jnp.asarray(bsw),
                 bweg=None if bweg is None else jnp.asarray(bweg),
                 bwe_start=meta.get("bwe_start", 0),
+                isg=None if isg is None else jnp.asarray(isg),
+                is_start=meta.get("is_start", 0),
             )
             n = self._codec.mdct.filters_n
             wave = np.asarray(wave.astype(jnp.float32))[
@@ -637,6 +646,9 @@ class _StreamSession:
             raise ValueError(f"tmask out of range: {self.tmask}")
         self.bs = bool(cfg.get("bs", False))
         self.bwe = bool(cfg.get("bwe", False))
+        self.intensity = bool(cfg.get("intensity", False))
+        if self.intensity and not self.ms:
+            raise ValueError("intensity stereo needs ms coding")
         self.cbr = bool(cfg.get("cbr", False))
         self._last_ts = self.tscale
         self._tctx = None
@@ -668,6 +680,7 @@ class _StreamSession:
             nf_seed=int(cfg.get("nf_seed", 0)),
             bs=self.bs,
             bwe_start=codec.bwe_start if self.bwe else 0,
+            is_start=codec.is_start if self.intensity else 0,
             sidecar_grid=codec.sidecar_grid,
             cbr=self.cbr,
         )
@@ -711,17 +724,19 @@ class _StreamSession:
             1, self._samples, self.channels
         )
         x = jnp.asarray(pcm, dtype=self._codec.mdct.compute_dtype)
-        (self._carry, self._tctx, codes, bark16, tns_idx, nfl,
-         bsw, gains) = self._step(
+        self._carry, self._tctx, enc = self._step(
             self._codec, self._carry, x, 0.0, ts, self.ms,
             self.deadzone, self.tns, self.nf, tmask=self.tmask,
             tmask_context=self._tctx, bs=self.bs, bwe=self.bwe,
+            intensity=self.intensity,
         )
         self._last_ts = ts
-        self._writer.append(codes, bark16, tns_idx, nfl,
+        self._writer.append(enc.codes, enc.bark16, enc.tns_idx,
+                            enc.nf_levels,
                             tscale=ts if self.cbr else None,
-                            bs_flags=bsw if self.bs else None,
-                            bwe_gains=gains if self.bwe else None)
+                            bs_flags=enc.bs_flags,
+                            bwe_gains=enc.bwe_gains,
+                            is_gains=enc.is_gains)
         return self.take_bytes()
 
     def finish(self) -> bytes:
@@ -731,12 +746,14 @@ class _StreamSession:
             self._codec, self._carry, 0.0, self._last_ts, self.ms,
             self.deadzone, self.tns, self.nf, tmask=self.tmask,
             tmask_context=self._tctx, bs=self.bs, bwe=self.bwe,
+            intensity=self.intensity,
         )
         self._writer.append(out.codes, out.bark16, out.tns_idx,
                             out.nf_levels,
                             tscale=self._last_ts if self.cbr else None,
                             bs_flags=out.bs_flags,
-                            bwe_gains=out.bwe_gains)
+                            bwe_gains=out.bwe_gains,
+                            is_gains=out.is_gains)
         self._writer.close()
         return self.take_bytes()
 
@@ -781,6 +798,8 @@ class _DecodeSession:
         )
         bwe_meta = meta.get("bwe")
         self._bwe_start = int(bwe_meta["start"]) if bwe_meta else 0
+        is_meta = meta.get("isf")
+        self._is_start = int(is_meta["start"]) if is_meta else 0
         self._frame_off = 0
         self._carry = _streaming.imdct_stream_init(
             codec.mdct, 1, self._ch
@@ -818,6 +837,7 @@ class _DecodeSession:
             put_opt(c.nfl), self._nf_bs, self._nf_seed, self._frame_off,
             bsw=put_opt(c.bsw), bwe=put_opt(c.bwe),
             bwe_start=self._bwe_start,
+            isg=put_opt(c.isg), is_start=self._is_start,
         )
         self._frame_off += c.codes.shape[0]
         return np.ascontiguousarray(

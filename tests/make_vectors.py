@@ -204,6 +204,23 @@ def main(only=None):
                                    threshold_scale=4.0)[0, N:-N]
     record("scq.acz", blob, out, np.asarray(enc.codes))
 
+    # 7. intensity stereo (pan-coded side band) on the default-grid codec
+    x2 = jnp.asarray(_signal(channels=2)[None])
+    enc = codec_g.encode_frames(codec_g.mdct.transform(x2),
+                                threshold_scale=2.0, ms=True,
+                                intensity=True)
+    blob = bitstream.pack(
+        np.asarray(enc.codes), np.asarray(enc.bark16), ms=True,
+        threshold_scale=2.0, sidecar_grid=codec_g.sidecar_grid,
+        is_gains=np.asarray(enc.is_gains), is_start=codec_g.is_start,
+        **meta_kw,
+    )
+    out = codec_g.decode_bitstream_ms(
+        enc.codes, enc.bark16, threshold_scale=2.0,
+        is_gains=enc.is_gains,
+    )[0, N:-N]
+    record("intensity.acz", blob, out, np.asarray(enc.codes))
+
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     print(f"wrote {len(only) if only else len(manifest)} vectors -> "

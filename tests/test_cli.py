@@ -97,12 +97,17 @@ class TestBitstream:
                 np.asarray(bark).view(np.uint16), err_msg=coder,
             )
         codes = rng.integers(-4, 4, size=(1, 60, 64, 1)).astype(np.int32)
+        # sidecar_grid=0 is the LEGACY-COMPAT wire: the raw-bf16 sidecar
+        # must ride only coders pre-scq decoders know (rrice2d postdates
+        # them) — the 2-D coder stays decode-supported for interim files
         blob = bitstream.pack(
             codes, bark, sample_rate=16000, filters_n=64,
             bark_bands_n=32, alpha=0.6, window_type="vorbis",
         )
         with np.load(_io.BytesIO(blob)) as z:
-            assert "bark_rrice2d" in z.files
+            names = z.files
+        assert "bark_rrice2d" not in names
+        assert any(n in names for n in ("bark_rice", "bark_rrice"))
         _, b2, _ = bitstream.unpack(blob)
         np.testing.assert_array_equal(
             np.asarray(b2).view(np.uint16),

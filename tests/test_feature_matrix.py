@@ -37,27 +37,31 @@ def _signal(channels):
 
 
 COMBOS = [
-    # (ms, bs, tns, nf, tmask, cbr)
-    (False, True, True, False, 0.0, False),
-    (False, True, False, True, 0.0, False),
-    (False, True, True, True, 400.0, False),
-    (True, True, False, False, 0.0, False),
-    (True, False, True, True, 400.0, False),
-    (True, True, True, True, 400.0, False),
-    (False, True, False, False, 0.0, True),
-    (True, True, True, False, 400.0, True),
+    # (ms, bs, tns, nf, tmask, cbr, intensity)
+    (False, True, True, False, 0.0, False, False),
+    (False, True, False, True, 0.0, False, False),
+    (False, True, True, True, 400.0, False, False),
+    (True, True, False, False, 0.0, False, False),
+    (True, False, True, True, 400.0, False, False),
+    (True, True, True, True, 400.0, False, False),
+    (False, True, False, False, 0.0, True, False),
+    (True, True, True, False, 400.0, True, False),
+    (True, False, False, False, 0.0, False, True),
+    (True, True, True, True, 400.0, False, True),
+    (True, True, False, True, 0.0, True, True),
 ]
 
 
-@pytest.mark.parametrize("ms,bs,tns,nf,tmask,cbr", COMBOS)
+@pytest.mark.parametrize("ms,bs,tns,nf,tmask,cbr,intensity", COMBOS)
 def test_stream_matches_monolithic(codec, tmp_path, ms, bs, tns, nf,
-                                   tmask, cbr):
+                                   tmask, cbr, intensity):
     x = _signal(2 if ms else 1)
     path = str(tmp_path / "m.acs")
     scales = [1.0, 2.0, 1.5, 4.0] if cbr else 1.0
     sc.encode_stream(
         codec, x, path, chunk_blocks=8, ms=ms, threshold_scale=scales,
         tns=tns, nf=nf, nf_seed=5, tmask=tmask, bs=bs,
+        intensity=intensity,
     )
     streamed = np.concatenate(
         [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
@@ -82,24 +86,27 @@ def test_stream_matches_monolithic(codec, tmp_path, ms, bs, tns, nf,
 
     frames = codec.mdct.transform(x)
     enc = codec.encode_frames(frames, ms=ms, tns=tns, nf=nf,
-                              tmask=tmask, bs=bs)
+                              tmask=tmask, bs=bs, intensity=intensity)
     kw = dict(tns_idx=enc.tns_idx, nf_levels=enc.nf_levels, nf_seed=5,
               bs_flags=enc.bs_flags)
     if ms:
-        mono = codec.decode_bitstream_ms(enc.codes, enc.bark16, **kw)
+        mono = codec.decode_bitstream_ms(enc.codes, enc.bark16,
+                                         is_gains=enc.is_gains, **kw)
     else:
         mono = codec.decode_bitstream(enc.codes, enc.bark16, **kw)
     np.testing.assert_allclose(streamed, np.asarray(mono), atol=1e-5)
 
 
-@pytest.mark.parametrize("ms,bs,tns,nf,tmask,cbr", COMBOS[:6])
-def test_seek_agrees(codec, tmp_path, ms, bs, tns, nf, tmask, cbr):
+@pytest.mark.parametrize("ms,bs,tns,nf,tmask,cbr,intensity",
+                         COMBOS[:6] + COMBOS[8:10])
+def test_seek_agrees(codec, tmp_path, ms, bs, tns, nf, tmask, cbr,
+                     intensity):
     """Mid-stream entry reproduces the full decode for every combo."""
     x = _signal(2 if ms else 1)
     path = str(tmp_path / "s.acs")
     sc.encode_stream(
         codec, x, path, chunk_blocks=8, ms=ms, tns=tns, nf=nf,
-        nf_seed=5, tmask=tmask, bs=bs,
+        nf_seed=5, tmask=tmask, bs=bs, intensity=intensity,
     )
     full = np.concatenate(
         [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1

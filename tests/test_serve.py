@@ -273,6 +273,35 @@ class TestStreamingSessions:
                          nf=True)
         assert streamed == open(offline, "rb").read()
 
+    def test_session_intensity_bytes_equal_offline(self, codec, server,
+                                                   tmp_path):
+        """An intensity-stereo session reproduces the offline .acs
+        byte-for-byte (the per-chunk image gains included)."""
+        from audiocodec_tpu.io import stream_container as sc
+
+        rng = np.random.default_rng(33)
+        chunks = 3
+        t = np.arange(chunks * 8 * N) / SR
+        mono = 0.3 * np.sin(2 * np.pi * 6500 * t) + 0.05 * (
+            rng.standard_normal(t.size)
+        )
+        x = np.stack([mono, 0.3 * mono], axis=-1).astype(
+            np.float32
+        )[None]
+        parts = []
+        with serve.Client(port=server.port) as c:
+            parts.append(c.begin_stream(channels=2, chunk_blocks=8,
+                                        ms=True, intensity=True))
+            for k in range(chunks):
+                parts.append(c.feed(x[0, k * 8 * N : (k + 1) * 8 * N]))
+            parts.append(c.finish_stream())
+        streamed = b"".join(parts)
+
+        offline = str(tmp_path / "offis.acs")
+        sc.encode_stream(codec, jnp.asarray(x), offline, chunk_blocks=8,
+                         ms=True, intensity=True)
+        assert streamed == open(offline, "rb").read()
+
     def test_session_tmask_bytes_equal_offline(self, codec, server,
                                                tmp_path):
         """The session's rolling temporal-masking context reproduces the

@@ -123,6 +123,23 @@ class TestVectors:
         )[0, N:-N]
         _check("scq.acz", codes, out, manifest)
 
+    def test_intensity(self, codec, manifest):
+        import jax.numpy as jnp
+
+        codes, bark, meta = bitstream.load(
+            os.path.join(VEC_DIR, "intensity.acz")
+        )
+        assert meta["is_gains"] is not None
+        assert meta["is_start"] == codec.is_start
+        assert (codes[..., codec.is_start:, 1] == 0).all()
+        out = codec.decode_bitstream_ms(
+            jnp.asarray(codes), jnp.asarray(bark, jnp.bfloat16),
+            threshold_scale=meta["threshold_scale"],
+            is_gains=jnp.asarray(meta["is_gains"]),
+            is_start=meta["is_start"],
+        )[0, N:-N]
+        _check("intensity.acz", codes, out, manifest)
+
     def test_bwe(self, codec, manifest):
         import jax.numpy as jnp
 
