@@ -39,14 +39,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audiocodec_tpu.utils import dtypes as _dtypes
+
 # Bins per transmitted gain group. Coarser groups halve the side-info
 # rate but smear the envelope across ~690 Hz (at 44.1 kHz, N=1024);
 # 16 bins ~ the ERB scale's resolution in the replicated range.
 GROUP = 16
 
 # Gains are log-coded: level 0 = no fill, else the amplitude ratio is
-# g = 2^((level - BIAS) / K). K=4 gives a 1.5 dB grid spanning ~+-32 dB
-# — envelope resolution far inside what hearing resolves at 10+ kHz,
+# g = 2^((level - BIAS) / K). K=4 gives 1.5 dB (amplitude) steps over
+# a +-191 dB representable span (in practice the per-bin FILL_CLAMP,
+# not the grid, bounds the fill) — envelope resolution far inside
+# what hearing resolves at 10+ kHz,
 # and the coarse grid is what makes the member compress: measured vs
 # the K=16 grid it deflates ~30% smaller at a fill-energy match that
 # moved from 0.998 to 1.002 of the lost energy (i.e., not at all).
@@ -110,9 +114,8 @@ def gain_to_amp(gains: jax.Array, dtype) -> jax.Array:
 
 
 def _work_dtype(spec: jax.Array):
-    # gain math in f32 (it only steers a uint8 wire value), except f64
-    # pipelines stay f64 so the x64 test configuration never narrows
-    return jnp.float64 if spec.dtype == jnp.float64 else jnp.float32
+    # ONE shared definition across nf/bwe/intensity (utils.dtypes)
+    return _dtypes.sidecar_work_dtype(spec)
 
 
 def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
@@ -160,7 +163,7 @@ def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
     e_src = group_sum(jnp.square(src) * zero)
     g = jnp.sqrt(e_lost / jnp.maximum(e_src, 1e-30))
     level = jnp.round(LEVEL_BIAS + LEVEL_K * jnp.log2(jnp.maximum(g, 1e-30)))
-    # a source group far under the lost energy (past the grid's ~+32 dB
+    # a source group far under the lost energy (past the grid's +191 dB
     # ceiling) carries no structure worth amplifying (and the wire
     # can't code the gain); silent sources (e_src ~ 0) fall out here too
     level = jnp.where(

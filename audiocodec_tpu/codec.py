@@ -318,8 +318,16 @@ class Codec:
                                nf_seed, nf_frame_offset, band_end=bst,
                                exclude=excl)
         if is_gains is not None:
+            # with bwe active the fill scales the bwe-reconstructed mid
+            # — the exact reference the encoder projected onto
+            mid_ref = None
+            if bwe_gains is not None:
+                mid_ref = _intensity.mid_reference(
+                    codes, delta, self.mdct.compute_dtype,
+                    bwe_gains=bwe_gains, bwe_start=bst, exclude=excl,
+                )
             spec_ms = _intensity.fill(spec_ms, codes, delta, is_gains,
-                                      ist)
+                                      ist, mid_ref=mid_ref)
         if bs_flags is not None:
             spec_ms = _blockswitch.merge_spectrum(spec_ms, bs_flags)
         if tns_idx is not None:
@@ -480,9 +488,6 @@ class Codec:
             is dropped above the crossover — an explicit low-rate
             trade. nf/bwe exclude the owned region on both sides.
         """
-        if intensity and not ms:
-            raise ValueError("intensity stereo requires ms=True (it "
-                             "codes the mid/side layout)")
         spec_q, bark16, threshold, bs_flags = self.analyze_for_quantization(
             frames, drown, ms=ms, tmask=tmask,
             tmask_context=tmask_context, bs=bs,
@@ -497,11 +502,7 @@ class Codec:
                                           deadzone=deadzone)
         excl = None
         if intensity:
-            codes = _intensity.force_codes(codes, self.is_start,
-                                           bs_flags)
-            excl = jnp.asarray(
-                _intensity.owned_mask(self.mdct.filters_n, self.is_start)
-            )
+            codes, excl = self._intensity_force(codes, bs_flags, ms)
         out = (codes, bark16)
         if nf:
             nfl = _nf.analyze(spec_q, codes, delta, self.nf_band_start,
@@ -520,13 +521,10 @@ class Codec:
                                   jnp.zeros_like(gains), gains)
             out = out + (gains,)
         if intensity:
-            isg = _intensity.analyze(spec_q, codes, delta, self.is_start)
-            if bs:
-                # short frames kept their side codes (force_codes) and
-                # the split basis has no frequency axis — no gains
-                isg = jnp.where(bs_flags[:, :, None],
-                                jnp.zeros_like(isg), isg)
-            out = out + (isg,)
+            out = out + (self._intensity_gains(
+                spec_q, codes, delta, bs_flags,
+                bwe_gains=gains if bwe else None, excl=excl,
+            ),)
         if bs:
             out = out + (bs_flags,)
         return out
@@ -587,6 +585,40 @@ class Codec:
             self.mdct.filters_n, self.psycho.sample_rate
         )
 
+    def _intensity_force(self, codes, bs_flags, ms):
+        """The ONE encoder-side intensity setup (shared by both
+        quantize paths and rate.py): force the owned side band's codes
+        to zero and build the nf/bwe exclusion mask."""
+        if not ms:
+            raise ValueError("intensity stereo requires ms=True (it "
+                             "codes the mid/side layout)")
+        codes = _intensity.force_codes(codes, self.is_start, bs_flags)
+        excl = jnp.asarray(
+            _intensity.owned_mask(self.mdct.filters_n, self.is_start)
+        )
+        return codes, excl
+
+    def _intensity_gains(self, spec, codes, delta, bs_flags,
+                         bwe_gains=None, excl=None):
+        """Encoder-side image gains; with bwe active the projection
+        reference is the bwe-reconstructed mid (intensity.mid_reference
+        — otherwise the top band's image would collapse to center)."""
+        mid_ref = None
+        if bwe_gains is not None:
+            mid_ref = _intensity.mid_reference(
+                codes, delta, self.mdct.compute_dtype,
+                bwe_gains=bwe_gains, bwe_start=self.bwe_start,
+                exclude=excl,
+            )
+        isg = _intensity.analyze(spec, codes, delta, self.is_start,
+                                 mid_ref=mid_ref)
+        if bs_flags is not None:
+            # short frames kept their side codes (force_codes) and the
+            # split basis has no frequency axis — no gains
+            isg = jnp.where(bs_flags[:, :, None],
+                            jnp.zeros_like(isg), isg)
+        return isg
+
     def quantize_frames_tns(self, frames: jax.Array, drown=0.0,
                             threshold_scale=1.0, ms: bool = False,
                             deadzone: float = 0.5, nf: bool = False,
@@ -614,9 +646,6 @@ class Codec:
             BEFORE inverse filtering, so the fill noise gets the frame's
             time envelope too — exactly the AAC ordering).
         """
-        if intensity and not ms:
-            raise ValueError("intensity stereo requires ms=True (it "
-                             "codes the mid/side layout)")
         spec_q, bark16, threshold, bs_flags = self.analyze_for_quantization(
             frames, drown, ms=ms, tmask=tmask,
             tmask_context=tmask_context, bs=bs,
@@ -642,11 +671,7 @@ class Codec:
                                           deadzone=deadzone)
         excl = None
         if intensity:
-            codes = _intensity.force_codes(codes, self.is_start,
-                                           bs_flags)
-            excl = jnp.asarray(
-                _intensity.owned_mask(self.mdct.filters_n, self.is_start)
-            )
+            codes, excl = self._intensity_force(codes, bs_flags, ms)
         out = (codes, bark16, tns_idx)
         if nf:
             nfl = _nf.analyze(spec_f, codes, delta, self.nf_band_start,
@@ -669,11 +694,10 @@ class Codec:
         if intensity:
             # analyzed in the TNS-filtered domain too (the decoder
             # rebuilds the side there, before its inverse filter)
-            isg = _intensity.analyze(spec_f, codes, delta, self.is_start)
-            if bs:
-                isg = jnp.where(bs_flags[:, :, None],
-                                jnp.zeros_like(isg), isg)
-            out = out + (isg,)
+            out = out + (self._intensity_gains(
+                spec_f, codes, delta, bs_flags,
+                bwe_gains=gains if bwe else None, excl=excl,
+            ),)
         if bs:
             out = out + (bs_flags,)
         return out

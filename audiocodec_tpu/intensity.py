@@ -28,9 +28,10 @@ data-dependent shapes.
 
 Wire format: uint8 per (frame, group) — one channel's worth. 0 = no
 fill (silent or image-dust groups); otherwise bit 7 is the projection
-SIGN and bits 0-6 a 1.5 dB log magnitude grid spanning [-65, +29] dB
-around unity (hard pans sit at 0 dB; the ceiling bounds what a corrupt
-container can inject). Gains are a pure per-frame function of
+SIGN and bits 0-6 a 1.5 dB log magnitude grid whose usable span is
+[-131, +18] dB around unity (hard pans sit at 0 dB; levels past
+LEVEL_MAX decode as the GAIN_CEIL = 8x ceiling, bounding what a
+corrupt container can inject). Gains are a pure per-frame function of
 (codes, delta, spectrum), so chunked .acs decodes, seeks, and
 monolithic .acz decodes reconstruct bit-identical waveforms with no
 carried state.
@@ -52,18 +53,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audiocodec_tpu.utils import dtypes as _dtypes
+
 # Bins per transmitted gain group — matches bwe.GROUP: ~690 Hz at
 # 44.1 kHz/N=1024, inside the ERB resolution of the coded range.
 GROUP = 16
 
 # Log grid for the gain MAGNITUDE: |g| = 2^((level - BIAS) / K), K=4 ->
-# 1.5 dB steps. BIAS=88 centers the 7-bit span on the gains panning
-# actually produces (|side/mid| <= 1 for in-phase pans): levels 1..127
-# cover [-65 dB, +29 dB] around unity — floor well under image
-# audibility, ceiling high enough for side-dominant groups while
-# bounding what a corrupt container can inject.
+# 1.5 dB (amplitude) steps. BIAS=88 centers the 7-bit span on the
+# gains panning actually produces (|side/mid| <= 1 for in-phase pans):
+# the usable levels 1..LEVEL_MAX cover [-131, +18] dB around unity —
+# floor far under image audibility, ceiling GAIN_CEIL = 8x. The
+# ceiling is a FORMAT rule enforced on the fill too: legitimate
+# projections sit within a few dB of unity, so capping at +18 dB
+# bounds what a corrupt (CRC-evading) container can inject while
+# costing nothing real. Levels above LEVEL_MAX decode as the ceiling.
 LEVEL_K = 4.0
 LEVEL_BIAS = 88.0
+GAIN_CEIL = 8.0
+LEVEL_MAX = int(LEVEL_BIAS + LEVEL_K * np.log2(GAIN_CEIL))  # = 100
 _SIGN_BIT = 128
 
 
@@ -118,21 +126,43 @@ def force_codes(codes: jax.Array, start: int,
     return jnp.where(keep, codes, 0)
 
 
+def mid_reference(codes: jax.Array, delta: jax.Array, dtype,
+                  bwe_gains: jax.Array | None = None,
+                  bwe_start: int = 0,
+                  exclude: jax.Array | None = None) -> jax.Array:
+    """The full-band MID spectrum both sides project onto / scale:
+    the plain ``codes * delta`` product, with the bwe reconstruction
+    applied when bandwidth extension is active — everything here is
+    deterministic from wire data (no dead-zone offset, no fill noise),
+    so encoder and decoder derive it bit-identically. Without the bwe
+    term the mid is ~0 above the bwe crossover exactly where bwe
+    rebuilds it, and the top band's image would collapse to center.
+
+    :return: [B, F, N] mid reconstruction.
+    """
+    _check_stereo(codes)
+    plain = codes.astype(dtype) * delta.astype(dtype)
+    if bwe_gains is not None:
+        from audiocodec_tpu import bwe as _bwe
+
+        plain = _bwe.fill(plain, codes, delta, bwe_gains, bwe_start,
+                          exclude=exclude)
+    return plain[..., 0]
+
+
 def gain_to_amp(gains: jax.Array, dtype) -> jax.Array:
-    """uint8 wire gains -> signed linear amplitude (0 stays 0)."""
+    """uint8 wire gains -> signed linear amplitude (0 stays 0).
+
+    Magnitude levels above LEVEL_MAX decode as GAIN_CEIL — the format's
+    injection bound (see the grid comment)."""
     g = gains.astype(jnp.int32)
+    lvl = jnp.minimum(g & (_SIGN_BIT - 1), LEVEL_MAX)
     mag = jnp.exp2(
-        ((g & (_SIGN_BIT - 1)).astype(dtype) - dtype.type(LEVEL_BIAS))
+        (lvl.astype(dtype) - dtype.type(LEVEL_BIAS))
         / dtype.type(LEVEL_K)
     )
     sign = jnp.where(g >= _SIGN_BIT, dtype.type(-1.0), dtype.type(1.0))
     return jnp.where(g > 0, sign * mag, dtype.type(0.0))
-
-
-def _work_dtype(spec: jax.Array):
-    # gain math in f32 (it only steers a uint8 wire value), except f64
-    # pipelines stay f64 so the x64 test configuration never narrows
-    return jnp.float64 if spec.dtype == jnp.float64 else jnp.float32
 
 
 def _check_stereo(spec: jax.Array) -> None:
@@ -144,21 +174,21 @@ def _check_stereo(spec: jax.Array) -> None:
 
 
 def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
-            start: int) -> jax.Array:
+            start: int, mid_ref: jax.Array | None = None) -> jax.Array:
     """Per-(frame, group) signed image gain of the dropped side band.
 
     The gain is the least-squares projection of the side spectrum onto
-    the decoder's plain ``codes * delta`` mid reconstruction:
-    g = sum(side * mid_hat) / sum(mid_hat^2) over the group's ZERO-coded
-    side bins — after :func:`force_codes` that is the whole group, and
-    on unforced (short block-switch) frames the projection naturally
-    restricts to genuinely-zero bins whose gains are zeroed by the
-    caller anyway. Projection, not energy matching: it restores the
-    CORRELATED image component exactly (pan and polarity) and sends
-    decorrelated residue to ~0 instead of painting it as a false image
-    (measured: proj keeps side-band correlation at 0.993-0.994 where
-    energy matching reads 0.991-0.992 with a 2% energy overshoot).
-    Groups whose mid is (near) silent transmit 0: nothing to pan.
+    the decoder's mid reconstruction: g = sum(side * mid_hat) /
+    sum(mid_hat^2) over the group's ZERO-coded side bins — after
+    :func:`force_codes` that is the whole group, and on unforced
+    (short block-switch) frames the projection naturally restricts to
+    genuinely-zero bins whose gains are zeroed by the caller anyway.
+    Projection, not energy matching: it restores the CORRELATED image
+    component exactly (pan and polarity) and sends decorrelated
+    residue to ~0 instead of painting it as a false image (measured:
+    proj keeps side-band correlation at 0.993-0.994 where energy
+    matching reads 0.991-0.992 with a 2% energy overshoot). Groups
+    whose mid is (near) silent transmit 0: nothing to pan.
 
     :param spec: the mid/side spectrum the quantizer saw (post
         rotation, post TNS filter) [B, frames, N, 2] — NOT
@@ -166,12 +196,23 @@ def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
     :param codes: the integer codes — AFTER :func:`force_codes`.
     :param delta: the step sizes quantize() used.
     :param start: first owned bin (validate_start-legal).
+    :param mid_ref: the mid spectrum the DECODER will scale, full-band
+        [B, frames, N]. None = the plain ``codes * delta`` mid. With
+        bandwidth extension active both sides MUST pass the
+        bwe-reconstructed mid instead (see Codec._intensity_mid_ref):
+        above the bwe crossover the plain mid is ~0 exactly where bwe
+        rebuilds it, so projecting onto the plain mid would transmit 0
+        and the decoder's fill would write gain*0 — the top band's
+        image would silently collapse to center.
     :return: uint8 [B, frames, n_groups] wire gains.
     """
     _check_stereo(spec)
     validate_start(spec.shape[-2], start)
-    wdt = _work_dtype(spec)
-    mid_hat = (codes.astype(wdt) * delta.astype(wdt))[..., start:, 0]
+    wdt = _dtypes.sidecar_work_dtype(spec)
+    if mid_ref is None:
+        mid_hat = (codes.astype(wdt) * delta.astype(wdt))[..., start:, 0]
+    else:
+        mid_hat = mid_ref.astype(wdt)[..., start:]
     side = spec[..., start:, 1].astype(wdt)
     zero = (codes[..., start:, 1] == 0).astype(wdt)
 
@@ -186,8 +227,8 @@ def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
     level = jnp.round(
         LEVEL_BIAS + LEVEL_K * jnp.log2(jnp.maximum(mag, 1e-30))
     )
-    level = jnp.clip(level, 1, _SIGN_BIT - 1)
-    # below the grid floor (-65 dB re the mid) the projection is image
+    level = jnp.clip(level, 1, LEVEL_MAX)
+    # below the grid floor (-131 dB re the mid) the projection is image
     # dust, not placement — transmit 0; silent mids (den ~ 0) fall out
     # here too
     level = jnp.where(
@@ -199,15 +240,16 @@ def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,
 
 
 def fill(spec: jax.Array, codes: jax.Array, delta: jax.Array,
-         gains: jax.Array, start: int) -> jax.Array:
+         gains: jax.Array, start: int,
+         mid_ref: jax.Array | None = None) -> jax.Array:
     """Decoder: every zero-coded side bin at/above ``start`` becomes
-    its group gain times the plain ``codes * delta`` reconstruction of
-    the MID at the same bin. No per-bin delta clamp, deliberately:
-    unlike nf/bwe hole filling, the dropped bins held REAL content well
-    above their step size — clamping at delta collapses the rebuilt
-    image to numerical dust (measured: side-band energy 0.016 of the
-    original with the clamp, 1.017 without). The grid ceiling (+29 dB)
-    bounds the fill instead.
+    its group gain times the mid reconstruction at the same bin. No
+    per-bin delta clamp, deliberately: unlike nf/bwe hole filling, the
+    dropped bins held REAL content well above their step size —
+    clamping at delta collapses the rebuilt image to numerical dust
+    (measured: side-band energy 0.016 of the original with the clamp,
+    1.017 without). The grid ceiling (GAIN_CEIL = 8x) bounds the fill
+    instead.
 
     :param spec: dequantized mid/side spectrum [B, F, N, 2] (before the
         TNS inverse filter and the stereo derotation — the fill happens
@@ -215,13 +257,19 @@ def fill(spec: jax.Array, codes: jax.Array, delta: jax.Array,
         nf.fill / bwe.fill).
     :param gains: uint8 [B, F, n_groups] from :func:`analyze` (the
         container's ``isg`` member).
+    :param mid_ref: the mid spectrum to scale, full-band [B, F, N];
+        None = the plain ``codes * delta`` mid. Must MATCH what the
+        encoder's analyze() projected onto — with bandwidth extension
+        active both sides pass the bwe-reconstructed mid (see analyze).
     :return: spectrum with the side image rebuilt, same shape/dtype.
     """
     _check_stereo(spec)
     validate_start(spec.shape[-2], start)
-    mid_hat = (codes.astype(spec.dtype) * delta.astype(spec.dtype))[
-        ..., start:, 0
-    ]
+    if mid_ref is None:
+        mid_hat = (codes.astype(spec.dtype)
+                   * delta.astype(spec.dtype))[..., start:, 0]
+    else:
+        mid_hat = mid_ref.astype(spec.dtype)[..., start:]
     amp = gain_to_amp(gains, spec.dtype)  # [B, F, G]
     amp = jnp.repeat(amp, GROUP, axis=-1)  # [B, F, W]
     hole = codes[..., start:, 1] == 0

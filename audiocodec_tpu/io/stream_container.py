@@ -1472,8 +1472,18 @@ def _dequant_frames(codec, codes, bark, tscale, ms, dzr=0.0,
     if isg is not None:
         from audiocodec_tpu import intensity as _is_mod
 
+        # with bwe active the fill scales the bwe-reconstructed mid —
+        # the exact reference the encoder projected onto
+        mid_ref = None
+        if bwe is not None:
+            mid_ref = _is_mod.mid_reference(
+                codes, delta, dtype,
+                bwe_gains=jnp.asarray(bwe)[None], bwe_start=bwe_start,
+                exclude=excl,
+            )
         spec = _is_mod.fill(
-            spec, codes, delta, jnp.asarray(isg)[None], is_start
+            spec, codes, delta, jnp.asarray(isg)[None], is_start,
+            mid_ref=mid_ref,
         )
     if bsw is not None:
         from audiocodec_tpu import blockswitch as _bs_mod

@@ -35,6 +35,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from audiocodec_tpu.utils import dtypes as _dtypes
+
 # Levels are log-coded: level 0 = no fill, else the noise half-width in
 # units of the bin's step size is a = 2^((level - LEVEL_BIAS) / LEVEL_K).
 # The RATIO a spans ~15 octaves in practice (at mild scales holes sit
@@ -79,9 +81,8 @@ def _check_band(band_start: int, band_end: int) -> None:
 
 
 def _work_dtype(spec: jax.Array):
-    # level math in f32 (it only steers an int8 wire value), except f64
-    # pipelines stay f64 so the x64 test configuration never narrows
-    return jnp.float64 if spec.dtype == jnp.float64 else jnp.float32
+    # ONE shared definition across nf/bwe/intensity (utils.dtypes)
+    return _dtypes.sidecar_work_dtype(spec)
 
 
 def analyze(spec: jax.Array, codes: jax.Array, delta: jax.Array,

@@ -245,7 +245,17 @@ def encode_with_target_bitrate_batch(
         @jax.jit
         def is_fn(scale_b, codes):
             delta = _quantize.step_size(_trial_threshold(scale_b))
-            g = _intensity.analyze(spectrum_q, codes, delta, is_bs)
+            mid_ref = None
+            if bwe:
+                # project onto the bwe-reconstructed mid, exactly as
+                # the shipped encode will (codec._intensity_gains)
+                mid_ref = _intensity.mid_reference(
+                    codes, delta, dtype,
+                    bwe_gains=bwe_fn(scale_b, codes),
+                    bwe_start=bwe_bs, exclude=is_excl,
+                )
+            g = _intensity.analyze(spectrum_q, codes, delta, is_bs,
+                                   mid_ref=mid_ref)
             if bs_flags_dev is not None:
                 g = jnp.where(bs_flags_dev[:, :, None],
                               jnp.zeros_like(g), g)

@@ -202,9 +202,10 @@ class CodecServer:
                 bwe_gains=bweg, bwe_start=bwe_start or None,
             )
             if ms:
-                kw.update(is_gains=isg, is_start=is_start or None)
-            if ms:
-                return c.decode_bitstream_ms(codes, bark, **kw)
+                return c.decode_bitstream_ms(
+                    codes, bark, is_gains=isg,
+                    is_start=is_start or None, **kw
+                )
             return c.decode_bitstream(codes, bark, **kw)
 
         self._enc, self._dec = _enc, _dec

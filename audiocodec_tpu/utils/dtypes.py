@@ -61,3 +61,12 @@ def check_input_dtype(x: jax.Array, compute_dtype, what: str = "input") -> None:
 def scalar(value: float, dtype) -> np.ndarray:
     """A 0-d numpy constant in the given dtype (host-side, trace-friendly)."""
     return np.asarray(value, dtype=jnp.dtype(dtype))
+
+
+def sidecar_work_dtype(spec: jax.Array):
+    """Work dtype for sidecar-steering math (nf/bwe/intensity gain
+    analysis): f32 — it only picks a uint8 wire value — except f64
+    pipelines stay f64 so the x64 test configuration never narrows.
+    ONE definition: the three coded-path modules must agree, or their
+    encoder-side gains diverge between features."""
+    return jnp.float64 if spec.dtype == jnp.float64 else jnp.float32

@@ -57,10 +57,10 @@ class TestGrid:
             isx.validate_start(n, isx.default_start(n, sr))
 
     def test_gain_grid_round_trip_signed(self):
-        # every legal wire byte maps to a distinct signed amplitude,
+        # every usable wire byte maps to a distinct signed amplitude,
         # and the analyzer's quantization is its own fixed point
         for sign in (1.0, -1.0):
-            for lvl in (1, 40, 64, 88, 127):
+            for lvl in (1, 40, 64, 88, isx.LEVEL_MAX):
                 g = sign * 2.0 ** ((lvl - isx.LEVEL_BIAS) / isx.LEVEL_K)
                 byte = lvl + (128 if sign < 0 else 0)
                 amp = float(isx.gain_to_amp(
@@ -70,6 +70,15 @@ class TestGrid:
         assert float(isx.gain_to_amp(
             jnp.asarray([0], jnp.uint8), np.dtype(np.float32)
         )[0]) == 0.0
+
+    def test_gain_ceiling_bounds_injection(self):
+        # levels past LEVEL_MAX (never produced by analyze) decode as
+        # the GAIN_CEIL — a corrupt container cannot inject a blast
+        for byte in (isx.LEVEL_MAX + 1, 127, 127 + 128):
+            amp = float(isx.gain_to_amp(
+                jnp.asarray([byte], jnp.uint8), np.dtype(np.float32)
+            )[0])
+            assert abs(amp) == pytest.approx(isx.GAIN_CEIL, rel=1e-6)
 
     def test_owned_mask(self):
         m = isx.owned_mask(N, 128)
@@ -256,6 +265,53 @@ class TestCodecIntegration:
             (s_ref ** 2).sum() * (s_got ** 2).sum() + 1e-30
         )
         assert corr > 0.9  # the rebuilt image tracks the original
+
+    def test_bwe_composition_keeps_image_above_crossover(self, codec):
+        """With bwe active both sides project/scale the bwe-RECONSTRUCTED
+        mid: above bwe_start the plain codes*delta mid is ~0, and without
+        the shared reference the top band's image collapses to center."""
+        # panned tone ABOVE the bwe crossover; aggressive scale zeroes
+        # its codes so bwe must rebuild the mid there
+        sr = 44100
+        bstart = codec.bwe_start  # 176 for N=256 @ 44.1k
+        f_hi = (bstart + 24) * sr / (2 * N)
+        t = np.arange(N * 48) / sr
+        rng = np.random.default_rng(8)
+        base = sum(0.25 / k * np.sin(2 * np.pi * 1000 * k * t)
+                   for k in range(1, 9))
+        hi = 0.2 * np.sin(2 * np.pi * f_hi * t)
+        L = (base + 1.0 * hi + 0.01 * rng.standard_normal(t.size))
+        R = (base + 0.25 * hi + 0.01 * rng.standard_normal(t.size))
+        x = jnp.asarray(np.stack([L, R], -1).astype(np.float32)[None])
+        frames = codec.mdct.transform(x)
+        enc = codec.encode_frames(frames, threshold_scale=24.0, ms=True,
+                                  bwe=True, intensity=True)
+        # the high tone's codes must actually be zeroed for this test
+        # to exercise the composition
+        hi_bin = bstart + 24
+        assert (np.asarray(enc.codes)[..., hi_bin - 2 : hi_bin + 3, :]
+                == 0).any()
+        y = codec.decode_bitstream_ms(
+            enc.codes, enc.bark16, threshold_scale=24.0,
+            bwe_gains=enc.bwe_gains, is_gains=enc.is_gains,
+        )
+        yn = np.asarray(y)[:, N:-N]
+        ref = np.asarray(x)[:, : yn.shape[1]]
+
+        def side_top(w):
+            f = codec.mdct.transform(jnp.asarray(w.astype(np.float32)))
+            return np.asarray(codec.to_mid_side(f))[..., bstart:, 1]
+
+        s_ref = side_top(ref)
+        s_got = side_top(yn)
+        # the rebuilt top-band side must carry real, correlated energy
+        # (without the shared mid reference it measures ~0)
+        e = (s_got ** 2).sum() / ((s_ref ** 2).sum() + 1e-30)
+        corr = (s_ref * s_got).sum() / np.sqrt(
+            (s_ref ** 2).sum() * (s_got ** 2).sum() + 1e-30
+        )
+        assert e > 0.25
+        assert corr > 0.6
 
     def test_full_ladder_finite(self, codec, signal):
         frames = codec.mdct.transform(signal)
