@@ -1197,12 +1197,12 @@ _PRESETS = {
     "archive": {},
     "music": {"deadzone": "auto", "tns": True, "bs": True},
     "low": {"deadzone": "auto", "tns": True, "bs": True, "nf": True,
-            "tmask": 130.0, "bwe": True},
+            "tmask": 130.0, "bwe": True, "intensity": True},
 }
 
 _PRESET_DEFAULTS = {
     "deadzone": "auto", "tns": False, "bs": False, "nf": False,
-    "tmask": 0.0, "bwe": False,
+    "tmask": 0.0, "bwe": False, "intensity": False,
 }
 
 
@@ -1219,6 +1219,11 @@ def _apply_preset(args, parser) -> None:
         return
     for attr, value in _PRESETS[preset].items():
         if not hasattr(args, attr):
+            continue
+        if attr == "intensity" and not getattr(args, "ms", False):
+            # intensity requires the mid/side layout: the preset only
+            # turns it on for --ms encodes (an explicit --intensity on
+            # a mono input still fails loudly, as it should)
             continue
         if getattr(args, attr) == _PRESET_DEFAULTS[attr]:
             setattr(args, attr, value)
@@ -1325,7 +1330,9 @@ def main(argv=None) -> int:
                  "pre-echo + rate-adaptive ladder, QUALITY.md); 'low' = "
                  "music plus --nf --tmask 130 --bwe (for targets under "
                  "~64 kbps/channel: spectral-hole repair, post-masking "
-                 "bit savings, and high-band replication)",
+                 "bit savings, and high-band replication) — and with "
+                 "--ms also --intensity (pan-coded high band, "
+                 "STEREO.md)",
         )
         p.add_argument(
             "--tag-loudness", action="store_true",

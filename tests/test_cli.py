@@ -239,6 +239,16 @@ class TestCLI:
         assert args.tmask == 77.0  # user's explicit value preserved
         assert args.tns and args.bs and args.nf
 
+        # intensity rides the low preset only for --ms encodes (it
+        # needs the mid/side layout; mono presets must not error)
+        for ms, want in ((True, True), (False, False)):
+            a = type("A", (), dict(preset="low", deadzone="auto",
+                                   tns=False, bs=False, nf=False,
+                                   tmask=0.0, bwe=False, ms=ms,
+                                   intensity=False))()
+            m._apply_preset(a, None)
+            assert a.intensity == want
+
     def test_roundtrip_command(self, tmp_path, wav_file, capsys):
         wav_path, _, _ = wav_file
         rec = str(tmp_path / "rt.wav")
