@@ -633,14 +633,16 @@ class TestCorruptAcz:
         rng = np.random.default_rng(0)
         x = (0.2 * rng.standard_normal(8 * 64)).astype(np.float32)
         x[200:260] += 0.7
+        x2 = np.stack([x, 0.4 * x], axis=-1)  # every member needs ms
         enc = codec.encode_frames(
-            codec.mdct.transform(jnp.asarray(x[None, :, None])),
-            tns=True, nf=True, bs=True,
+            codec.mdct.transform(jnp.asarray(x2[None])),
+            ms=True, tns=True, nf=True, bs=True, bwe=True,
+            intensity=True,
         )
         valid = bitstream.pack(
             np.asarray(enc.codes), np.asarray(enc.bark16),
             sample_rate=16000, filters_n=64, bark_bands_n=16,
-            alpha=0.6, window_type="vorbis",
+            alpha=0.6, window_type="vorbis", ms=True,
             tns_idx=(None if enc.tns_idx is None
                      else np.asarray(enc.tns_idx)),
             tns_band_start=codec.tns_band_start,
@@ -648,6 +650,10 @@ class TestCorruptAcz:
                        else np.asarray(enc.nf_levels)),
             nf_band_start=codec.nf_band_start,
             bs_flags=np.asarray(enc.bs_flags),
+            bwe_gains=np.asarray(enc.bwe_gains),
+            bwe_start=codec.bwe_start,
+            is_gains=np.asarray(enc.is_gains),
+            is_start=codec.is_start,
             orig_samples=8 * 64,
         )
         outcomes = {"ok": 0, "valueerror": 0}
