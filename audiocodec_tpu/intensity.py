@@ -117,7 +117,23 @@ def force_codes(codes: jax.Array, start: int,
                 bs_flags: jax.Array | None = None) -> jax.Array:
     """Encoder-side: zero the side-channel codes at/above ``start``
     (the bits intensity replaces with gains). Short block-switch frames
-    keep their codes — see the module docstring."""
+    keep their codes — see the module docstring.
+
+    Measured dead end — per-group ADAPTIVE forcing (keep a group's
+    side codes when the mid can't explain them; wire-free, since the
+    decoder fills only zero bins): every gate tried re-spends the
+    feature's whole win. A correlation gate (rho^2 over the group)
+    keeps 90% of groups on the panned-mix scene (the ambience bed
+    dominates bin count) and packs LARGER than plain M/S once the
+    kept groups' noisy gains ride along (51.4 vs 48.8 kB, vs 41.4
+    forced); a coded-residual gate (unexplained fraction of the coded
+    side energy) fixes wideamb (side E 0.62 vs 0.03) but keeps 41% on
+    pannedmix for the same > plain-M/S size. The ambient groups of
+    the two scenes are locally indistinguishable — both code at +-1
+    relative to their own thresholds — so no local gate can separate
+    'width worth its bits' from 'masked dust'. Like per-band M/S
+    (DESIGN.md §15), the honest surface is the binary flag.
+    """
     _check_stereo(codes)
     validate_start(codes.shape[-2], start)
     keep = ~jnp.asarray(owned_mask(codes.shape[-2], start))
