@@ -585,3 +585,101 @@ class TestBlockSwitchTmaskOnHardware:
         # ~7.96 nominal: nf's structural SNR cost (DESIGN.md §12) plus
         # the wide dead zone, on a noisy-bed transient signal
         assert snr > 5.5
+
+
+class TestStereoToolsOnHardware:
+    """Intensity stereo + grid-quantized sidecar on compiled TPU
+    programs. The scq snap's f32 log2/round and the intensity
+    projection's reductions are the wire-steering math that interpret
+    mode executes as plain Python — only compiled execution proves the
+    fused programs, and the decode must agree with the CPU decoder
+    given the same wire data."""
+
+    @staticmethod
+    def _panned_signal():
+        rng = np.random.default_rng(9)
+        n = 1024 * 48
+        t = np.arange(n) / 44100
+        bass = 0.3 * np.sin(2 * np.pi * 220 * t)
+        lo = sum(0.2 / k * np.sin(2 * np.pi * 6100 * k * t)
+                 for k in (1, 2))
+        hi = 0.2 * np.sin(2 * np.pi * 12500 * t)
+        amb = 0.01 * rng.standard_normal((2, n))
+        L = bass + 1.0 * lo + 0.2 * hi + amb[0]
+        R = bass + 0.25 * lo + 0.9 * hi + amb[1]
+        return np.stack([L, R], axis=-1).astype(np.float32)
+
+    def test_intensity_wire_decodes_identically_on_cpu(self):
+        """Device-encoded (codes, sidecar levels, gains) must decode to
+        the same waveform on CPU within float-fusion tolerance — the
+        wire is the contract, not the backend."""
+        from audiocodec_tpu.codec import Codec
+
+        codec = Codec.create(44100, filters_n=1024, bark_bands_n=64)
+        x = jnp.asarray(self._panned_signal()[None])
+
+        @jax.jit
+        def enc(c, xx):
+            return c.encode_frames(
+                c.mdct.transform(xx), threshold_scale=8.0, ms=True,
+                nf=True, bwe=True, intensity=True,
+            )
+
+        e = enc(codec, x)
+        codes = np.asarray(e.codes)
+        bark = np.asarray(e.bark16)
+        nfl = np.asarray(e.nf_levels)
+        bweg = np.asarray(e.bwe_gains)
+        isg = np.asarray(e.is_gains)
+        # the forced side band is all-zero on the wire
+        assert (codes[..., codec.is_start :, 1] == 0).all()
+        assert (isg > 0).any()
+
+        @jax.jit
+        def dec(c, co, ba, nl, bg, ig):
+            return c.decode_bitstream_ms(
+                co, ba, threshold_scale=8.0, nf_levels=nl,
+                bwe_gains=bg, is_gains=ig,
+            )
+
+        dev = np.asarray(dec(codec, e.codes, e.bark16, e.nf_levels,
+                             e.bwe_gains, e.is_gains))
+        cpu_codec = Codec.create(
+            44100, filters_n=1024, bark_bands_n=64, use_pallas=False
+        )
+        cpu = np.asarray(
+            jax.jit(dec, backend="cpu")(
+                cpu_codec, codes, bark, nfl, bweg, isg
+            )
+        )
+        assert np.isfinite(dev).all()
+        err = np.abs(dev - cpu)
+        scale = np.abs(cpu).max()
+        assert err.max() <= 2e-4 * max(scale, 1.0), (
+            f"device and CPU decodes of the same wire diverge: "
+            f"max err {err.max():.3e} at signal scale {scale:.3f}"
+        )
+
+    def test_scq_levels_are_on_grid_and_decode_bit_exact(self):
+        """Device-snapped sidecars must contain ONLY grid-table values
+        (levels_from_bark16 raises otherwise) and reconstruct to the
+        identical bfloat16 bits through the shared table."""
+        from audiocodec_tpu import scq
+        from audiocodec_tpu.codec import Codec
+
+        codec = Codec.create(44100, filters_n=1024, bark_bands_n=64)
+        x = jnp.asarray(self._panned_signal()[None])
+
+        @jax.jit
+        def sidecar(c, xx):
+            return c.analyze_for_quantization(
+                c.mdct.transform(xx), ms=True
+            )[1]
+
+        bark16 = np.asarray(sidecar(codec, x))
+        lv = scq.levels_from_bark16(bark16, codec.sidecar_grid)
+        back = scq.bark16_from_levels(lv, codec.sidecar_grid,
+                                      bark16.shape)
+        np.testing.assert_array_equal(
+            np.asarray(back).view(np.uint16), bark16.view(np.uint16)
+        )
