@@ -283,10 +283,22 @@ def _inv_kernel(
     ).astype(out_dtype)
 
 
+def _roll_lanes(v, shift):
+    """pltpu.roll, routed through f32 for sub-32-bit dtypes: Mosaic's
+    tpu.dynamic_rotate is only implemented for 32-bit data (hardware
+    compile error observed on vector<...xbf16>), and the f32 round trip
+    is value-exact for bf16 (a pure widening)."""
+    if v.dtype.itemsize < 4:
+        return pltpu.roll(
+            v.astype(jnp.float32), shift=shift, axis=1
+        ).astype(v.dtype)
+    return pltpu.roll(v, shift=shift, axis=1)
+
+
 def _shift_right_z(v):
     """Lane shift by +1 with zero fill: out_j = v_{j-1}, out_0 = 0."""
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-    return jnp.where(lane == 0, 0.0, pltpu.roll(v, shift=1, axis=1))
+    return jnp.where(lane == 0, 0.0, _roll_lanes(v, 1))
 
 
 def _shift_left_z(v):
@@ -295,7 +307,7 @@ def _shift_left_z(v):
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
     return jnp.where(
         lane == v.shape[1] - 1, 0.0,
-        pltpu.roll(v, shift=v.shape[1] - 1, axis=1),
+        _roll_lanes(v, v.shape[1] - 1),
     )
 
 

@@ -140,12 +140,18 @@ def main():
                 return lambda: float(chain(yin))
 
             ls, ll = (2, 6) if args.quick else chain_lens
-            row[f"{label}_fwd_ms"] = round(
-                slope_timed(fwd_chain, ls, ll) * 1e3, 3
-            )
-            row[f"{label}_inv_ms"] = round(
-                slope_timed(inv_chain, ls, ll) * 1e3, 3
-            )
+            try:
+                row[f"{label}_fwd_ms"] = round(
+                    slope_timed(fwd_chain, ls, ll) * 1e3, 3
+                )
+                row[f"{label}_inv_ms"] = round(
+                    slope_timed(inv_chain, ls, ll) * 1e3, 3
+                )
+            except Exception as e:  # noqa: BLE001 — a Mosaic compile
+                # failure on one variant must not lose the other rows
+                row[f"{label}_error"] = str(e).split("\n")[0][:100]
+                row.pop(f"{label}_fwd_ms", None)
+                continue
         # accuracy of each kernel design vs the f32 XLA ground truth
         ref = np.asarray(
             MDCT.create(n, compute_dtype=jnp.float32).transform(
