@@ -170,10 +170,23 @@ class MDCT:
                 f"{pallas_kernel!r}"
             )
         if pallas_kernel == "auto":
-            # Both designs are exact; "auto" picks the measured winner per
-            # precision tier (docs/DESIGN.md §3). Until the radix kernels
-            # have hardware numbers, the single-matmul design stays.
-            pallas_kernel = "mono"
+            # Both designs are exact; "auto" picks the hardware-measured
+            # winner per precision tier AND block size (docs/DESIGN.md
+            # §3). The single-matmul design wins every COMPOSED config
+            # where it is eligible (round_trip_quantized, N=1024: mono
+            # beats radix at all four precision/dtype configs), so it
+            # stays the default inside its caps. The radix design's
+            # quarter-size residents extend kernel eligibility to
+            # HIGHEST N=2048 — measured 1.34x/1.06x vs XLA standalone
+            # where mono cannot compile — so "auto" falls through to
+            # radix there. At one-pass "default" precision the radix
+            # butterfly's extra VPU work loses (measured 0.67-0.97x vs
+            # XLA), so it never extends that tier.
+            mono_cap = 1024 if dct_precision == "highest" else 2048
+            if filters_n <= mono_cap or dct_precision == "default":
+                pallas_kernel = "mono"
+            else:
+                pallas_kernel = "radix"
         # Hardware eligibility: N a lane-friendly multiple of 256, capped
         # by measured Mosaic scoped-VMEM ceilings. "highest" caps at
         # N=1024: Mosaic internally decomposes the VMEM-resident f32
@@ -183,11 +196,17 @@ class MDCT:
         # plus Mosaic's tb-independent scoped overhead still demand
         # 114.3 MiB even at 32-row tiles, so 4096 stays on XLA. The radix
         # design's residents are a QUARTER of the mono bytes (two
-        # [N/2, N/2] matrices), which moves each ceiling up one size.
-        if pallas_kernel == "radix":
-            n_cap = 2048 if dct_precision == "highest" else 4096
-        else:
-            n_cap = 1024 if dct_precision == "highest" else 2048
+        # [N/2, N/2] matrices), which moves the HIGHEST ceiling to 2048.
+        # Radix caps at 2048 for every tier: at N=4096 'high' the
+        # forward measures a tie with XLA (2.34 vs 2.33 ms) and the
+        # INVERSE kernel crashes the hardware compiler (tpu_compile
+        # subprocess exit 1, reproducible 2026-08-19), so 4096 stays on
+        # XLA everywhere.
+        n_cap = (
+            2048
+            if (pallas_kernel == "radix" or dct_precision != "highest")
+            else 1024
+        )
         eligible = (
             filters_n % 256 == 0
             and filters_n <= n_cap
@@ -211,9 +230,10 @@ class MDCT:
             raise ValueError(
                 "use_pallas requires filters_n to be a multiple of 256 "
                 "(half-lane slicing at the 128-lane boundary) and <= "
-                f"{n_cap} (2048 for high/default precision; 1024 at "
-                "highest — the kernels' matrix residents exceed Mosaic's "
-                "scoped VMEM beyond these, measured), and a non-float64 "
+                f"{n_cap} (1024 at highest for the mono kernel, 2048 "
+                "otherwise — beyond these the matrix residents exceed "
+                "Mosaic's scoped VMEM or the compiler fails, measured on "
+                "hardware), and a non-float64 "
                 f"compute dtype; got filters_n={filters_n}, "
                 f"compute_dtype={dtype}, dct_precision={dct_precision!r}"
             )

@@ -117,16 +117,20 @@ variants = {
     ),
 }
 for name, fn in variants.items():
-    run = chain(fn, 4)
-    jax.block_until_ready(run(x))  # compile + warm
+    # slope-timed with chains long enough that the differenced time
+    # (~tens of ms) dwarfs tunnel-RTT fluctuation (a 4/12 split once
+    # measured a NEGATIVE baseline); best-of-3 on each length
     times = {}
-    for iters in (4, 12):
+    for iters in (16, 64):
         run_i = chain(fn, iters)
-        jax.block_until_ready(run_i(x))
-        t0 = time.perf_counter()
-        float(run_i(x).sum())
-        times[iters] = time.perf_counter() - t0
-    per_iter = (times[12] - times[4]) / 8
+        float(run_i(x).sum())  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run_i(x).sum())
+            best = min(best, time.perf_counter() - t0)
+        times[iters] = best
+    per_iter = (times[64] - times[16]) / 48
     thr = B * SECONDS / per_iter
     print(f"{name}: {per_iter*1e3:.2f} ms/encode, {thr:,.0f} audio-s/s")
 EOF

@@ -358,23 +358,50 @@ class TestRadixKernels:
         )
 
     def test_radix_only_sizes_eligible(self):
-        """The quarter-size residents move each precision tier's VMEM
-        ceiling up one block size: highest reaches 2048, high 4096."""
+        """The quarter-size residents move the HIGHEST VMEM ceiling to
+        2048 (the mono design caps at 1024 there). N=4096 is ineligible
+        for every kernel/tier: the radix forward measured a tie with XLA
+        there and the radix inverse crashes the hardware compiler
+        (mdct.py create comment, 2026-08-19)."""
         m = MDCT.create(
             2048, use_pallas=True, pallas_kernel="radix"
         )  # highest
         assert m.pfwd_mat.shape == (2, 1024, 1024)
-        m4 = MDCT.create(
-            4096, use_pallas=True, pallas_kernel="radix",
-            dct_precision="high",
-        )
-        assert m4.pfwd_mat.shape == (2, 2048, 2048)
+        with pytest.raises(ValueError, match="2048"):
+            MDCT.create(
+                4096, use_pallas=True, pallas_kernel="radix",
+                dct_precision="high",
+            )
         with pytest.raises(ValueError, match="2048"):
             MDCT.create(4096, use_pallas=True, pallas_kernel="radix")
 
     def test_bad_kernel_value_rejected(self):
         with pytest.raises(ValueError, match="pallas_kernel"):
             MDCT.create(256, use_pallas=True, pallas_kernel="fft")
+
+    def test_kernel_auto_resolution_table(self):
+        """pallas_kernel='auto' resolves to the hardware-measured winner
+        per (precision tier, block size) — docs/DESIGN.md §3: mono wins
+        every composed config inside its caps; radix extends multi-pass
+        tiers one block size further; one-pass 'default' never falls
+        through to radix (measured loss)."""
+        assert MDCT.create(1024).pallas_kernel == "mono"
+        assert MDCT.create(1024, dct_precision="high").pallas_kernel == "mono"
+        assert (
+            MDCT.create(2048, dct_precision="high").pallas_kernel == "mono"
+        )
+        # past mono's cap at multi-pass precision: radix takes over
+        assert MDCT.create(2048).pallas_kernel == "radix"  # highest tier
+        # one-pass default: mono even past its cap (radix measured loss)
+        assert (
+            MDCT.create(4096, dct_precision="default").pallas_kernel
+            == "mono"
+        )
+        # N=4096 multi-pass also resolves radix, but eligibility then
+        # stands the kernels down entirely (tie fwd / compiler-crash inv
+        # on hardware — create comment): auto never errors there
+        m4 = MDCT.create(4096, dct_precision="high")
+        assert m4.use_pallas is False
 
     def test_n2048_high_tier(self):
         """Radix at N=2048 'high': bf16 hi/lo split residents."""
