@@ -81,9 +81,15 @@ class TestPallasLongBlocks:
             np.asarray(gi), np.asarray(m.inverse_transform(y)), atol=5e-3
         )
 
-    def test_n2048_highest_rejected_with_reason(self):
+    def test_n2048_highest_mono_rejected_radix_takes_over(self):
+        """The MONO kernel's HIGHEST tier caps at N=1024 (Mosaic's f32
+        operand decomposition); pallas_kernel='auto' therefore falls
+        through to the radix design at N=2048 HIGHEST, which is
+        eligible AND measured faster than XLA there (DESIGN.md §3)."""
         with pytest.raises(ValueError, match="scoped VMEM"):
-            MDCT.create(2048, use_pallas=True)  # dct_precision="highest"
+            MDCT.create(2048, use_pallas=True, pallas_kernel="mono")
+        m = MDCT.create(2048, use_pallas=True)  # auto -> radix
+        assert m.pallas_kernel == "radix"
 
     def test_high_precision_round_trip(self):
         """The manual bf16x3 split must still reconstruct: PR error at
