@@ -193,6 +193,7 @@ def cmd_encode(args):
                 target_kbps=args.kbps, drown=args.drown, ms=args.ms,
                 deadzone=dz, tns=args.tns, nf=args.nf, tmask=args.tmask,
                 bs=args.bs, bwe=args.bwe, intensity=args.intensity,
+                fec=args.fec,
                 orig_samples=orig_samples, lufs=lufs,
             )
             extra = (
@@ -207,7 +208,7 @@ def cmd_encode(args):
                     target_kbps=args.kbps, drown=args.drown, ms=args.ms,
                     deadzone=dz, tns=args.tns, nf=args.nf,
                     tmask=args.tmask, bs=args.bs, bwe=args.bwe,
-                    intensity=args.intensity,
+                    intensity=args.intensity, fec=args.fec,
                     orig_samples=orig_samples, lufs=lufs,
                 )
             )
@@ -218,7 +219,7 @@ def cmd_encode(args):
                 chunk_blocks=args.chunk_blocks, drown=args.drown,
                 ms=args.ms, deadzone=fixed_dz, tns=args.tns, nf=args.nf,
                 tmask=args.tmask, bs=args.bs, bwe=args.bwe,
-                intensity=args.intensity,
+                intensity=args.intensity, fec=args.fec,
                 orig_samples=orig_samples, lufs=lufs,
             )
         size = os.path.getsize(args.output)
@@ -1359,6 +1360,18 @@ def main(argv=None) -> int:
                  "every chunk is rate-controlled to the target "
                  "independently (one vmapped search) and carries its own "
                  "scale, so the local rate never drifts with content",
+        )
+        p.add_argument(
+            "--fec", type=float, nargs="?", const=4.0, default=0.0,
+            metavar="SCALE",
+            help="with --chunk-blocks: forward error correction for "
+                 "lossy transports — every chunk also carries a coarse "
+                 "redundant copy of the previous one (quantized SCALE "
+                 "times coarser than the stream; default 4, measured "
+                 "~10%% overhead on dense music), so decode rebuilds a "
+                 "lost chunk from real spectral data instead of "
+                 "concealing. Counted inside a --kbps target; decoders "
+                 "use it automatically with --conceal",
         )
         p.add_argument(
             "--resample-to", type=int, default=0,

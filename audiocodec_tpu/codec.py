@@ -529,6 +529,58 @@ class Codec:
             out = out + (bs_flags,)
         return out
 
+    def quantize_frames_fec(self, frames: jax.Array, drown=0.0,
+                            threshold_scale=1.0, ms: bool = False,
+                            deadzone: float = 0.5, tpool: int = 4):
+        """Coarse redundant coding for stream FEC members
+        (io/stream_container): plain quantize (no feature ladder)
+        against a TIME-POOLED Bark sidecar — one level row per
+        ``tpool`` frames, the MAX masking intensity of the group,
+        snapped on this codec's sidecar grid. The sidecar dominates a
+        redundant copy's bytes (its codes shrink with the fec scale,
+        per-frame sidecar rows do not), and a loud group member masking
+        for its quieter neighbors only coarsens an already-coarse
+        emergency copy.
+
+        :return: (codes [B, T, N, C], pooled bark16
+            [B, ceil(T/tpool), bark_n, C or 1]). Quantization used
+            exactly the repeat-expanded pooled sidecar, so a decoder
+            expanding it the same way derives bit-identical step sizes.
+        """
+        tonality = self.psycho.tonality(frames)
+        bark = self.psycho.global_masking_intensity_in_bark(
+            frames, tonality, drown
+        )
+        if ms:
+            if frames.shape[-1] != 2:
+                raise ValueError("joint stereo needs exactly 2 channels")
+            bark = jnp.min(bark, axis=-1, keepdims=True)
+        b, t, nb, cc = bark.shape
+        tpool = max(1, int(tpool))
+        g = -(-t // tpool)
+        pad = g * tpool - t
+        if pad:
+            bark = jnp.concatenate(
+                [bark, jnp.repeat(bark[:, -1:], pad, axis=1)], axis=1
+            )
+        pooled = bark.reshape(b, g, tpool, nb, cc).max(axis=2)
+        bark16 = (_scq.snap(pooled, self.sidecar_grid)
+                  if self.sidecar_grid else pooled.astype(jnp.bfloat16))
+        b16f = jnp.repeat(bark16, tpool, axis=1)[:, :t]
+        if ms:
+            spec = self.to_mid_side(frames)
+            threshold = self._ms_threshold(b16f)
+        else:
+            spec = frames
+            threshold = self.psycho.bark_intensity_to_threshold(
+                b16f.astype(self.mdct.compute_dtype)
+            )
+        threshold = threshold * jnp.asarray(
+            threshold_scale, dtype=self.mdct.compute_dtype
+        )
+        codes, _ = _quantize.quantize(spec, threshold, deadzone=deadzone)
+        return codes, bark16
+
     def encode_frames(self, frames: jax.Array, drown=0.0,
                       threshold_scale=1.0, ms: bool = False,
                       deadzone: float = 0.5, tns: bool = False,

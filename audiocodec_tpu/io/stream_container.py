@@ -65,6 +65,120 @@ class Chunk(typing.NamedTuple):
     bsw: np.ndarray | None = None  # bool [blocks]; None = all-long
     bwe: np.ndarray | None = None  # uint8 [blocks, groups, C]; None = off
     isg: np.ndarray | None = None  # uint8 [blocks, groups]; None = off
+    fec: bytes | None = None  # raw FEC member (redundant coarse coding
+    #   of the PREVIOUS chunk — parse_fec_member); None = absent/empty
+
+
+# The FEC copy's own sidecar parameters. Grid: 3 dB steps (scq k2=1) —
+# the copy is quantized >= 4x coarser than the stream, so a <= 1.5 dB
+# threshold wobble sits far below its own quantization noise. Time
+# pool: one sidecar row per 4 frames (the group's MAX masking
+# intensity — codec.quantize_frames_fec). Both attack the same fact:
+# the sidecar dominates a redundant copy's bytes (codes shrink with
+# the fec scale, per-frame sidecar rows do not). Both are recorded per
+# member, so the constants can change without breaking old streams.
+_FEC_K2 = 1
+_FEC_TPOOL = 4
+
+
+def pack_fec_member(codes, bark16, tscale: float, meta: dict,
+                    k2: int = _FEC_K2, tpool: int = _FEC_TPOOL) -> bytes:
+    """Assemble a chunk's FEC member: a self-contained COARSE coding of
+    the previous chunk — codes + time-pooled Bark sidecar + the
+    absolute f64 threshold scale they were quantized with
+    (self-contained so CBR streams, whose per-chunk scale is in the
+    LOST chunk, stay recoverable). Layout inside the (length-prefixed)
+    member:
+
+      u32 blocks | f64 scale | u32 k2 | u32 tpool | u32 clen
+      | codes | levels…end
+
+    Codes ride the stream's own coder; the sidecar rides the member's
+    OWN scq grid and time pool (the encoder must have quantized the
+    codes against this grid's repeat-expanded snap —
+    codec.quantize_frames_fec — for the step-size invariant to hold).
+    ``bark16`` is the POOLED sidecar, [ceil(blocks/tpool), bark, C']."""
+    from audiocodec_tpu import native
+    from audiocodec_tpu import scq as _scq_mod
+
+    codes = np.asarray(codes)
+    bark = np.asarray(bark16)
+    if codes.ndim == 4:
+        codes = codes[0]
+        bark = bark[0]
+    blocks = codes.shape[0]
+    if bark.shape[0] != -(-blocks // tpool):
+        raise ValueError(
+            f"pooled FEC sidecar has {bark.shape[0]} rows for {blocks} "
+            f"frames at tpool={tpool}"
+        )
+    enc = (
+        native.rrice_encode if meta["coder"] == "rrice"
+        else native.rice_encode
+    )
+    code_bytes = enc(codes.astype(np.int32))
+    bark_bytes = _scq_mod.encode_levels(
+        _scq_mod.levels_from_bark16(bark, k2), block_axis=0
+    )
+    return (
+        struct.pack("<IdII", blocks, float(tscale), int(k2), int(tpool))
+        + struct.pack("<I", len(code_bytes))
+        + code_bytes
+        + bark_bytes
+    )
+
+
+def parse_fec_member(data: bytes, meta: dict):
+    """FEC member bytes -> (codes int32 [blocks, N, C], bark bfloat16
+    [blocks, bark_n, C or 1] — the pooled sidecar repeat-expanded back
+    to per-frame rows, exactly as the encoder quantized against —
+    scale float). Raises ValueError on any implausible field — the
+    caller treats that as 'no redundancy'. The member arrived
+    CRC-verified (it is chained into its carrying chunk's CRC), so
+    these bounds guard logic errors and version skew, not bit flips."""
+    from audiocodec_tpu import native
+    from audiocodec_tpu import scq as _scq_mod
+
+    if len(data) < 24:
+        raise ValueError("FEC member too short")
+    blocks, scale, k2, tpool = struct.unpack("<IdII", data[:20])
+    (clen,) = struct.unpack("<I", data[20:24])
+    import math as _math
+
+    if not (_math.isfinite(scale) and 0 < scale < 2**32):
+        raise ValueError(f"FEC scale {scale!r} out of bounds")
+    if not k2:
+        raise ValueError("FEC member sidecar grid must be nonzero")
+    _scq_mod.validate_k2(k2)
+    if not 1 <= tpool <= 256:
+        raise ValueError(f"FEC member time pool {tpool} out of bounds")
+    if clen > len(data) - 24:
+        raise ValueError("FEC member codes length out of bounds")
+    code_bytes = data[24 : 24 + clen]
+    bark_bytes = data[24 + clen :]
+    n = meta["filters_n"]
+    bark_n = meta["bark_bands_n"]
+    ch = meta["channels"]
+    bark_ch = 1 if meta.get("ms", False) else ch
+    coder = meta.get("coder", "rice")
+    per_byte = 96 if coder == "rrice" else 8
+    if blocks * n * ch > per_byte * clen or blocks > len(data):
+        raise ValueError("FEC member demands implausible code count")
+    g = -(-blocks // tpool)
+    if g * bark_n * bark_ch > 96 * len(bark_bytes):
+        raise ValueError("FEC member demands implausible sidecar count")
+    decode = (
+        native.rrice_decode if coder == "rrice" else native.rice_decode
+    )
+    codes = decode(code_bytes, blocks * n * ch).reshape(blocks, n, ch)
+    pooled = _scq_mod.bark16_from_levels(
+        _scq_mod.decode_levels(
+            bark_bytes, (g, bark_n, bark_ch), block_axis=0
+        ),
+        k2, (g, bark_n, bark_ch),
+    )
+    bark = np.repeat(pooled, tpool, axis=0)[:blocks]
+    return codes, bark, scale
 
 
 class StreamWriter:
@@ -80,6 +194,7 @@ class StreamWriter:
                  bs: bool = False, bwe_start: int = 0,
                  is_start: int = 0,
                  sidecar_grid: int = 0,
+                 fec_scale: float = 0.0,
                  orig_samples: int = 0, lufs=None):
         self.meta = {
             "sample_rate": int(sample_rate),
@@ -217,6 +332,20 @@ class StreamWriter:
                     f"{_bs_mod.FACTOR}, got {filters_n}"
                 )
             self.meta["bs"] = {"factor": int(_bs_mod.FACTOR)}
+        if fec_scale:
+            # forward error correction (the Opus-LBRR pattern): every
+            # chunk additionally carries a COARSE redundant coding of the
+            # PREVIOUS chunk's frames (plain quantize at threshold scale
+            # x fec_scale, no feature ladder), so a lost/corrupt chunk is
+            # rebuilt from real — if blunt — spectral data out of its
+            # successor instead of extrapolated. Absent = no redundancy
+            # (older streams decode unchanged); pre-fec readers fail a
+            # fec stream's chunk CRCs loudly rather than mis-parse.
+            if not 1.0 <= float(fec_scale) <= 256.0:
+                raise ValueError(
+                    f"fec_scale must be in [1, 256], got {fec_scale}"
+                )
+            self.meta["fec"] = {"scale": float(fec_scale)}
         if cbr:
             # constant-bitrate mode: every chunk carries its OWN f64
             # threshold scale (leading the chunk, CRC-covered); the
@@ -239,7 +368,7 @@ class StreamWriter:
 
     def append(self, codes, bark16, tns_idx=None, nf_levels=None,
                tscale=None, bs_flags=None, bwe_gains=None,
-               is_gains=None) -> None:
+               is_gains=None, fec=None) -> None:
         """Write one chunk: codes int32 [1, blocks, N, C] (or [blocks, N, C]),
         bark16 bfloat16 [1, blocks, bark_n, C] (or unbatched), for TNS
         streams int8 reflection indices [1, blocks, order, C], for
@@ -286,6 +415,12 @@ class StreamWriter:
             raise ValueError(
                 "chunk intensity gains must be passed exactly when "
                 "the stream header declares isf"
+            )
+        fec_meta = self.meta.get("fec")
+        if (fec_meta is not None) != (fec is not None):
+            raise ValueError(
+                "chunk FEC bytes must be passed exactly when the stream "
+                "header declares fec (pass b'' for the first chunk)"
             )
         cbr = self.meta.get("cbr")
         if (cbr is not None) != (tscale is not None):
@@ -427,6 +562,12 @@ class StreamWriter:
             crc = zlib.crc32(bsw_bytes, zlib.crc32(hdr, crc))
             self._f.write(hdr)
             self._f.write(bsw_bytes)
+        if fec_meta is not None:
+            fec = bytes(fec)
+            hdr = struct.pack("<I", len(fec))
+            crc = zlib.crc32(fec, zlib.crc32(hdr, crc))
+            self._f.write(hdr)
+            self._f.write(fec)
         self._f.write(struct.pack("<I", crc))
 
     def close(self) -> None:
@@ -645,6 +786,14 @@ class StreamReader:
                     "stream header declares intensity without joint "
                     "stereo — corrupt stream"
                 )
+        fecm = m.get("fec")
+        if fecm is not None:
+            sc = fecm.get("scale") if isinstance(fecm, dict) else None
+            if not isinstance(sc, (int, float)) or not 1.0 <= sc <= 256.0:
+                raise ValueError(
+                    f"stream header fec={fecm!r} out of bounds — corrupt "
+                    "stream"
+                )
         if not isinstance(m.get("cbr", 0), (int, bool)):
             raise ValueError("stream header cbr must be a flag")
         ns = m.get("nsamp", 0)
@@ -752,6 +901,8 @@ class StreamReader:
         isg_bytes = read_payload("isg") if is_meta is not None else None
         bs_meta = self.meta.get("bs")
         bsw_bytes = read_payload("bsw") if bs_meta is not None else None
+        fec_meta = self.meta.get("fec")
+        fec_bytes = read_payload("fec") if fec_meta is not None else None
         (crc,) = struct.unpack("<I", self._read_exact(4, i))
         if want != crc:
             raise ValueError(f"chunk {i} failed CRC — corrupt stream")
@@ -906,7 +1057,8 @@ class StreamReader:
             bsw = _bs_mod.unpack_flags(
                 np.frombuffer(bsw_bytes, dtype=np.uint8)[None], blocks
             )[0]
-        return Chunk(codes, bark, tns, nfl, tscale, bsw, bwe, isg)
+        return Chunk(codes, bark, tns, nfl, tscale, bsw, bwe, isg,
+                     fec_bytes if fec_bytes else None)
 
     def close(self) -> None:
         if self._owns_file:
@@ -959,12 +1111,13 @@ def _jit_encode_chunk():
         jax.jit,
         static_argnames=(
             "ms", "deadzone", "tns", "nf", "tmask", "bs", "bwe",
-            "intensity",
+            "intensity", "fec_mult",
         ),
     )
     def step(codec, carry, x_chunk, drown, threshold_scale, ms, deadzone,
              tns=False, nf=False, tmask=0.0, tmask_context=None,
-             bs=False, bwe=False, intensity=False):
+             bs=False, bwe=False, intensity=False, fec_mult=0.0,
+             codec_fec=None):
         carry, frames = streaming.mdct_stream_step(
             codec.mdct, carry, x_chunk
         )
@@ -974,6 +1127,21 @@ def _jit_encode_chunk():
             tmask_context=tmask_context, bs=bs, bwe=bwe,
             intensity=intensity,
         )
+        # FEC redundancy: a PLAIN coarse quantize of the same frames (no
+        # feature ladder — the copy must decode standalone out of a
+        # successor chunk), riding the same device program. codec_fec is
+        # the same codec on the member's own coarser sidecar grid
+        # (_FEC_K2) and the quantize pools the sidecar over _FEC_TPOOL
+        # frames, so the codes are quantized against exactly the sidecar
+        # the member transmits — the step-size invariant.
+        fecq = None
+        if fec_mult:
+            cf = codec_fec if codec_fec is not None else codec
+            fecq = cf.quantize_frames_fec(
+                frames, drown,
+                threshold_scale=threshold_scale * fec_mult,
+                ms=ms, deadzone=deadzone, tpool=_FEC_TPOOL,
+            )
         new_ctx = None
         if tmask:
             # rolling pre-spread Bark context for the NEXT chunk: the
@@ -991,7 +1159,7 @@ def _jit_encode_chunk():
             new_ctx = pre
         # the EncodedFrames rides through whole: positional re-tupling
         # here is exactly the arity coupling EncodedFrames exists to end
-        return carry, new_ctx, enc
+        return carry, new_ctx, enc, fecq
 
     @functools.partial(
         jax.jit,
@@ -1031,6 +1199,7 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
                   nf: bool = False, nf_seed: int = 0,
                   tmask: float = 0.0, bs: bool = False,
                   bwe: bool = False, intensity: bool = False,
+                  fec: float = 0.0,
                   orig_samples: int = 0, lufs=None) -> int:
     """Encode a long waveform to a seekable stream with bounded memory.
 
@@ -1075,6 +1244,14 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         spectrum), so an intensity .acs decodes bit-identically to the
         same signal's intensity .acz, including mid-stream seeks. Gains
         ride each chunk; the crossover rides the header.
+    :param fec: forward error correction, 0 = off. When > 0 (a
+        threshold-scale MULTIPLIER, e.g. 4.0), every chunk additionally
+        carries a coarse plain-quantized redundant copy of the PREVIOUS
+        chunk — the Opus-LBRR pattern — so
+        :func:`decode_stream(conceal=True)` rebuilds a lost chunk from
+        real spectral data out of its successor instead of
+        extrapolating. Costs extra bytes (shrinking as ``fec`` grows);
+        only the final flush chunk (one frame) is unprotected.
     :return: number of chunks written.
     """
     import jax.numpy as jnp
@@ -1142,6 +1319,7 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         bwe_start=codec.bwe_start if bwe else 0,
         is_start=codec.is_start if intensity else 0,
         sidecar_grid=codec.sidecar_grid,
+        fec_scale=float(fec),
         orig_samples=orig_samples,
         lufs=lufs,
     ) as w:
@@ -1154,28 +1332,58 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         pending = None
         tmask = float(tmask)
         tctx = None
+        fec = float(fec)
+        codec_fec = None
+        if fec:
+            import dataclasses
+
+            # same codec on the FEC member's own coarse sidecar grid:
+            # the copy's codes must be quantized against the snapped
+            # sidecar the member transmits (step-size invariant)
+            codec_fec = dataclasses.replace(codec, sidecar_grid=_FEC_K2)
+        # chunk k's FEC member is packed from chunk k-1's coarse
+        # quantize; the arrays stay DEVICE-resident until pack time so
+        # the host fetch rides the same one-deep pipeline as the codes
+        prev_coarse = None
         for k, start in enumerate(range(0, s, chunk)):
             ts_k = scales[k] if cbr else threshold_scale
-            carry, tctx, enc = step(
+            carry, tctx, enc, fecq = step(
                 codec, carry, x[:, start : start + chunk], drown,
                 ts_k, ms, deadzone, tns, nf, tmask=tmask,
                 tmask_context=tctx, bs=bs, bwe=bwe, intensity=intensity,
+                fec_mult=fec, codec_fec=codec_fec,
             )
             if pending is not None:
                 w.append(*pending)
+            fec_bytes = None
+            if fec:
+                fec_bytes = (
+                    b"" if prev_coarse is None
+                    else pack_fec_member(*prev_coarse, w.meta)
+                )
+                prev_coarse = (fecq[0], fecq[1], ts_k * fec)
             pending = (enc.codes, enc.bark16, enc.tns_idx,
                        enc.nf_levels, ts_k if cbr else None,
-                       enc.bs_flags, enc.bwe_gains, enc.is_gains)
+                       enc.bs_flags, enc.bwe_gains, enc.is_gains,
+                       fec_bytes)
         if pending is not None:
             w.append(*pending)
         ts_last = scales[-1] if cbr else threshold_scale
         last = flush(codec, carry, drown, ts_last, ms, deadzone,
                      tns, nf, tmask=tmask, tmask_context=tctx, bs=bs,
                      bwe=bwe, intensity=intensity)
+        fec_last = None
+        if fec:
+            # the flush chunk (one frame, never protected itself)
+            # carries the LAST body chunk's redundancy
+            fec_last = (
+                b"" if prev_coarse is None
+                else pack_fec_member(*prev_coarse, w.meta)
+            )
         w.append(last.codes, last.bark16, last.tns_idx, last.nf_levels,
                  tscale=ts_last if cbr else None,
                  bs_flags=last.bs_flags, bwe_gains=last.bwe_gains,
-                 is_gains=last.is_gains)
+                 is_gains=last.is_gains, fec=fec_last)
         n_chunks = len(w._index)
     return n_chunks
 
@@ -1186,7 +1394,7 @@ def encode_stream_with_target_bitrate(
     sample_chunks: int = 8, tolerance: float = 0.08,
     log2_scale_range=(-4.0, 10.0), deadzone="auto", tns: bool = False,
     nf: bool = False, tmask: float = 0.0, bs: bool = False,
-    bwe: bool = False, intensity: bool = False,
+    bwe: bool = False, intensity: bool = False, fec: float = 0.0,
     orig_samples: int = 0, lufs=None,
 ):
     """Rate-controlled stream encode: pick ONE stream-global threshold
@@ -1245,10 +1453,12 @@ def encode_stream_with_target_bitrate(
         ).threshold_scale
 
     def full_encode(scale):
+        # fec rides every full pass, so the secant loop's measured kbps
+        # INCLUDES the redundancy bytes — the target is hit fec and all
         n_chunks = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
             threshold_scale=scale, deadzone=z, tns=tns, nf=nf,
-            tmask=tmask, bs=bs, bwe=bwe, intensity=intensity,
+            tmask=tmask, bs=bs, bwe=bwe, intensity=intensity, fec=fec,
             orig_samples=orig_samples, lufs=lufs,
         )
         return n_chunks, os.path.getsize(path) * 8 / seconds / 1000
@@ -1300,7 +1510,8 @@ def encode_stream_cbr(
     tolerance: float = 0.05, trials_per_round: int = 8,
     deadzone="auto", tns: bool = False, nf: bool = False,
     tmask: float = 0.0, bs: bool = False, bwe: bool = False,
-    intensity: bool = False, orig_samples: int = 0, lufs=None,
+    intensity: bool = False, fec: float = 0.0,
+    orig_samples: int = 0, lufs=None,
 ):
     """Constant-bitrate stream encode: EVERY chunk is rate-controlled to
     its per-chunk share of the target in ONE vmapped batch search (each
@@ -1386,7 +1597,7 @@ def encode_stream_cbr(
         n_ch = encode_stream(
             codec, x, path, chunk_blocks=chunk_blocks, drown=drown, ms=ms,
             threshold_scale=sc_list, deadzone=z, tns=tns, nf=nf,
-            tmask=tmask, bs=bs, bwe=bwe, intensity=intensity,
+            tmask=tmask, bs=bs, bwe=bwe, intensity=intensity, fec=fec,
             orig_samples=orig_samples, lufs=lufs,
         )
         return n_ch, sc_list, os.path.getsize(path) * 8 / (s / sr) / 1000
@@ -1636,13 +1847,17 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
     overlap-add carry; the first yielded chunk is then sample-exact.
 
     :param conceal: packet-loss concealment — a chunk that fails its CRC
-        (or is otherwise unreadable) is synthesized instead of raising:
-        the last good spectral frame repeats with an exponential energy
-        fade (``conceal_decay`` per frame), keeping the stream's length,
-        timbre, and overlap-add continuity; decoding recovers exactly at
-        the next good chunk. Without it (the default) corruption raises
-        ValueError — transport errors should be LOUD unless the caller
-        opted into real-time playback semantics.
+        (or is otherwise unreadable) is synthesized instead of raising.
+        On fec streams (see :func:`encode_stream`'s ``fec``) the lost
+        chunk is REBUILT from the coarse redundant copy riding its
+        successor; otherwise the last good spectral frame repeats with
+        an exponential energy fade (``conceal_decay`` per frame) — or an
+        energy crossfade into the next good chunk when it is already in
+        hand — keeping the stream's length, timbre, and overlap-add
+        continuity; decoding recovers exactly at the next good chunk.
+        Without it (the default) corruption raises ValueError —
+        transport errors should be LOUD unless the caller opted into
+        real-time playback semantics.
     """
     from audiocodec_tpu import streaming
 
@@ -1758,6 +1973,27 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
                         n_status, n_val = fut.result()  # peek read-ahead
                         if n_status == "ok":
                             nxt = n_val
+                    # FEC first: the successor chunk carries a coarse
+                    # redundant coding of THIS chunk (see pack_fec_member)
+                    # — real spectral data beats any extrapolation. The
+                    # copy is plain-quantized (no feature ladder), so it
+                    # decodes through the standard step with features off.
+                    fdec = None
+                    if nxt is not None and nxt.fec is not None:
+                        try:
+                            fdec = parse_fec_member(nxt.fec, r.meta)
+                        except ValueError:
+                            fdec = None  # version skew/garbage: fall back
+                    if fdec is not None:
+                        fcodes, fbark, fscale = fdec
+                        carry, samples, prev_frame = step(
+                            codec, carry, jax.device_put(fcodes),
+                            jax.device_put(fbark), fscale, ms, dzr,
+                            None, 0, None, 0, nf_seed, frame_off,
+                        )
+                        frame_off += fcodes.shape[0]
+                        yield samples
+                        continue
                     if nxt is not None:
                         # both neighbors in hand: morph the spectral
                         # envelope into what actually follows instead of

@@ -725,7 +725,7 @@ class _StreamSession:
             1, self._samples, self.channels
         )
         x = jnp.asarray(pcm, dtype=self._codec.mdct.compute_dtype)
-        self._carry, self._tctx, enc = self._step(
+        self._carry, self._tctx, enc, _ = self._step(
             self._codec, self._carry, x, 0.0, ts, self.ms,
             self.deadzone, self.tns, self.nf, tmask=self.tmask,
             tmask_context=self._tctx, bs=self.bs, bwe=self.bwe,

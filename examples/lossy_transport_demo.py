@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--chunk-blocks", type=int, default=64)
     ap.add_argument("--lose", default="3,7",
                     help="comma-separated chunk indices the 'network' drops")
+    ap.add_argument("--fec", type=float, default=0.0,
+                    help="forward error correction: each chunk carries a "
+                         "redundant copy of the previous one, quantized "
+                         "this many times coarser (0 = off, try 4); lost "
+                         "chunks are rebuilt from real spectral data")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -84,11 +89,12 @@ def main():
     path = os.path.join(tempfile.mkdtemp(), "demo.acs")
     n_chunks, tscale, kbps = sc.encode_stream_with_target_bitrate(
         codec, x, path, chunk_blocks=args.chunk_blocks,
-        target_kbps=args.kbps, ms=True, tns=True, nf=True,
+        target_kbps=args.kbps, ms=True, tns=True, nf=True, fec=args.fec,
     )
+    tools = "ms+tns+nf+deadzone" + (f"+fec{args.fec:g}" if args.fec else "")
     print(f"encoded {usable / sr:.1f}s stereo -> {n_chunks} chunks, "
           f"{os.path.getsize(path)} bytes = {kbps:.1f} kbit/s "
-          f"(target {args.kbps}, scale {tscale:.2f}; ms+tns+nf+deadzone)")
+          f"(target {args.kbps}, scale {tscale:.2f}; {tools})")
 
     clean = np.concatenate(
         [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
@@ -126,9 +132,20 @@ def main():
     snr = 10 * np.log10(
         (ref**2).sum() / max(((ref - deg) ** 2).sum(), 1e-30)
     )
-    print(f"concealed decode: SNR {snr:6.2f} dB outside the outages "
+    mode = "fec-rebuilt" if args.fec else "concealed"
+    print(f"{mode} decode: SNR {snr:6.2f} dB outside the outages "
           f"(finite everywhere: {np.isfinite(out).all()}; stream length "
           f"preserved: {out.shape[1] == clean.shape[1]})")
+    # inside the outages: vs the CLEAN decode (what a lossless transport
+    # would have played) — fec rebuilds real spectral data there,
+    # concealment only extrapolates/interpolates the envelope
+    inref = clean[:, ~mask]
+    indeg = out[:, ~mask]
+    in_snr = 10 * np.log10(
+        (inref**2).sum() / max(((inref - indeg) ** 2).sum(), 1e-30)
+    )
+    print(f"inside the outages: {in_snr:6.2f} dB vs the clean decode"
+          + ("" if args.fec else " (try --fec 4)"))
 
 
 if __name__ == "__main__":

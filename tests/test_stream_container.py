@@ -674,3 +674,183 @@ class TestDensePrecisionStream:
             axis=1,
         )
         np.testing.assert_allclose(partial, full[:, 16 * 64 :], atol=1e-6)
+
+
+class TestFEC:
+    """Forward error correction: every chunk carries a coarse redundant
+    copy of its predecessor (encode_stream fec=...), and conceal-mode
+    decode rebuilds a lost chunk from it instead of extrapolating."""
+
+    def _corrupt(self, path, chunk_i, delta=12):
+        with sc.StreamReader(path) as r:
+            off = r._index[chunk_i]
+        with open(path, "r+b") as f:
+            f.seek(off + delta)
+            f.write(b"\xff\xff")
+
+    def test_no_loss_decode_identical(self, codec, signal, tmp_path):
+        """The fec member is pure redundancy: a clean fec stream decodes
+        bit-identically to the same signal's plain stream."""
+        plain = str(tmp_path / "p.acs")
+        fec = str(tmp_path / "f.acs")
+        sc.encode_stream(codec, signal, plain, chunk_blocks=8)
+        sc.encode_stream(codec, signal, fec, chunk_blocks=8, fec=6.0)
+        a = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, plain)], axis=1
+        )
+        b = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, fec)], axis=1
+        )
+        np.testing.assert_array_equal(a, b)
+        with sc.StreamReader(fec) as r:
+            assert r.meta["fec"]["scale"] == 6.0
+            assert r.read_chunk(0).fec is None  # nothing precedes chunk 0
+            assert r.read_chunk(1).fec is not None
+            # the member parses back to the predecessor's coarse coding
+            codes, bark, scale = sc.parse_fec_member(
+                r.read_chunk(1).fec, r.meta
+            )
+            assert codes.shape == (8, 64, 1)
+            assert bark.shape == (8, 16, 1)
+            assert scale == pytest.approx(6.0)
+
+    def test_fec_rebuilds_lost_chunk(self, codec, signal, tmp_path):
+        """A CRC-failing chunk is rebuilt from its successor's redundant
+        copy: much closer to the clean decode than concealment, and
+        sample-exact outside the outage (+ one overlap frame)."""
+        fec = str(tmp_path / "f.acs")
+        plain = str(tmp_path / "p.acs")
+        sc.encode_stream(codec, signal, fec, chunk_blocks=8, fec=4.0)
+        sc.encode_stream(codec, signal, plain, chunk_blocks=8)
+        clean = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, fec)], axis=1
+        )
+        self._corrupt(fec, 1)
+        self._corrupt(plain, 1)
+        out = np.concatenate(
+            [np.asarray(c)
+             for c in sc.decode_stream(codec, fec, conceal=True)], axis=1
+        )
+        con = np.concatenate(
+            [np.asarray(c)
+             for c in sc.decode_stream(codec, plain, conceal=True)],
+            axis=1,
+        )
+        assert out.shape == clean.shape
+        n = 64
+        lost = slice(8 * n, 16 * n)
+
+        def span_snr(rec):
+            e = clean[0, lost, 0] - rec[0, lost, 0]
+            return 10 * np.log10(
+                (clean[0, lost, 0] ** 2).sum() / max((e**2).sum(), 1e-30)
+            )
+
+        # real (coarse) spectral data beats spectral extrapolation by a
+        # wide margin on this tonal signal
+        assert span_snr(out) > span_snr(con) + 6.0
+        assert span_snr(out) > 5.0
+        # exact before the outage and after one overlap frame past it
+        np.testing.assert_allclose(out[:, : 7 * n], clean[:, : 7 * n],
+                                   atol=1e-6)
+        np.testing.assert_allclose(out[:, 17 * n :], clean[:, 17 * n :],
+                                   atol=1e-6)
+
+    def test_consecutive_losses_fall_back(self, codec, signal, tmp_path):
+        """Chunk k's redundancy rides chunk k+1 — when BOTH are lost,
+        chunk k falls back to plain concealment and chunk k+1 is rebuilt
+        from chunk k+2's copy. The decode completes at full length."""
+        path = str(tmp_path / "f2.acs")
+        sc.encode_stream(codec, signal, path, chunk_blocks=8, fec=4.0)
+        clean = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
+        )
+        self._corrupt(path, 0)
+        self._corrupt(path, 1)
+        out = np.concatenate(
+            [np.asarray(c)
+             for c in sc.decode_stream(codec, path, conceal=True)], axis=1
+        )
+        assert out.shape == clean.shape
+        assert np.isfinite(out).all()
+        n = 64
+        # chunk 2 onward (+ one overlap frame) is exact again
+        np.testing.assert_allclose(out[:, 17 * n :], clean[:, 17 * n :],
+                                   atol=1e-6)
+
+    def test_garbage_fec_member_falls_back(self, codec, signal, tmp_path):
+        """A fec member that fails its plausibility parse (version skew)
+        downgrades to plain concealment instead of raising."""
+        path = str(tmp_path / "g.acs")
+        # hand-build a 2-chunk fec stream whose members are garbage (the
+        # chunk CRC covers them, so they arrive "intact" but unparseable)
+        enc = codec.encode_bitstream(signal[:, : 8 * 64])
+        with sc.StreamWriter(
+            path, sample_rate=16000, filters_n=64, bark_bands_n=16,
+            alpha=codec.psycho.alpha, window_type=codec.mdct.window_type,
+            channels=1, fec_scale=4.0,
+            sidecar_grid=codec.sidecar_grid,
+        ) as w:
+            codes, bark = enc
+            w.append(codes, bark, fec=b"")
+            w.append(codes, bark, fec=b"\x07garbage-not-a-member")
+        with sc.StreamReader(path) as r:
+            assert r.n_chunks == 2
+        self._corrupt(path, 0)
+        out = np.concatenate(
+            [np.asarray(c)
+             for c in sc.decode_stream(codec, path, conceal=True)], axis=1
+        )
+        assert np.isfinite(out).all()
+
+    def test_writer_contract(self, codec, signal, tmp_path):
+        path = str(tmp_path / "w.acs")
+        with pytest.raises(ValueError, match="fec_scale"):
+            sc.StreamWriter(
+                path, sample_rate=16000, filters_n=64, bark_bands_n=16,
+                alpha=0.6, window_type="vorbis", channels=1,
+                fec_scale=0.5,
+            )
+        enc = codec.encode_bitstream(signal[:, : 8 * 64])
+        with sc.StreamWriter(
+            path, sample_rate=16000, filters_n=64, bark_bands_n=16,
+            alpha=0.6, window_type="vorbis", channels=1, fec_scale=4.0,
+            sidecar_grid=codec.sidecar_grid,
+        ) as w:
+            with pytest.raises(ValueError, match="fec"):
+                w.append(*enc)  # declared fec, none passed
+            w.append(*enc, fec=b"")
+        path2 = str(tmp_path / "w2.acs")
+        with sc.StreamWriter(
+            path2, sample_rate=16000, filters_n=64, bark_bands_n=16,
+            alpha=0.6, window_type="vorbis", channels=1,
+            sidecar_grid=codec.sidecar_grid,
+        ) as w:
+            with pytest.raises(ValueError, match="fec"):
+                w.append(*enc, fec=b"")  # fec on an undeclared stream
+
+    def test_fec_composes_with_feature_ladder(self, codec, stereo_signal,
+                                              tmp_path):
+        """fec + ms + tns + nf: the redundant copy is PLAIN-quantized, so
+        it recovers a lost chunk of a full-ladder stream too."""
+        path = str(tmp_path / "l.acs")
+        sc.encode_stream(codec, stereo_signal, path, chunk_blocks=8,
+                         ms=True, tns=True, nf=True, fec=4.0)
+        clean = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
+        )
+        self._corrupt(path, 1)
+        out = np.concatenate(
+            [np.asarray(c)
+             for c in sc.decode_stream(codec, path, conceal=True)], axis=1
+        )
+        assert out.shape == clean.shape
+        n = 64
+        lost = slice(8 * n, 16 * n)
+        e = clean[0, lost] - out[0, lost]
+        snr = 10 * np.log10(
+            (clean[0, lost] ** 2).sum() / max((e**2).sum(), 1e-30)
+        )
+        assert snr > 3.0
+        np.testing.assert_allclose(out[:, 17 * n :], clean[:, 17 * n :],
+                                   atol=1e-6)
