@@ -177,6 +177,13 @@ def cmd_encode(args):
     x = jnp.asarray(data, dtype=codec.mdct.compute_dtype)
     if args.ms and x.shape[2] != 2:
         raise ValueError("--ms (joint mid/side) needs a stereo input")
+    if getattr(args, "reservoir", 0.0) and not (
+        args.kbps and getattr(args, "cbr", False) and args.chunk_blocks
+    ):
+        raise ValueError(
+            "--reservoir needs --cbr (with --kbps and --chunk-blocks): "
+            "it redistributes a constant-rate stream's per-chunk budget"
+        )
     # "auto" defers to the rate-control heuristic when --kbps is given;
     # without a rate target there is nothing to adapt to -> plain rounding
     dz = getattr(args, "deadzone", "auto")
@@ -193,13 +200,15 @@ def cmd_encode(args):
                 target_kbps=args.kbps, drown=args.drown, ms=args.ms,
                 deadzone=dz, tns=args.tns, nf=args.nf, tmask=args.tmask,
                 bs=args.bs, bwe=args.bwe, intensity=args.intensity,
-                fec=args.fec,
+                fec=args.fec, reservoir_kbits=args.reservoir,
                 orig_samples=orig_samples, lufs=lufs,
             )
             extra = (
                 f", {kbps:.0f} kbit/s CBR, scales "
                 f"{min(scales):.2f}..{max(scales):.2f}"
             )
+            if args.reservoir:
+                extra += f", reservoir {args.reservoir:g} kbit"
         elif args.kbps:
             n_chunks, tscale, kbps = (
                 stream_container.encode_stream_with_target_bitrate(
@@ -1360,6 +1369,15 @@ def main(argv=None) -> int:
                  "every chunk is rate-controlled to the target "
                  "independently (one vmapped search) and carries its own "
                  "scale, so the local rate never drifts with content",
+        )
+        p.add_argument(
+            "--reservoir", type=float, default=0.0, metavar="KBITS",
+            help="with --cbr: bit reservoir — redistribute bits toward "
+                 "hard chunks (measured by one uniform-quality ABR "
+                 "pass) while the stream's running size never strays "
+                 "more than KBITS kilobits from the constant-rate "
+                 "schedule (0 = plain CBR; large = ABR's allocation "
+                 "with per-chunk convergence)",
         )
         p.add_argument(
             "--fec", type=float, nargs="?", const=4.0, default=0.0,

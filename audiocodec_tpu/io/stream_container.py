@@ -626,6 +626,7 @@ class StreamReader:
             self._index = list(
                 struct.unpack(f"<{n_chunks}Q", self._f.read(8 * n_chunks))
             )
+            self._index_end = index_off
             if any(not 8 + hlen <= off < index_off for off in self._index):
                 raise ValueError("chunk offsets out of bounds")
             self._validate_meta()
@@ -826,6 +827,22 @@ class StreamReader:
         self._f.seek(self._index[i] + off)
         (blocks,) = struct.unpack("<I", self._read_exact(4, i))
         return blocks
+
+    def chunk_bytes(self, i: int) -> int:
+        """On-wire byte size of chunk i, framing included (index read
+        only — no chunk data is touched). The per-chunk sizes are the
+        stream's bit-demand profile; the reservoir allocator feeds on
+        them (rate.reservoir_allocate)."""
+        self._check_index(i)
+        end = (
+            self._index[i + 1]
+            if i + 1 < len(self._index)
+            else self._index_end
+        )
+        size = end - self._index[i]
+        if size <= 0:
+            raise ValueError(f"chunk {i} index not increasing — corrupt")
+        return size
 
     def _check_index(self, i: int) -> None:
         if not 0 <= i < len(self._index):
@@ -1511,7 +1528,7 @@ def encode_stream_cbr(
     deadzone="auto", tns: bool = False, nf: bool = False,
     tmask: float = 0.0, bs: bool = False, bwe: bool = False,
     intensity: bool = False, fec: float = 0.0,
-    orig_samples: int = 0, lufs=None,
+    orig_samples: int = 0, lufs=None, reservoir_kbits: float = 0.0,
 ):
     """Constant-bitrate stream encode: EVERY chunk is rate-controlled to
     its per-chunk share of the target in ONE vmapped batch search (each
@@ -1523,6 +1540,16 @@ def encode_stream_cbr(
     cannot drift with content: a loud chorus and a quiet verse spend the
     same bits per second, trading VBR's global quality allocation for
     transport-bounded chunks.
+
+    ``reservoir_kbits > 0`` turns on the bit reservoir (the MP3/AAC
+    pattern): one ABR pass measures each chunk's bit demand at uniform
+    quality, :func:`audiocodec_tpu.rate.reservoir_allocate` redistributes
+    the budget toward hard chunks under a hard ``±reservoir_kbits``
+    bound on the running deviation from the constant-rate schedule, and
+    the per-chunk search then converges each chunk to ITS OWN target.
+    The wire format is unchanged (per-chunk scales); only the allocation
+    moves. ``reservoir → 0`` is plain CBR, ``reservoir → ∞`` is ABR's
+    allocation with CBR's per-chunk convergence.
 
     The search encodes each chunk as an INDEPENDENT clip; the shipped
     stream uses the streaming MDCT (one carried boundary frame), so a
@@ -1585,10 +1612,19 @@ def encode_stream_cbr(
     )
     acz_overhead_kbps = len(empty) * 8 / chunk_seconds / 1000
 
-    def search_and_encode(per_chunk_target):
+    def search_and_encode(clip_targets):
+        # the clip measurements carry a fixed container overhead the
+        # stream never ships; `tolerance` is a payload-relative contract,
+        # so shrink the clip-space tolerance by the payload fraction or
+        # the search exits rounds early with payload-sized error bars
+        tol_clip = max(
+            2e-3,
+            tolerance * payload_target
+            / (payload_target + acz_overhead_kbps),
+        )
         results = _rate.encode_with_target_bitrate_batch(
-            codec, chunks_x, per_chunk_target + acz_overhead_kbps,
-            drown=drown, tolerance=tolerance,
+            codec, chunks_x, clip_targets,
+            drown=drown, tolerance=tol_clip,
             trials_per_round=trials_per_round,
             ms=ms, deadzone=z, tns=tns, tmask=tmask, bs=bs, bwe=bwe,
             intensity=intensity,
@@ -1600,22 +1636,116 @@ def encode_stream_cbr(
             tmask=tmask, bs=bs, bwe=bwe, intensity=intensity, fec=fec,
             orig_samples=orig_samples, lufs=lufs,
         )
-        return n_ch, sc_list, os.path.getsize(path) * 8 / (s / sr) / 1000
+        kbps_out = os.path.getsize(path) * 8 / (s / sr) / 1000
+        chosen = _np.array([r.kbps for r in results])
+        return n_ch, sc_list, kbps_out, chosen
 
-    # first pass, then up to two corrective re-searches: the per-chunk
-    # trials measure independent .acz clips, whose size maps to the
-    # shipped streaming chunks with a small systematic bias (container
-    # vs framing overhead, boundary frames) — rescaling the per-chunk
-    # target by the measured ratio removes it, mirroring the ABR path's
-    # secant correction
-    per_chunk_target = payload_target
-    n_chunks, scales, kbps = search_and_encode(per_chunk_target)
-    for _ in range(2):
+    demand_bits = None
+    if reservoir_kbits < 0 or not _np.isfinite(reservoir_kbits):
+        raise ValueError(
+            f"reservoir_kbits must be finite and >= 0: {reservoir_kbits}"
+        )
+    if reservoir_kbits > 0.0 and n_body > 1:
+        # Bit reservoir: the demand profile is the per-chunk byte sizes
+        # of ONE ABR pass (uniform quality at the same target, same
+        # dead zone and feature ladder) read back from the stream index
+        # — framing, sidecar, and fec bytes all included, so the
+        # allocator redistributes exactly what the wire will carry.
+        encode_stream_with_target_bitrate(
+            codec, x, path, chunk_blocks=chunk_blocks,
+            target_kbps=target_kbps, drown=drown, ms=ms, deadzone=z,
+            tns=tns, nf=nf, tmask=tmask, bs=bs, bwe=bwe,
+            intensity=intensity, fec=fec,
+        )
+        with StreamReader(path) as r:
+            demand_bits = _np.array(
+                [r.chunk_bytes(i) * 8.0 for i in range(n_body)]
+            )
+
+    budget_bits = payload_target * 1000.0 * chunk_seconds * n_body
+    floor_bits = 0.5 * 1000.0 * chunk_seconds
+
+    # the DESIRED per-chunk wire bits (fixed schedule): equal shares, or
+    # the reservoir's demand-weighted split of the same budget — the
+    # excursion bound is enforced on this schedule once, up front
+    if demand_bits is None:
+        desired_bits = _np.full(
+            n_body, payload_target * chunk_seconds * 1000.0
+        )
+    else:
+        desired_bits = _np.maximum(
+            floor_bits,
+            _rate.reservoir_allocate(
+                demand_bits, budget_bits, reservoir_kbits * 1000.0,
+                floor=floor_bits,
+            ),
+        )
+    want_wire = desired_bits + overhead_bytes * 8.0
+
+    def read_wire():
+        with StreamReader(path) as r:
+            return _np.array(
+                [r.chunk_bytes(i) * 8.0 for i in range(n_body)]
+            )
+
+    # first pass aims each chunk's clip search at its desired payload
+    # plus the measured empty-container overhead; then up to four
+    # corrective re-searches close the clip→stream systematic bias (the
+    # trials measure independent .acz clips whose fixed overhead and
+    # sidecar bytes differ from the shipped streaming chunks) by working
+    # in MEASURED space. The wire size is AFFINE in the clip size (both
+    # carry a large fixed floor: sidecar bytes, zero-run codes), so a
+    # proportional rescale alone over- or under-shoots; per chunk we run
+    # a secant on the two most recent measured (achieved clip kbps →
+    # wire bits) points, with a ratio step when only one distinct point
+    # exists (e.g. pass 1 pinned every chunk at maximum coarseness).
+    clip0 = _np.maximum(
+        0.5, desired_bits / (chunk_seconds * 1000.0)
+    ) + acz_overhead_kbps
+    n_chunks, scales, kbps, chosen = search_and_encode(clip0)
+    best = (abs(kbps - target_kbps), n_chunks, scales, kbps)
+    prev_pt = None
+    for _ in range(4):
         if abs(kbps - target_kbps) <= tolerance * target_kbps:
             break
-        ratio = max(kbps - overhead_kbps, 0.25) / per_chunk_target
-        per_chunk_target = max(0.5, payload_target / max(ratio, 1e-3))
-        n_chunks, scales, kbps = search_and_encode(per_chunk_target)
+        actual = read_wire()
+        nxt = _np.empty(n_body)
+        for i in range(n_body):
+            if (
+                prev_pt is not None
+                and abs(actual[i] - prev_pt[1][i]) > 1e-6
+                and abs(chosen[i] - prev_pt[0][i]) > 1e-9
+            ):
+                slope = (chosen[i] - prev_pt[0][i]) / (
+                    actual[i] - prev_pt[1][i]
+                )
+                step = (want_wire[i] - actual[i]) * slope
+                # a negative secant slope is measurement noise (size is
+                # monotone in rate) — fall through to the ratio step
+                if slope > 0:
+                    nxt[i] = chosen[i] + _np.clip(
+                        step, -0.75 * chosen[i], 4.0 * chosen[i]
+                    )
+                    continue
+            nxt[i] = chosen[i] * _np.clip(
+                want_wire[i] / actual[i], 0.25, 8.0
+            )
+        prev_pt = (chosen.copy(), actual)
+        n_chunks, scales, kbps, chosen = search_and_encode(
+            _np.maximum(0.5, nxt)
+        )
+        if abs(kbps - target_kbps) < best[0]:
+            best = (abs(kbps - target_kbps), n_chunks, scales, kbps)
+    # never return a worse stream than the best pass produced: if a late
+    # correction regressed, re-ship the best pass's scales
+    if best[0] < abs(kbps - target_kbps):
+        _, n_chunks, scales, kbps = best
+        encode_stream(
+            codec, x, path, chunk_blocks=chunk_blocks, drown=drown,
+            ms=ms, threshold_scale=scales, deadzone=z, tns=tns, nf=nf,
+            tmask=tmask, bs=bs, bwe=bwe, intensity=intensity, fec=fec,
+            orig_samples=orig_samples, lufs=lufs,
+        )
     return n_chunks, scales, kbps
 
 

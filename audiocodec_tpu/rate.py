@@ -147,13 +147,24 @@ def encode_with_target_bitrate_batch(
         honest.
     :return: list of B :class:`RateControlResult`.
     """
-    if not (np.isfinite(target_kbps) and target_kbps > 0):
-        raise ValueError(f"target_kbps must be positive, got {target_kbps}")
     batch = x.shape[0]
+    target_kbps = np.asarray(target_kbps, dtype=float)
+    if not (np.isfinite(target_kbps).all() and (target_kbps > 0).all()):
+        raise ValueError(f"target_kbps must be positive, got {target_kbps}")
+    if target_kbps.ndim > 1 or (
+        target_kbps.ndim == 1 and target_kbps.shape[0] != batch
+    ):
+        raise ValueError(
+            f"target_kbps must be a scalar or one value per clip "
+            f"({batch}), got shape {target_kbps.shape}"
+        )
     seconds = x.shape[1] / codec.psycho.sample_rate
     dtype = codec.mdct.compute_dtype
+    # trials and final packs share ONE dead zone (it rides the container
+    # header); per-clip targets resolve it from their mean rate
     z = resolve_deadzone(
-        deadzone, target_kbps, x.shape[-1], codec.psycho.sample_rate
+        deadzone, float(np.mean(target_kbps)), x.shape[-1],
+        codec.psycho.sample_rate,
     )
     dz_recon = _quantize.dz_recon_offset(z) if z != 0.5 else 0.0
 
@@ -327,6 +338,10 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             nf_fn=None, nf_band_start=0, bs_flags=None,
             lufs_per_clip=None, bwe_fn=None, bwe_band_start=0,
             is_fn=None, is_band_start=0):
+    # scalar target or one per clip — the whole search is per-clip anyway
+    target_kbps = np.broadcast_to(
+        np.asarray(target_kbps, dtype=float), (batch,)
+    )
     def _pack_one(codes_b, bark_b, scale, b, entropy="auto", nfl=None,
                   bweg=None, isg=None):
         return _bitstream.pack(
@@ -414,8 +429,8 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
             break
         grid_next = np.empty_like(grid1)
         for b in range(batch):
-            above = all_kbps[:, b] >= target_kbps
-            below = all_kbps[:, b] <= target_kbps
+            above = all_kbps[:, b] >= target_kbps[b]
+            below = all_kbps[:, b] <= target_kbps[b]
             g_lo = all_grids[above, b].max() if above.any() else lo
             g_hi = all_grids[below, b].min() if below.any() else hi
             if g_hi < g_lo:
@@ -486,6 +501,65 @@ def _search(pool, quantize_trials, bark_np, meta, batch, seconds, dtype,
         )
         for b in range(batch)
     ]
+
+
+def reservoir_allocate(demand, budget, reservoir, floor=0.0):
+    """Bit-reservoir allocation: distribute ``budget`` bits over chunks
+    proportionally to ``demand`` (the bits each chunk takes at UNIFORM
+    quality — e.g. the per-chunk sizes of an ABR encode) while keeping the
+    running deviation from the constant-rate schedule inside
+    ``±reservoir`` bits — the transport guarantee a CBR buffer model
+    needs, relaxed by one reservoir's worth of burstiness.
+
+    The constraint is the classic decoder-buffer excursion bound: with
+    per-chunk schedule ``share = budget / n``, every prefix must satisfy
+    ``|sum(alloc[:i]) − i·share| ≤ reservoir``. ``reservoir = 0``
+    degenerates to plain CBR (equal shares); ``reservoir ≥ max excursion
+    of the demand`` reproduces the demand itself (ABR's allocation).
+
+    Greedy forward waterfill: bits a chunk cannot spend (clamped by the
+    bound) carry forward into the reservoir for later chunks — exactly how
+    MP3/AAC reservoirs fill during easy passages — with a final
+    renormalization so the total lands on ``budget``.
+
+    :param demand: per-chunk demand in bits, shape [n].
+    :param budget: total bits to distribute.
+    :param reservoir: max absolute excursion in bits (≥ 0).
+    :param floor: minimum bits per chunk (headers/sidecar floor).
+    :return: per-chunk allocation in bits, shape [n], summing to ~budget.
+    """
+    demand = np.asarray(demand, dtype=float)
+    n = demand.shape[0]
+    if n == 0:
+        return demand.copy()
+    budget = float(budget)
+    reservoir = float(reservoir)
+    if reservoir < 0 or not np.isfinite(reservoir):
+        raise ValueError(f"reservoir must be finite and >= 0: {reservoir}")
+    if (demand < 0).any() or demand.sum() <= 0:
+        raise ValueError("demand must be nonnegative with positive sum")
+    share = budget / n
+    t = demand * (budget / demand.sum())
+    for _ in range(8):
+        dev = np.cumsum(t) - share * np.arange(1, n + 1)
+        if (np.abs(dev) <= reservoir * (1 + 1e-9) + 1e-6).all():
+            break
+        out = np.empty_like(t)
+        carry = 0.0  # unspendable bits banked for later chunks
+        dv = 0.0
+        for i in range(n):
+            lo = max(share - reservoir - dv, floor)
+            hi = max(share + reservoir - dv, floor)
+            want = t[i] + carry
+            out[i] = min(max(want, lo), hi)
+            carry = want - out[i]
+            dv += out[i] - share
+        t = out
+        # bits left un-placed (or over-placed) at the end: spread the
+        # residual multiplicatively and re-clamp next iteration
+        if abs(t.sum()) > 0:
+            t *= budget / t.sum()
+    return np.maximum(t, floor)
 
 
 def encode_with_target_bitrate(

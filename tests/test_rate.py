@@ -126,3 +126,68 @@ class TestBatchRateControl:
             codec, clip, 64.0, trials_per_round=6
         )[0]
         assert abs(single.kbps - batched.kbps) <= 0.10 * 64.0
+
+
+class TestReservoirAllocate:
+    """rate.reservoir_allocate: demand-proportional bits under a hard
+    excursion bound (the CBR bit reservoir's allocation core)."""
+
+    DEMAND = np.array([100.0, 100.0, 400.0, 100.0, 100.0])
+
+    def test_zero_reservoir_is_equal_shares(self):
+        t = rate.reservoir_allocate(self.DEMAND, 800.0, 0.0)
+        np.testing.assert_allclose(t, 160.0, rtol=1e-9)
+
+    def test_large_reservoir_reproduces_demand(self):
+        t = rate.reservoir_allocate(self.DEMAND, 800.0, 1e9)
+        np.testing.assert_allclose(t, self.DEMAND, rtol=1e-9)
+
+    @pytest.mark.parametrize("reservoir", [10.0, 50.0, 120.0, 300.0])
+    def test_excursion_bound_and_budget(self, reservoir):
+        t = rate.reservoir_allocate(self.DEMAND, 800.0, reservoir)
+        dev = np.cumsum(t) - 160.0 * np.arange(1, 6)
+        assert np.abs(dev).max() <= reservoir * (1 + 1e-9) + 1e-6
+        assert abs(t.sum() - 800.0) <= 1e-6 * 800.0 + 1.0
+
+    def test_hard_chunk_gains_monotonically_with_reservoir(self):
+        prev = rate.reservoir_allocate(self.DEMAND, 800.0, 0.0)[2]
+        for r in (20.0, 50.0, 100.0, 240.0):
+            cur = rate.reservoir_allocate(self.DEMAND, 800.0, r)[2]
+            assert cur >= prev - 1e-9
+            prev = cur
+
+    def test_floor_respected(self):
+        t = rate.reservoir_allocate(
+            np.array([1.0, 1.0, 1000.0]), 300.0, 1e9, floor=40.0
+        )
+        assert (t >= 40.0 - 1e-9).all()
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="reservoir"):
+            rate.reservoir_allocate(self.DEMAND, 800.0, -1.0)
+        with pytest.raises(ValueError, match="demand"):
+            rate.reservoir_allocate(np.zeros(3), 800.0, 10.0)
+
+
+class TestPerClipTargets:
+    def test_vector_targets_each_clip_converges(self, codec, clip):
+        batch = jnp.concatenate([clip, clip], axis=0)
+        targets = np.array([24.0, 72.0])
+        results = rate.encode_with_target_bitrate_batch(
+            codec, batch, targets
+        )
+        for res, tgt in zip(results, targets):
+            assert abs(res.kbps - tgt) <= 0.15 * tgt
+        # same content at a 3x budget must quantize finer
+        assert results[1].threshold_scale < results[0].threshold_scale
+
+    def test_vector_target_validation(self, codec, clip):
+        batch = jnp.concatenate([clip, clip], axis=0)
+        with pytest.raises(ValueError, match="one value per clip"):
+            rate.encode_with_target_bitrate_batch(
+                codec, batch, np.array([24.0, 48.0, 96.0])
+            )
+        with pytest.raises(ValueError, match="positive"):
+            rate.encode_with_target_bitrate_batch(
+                codec, batch, np.array([24.0, -1.0])
+            )

@@ -505,6 +505,102 @@ class TestCBR:
         )
         np.testing.assert_array_equal(a, b)
 
+    def _verse_chorus(self, chunks=6, chunk_blocks=32, n=64, sr=16000.0):
+        """Alternating quiet tone (easy) / dense harmonic stack (hard,
+        tonal = low masking = genuinely bit-hungry) chunks."""
+        s = chunks * chunk_blocks * n
+        t = np.arange(s) / sr
+        x = 0.04 * np.sin(2 * np.pi * 330 * t)
+        seg = chunk_blocks * n
+        for i in range(1, chunks, 2):
+            sl = slice(i * seg, (i + 1) * seg)
+            for k, f in enumerate(
+                [220, 440, 660, 880, 1320, 1980, 2640, 3520, 4700, 6200]
+            ):
+                x[sl] += (0.25 / (1 + 0.35 * k)) * np.sin(
+                    2 * np.pi * f * t[sl] + 0.7 * k
+                )
+        return jnp.asarray(np.clip(x, -1, 1).astype(np.float32)[None, :, None])
+
+    def test_reservoir_round_trip_and_excursion_bound(
+        self, codec, tmp_path
+    ):
+        """The bit reservoir redistributes bits toward hard chunks while
+        the stream's running size stays within the bound (+ the per-chunk
+        search tolerance) of the constant-rate schedule; the wire format
+        is plain cbr — any decoder reads it."""
+        x = self._verse_chorus()
+        path = str(tmp_path / "rsv.acs")
+        reservoir_kbits = 1.5
+        n_chunks, scales, kbps = sc.encode_stream_cbr(
+            codec, x, path, chunk_blocks=32, target_kbps=24.0,
+            reservoir_kbits=reservoir_kbits,
+        )
+        assert n_chunks == 7 and len(scales) == 6
+        assert abs(kbps - 24.0) <= 0.15 * 24.0
+        with sc.StreamReader(path) as r:
+            assert r.meta["cbr"] == 1
+            sizes = np.array([r.chunk_bytes(i) for i in range(6)])
+        dev_kbit = (
+            np.cumsum(sizes) - sizes.mean() * np.arange(1, 7)
+        ) * 8.0 / 1000.0
+        # bound on the targets + 5% per-chunk convergence tolerance
+        # accumulated over the prefix
+        slack = 0.05 * sizes.mean() * 8.0 / 1000.0 * 6
+        assert np.abs(dev_kbit).max() <= reservoir_kbits + slack
+        # hard (odd) chunks must have drawn real bits from easy ones
+        assert sizes[1::2].mean() > 1.2 * sizes[0::2].mean()
+        out = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
+        )
+        assert np.isfinite(out).all()
+
+    def test_reservoir_improves_worst_chunk_nmr(self, codec, tmp_path):
+        """At a matched rate the reservoir must beat plain CBR where it
+        counts: the worst hard chunk's noise-to-mask ratio (SNR cannot
+        see this — the whole point of the reallocation)."""
+        from audiocodec_tpu import metrics
+
+        x = self._verse_chorus()
+        n = 64
+        s = x.shape[1]
+        seg = 32 * n
+        p0 = str(tmp_path / "plain.acs")
+        p1 = str(tmp_path / "rsv.acs")
+        _, _, k0 = sc.encode_stream_cbr(
+            codec, x, p0, chunk_blocks=32, target_kbps=24.0
+        )
+        _, _, k1 = sc.encode_stream_cbr(
+            codec, x, p1, chunk_blocks=32, target_kbps=24.0,
+            reservoir_kbits=1.5,
+        )
+        assert abs(k1 - k0) <= 0.2 * k0  # matched rate comparison
+
+        def worst_hard_nmr(path):
+            out = np.concatenate(
+                [np.asarray(c) for c in sc.decode_stream(codec, path)],
+                axis=1,
+            )[:, n : n + s]  # decode leads with the N-sample boundary pad
+            return max(
+                float(
+                    metrics.nmr_db(
+                        codec,
+                        x[:, i * seg : (i + 1) * seg],
+                        jnp.asarray(out[:, i * seg : (i + 1) * seg]),
+                    )
+                )
+                for i in range(1, 6, 2)
+            )
+
+        assert worst_hard_nmr(p1) < worst_hard_nmr(p0) - 1.0
+
+    def test_reservoir_validation(self, codec, signal, tmp_path):
+        with pytest.raises(ValueError, match="reservoir"):
+            sc.encode_stream_cbr(
+                codec, signal, str(tmp_path / "bad.acs"), chunk_blocks=8,
+                target_kbps=48.0, reservoir_kbits=-1.0,
+            )
+
 
 class TestFuzz:
     def test_byte_flip_fuzz_raises_or_conceals(self, codec, tmp_path):
