@@ -1266,12 +1266,15 @@ def main(argv=None) -> int:
                  "byte-compatible with older decoders)",
         )
         p.add_argument(
-            "--precision", choices=["highest", "high", "default"],
+            "--precision", choices=["highest", "high", "default", "int8"],
             default="highest",
             help="matmul precision ladder for the whole pipeline; "
                  "'default' (one bf16 pass) is ~3x faster at unchanged "
                  "quantized quality and is recorded in the container so "
-                 "decoders reproduce identical step sizes",
+                 "decoders reproduce identical step sizes. 'int8' runs "
+                 "the MDCT on the MXU's int8 path (fastest; ~-0.1 dB; "
+                 "the Bark matmuls stay on 'default' — only the Bark "
+                 "precision is step-size-critical and recorded)",
         )
         p.add_argument(
             "--kbps", type=float, default=0.0,

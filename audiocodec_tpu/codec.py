@@ -125,8 +125,13 @@ class Codec:
                 # inaudible next to quantization noise). Containers record
                 # the encoder's bark_precision so decoders reconstruct
                 # bit-identical step sizes.
+                # "int8" is an MDCT-only mode: the Bark ladder stays on
+                # lax.Precision (bark_precision is step-size-critical and
+                # its container enum does not include int8), so an int8
+                # pipeline pairs with one-pass "default" Bark matmuls.
                 bark_precision=(
-                    dct_precision if bark_precision is None
+                    ("default" if dct_precision == "int8" else dct_precision)
+                    if bark_precision is None
                     else bark_precision
                 ),
             ),

@@ -1952,7 +1952,7 @@ def _jit_decode_chunk():
 
         z = _dct.dct4(
             yb, mdct.dct_mat_inv, fast_bf16=mdct.fast_bf16,
-            precision=mdct.dct_precision,
+            precision=mdct.inv_precision,
         )
         return z[:, :, -1], prev
 

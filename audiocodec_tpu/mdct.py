@@ -54,6 +54,7 @@ from audiocodec_tpu.utils import dtypes as _dtypes
     meta_fields=[
         "filters_n", "window_type", "compute_dtype", "fast_bf16",
         "use_pallas", "dct_precision", "pallas_kernel",
+        "pallas_int8_scale",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -72,14 +73,16 @@ class MDCT:
         a real TPU backend to ``True`` (both directions) wherever the
         round-3 kernels measure faster than XLA — multi-pass precisions
         (highest/high) at eligible N, and the bf16 ``fast_bf16`` path at
-        "default" — and ``False`` otherwise; in particular f32 at
-        ``dct_precision="default"`` stays XLA (the dense two-matmul wins:
-        Mosaic's dot sustains ~66 TF/s vs XLA's ~175 on this shape —
-        docs/DESIGN.md §3). ``True`` = both directions,
-        ``"forward"``/``"inverse"`` = that direction only, ``False`` =
-        pure-XLA. Composed pipelines inherit the same measured win
-        (round_trip_quantized 2.71 vs 3.15 ms at f32 HIGHEST, 0.78 vs
-        0.85 ms bf16-fast — docs/DESIGN.md §3).
+        one-pass tiers ("default", "int8") — and ``False`` otherwise; in
+        particular f32 at ``dct_precision="default"``/"int8" stays XLA
+        (the dense two-matmul wins: Mosaic's float dot sustains ~66 TF/s
+        vs XLA's ~175 on this shape, and f32 tiles double the int8
+        kernels' DMA bytes — docs/DESIGN.md §3/§3c). ``True`` = both
+        directions, ``"forward"``/``"inverse"`` = that direction only,
+        ``False`` = pure-XLA. Composed pipelines inherit the same
+        measured win (round_trip_quantized 2.71 vs 3.15 ms at f32
+        HIGHEST, 0.78 vs 0.85 ms bf16-fast, 0.743 vs 0.791 bf16-int8 —
+        docs/DESIGN.md §3, §3c).
     """
 
     filters_n: int
@@ -133,6 +136,12 @@ class MDCT:
     dense_fwd_prev: object
     dense_inv_cur: object
     dense_inv_prev: object
+    # At dct_precision="int8" with Pallas directions: (fwd, inv) static
+    # rescales of the host-quantized int8 residents (exact f64 scale,
+    # s_m/127^2 each; None for a direction not on the kernel). Static —
+    # a deterministic precompute of (filters_n, window_type), never
+    # signal-dependent.
+    pallas_int8_scale: object = None
 
     @classmethod
     def create(
@@ -159,15 +168,28 @@ class MDCT:
                 "use_pallas must be one of False, True, 'auto', 'forward', "
                 f"'inverse'; got {use_pallas!r}"
             )
-        if dct_precision not in _dct.PRECISIONS:
+        if dct_precision not in _dct.MDCT_PRECISIONS:
             raise ValueError(
-                f"dct_precision must be one of {sorted(_dct.PRECISIONS)}, "
-                f"got {dct_precision!r}"
+                "dct_precision must be one of "
+                f"{sorted(_dct.MDCT_PRECISIONS)}, got {dct_precision!r}"
+            )
+        if dct_precision == "int8" and jnp.dtype(
+            _dtypes.canonicalize_compute_dtype(compute_dtype)
+        ) == jnp.dtype(jnp.float64):
+            raise ValueError(
+                "dct_precision='int8' targets the MXU's int8 path and is "
+                "not available with a float64 compute dtype"
             )
         if pallas_kernel not in ("auto", "mono", "radix"):
             raise ValueError(
                 "pallas_kernel must be 'auto', 'mono' or 'radix'; got "
                 f"{pallas_kernel!r}"
+            )
+        if pallas_kernel == "radix" and dct_precision == "int8":
+            raise ValueError(
+                "the radix kernel design has no int8 tier (its butterfly "
+                "overhead already loses at one-pass precisions); use "
+                "pallas_kernel='mono' or 'auto' with dct_precision='int8'"
             )
         if pallas_kernel == "auto":
             # Both designs are exact; "auto" picks the hardware-measured
@@ -183,7 +205,7 @@ class MDCT:
             # butterfly's extra VPU work loses (measured 0.67-0.97x vs
             # XLA), so it never extends that tier.
             mono_cap = 1024 if dct_precision == "highest" else 2048
-            if filters_n <= mono_cap or dct_precision == "default":
+            if filters_n <= mono_cap or dct_precision in ("default", "int8"):
                 pallas_kernel = "mono"
             else:
                 pallas_kernel = "radix"
@@ -220,7 +242,14 @@ class MDCT:
             # fast_bf16 path (f32-default is where Mosaic's dot loses to
             # XLA's dense two-matmul). Anything but a real TPU backend
             # can't run Mosaic kernels at speed.
-            wins = dct_precision != "default" or (
+            # One-pass tiers ("default" one-pass bf16, "int8") win with
+            # kernels only on the bf16 fast path — f32 inputs double the
+            # tile DMA bytes and Mosaic's one-pass dot loses to XLA's
+            # dense two-matmul there (same-session composed
+            # round_trip_quantized, 2026-08-19: f32-int8 0.996 pallas vs
+            # 0.929 XLA; bf16-int8 0.743 pallas vs 0.836 XLA and 0.791
+            # flagship bf16-default — docs/DESIGN.md §3c).
+            wins = dct_precision not in ("default", "int8") or (
                 dtype == jnp.dtype(jnp.bfloat16) and fast_bf16
             )
             use_pallas = (
@@ -249,6 +278,15 @@ class MDCT:
             pinv_wa=None, pinv_wb=None, pinv_mat=None,
             pfwd_rot=None, pinv_rot=None,
         )
+        int8_scales = [None, None]
+
+        def _host_int8(m64):
+            s_m = float(np.max(np.abs(m64)))
+            q = np.clip(
+                np.round(m64 * (127.0 / s_m)), -127, 127
+            ).astype(np.int8)
+            return jnp.asarray(q), s_m / (127.0 * 127.0)
+
         if pallas_fwd or pallas_inv:
             from audiocodec_tpu.ops import pallas_mdct as _pallas
 
@@ -276,11 +314,22 @@ class MDCT:
                     fwa, fwb, fm = _pallas.forward_params(
                         filters_n, window_type
                     )
-                fused.update(
-                    pfwd_wa=jnp.asarray(fwa, dtype=fused_dtype),
-                    pfwd_wb=jnp.asarray(fwb, dtype=fused_dtype),
-                    pfwd_mat=jnp.asarray(fm, dtype=fused_dtype),
-                )
+                if dct_precision == "int8":
+                    # host-quantized int8 resident; the exact f64 scale
+                    # rides as a static kernel constant (zero runtime
+                    # rescale plumbing)
+                    fm_q, int8_scales[0] = _host_int8(fm)
+                    fused.update(
+                        pfwd_wa=jnp.asarray(fwa, dtype=fused_dtype),
+                        pfwd_wb=jnp.asarray(fwb, dtype=fused_dtype),
+                        pfwd_mat=fm_q,
+                    )
+                else:
+                    fused.update(
+                        pfwd_wa=jnp.asarray(fwa, dtype=fused_dtype),
+                        pfwd_wb=jnp.asarray(fwb, dtype=fused_dtype),
+                        pfwd_mat=jnp.asarray(fm, dtype=fused_dtype),
+                    )
             if pallas_inv:
                 if radix:
                     iva, ivb, ra, rb, ip, iq = _pallas.radix_inverse_params(
@@ -296,11 +345,19 @@ class MDCT:
                     iva, ivb, im = _pallas.inverse_params(
                         filters_n, window_type
                     )
-                fused.update(
-                    pinv_wa=jnp.asarray(iva, dtype=fused_dtype),
-                    pinv_wb=jnp.asarray(ivb, dtype=fused_dtype),
-                    pinv_mat=jnp.asarray(im, dtype=fused_dtype),
-                )
+                if dct_precision == "int8":
+                    im_q, int8_scales[1] = _host_int8(im)
+                    fused.update(
+                        pinv_wa=jnp.asarray(iva, dtype=fused_dtype),
+                        pinv_wb=jnp.asarray(ivb, dtype=fused_dtype),
+                        pinv_mat=im_q,
+                    )
+                else:
+                    fused.update(
+                        pinv_wa=jnp.asarray(iva, dtype=fused_dtype),
+                        pinv_wb=jnp.asarray(ivb, dtype=fused_dtype),
+                        pinv_mat=jnp.asarray(im, dtype=fused_dtype),
+                    )
         # Dense two-matmul mode: at one-pass ("default") matmul precision
         # the 2x-FLOP fold-into-matmul formulation beats the sparse fold's
         # lane-reversal passes; at multi-pass precisions the extra FLOPs
@@ -309,7 +366,10 @@ class MDCT:
             dense_fwd_cur=None, dense_fwd_prev=None,
             dense_inv_cur=None, dense_inv_prev=None,
         )
-        if dct_precision == "default" and dtype != jnp.dtype(jnp.float64):
+        if (
+            dct_precision in ("default", "int8")
+            and dtype != jnp.dtype(jnp.float64)
+        ):
             h0, h1 = _folding.dense_fold_matrices(filters_n, window_type)
             g0, g1 = _folding.dense_unfold_matrices(filters_n, window_type)
             m64 = _dct.dct4_matrix(filters_n)
@@ -350,7 +410,26 @@ class MDCT:
             ),
             **fused,
             **dense,
+            pallas_int8_scale=(
+                tuple(int8_scales)
+                if dct_precision == "int8" and (pallas_fwd or pallas_inv)
+                else None
+            ),
         )
+
+    @property
+    def inv_precision(self) -> str:
+        """Matmul mode of the SYNTHESIS direction.
+
+        "int8" is analysis-only on the XLA path: spectra are peaky
+        (30+ dB crest), so a per-frame int8 scale leaves flat error that
+        lands ABOVE the masking threshold in quiet bands — measured
+        composed NMR 0.30 vs 0.021 (14x). The synthesis falls back to
+        the one-pass float matmul; the Pallas kernels restore int8 on
+        synthesis with per-128-bin grouped scales (error tracks the
+        spectral envelope — measured NMR 0.029 at g=128).
+        """
+        return "default" if self.dct_precision == "int8" else self.dct_precision
 
     # -- analysis ----------------------------------------------------------
 
@@ -384,7 +463,9 @@ class MDCT:
                 # The swizzle (flip of the lower half-lanes) fuses into the
                 # transpose/reshape above — it is what lets the kernel fold
                 # without lane reversals (ops/pallas_mdct.py docstring).
-                xs = _pallas.swizzle(rows.astype(self.pfwd_mat.dtype))
+                # Cast target is the fold weights' dtype (the matrix
+                # resident may be int8 at dct_precision="int8").
+                xs = _pallas.swizzle(rows.astype(self.pfwd_wa.dtype))
                 if self.pallas_kernel == "radix":
                     # The radix kernel emits even/odd-split lane order;
                     # the interleave is a reshape-transpose XLA fuses
@@ -409,6 +490,7 @@ class MDCT:
                         self.pfwd_wb,
                         self.pfwd_mat,
                         self.dct_precision,
+                        (self.pallas_int8_scale or (1.0, 1.0))[0] or 1.0,
                     )
                 y = y.astype(self.compute_dtype).reshape(
                     batches_n, channels_n, blocks_n + 1, n
@@ -462,7 +544,7 @@ class MDCT:
                 from audiocodec_tpu.ops import pallas_mdct as _pallas
 
                 rows = yb.reshape(batches_n * channels_n, blocks_n, n)
-                rows = rows.astype(self.pinv_mat.dtype)
+                rows = rows.astype(self.pinv_wa.dtype)
                 if self.pallas_kernel == "radix":
                     swz = _pallas.radix_matmul_scatter(
                         _pallas.deinterleave(rows),
@@ -481,6 +563,7 @@ class MDCT:
                         self.pinv_wb,
                         self.pinv_mat,
                         self.dct_precision,
+                        (self.pallas_int8_scale or (1.0, 1.0))[1] or 1.0,
                     )
                 # Kernel output is in the swizzled layout; the un-swizzle
                 # fuses into the merge-blocks reshape/transpose below.
@@ -494,15 +577,15 @@ class MDCT:
                 prev = jnp.concatenate([zero, yb], axis=2)
                 out = _dct.dct4(
                     cur, self.dense_inv_cur, fast_bf16=self.fast_bf16,
-                    precision=self.dct_precision,
+                    precision=self.inv_precision,
                 ) + _dct.dct4(
                     prev, self.dense_inv_prev, fast_bf16=self.fast_bf16,
-                    precision=self.dct_precision,
+                    precision=self.inv_precision,
                 )
             else:
                 z = _dct.dct4(
                     yb, self.dct_mat_inv, fast_bf16=self.fast_bf16,
-                    precision=self.dct_precision,
+                    precision=self.inv_precision,
                 )
                 out = _folding.unfold(z, self.p, self.q, self.r, self.s_r)
             return jnp.transpose(

@@ -41,6 +41,50 @@ PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,  # ~1e-4  (1-pass bf16, fastest)
 }
 
+# The MDCT additionally accepts the sub-bf16 "int8" mode (dynamic-range
+# int8 MXU matmuls — v5e does ~394 int8 TOPS vs ~197 bf16 TFLOPS,
+# measured 1.41x on the transform matmul, benchmarks/int8_probe.py).
+# The psychoacoustic Bark contractions do NOT accept it: bark_precision
+# is bitstream-critical (step sizes expand through W_inv) and its wire
+# enum stays on the lax.Precision ladder.
+MDCT_PRECISIONS = frozenset(PRECISIONS) | {"int8"}
+
+
+def _int8_matmul(x: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
+    """x [..., K] @ mat [K, M] on the MXU's int8 path, float32 out.
+
+    The signal is dynamically requantized per row (per frame): scale =
+    max|row|/127, symmetric round-to-nearest, int8. The matrix is
+    quantized against one global scale — it is a loop-invariant pytree
+    leaf, so XLA hoists its quantization out of scans and runs it once
+    per program otherwise. Products accumulate in int32 (exact) and the
+    two scales rescale the result in one fused epilogue.
+
+    Error model: uniform ~ rowmax/(127*sqrt(12)) per output element —
+    white across the frame, ~45 dB below a uniform-range signal
+    (measured, benchmarks/int8_probe.py). Intended for the QUANTIZED
+    codec path, whose own noise floor sits far above that; fidelity
+    paths keep the float ladder.
+    """
+    xf = x.astype(jnp.float32)
+    s_r = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) + jnp.float32(1e-12)
+    q = jnp.clip(
+        jnp.round(xf * (jnp.float32(127.0) / s_r)), -127.0, 127.0
+    ).astype(jnp.int8)
+    mf = mat.astype(jnp.float32)
+    s_m = jnp.max(jnp.abs(mf)) + jnp.float32(1e-12)
+    qm = jnp.clip(
+        jnp.round(mf * (jnp.float32(127.0) / s_m)), -127.0, 127.0
+    ).astype(jnp.int8)
+    y32 = jax.lax.dot_general(
+        q, qm,
+        (((q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y32.astype(jnp.float32) * (
+        s_r * (s_m * jnp.float32(1.0 / (127.0 * 127.0)))
+    )
+
 
 def dct4(
     x: jnp.ndarray,
@@ -62,6 +106,8 @@ def dct4(
     extra passes are negligible against the HBM-bandwidth-bound fold. The
     ``precision`` knob trades that accuracy back for speed (see PRECISIONS).
     """
+    if precision == "int8":
+        return _int8_matmul(x, dct_mat).astype(x.dtype)
     prec = PRECISIONS[precision]
     if x.dtype == jnp.bfloat16:
         if fast_bf16:

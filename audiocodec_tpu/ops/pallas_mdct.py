@@ -192,7 +192,17 @@ def _load_matrices(m_hbms, m_scratches, sems):
             cp.wait()
 
 
-def _mxu(u, m_scratches, prec_mode):
+def _int8_rowquant(u):
+    """Symmetric per-row dynamic int8: scale = max|row|/127."""
+    uf = u.astype(jnp.float32)
+    s = jnp.max(jnp.abs(uf), axis=1, keepdims=True) + jnp.float32(1e-12)
+    q = jnp.clip(
+        jnp.round(uf * (jnp.float32(127.0) / s)), -127.0, 127.0
+    ).astype(jnp.int8)
+    return q, s
+
+
+def _mxu(u, m_scratches, prec_mode, mat_scale=1.0):
     """The kernel's matmul, per precision tier.
 
     'highest' uses Mosaic's native HIGHEST dot on the f32-resident matrix
@@ -205,7 +215,40 @@ def _mxu(u, m_scratches, prec_mode):
     three explicit one-pass bf16 matmuls with f32 accumulation
     (xh@mh + xh@ml + xl@mh — the classic 3-pass split, ~1e-6 relative),
     which is also ~2x faster than the 6-pass native HIGHEST. 'default'
-    is one bf16 pass against a single bf16 resident."""
+    is one bf16 pass against a single bf16 resident.
+
+    'int8' / 'int8g' run the MXU's int8 path (~2x the bf16 TOPS; Mosaic's
+    int8 dot measured 259 TF/s vs 132 for its bf16 dot on this shape,
+    benchmarks/pallas_int8_probe.py): the matrix arrives PRE-QUANTIZED
+    (host-side, exact f64 scale baked into the static ``mat_scale`` =
+    s_m/127^2), the input is quantized dynamically on the VPU, products
+    accumulate exactly in int32, and one fused f32 rescale restores
+    magnitudes. 'int8' uses one scale per row — right for the analysis
+    side, whose folded time-domain rows have modest crest. 'int8g' uses
+    one scale per (row, 128-lane group) at the cost of 8 K=128 dots with
+    an f32 rescale-accumulate — required on the synthesis side, where
+    spectra run 30+ dB of crest and a flat per-row error lands above the
+    masking threshold in quiet bands (measured composed NMR 0.30 flat
+    vs 0.029 grouped — docs/DESIGN.md §3c)."""
+    if prec_mode == "int8":
+        q, s = _int8_rowquant(u)
+        y32 = jnp.dot(
+            q, m_scratches[0][:, :], preferred_element_type=jnp.int32
+        )
+        return y32.astype(jnp.float32) * (s * jnp.float32(mat_scale))
+    if prec_mode == "int8g":
+        g = 128
+        uf = u.astype(jnp.float32)
+        acc = None
+        for j in range(uf.shape[1] // g):
+            q, s = _int8_rowquant(uf[:, j * g:(j + 1) * g])
+            y32 = jnp.dot(
+                q, m_scratches[0][j * g:(j + 1) * g, :],
+                preferred_element_type=jnp.int32,
+            )
+            term = y32.astype(jnp.float32) * s
+            acc = term if acc is None else acc + term
+        return acc * jnp.float32(mat_scale)
     if prec_mode == "highest":
         return jnp.dot(
             u, m_scratches[0][:, :],
@@ -230,7 +273,7 @@ def _mxu(u, m_scratches, prec_mode):
 
 def _fwd_kernel(
     x_ref, halo_ref, wa_ref, wb_ref, *rest,
-    n_mats, h, align, prec_mode, out_dtype
+    n_mats, h, align, prec_mode, out_dtype, mat_scale=1.0
 ):
     """Analysis tile: per-lane fold (VPU), then the matmul tier (MXU).
 
@@ -252,12 +295,14 @@ def _fwd_kernel(
     ta = prev * wa_ref[0:1, :]
     tc = cur * wb_ref[0:1, :]
     folded = jnp.concatenate([_shift_add(ta, h), _shift_add(tc, h)], axis=1)
-    out_ref[0] = _mxu(folded, m_scratches, prec_mode).astype(out_dtype)
+    out_ref[0] = _mxu(
+        folded, m_scratches, prec_mode, mat_scale
+    ).astype(out_dtype)
 
 
 def _inv_kernel(
     y_ref, halo_ref, va_ref, vb_ref, *rest,
-    n_mats, h, align, prec_mode, out_dtype
+    n_mats, h, align, prec_mode, out_dtype, mat_scale=1.0
 ):
     """Synthesis tile: the matmul tier (MXU), then the per-lane scatter
     (VPU). The halo frame z[t*tb - 1] is RECOMPUTED from its spectrum row
@@ -269,10 +314,12 @@ def _inv_kernel(
     sems = rest[2 * n_mats + 1 :]
     _load_matrices(m_hbms, m_scratches, sems)
     t = pl.program_id(1)
-    z = _mxu(y_ref[0], m_scratches, prec_mode).astype(y_ref.dtype)
+    z = _mxu(y_ref[0], m_scratches, prec_mode, mat_scale).astype(
+        jnp.float32 if prec_mode == "int8g" else y_ref.dtype
+    )
     zh = _mxu(
-        halo_ref[0, align - 1 : align, :], m_scratches, prec_mode
-    ).astype(y_ref.dtype)
+        halo_ref[0, align - 1 : align, :], m_scratches, prec_mode, mat_scale
+    ).astype(z.dtype)
     zh = jnp.where(t == 0, jnp.zeros_like(zh), zh)
     zp = jnp.concatenate([zh, z[:-1]], axis=0)
     u = jnp.concatenate([z[:, :h], zp[:, h:]], axis=1)
@@ -324,7 +371,7 @@ def _radix_dct(rt, h, p_scr, q_scr, prec_mode):
 
 def _fwd_kernel_radix(
     x_ref, halo_ref, wa_ref, wb_ref, rot1_ref, rot2_ref, *rest,
-    n_mats, h, align, prec_mode, out_dtype
+    n_mats, h, align, prec_mode, out_dtype, mat_scale=1.0
 ):
     """Radix analysis tile: fold (VPU), per-lane rotation (VPU), two
     half-size matmuls + butterfly (MXU + lane shifts). Output spectra are
@@ -354,7 +401,7 @@ def _fwd_kernel_radix(
 
 def _inv_kernel_radix(
     y_ref, halo_ref, va_ref, vb_ref, rota_ref, rotb_ref, *rest,
-    n_mats, h, align, prec_mode, out_dtype
+    n_mats, h, align, prec_mode, out_dtype, mat_scale=1.0
 ):
     """Radix synthesis tile: transposed butterfly (lane shifts), two
     transposed half-size matmuls (MXU), transposed rotation (VPU), then
@@ -452,24 +499,45 @@ def _split_mats(mat, precision):
     return (mh, ml)
 
 
-def _call(x, num_out, wa, wb, mat, precision, mode, rots=()):
+def _call(x, num_out, wa, wb, mat, precision, mode, rots=(), mat_scale=1.0):
     """Launch one kernel. ``mat`` is the [N, N] resident (single-matmul
     design) or a tuple of two [M, M] residents (radix design, selected by
-    a non-empty ``rots`` — the two [1, N] rotation vectors)."""
+    a non-empty ``rots`` — the two [1, N] rotation vectors). At
+    ``precision="int8"`` the resident arrives PRE-QUANTIZED int8 (exact
+    f64 host scale baked into the static ``mat_scale`` = s_m/127^2) and
+    the tier maps per direction: flat per-row dynamic quantization on the
+    analysis side, per-128-lane grouped on the synthesis side (see
+    _mxu)."""
     rows, blocks_n, n = x.shape  # blocks_n = padded count >= num_out
     h = n // 2
     itemsize = x.dtype.itemsize
     align = 16 if itemsize == 2 else 8
     mat_list = mat if isinstance(mat, tuple) else (mat,)
-    if mat_list[0].dtype == jnp.bfloat16:
+    if precision == "int8":
+        if rots:
+            raise ValueError(
+                "int8 matmuls are not supported by the radix kernel "
+                "design (it never wins at one-pass precisions)"
+            )
+        if mat_list[0].dtype != jnp.int8:
+            raise ValueError(
+                "precision='int8' expects a host-quantized int8 resident"
+            )
+        precision = "int8" if mode == _FOLD_MM else "int8g"
+        mats = mat_list
+    elif mat_list[0].dtype == jnp.bfloat16:
         # bf16 operands admit exactly ONE matmul pass — higher precision
         # tiers are identical math through Mosaic's (more scoped-VMEM-
         # hungry, and for 'highest' decomposition-heavy) lowerings, so
         # canonicalize to the single-pass tier.
         precision = "default"
-    mats = tuple(
-        m for one in mat_list for m in _split_mats(one, precision)
-    )
+        mats = tuple(
+            m for one in mat_list for m in _split_mats(one, precision)
+        )
+    else:
+        mats = tuple(
+            m for one in mat_list for m in _split_mats(one, precision)
+        )
     mat_bytes = sum(int(m.size) * m.dtype.itemsize for m in mats)
     eff_mat = 7 * mat_bytes if precision == "highest" else mat_bytes
     tb = _tile_size(itemsize, num_out, n, mat_bytes, precision)
@@ -483,7 +551,7 @@ def _call(x, num_out, wa, wb, mat, precision, mode, rots=()):
         mac_per_frame = n * n
     kernel = functools.partial(
         body, n_mats=len(mats), h=h, align=align, prec_mode=precision,
-        out_dtype=x.dtype,
+        out_dtype=x.dtype, mat_scale=float(mat_scale),
     )
     return pl.pallas_call(
         kernel,
@@ -541,36 +609,53 @@ def _pad_blocks(rows_arr):
     return jnp.pad(rows_arr, ((0, 0), (0, padded - blocks_n), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def fold_matmul(x_rows, wa, wb, mat, precision="highest"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fold_matmul(x_rows, wa, wb, mat, precision="highest", mat_scale=1.0):
     """Analysis kernel: [rows, T, N] swizzled signal -> [rows, T+1, N]
-    spectrum.  y[n] = [sa(x[n-1]*wa), sa(x[n]*wb)] @ mat."""
+    spectrum.  y[n] = [sa(x[n-1]*wa), sa(x[n]*wb)] @ mat. At
+    precision="int8", ``mat`` is the host-quantized int8 resident and
+    ``mat_scale`` its exact static rescale (s_m/127^2)."""
     blocks_n = x_rows.shape[1]
     return _call(
-        _pad_blocks(x_rows), blocks_n + 1, wa, wb, mat, precision, _FOLD_MM
+        _pad_blocks(x_rows), blocks_n + 1, wa, wb, mat, precision,
+        _FOLD_MM, mat_scale=mat_scale,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def matmul_scatter(y_rows, va, vb, mat, precision="highest"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def matmul_scatter(y_rows, va, vb, mat, precision="highest", mat_scale=1.0):
     """Synthesis kernel: [rows, T, N] spectrum -> [rows, T+1, N] swizzled
-    blocks.  out[n] = [sa(u*va), sa(u*vb)], u = [(y[n]@mat)[:h], (y[n-1]@mat)[h:]]."""
+    blocks.  out[n] = [sa(u*va), sa(u*vb)], u = [(y[n]@mat)[:h], (y[n-1]@mat)[h:]].
+    At precision="int8" (per-128-lane grouped quantization inside — see
+    _mxu), ``mat`` is the host-quantized int8 resident and ``mat_scale``
+    its exact static rescale."""
     blocks_n = y_rows.shape[1]
     return _call(
         _pad_blocks(y_rows), blocks_n + 1, va, vb, mat, precision,
-        _MM_SCATTER,
+        _MM_SCATTER, mat_scale=mat_scale,
     )
 
 
-def _fold_matmul_fwd(x_rows, wa, wb, mat, precision):
-    return fold_matmul(x_rows, wa, wb, mat, precision), (wa, wb, mat)
+def _fold_matmul_fwd(x_rows, wa, wb, mat, precision, mat_scale):
+    return (
+        fold_matmul(x_rows, wa, wb, mat, precision, mat_scale),
+        (wa, wb, mat),
+    )
 
 
-def _fold_matmul_bwd(precision, res, g):
+def _fold_matmul_bwd(precision, mat_scale, res, g):
     """Transpose of fold->matmul is matmul->scatter on the block-reversed
     cotangent: dx[m] = g[m] @ (Wb M_hi)^T + g[m+1] @ (Wa M_lo)^T, realized
-    with M^T's column halves swapped and the weight quarters shuffled."""
+    with M^T's column halves swapped and the weight quarters shuffled.
+
+    At int8 the forward is only piecewise-linear (dynamic quantization);
+    the VJP treats it as the underlying linear map (straight-through) —
+    the resident is dequantized and the cotangent runs at one-pass
+    precision, matching the tier's error order."""
     wa, wb, mat = res
+    if precision == "int8":
+        mat = mat.astype(jnp.float32) * jnp.float32(mat_scale * 127.0)
+        precision = "default"
     n = mat.shape[0]
     h = n // 2
     m2 = jnp.concatenate([mat[h:, :].T, mat[:h, :].T], axis=1)
@@ -585,14 +670,21 @@ def _fold_matmul_bwd(precision, res, g):
 fold_matmul.defvjp(_fold_matmul_fwd, _fold_matmul_bwd)
 
 
-def _matmul_scatter_fwd(y_rows, va, vb, mat, precision):
-    return matmul_scatter(y_rows, va, vb, mat, precision), (va, vb, mat)
+def _matmul_scatter_fwd(y_rows, va, vb, mat, precision, mat_scale):
+    return (
+        matmul_scatter(y_rows, va, vb, mat, precision, mat_scale),
+        (va, vb, mat),
+    )
 
 
-def _matmul_scatter_bwd(precision, res, g):
+def _matmul_scatter_bwd(precision, mat_scale, res, g):
     """Transpose of matmul->scatter is fold->matmul on the block-reversed
-    cotangent (the mirror of _fold_matmul_bwd)."""
+    cotangent (the mirror of _fold_matmul_bwd; straight-through at int8,
+    see _fold_matmul_bwd)."""
     va, vb, mat = res
+    if precision == "int8":
+        mat = mat.astype(jnp.float32) * jnp.float32(mat_scale * 127.0)
+        precision = "default"
     n = mat.shape[0]
     h = n // 2
     m2 = jnp.concatenate([mat[:, h:].T, mat[:, :h].T], axis=0)

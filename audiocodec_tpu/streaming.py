@@ -165,15 +165,15 @@ def imdct_stream_step(mdct: MDCT, carry, frames):
         ext = jnp.concatenate([carry[:, :, None, :], yb], axis=2)
         out = _dct.dct4(
             ext[:, :, 1:], mdct.dense_inv_cur, fast_bf16=mdct.fast_bf16,
-            precision=mdct.dct_precision,
+            precision=mdct.inv_precision,
         ) + _dct.dct4(
             ext[:, :, :-1], mdct.dense_inv_prev, fast_bf16=mdct.fast_bf16,
-            precision=mdct.dct_precision,
+            precision=mdct.inv_precision,
         )
         samples = jnp.transpose(out.reshape(b, c, k * n), (0, 2, 1))
         return yb[:, :, -1], samples
     z = _dct.dct4(yb, mdct.dct_mat_inv, fast_bf16=mdct.fast_bf16,
-                  precision=mdct.dct_precision)
+                  precision=mdct.inv_precision)
     ext = jnp.concatenate([carry[:, :, None, :], z], axis=2)  # [B,C,K+1,N]
     out = _out_cur(mdct, ext[:, :, 1:]) + _out_prev(mdct, ext[:, :, :-1])
     samples = jnp.transpose(out.reshape(b, c, k * n), (0, 2, 1))
@@ -185,7 +185,7 @@ def imdct_stream_flush(mdct: MDCT, carry):
     if mdct.dense_inv_cur is not None:
         out = _dct.dct4(
             carry, mdct.dense_inv_prev, fast_bf16=mdct.fast_bf16,
-            precision=mdct.dct_precision,
+            precision=mdct.inv_precision,
         )
         return jnp.transpose(out, (0, 2, 1))
     out = _out_prev(mdct, carry)  # [B, C, N]

@@ -68,6 +68,11 @@ def main():
         ("f32_default", jnp.float32, False, "default", (32, 128)),
         ("bf16_fast_default", jnp.bfloat16, True, "default", (48, 192)),
         ("bf16_fast_highest", jnp.bfloat16, True, "highest", (24, 96)),
+        # the int8 MXU tier (docs/DESIGN.md §3c): xla = int8 analysis +
+        # one-pass synthesis; pallas = flat-int8 analysis kernel +
+        # grouped-int8 synthesis kernel
+        ("f32_int8", jnp.float32, False, "int8", (32, 128)),
+        ("bf16_int8", jnp.bfloat16, True, "int8", (48, 192)),
     ]
     only = {s for s in args.only.split(",") if s}
     for name, dtype, fast, prec, lens in configs:
@@ -82,6 +87,9 @@ def main():
             ("pallas", True, "mono"),
             ("radix", True, "radix"),
         ):
+            if prec == "int8" and kern == "radix":
+                row["radix_ms"] = float("nan")  # no int8 radix tier
+                continue
             codec = Codec.create(
                 sr, filters_n=n, bark_bands_n=64, compute_dtype=dtype,
                 fast_bf16=fast, dct_precision=prec, use_pallas=up,
@@ -108,12 +116,16 @@ def main():
             ls, ll = (2, 6) if args.quick else lens
             row[f"{label}_ms"] = round(slope_timed(make_chain, ls, ll) * 1e3, 3)
         row["speedup"] = round(row["xla_ms"] / row["pallas_ms"], 3)
-        row["speedup_radix"] = round(row["xla_ms"] / row["radix_ms"], 3)
         audio_s = b * samples / sr
+        if row["radix_ms"] == row["radix_ms"]:  # not NaN
+            row["speedup_radix"] = round(row["xla_ms"] / row["radix_ms"], 3)
+        else:
+            del row["radix_ms"]
         for label in ("xla", "pallas", "radix"):
-            row[f"{label}_audio_s_per_s"] = round(
-                audio_s / (row[f"{label}_ms"] / 1e3), 1
-            )
+            if f"{label}_ms" in row:
+                row[f"{label}_audio_s_per_s"] = round(
+                    audio_s / (row[f"{label}_ms"] / 1e3), 1
+                )
         print(json.dumps(row), flush=True)
 
 

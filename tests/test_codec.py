@@ -242,3 +242,97 @@ class TestBarkPrecisionKnob:
                 )
             )
         np.testing.assert_allclose(thr[0], thr[1], rtol=1e-6)
+
+
+class TestInt8Codec:
+    """dct_precision="int8" composed through the quantized path
+    (docs/DESIGN.md §3c): the sub-bf16 MXU tier must stay within 0.1 dB
+    SNR of the "default" tier and keep NMR at the codec's own
+    calibration level (measured: default 0.0213 / int8-XLA 0.0247 /
+    int8-Pallas 0.0295, all below the 1/36+margin line)."""
+
+    def _signal(self, sr=16000, filters_n=256, seconds=2.0, seed=0):
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(sr * seconds) // filters_n * filters_n) / sr
+        base = (
+            0.4 * np.sin(2 * np.pi * 440 * t)
+            + 0.3 * np.sin(2 * np.pi * 1320 * t)
+            + 0.05 * rng.normal(size=t.size)
+        ).astype(np.float32)
+        return jnp.asarray(base[None, :, None])
+
+    def test_composed_snr_within_tenth_db_of_default(self):
+        n = 256
+        x = self._signal(filters_n=n)
+        outs = {}
+        for prec in ("default", "int8"):
+            c = Codec.create(16000, filters_n=n, bark_bands_n=32,
+                             dct_precision=prec)
+            out = c.round_trip_quantized(x)[:, n:-n]
+            outs[prec] = snr_db(x, out)
+        assert float(outs["int8"]) > float(outs["default"]) - 0.1, outs
+
+    def test_composed_nmr_gate(self):
+        n = 256
+        x = self._signal(filters_n=n)
+        ref = Codec.create(16000, filters_n=n, bark_bands_n=32)
+        c = Codec.create(16000, filters_n=n, bark_bands_n=32,
+                         dct_precision="int8")
+        out = c.round_trip_quantized(x)[:, n:-n]
+        from audiocodec_tpu import metrics as _metrics
+
+        val = float(_metrics.nmr(ref, x, out))
+        # codec's own calibration is 1/36 ~ 0.028; the int8 analysis adds
+        # ~0.003-0.006 of white transform error. Gate at ~2x headroom so
+        # only a real regression (flat-error synthesis, scale bug) trips.
+        assert val < 0.06, val
+
+    def test_bark_precision_defaults_to_float_ladder(self):
+        """int8 is MDCT-only: the Bark contractions (step-size-critical,
+        container-recorded) must fall back to "default", never "int8"."""
+        c = Codec.create(16000, filters_n=256, bark_bands_n=32,
+                         dct_precision="int8")
+        assert c.psycho.bark_precision == "default"
+        import pytest as _pytest
+
+        from audiocodec_tpu.psycho import PsychoacousticModel
+
+        with _pytest.raises(ValueError, match="bark_precision"):
+            PsychoacousticModel.create(16000, bark_precision="int8")
+
+    def test_serialization_round_trip(self, tmp_path):
+        from audiocodec_tpu.utils import serialization
+
+        c = Codec.create(16000, filters_n=256, bark_bands_n=32,
+                         dct_precision="int8")
+        path = str(tmp_path / "codec.json")
+        serialization.save_codec(path, c)
+        c2 = serialization.load_codec(path)
+        assert c2.mdct.dct_precision == "int8"
+        x = self._signal(filters_n=256)
+        np.testing.assert_array_equal(
+            np.asarray(c.round_trip_quantized(x)),
+            np.asarray(c2.round_trip_quantized(x)),
+        )
+
+    def test_stream_container_round_trip(self, tmp_path):
+        """The .acs container path composes with the int8 analysis tier
+        (synthesis maps to one-pass float; wire format unchanged — int8
+        is not a recorded precision, both ends rebuild step sizes from
+        the transmitted sidecar)."""
+        from audiocodec_tpu.io import stream_container as sc
+
+        n = 256
+        c = Codec.create(16000, filters_n=n, bark_bands_n=32,
+                         dct_precision="int8")
+        x = self._signal(filters_n=n, seconds=1.0)
+        x = x[:, : x.shape[1] // (8 * n) * (8 * n)]  # chunk-multiple
+        path = str(tmp_path / "s.acs")
+        sc.encode_stream(c, x, path, chunk_blocks=8)
+        out = np.concatenate(
+            [np.asarray(ch) for ch in sc.decode_stream(c, path)], axis=1
+        )
+        # stream output carries the usual N-sample boundary pads: the
+        # interior aligns at offset 2N against x[N:-N]
+        deg = jnp.asarray(out[:, 2 * n:2 * n + x.shape[1] - 2 * n])
+        assert float(snr_db(x[:, n:-n], deg)) > 15.0

@@ -344,3 +344,97 @@ class TestDenseAllWindows:
         x = jnp.asarray(rng.uniform(-1, 1, (1, 8 * 128, 1)), jnp.float32)
         rt = md.inverse_transform(md.transform(x))
         assert float(jnp.max(jnp.abs(x - rt[:, 128:-128]))) < 1e-5
+
+
+class TestInt8Tier:
+    """dct_precision="int8" — the MXU int8 mode (docs/DESIGN.md §3c).
+
+    XLA-path semantics: int8 dynamic-range ANALYSIS (per-frame scales,
+    ~44 dB transform SNR — white error far below the quantized path's
+    own noise) and one-pass float SYNTHESIS (spectra run 30+ dB of
+    crest; a flat per-row int8 error there lands above the masking
+    threshold — measured composed NMR 0.30 vs 0.021). The Pallas tier
+    restores int8 synthesis with per-128-bin grouped scales (see
+    tests/test_pallas.py)."""
+
+    def _snr(self, ref, deg):
+        ref = np.asarray(ref, dtype=np.float64)
+        err = ((ref - np.asarray(deg, dtype=np.float64)) ** 2).sum()
+        return 10 * np.log10(ref.flatten().dot(ref.flatten()) / max(err, 1e-30))
+
+    def test_forward_error_bounded(self):
+        m_hi = MDCT.create(256, dct_precision="highest")
+        m_i8 = MDCT.create(256, dct_precision="int8")
+        assert m_i8.dense_fwd_cur is not None  # dense formulation active
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 8 * 256, 1)), jnp.float32)
+        snr = self._snr(m_hi.transform(x), m_i8.transform(x))
+        assert snr > 40.0, snr
+
+    def test_synthesis_stays_float(self):
+        """inv_precision maps int8 -> one-pass float on the XLA path: the
+        synthesis output must match the 'default' tier exactly (same
+        matmuls, same matrices)."""
+        m_i8 = MDCT.create(256, dct_precision="int8")
+        m_def = MDCT.create(256, dct_precision="default")
+        assert m_i8.inv_precision == "default"
+        rng = np.random.default_rng(8)
+        y = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 6, 256, 1)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(m_i8.inverse_transform(y)),
+            np.asarray(m_def.inverse_transform(y)),
+        )
+
+    def test_round_trip_snr(self):
+        m = MDCT.create(256, dct_precision="int8")
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.uniform(-0.9, 0.9, (1, 10 * 256, 1)), jnp.float32)
+        rt = m.inverse_transform(m.transform(x))
+        assert self._snr(x, rt[:, 256:-256]) > 40.0
+
+    def test_float64_rejected(self):
+        with pytest.raises(ValueError, match="int8"):
+            MDCT.create(64, compute_dtype=jnp.float64, dct_precision="int8")
+
+    def test_bf16_compute(self):
+        m = MDCT.create(256, compute_dtype=jnp.bfloat16, fast_bf16=True,
+                        dct_precision="int8")
+        rng = np.random.default_rng(10)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 5 * 256, 1)), jnp.bfloat16)
+        rt = m.inverse_transform(m.transform(x))
+        err = float(jnp.max(jnp.abs((x - rt[:, 256:-256]).astype(jnp.float32))))
+        assert err < 0.1
+
+    def test_gradients_flow(self):
+        """STE through the dynamic quantization: gradients are finite and
+        nonzero (the tier is for the quantized production path, but the
+        training loop must still be able to differentiate through it)."""
+        m = MDCT.create(64, dct_precision="int8")
+        x = jnp.ones((1, 4 * 64, 1), jnp.float32) * 0.3
+        g = jax.grad(
+            lambda x: jnp.sum(m.inverse_transform(m.transform(x)) ** 2)
+        )(x)
+        assert bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.max(jnp.abs(g))) > 0
+
+    def test_streaming_matches_batch(self):
+        """The stream drivers route through the same dct4 int8 mode with
+        the same per-frame dynamic scales; agreement is to float roundoff
+        (the f32 rescale epilogue FMA-fuses differently across programs —
+        int8 is not a bitstream-critical precision, both ends derive step
+        sizes from the transmitted sidecar). The synthesis direction maps
+        to the one-pass float tier and stays bit-identical."""
+        from audiocodec_tpu import streaming
+
+        m = MDCT.create(128, dct_precision="int8")
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 12 * 128, 1)), jnp.float32)
+        batch_y = m.transform(x)
+        stream_y = streaming.stream_transform(m, x, chunk_blocks=3)
+        np.testing.assert_allclose(np.asarray(batch_y),
+                                   np.asarray(stream_y), atol=1e-7)
+        y = batch_y[:, :12]  # stream driver needs blocks % chunk == 0
+        batch_z = m.inverse_transform(y)
+        stream_z = streaming.stream_inverse_transform(m, y, chunk_blocks=3)
+        np.testing.assert_array_equal(np.asarray(batch_z),
+                                      np.asarray(stream_z))

@@ -491,3 +491,119 @@ class TestRadixKernels:
             x.astype(jnp.float32) - rt[:, n:-n].astype(jnp.float32)
         )))
         assert err < 5e-2, err
+
+
+class TestInt8Kernels:
+    """dct_precision="int8" on the Pallas tier (docs/DESIGN.md §3c):
+    host-quantized int8 residents, flat per-row dynamic quantization on
+    the analysis kernel, per-128-lane GROUPED quantization on the
+    synthesis kernel (spectra run 30+ dB of crest — a flat per-row scale
+    there puts error above the masking threshold; grouped scales track
+    the envelope). int32 accumulation, one static f32 rescale."""
+
+    def _snr(self, ref, deg):
+        ref = np.asarray(ref, dtype=np.float64).ravel()
+        err = ref - np.asarray(deg, dtype=np.float64).ravel()
+        return 10 * np.log10(ref.dot(ref) / max(err.dot(err), 1e-30))
+
+    @pytest.fixture(scope="class")
+    def i8pair(self):
+        n = 256
+        return (
+            MDCT.create(n, dct_precision="highest"),
+            MDCT.create(n, dct_precision="int8", use_pallas=True),
+        )
+
+    def test_residents_are_int8(self, i8pair):
+        _, mp = i8pair
+        assert mp.pfwd_mat.dtype == jnp.int8
+        assert mp.pinv_mat.dtype == jnp.int8
+        fs, inv_s = mp.pallas_int8_scale
+        assert fs > 0 and inv_s > 0
+
+    def test_forward_snr(self, i8pair):
+        m, mp = i8pair
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 7 * 256, 1)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.jit(mp.transform)(x)
+        assert self._snr(m.transform(x), got) > 40.0
+
+    def test_inverse_grouped_snr(self, i8pair):
+        m, mp = i8pair
+        rng = np.random.default_rng(1)
+        y = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 6, 256, 1)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.jit(mp.inverse_transform)(y)
+        assert self._snr(m.inverse_transform(y), got) > 38.0
+
+    def test_inverse_grouped_tracks_envelope(self, i8pair):
+        """The grouped tier's raison d'etre: on a PEAKY spectrum (60 dB
+        between groups) the per-group scales keep quiet-band error far
+        below what one flat per-row scale allows."""
+        m, mp = i8pair
+        rng = np.random.default_rng(2)
+        y = rng.uniform(-1.0, 1.0, (1, 6, 256, 1))
+        y[:, :, 128:] *= 1e-3  # quiet upper half (separate lane groups)
+        y = jnp.asarray(y, jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.jit(mp.inverse_transform)(y)
+        want = m.inverse_transform(y)
+        # quiet-half content reconstructs with its OWN relative accuracy:
+        # project error against the quiet half's contribution alone
+        y_quiet = y.at[:, :, :128].set(0.0)
+        want_q = m.inverse_transform(y_quiet)
+        with pltpu.force_tpu_interpret_mode():
+            got_q = jax.jit(mp.inverse_transform)(y_quiet)
+        assert self._snr(want_q, got_q) > 38.0  # not drowned by loud half
+        assert self._snr(want, got) > 38.0
+
+    def test_round_trip(self, i8pair):
+        _, mp = i8pair
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(-0.9, 0.9, (1, 8 * 256, 1)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            rt = jax.jit(
+                lambda v: mp.inverse_transform(mp.transform(v))
+            )(x)
+        assert self._snr(x, rt[:, 256:-256]) > 38.0
+
+    def test_bf16_compute(self):
+        m = MDCT.create(256, compute_dtype=jnp.bfloat16, fast_bf16=True,
+                        dct_precision="int8", use_pallas=True)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 5 * 256, 1)), jnp.bfloat16)
+        with pltpu.force_tpu_interpret_mode():
+            rt = jax.jit(
+                lambda v: m.inverse_transform(m.transform(v))
+            )(x)
+        err = float(jnp.max(jnp.abs(
+            (x - rt[:, 256:-256]).astype(jnp.float32)
+        )))
+        assert err < 0.1
+
+    def test_ste_gradients(self, i8pair):
+        """The int8 VJP is straight-through (dequantized resident at
+        one-pass precision): finite, nonzero, and close to the float
+        path's gradient."""
+        m, mp = i8pair
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 5 * 256, 1)), jnp.float32)
+        loss = lambda md: lambda v: jnp.sum(
+            md.inverse_transform(md.transform(v)) ** 2
+        )
+        with pltpu.force_tpu_interpret_mode():
+            g_i8 = jax.grad(loss(mp))(x)
+        g_f = jax.grad(loss(m))(x)
+        assert bool(jnp.all(jnp.isfinite(g_i8)))
+        # STE gradient tracks the linear map's gradient to int8 accuracy
+        assert self._snr(g_f, g_i8) > 25.0
+
+    def test_radix_combination_rejected(self):
+        with pytest.raises(ValueError, match="radix"):
+            MDCT.create(256, dct_precision="int8", use_pallas=True,
+                        pallas_kernel="radix")
+
+    def test_auto_kernel_resolves_mono(self):
+        assert MDCT.create(1024, dct_precision="int8").pallas_kernel == "mono"
+        assert MDCT.create(2048, dct_precision="int8").pallas_kernel == "mono"

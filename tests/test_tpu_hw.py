@@ -703,3 +703,93 @@ class TestStereoToolsOnHardware:
         np.testing.assert_array_equal(
             np.asarray(back).view(np.uint16), bark16.view(np.uint16)
         )
+
+
+class TestInt8OnHardware:
+    """The int8 MXU tier's COMPILED kernels (docs/DESIGN.md §3c):
+    interpret mode runs the same Python but not Mosaic's int8 dot path —
+    only here is the int32-accumulate codegen itself verified."""
+
+    def _snr(self, ref, deg):
+        ref = np.asarray(ref, dtype=np.float64).ravel()
+        err = ref - np.asarray(deg, dtype=np.float64).ravel()
+        return 10 * np.log10(ref.dot(ref) / max(err.dot(err), 1e-30))
+
+    def test_int8_kernels_compile_and_bound_error(self):
+        from audiocodec_tpu.mdct import MDCT
+
+        m_hi = MDCT.create(1024, dct_precision="highest")
+        m_i8 = MDCT.create(1024, dct_precision="int8", use_pallas=True)
+        assert m_i8.pfwd_mat.dtype == jnp.int8
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.uniform(-0.9, 0.9, (2, 8 * 1024, 1)), jnp.float32
+        )
+        got = np.asarray(jax.jit(m_i8.transform)(x))
+        want = jax.jit(m_hi.transform)(x)
+        assert self._snr(want, got) > 40.0
+        y = jnp.asarray(
+            rng.uniform(-0.5, 0.5, (2, 8, 1024, 1)), jnp.float32
+        )
+        got = np.asarray(jax.jit(m_i8.inverse_transform)(y))
+        want = jax.jit(m_hi.inverse_transform)(y)
+        assert self._snr(want, got) > 38.0
+
+    def test_int8_matches_interpret_mode(self):
+        """Compiled Mosaic int8 dot == the interpreter's XLA int8 dot:
+        integer products are exact, per-row scales deterministic — only
+        the f32 rescale epilogue may differ by ulps."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from audiocodec_tpu.mdct import MDCT
+
+        m_i8 = MDCT.create(1024, dct_precision="int8", use_pallas=True)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(
+            rng.uniform(-0.9, 0.9, (1, 4 * 1024, 1)), jnp.float32
+        )
+        got_hw = np.asarray(jax.jit(m_i8.transform)(x))
+        with pltpu.force_tpu_interpret_mode():
+            got_interp = np.asarray(jax.jit(m_i8.transform)(x))
+        np.testing.assert_allclose(got_hw, got_interp, atol=2e-5)
+
+    def test_int8_auto_resolution_on_tpu(self):
+        """auto turns kernels ON for bf16-fast int8, OFF for f32 int8
+        (measured composed winners — docs/DESIGN.md §3c)."""
+        from audiocodec_tpu.mdct import MDCT
+
+        m_bf = MDCT.create(1024, compute_dtype=jnp.bfloat16,
+                           fast_bf16=True, dct_precision="int8")
+        assert m_bf.use_pallas is True
+        m_f32 = MDCT.create(1024, dct_precision="int8")
+        assert m_f32.use_pallas is False
+
+    def test_int8_codec_snr_gate_on_device(self):
+        """Composed quantized SNR through the compiled int8 kernels."""
+        from audiocodec_tpu.codec import Codec
+
+        sr = 44100
+        codec = Codec.create(
+            sr, filters_n=1024, bark_bands_n=64,
+            compute_dtype=jnp.bfloat16, fast_bf16=True,
+            dct_precision="int8", use_pallas=True,
+        )
+        t = np.arange(int(sr * 2.0) // 1024 * 1024) / sr
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(
+            np.clip(
+                0.4 * np.sin(2 * np.pi * 440 * t)
+                + 0.3 * np.sin(2 * np.pi * 1320 * t)
+                + 0.05 * rng.normal(size=t.size), -1, 1
+            ).astype(np.float32)[None, :, None],
+            dtype=jnp.bfloat16,
+        )
+        out = np.asarray(
+            jax.jit(codec.round_trip_quantized)(x).astype(jnp.float32)
+        )[:, 1024:-1024]
+        ref = np.asarray(x.astype(jnp.float32), dtype=np.float64)
+        err = ((ref - out.astype(np.float64)) ** 2).sum()
+        snr = 10 * np.log10((ref**2).sum() / max(err, 1e-30))
+        # bf16-fast default gates at 16.0 on this two-tone family; int8
+        # adds ~0.1 dB of transform noise
+        assert snr > 15.8, snr
