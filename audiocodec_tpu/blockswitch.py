@@ -45,7 +45,14 @@ bit-critical as the sidecar — the decoder must invert the same basis and
 derive the same pooled thresholds). Threshold pooling (`pool_threshold`)
 is elementwise reshape/mean/sqrt — deterministic, no matmul-precision
 caveat. The T matmul itself is encoder/decoder-local (not a shared
-derivation), pinned to Precision.HIGHEST like the DCT for accuracy.
+derivation): its lowering precision affects only the codes one end
+produces / the spectrum the other reconstructs, never a cross-end
+derivation — exactly like dct_precision — so it FOLLOWS the codec's
+precision ladder ("int8" maps to one-pass float: the switched input is
+spectra, where flat per-row int8 error is the measured failure mode —
+docs/DESIGN.md §3c). At the default "highest" this is the same pinning
+as ops/dct.py; at one-pass it cuts the feature's +2.55 ms/encode
+device cost (benchmarks/RESULTS.md coded-feature table).
 """
 
 from __future__ import annotations
@@ -118,20 +125,26 @@ def transition_matrices(filters_n: int, factor: int = FACTOR,
     )
 
 
-def _apply(spectrum: jax.Array, mat: jax.Array) -> jax.Array:
-    """[B, F, N, C] @ [N, N] along the bin axis, Precision.HIGHEST (the
-    TPU f32 default is one bf16 pass — same pinning as ops/dct.py)."""
+def _apply(spectrum: jax.Array, mat: jax.Array,
+           precision: str = "highest") -> jax.Array:
+    """[B, F, N, C] @ [N, N] along the bin axis at the ladder precision
+    (default HIGHEST — the TPU f32 default is one bf16 pass, same
+    pinning as ops/dct.py; "int8" maps to one-pass float, see module
+    docstring)."""
+    if precision == "int8":
+        precision = "default"
     y = jnp.einsum(
         "bfnc,nk->bfkc",
         spectrum.astype(mat.dtype),
         mat,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_dct.PRECISIONS[precision],
     )
     return y.astype(spectrum.dtype)
 
 
 def split_spectrum(spectrum: jax.Array, flags: jax.Array,
-                   factor: int = FACTOR) -> jax.Array:
+                   factor: int = FACTOR,
+                   precision: str = "highest") -> jax.Array:
     """Long spectrum -> the switched representation.
 
     :param spectrum: [B, frames, N, C] long-transform spectrum.
@@ -142,17 +155,18 @@ def split_spectrum(spectrum: jax.Array, flags: jax.Array,
     """
     fwd, _ = transition_matrices(spectrum.shape[2], factor,
                                  spectrum.dtype)
-    short = _apply(spectrum, fwd)
+    short = _apply(spectrum, fwd, precision)
     return jnp.where(flags[:, :, None, None], short, spectrum)
 
 
 def merge_spectrum(spectrum_sw: jax.Array, flags: jax.Array,
-                   factor: int = FACTOR) -> jax.Array:
+                   factor: int = FACTOR,
+                   precision: str = "highest") -> jax.Array:
     """The switched representation -> long spectrum (exact inverse of
     :func:`split_spectrum`; T is orthogonal)."""
     _, inv = transition_matrices(spectrum_sw.shape[2], factor,
                                  spectrum_sw.dtype)
-    long = _apply(spectrum_sw, inv)
+    long = _apply(spectrum_sw, inv, precision)
     return jnp.where(flags[:, :, None, None], long, spectrum_sw)
 
 

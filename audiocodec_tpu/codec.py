@@ -334,7 +334,9 @@ class Codec:
             spec_ms = _intensity.fill(spec_ms, codes, delta, is_gains,
                                       ist, mid_ref=mid_ref)
         if bs_flags is not None:
-            spec_ms = _blockswitch.merge_spectrum(spec_ms, bs_flags)
+            spec_ms = _blockswitch.merge_spectrum(
+                spec_ms, bs_flags, precision=self.mdct.dct_precision
+            )
         if tns_idx is not None:
             spec_ms = _tns.filter_inverse(spec_ms, tns_idx, tbs)
         return self.decode(self.from_mid_side(spec_ms))
@@ -501,7 +503,9 @@ class Codec:
             threshold_scale, dtype=self.mdct.compute_dtype
         )
         if bs:
-            spec_q = _blockswitch.split_spectrum(spec_q, bs_flags)
+            spec_q = _blockswitch.split_spectrum(
+                spec_q, bs_flags, precision=self.mdct.dct_precision
+            )
             threshold = _blockswitch.pool_threshold(threshold, bs_flags)
         codes, delta = _quantize.quantize(spec_q, threshold,
                                           deadzone=deadzone)
@@ -722,7 +726,9 @@ class Codec:
         )
         threshold = _tns.scaled_threshold(threshold, tns_idx, tbs)
         if bs:
-            spec_f = _blockswitch.split_spectrum(spec_f, bs_flags)
+            spec_f = _blockswitch.split_spectrum(
+                spec_f, bs_flags, precision=self.mdct.dct_precision
+            )
             threshold = _blockswitch.pool_threshold(threshold, bs_flags)
         codes, delta = _quantize.quantize(spec_f, threshold,
                                           deadzone=deadzone)
@@ -819,7 +825,9 @@ class Codec:
             spec = _nf.fill(spec, codes, delta, nf_levels, bs_nf,
                             nf_seed, nf_frame_offset, band_end=bst)
         if bs_flags is not None:
-            spec = _blockswitch.merge_spectrum(spec, bs_flags)
+            spec = _blockswitch.merge_spectrum(
+                spec, bs_flags, precision=self.mdct.dct_precision
+            )
         if tns_idx is not None:
             spec = _tns.filter_inverse(spec, tns_idx, tbs)
         return self.decode(spec)

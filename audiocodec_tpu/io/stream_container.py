@@ -1829,7 +1829,9 @@ def _dequant_frames(codec, codes, bark, tscale, ms, dzr=0.0,
     if bsw is not None:
         from audiocodec_tpu import blockswitch as _bs_mod
 
-        spec = _bs_mod.merge_spectrum(spec, bsw)
+        spec = _bs_mod.merge_spectrum(
+            spec, bsw, precision=codec.mdct.dct_precision
+        )
     if tns is not None:
         spec = _tns_mod.filter_inverse(spec, tns, tns_bs)
     return codec.from_mid_side(spec) if ms else spec

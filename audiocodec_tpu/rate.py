@@ -23,6 +23,7 @@ is rate-controlled at once — each clip converging to its own scale.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -195,9 +196,10 @@ def encode_with_target_bitrate_batch(
     if bs_flags_dev is not None:
         # flags are scale-independent; split ONCE, every trial quantizes
         # the switched spectrum (mirrors the codec's encode order)
-        spectrum_q = jax.jit(_blockswitch.split_spectrum)(
-            spectrum_q, bs_flags_dev
-        )
+        spectrum_q = jax.jit(functools.partial(
+            _blockswitch.split_spectrum,
+            precision=codec.mdct.dct_precision,
+        ))(spectrum_q, bs_flags_dev)
 
     def _trial_threshold(scale_b):
         thr = base_threshold * scale_b[:, None, None, None].astype(dtype)

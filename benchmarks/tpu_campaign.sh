@@ -70,6 +70,9 @@ step "kernel_bench (radix-relevant rows)" python benchmarks/kernel_bench.py \
 
 step "composed_bench" python benchmarks/composed_bench.py
 
+step "int8 matmul probes" bash -c \
+  "python benchmarks/int8_probe.py && python benchmarks/pallas_int8_probe.py"
+
 step "tpu hardware lane" python -m pytest tests/ -m tpu -q
 
 step "coded-feature device cost (bs/tmask/tns/nf)" python - <<'EOF'
@@ -88,6 +91,8 @@ import numpy as np
 from audiocodec_tpu.codec import Codec
 
 codec = Codec.create(44100, filters_n=1024, bark_bands_n=64)
+codec_def = Codec.create(44100, filters_n=1024, bark_bands_n=64,
+                         dct_precision="default")
 B, SECONDS = 32, 10
 n = 1024
 samples = SECONDS * 44100 // n * n
@@ -115,6 +120,13 @@ variants = {
         codec.mdct.transform(v), tns=True, nf=True, tmask=130.0, bs=True,
         bwe=True
     ),
+    # the default-precision ladder: block switching now follows the
+    # codec's precision knob (one-pass basis einsum instead of the
+    # HIGHEST pin), so its marginal cost should shrink ~3-6x here
+    "baseline@default": lambda v: codec_def.quantize_frames(
+        codec_def.mdct.transform(v)),
+    "bs@default": lambda v: codec_def.quantize_frames(
+        codec_def.mdct.transform(v), bs=True),
 }
 for name, fn in variants.items():
     # slope-timed with chains long enough that the differenced time

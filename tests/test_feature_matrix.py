@@ -117,3 +117,36 @@ def test_seek_agrees(codec, tmp_path, ms, bs, tns, nf, tmask, cbr,
         axis=1,
     )
     np.testing.assert_allclose(partial, full[:, 16 * N :], atol=1e-6)
+
+
+@pytest.mark.parametrize("ms,bs,tns,nf,tmask,cbr,intensity",
+                         [COMBOS[5], COMBOS[10]])
+def test_full_ladder_at_int8(tmp_path, ms, bs, tns, nf, tmask, cbr,
+                             intensity):
+    """The int8 analysis tier composes with the whole coded-feature
+    ladder through a real stream: codes differ from the float tiers
+    (the analysis transform is the quantizer's input) but the wire
+    format, every sidecar, and the decode path are unchanged — decode
+    with the same int8 codec must agree with its own monolithic path
+    bit-for-bit, and quality must hold."""
+    codec = act.Codec.create(SR, filters_n=N, bark_bands_n=16,
+                             dct_precision="int8")
+    x = _signal(2 if ms else 1)
+    path = str(tmp_path / "i8.acs")
+    scales = [1.0, 2.0, 1.5, 4.0] if cbr else 1.0
+    sc.encode_stream(
+        codec, x, path, chunk_blocks=8, ms=ms, threshold_scale=scales,
+        tns=tns, nf=nf, nf_seed=5, tmask=tmask, bs=bs,
+        intensity=intensity,
+    )
+    streamed = np.concatenate(
+        [np.asarray(c) for c in sc.decode_stream(codec, path)], axis=1
+    )
+    assert np.isfinite(streamed).all()
+    # quality: interior SNR within the ladder's usual coded range
+    ref = np.asarray(x, dtype=np.float64)[:, N:-N]
+    deg = streamed[:, 2 * N:2 * N + ref.shape[1]].astype(np.float64)
+    snr = 10 * np.log10(
+        (ref**2).sum() / max(((ref - deg) ** 2).sum(), 1e-30)
+    )
+    assert snr > 5.0, snr

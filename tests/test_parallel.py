@@ -153,3 +153,27 @@ class TestRemat:
             outs.append((np.asarray(state.gains), float(loss)))
         np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-6)
         assert outs[0][1] == pytest.approx(outs[1][1], rel=1e-6)
+
+
+class TestInt8Sharded:
+    def test_int8_dp_sharded_matches_single_device(self):
+        """The int8 analysis tier under dp+sp sharding: per-frame dynamic
+        scales are frame-local (never cross a shard boundary), so codes
+        must match the unsharded program exactly; step sizes to roundoff
+        (shard-order reductions)."""
+        codec = Codec.create(sample_rate=16000, filters_n=64,
+                             bark_bands_n=16, dct_precision="int8")
+        mesh = _mesh.make_mesh(n_devices=8, sp=2)
+        encoder = _corpus.make_corpus_encoder(codec, mesh, quantized=True)
+        rng = np.random.default_rng(42)
+        batch = jnp.asarray(
+            rng.uniform(-0.8, 0.8, size=(8, 16 * 64, 2)), dtype=jnp.float32
+        )
+        codes_sharded, delta_sharded = encoder(batch)
+        codes_local, delta_local, _ = codec.encode_quantized(batch)
+        np.testing.assert_array_equal(
+            np.asarray(codes_sharded), np.asarray(codes_local)
+        )
+        np.testing.assert_allclose(
+            np.asarray(delta_sharded), np.asarray(delta_local), rtol=1e-5
+        )

@@ -735,23 +735,46 @@ class TestInt8OnHardware:
         want = jax.jit(m_hi.inverse_transform)(y)
         assert self._snr(want, got) > 38.0
 
-    def test_int8_matches_interpret_mode(self):
-        """Compiled Mosaic int8 dot == the interpreter's XLA int8 dot:
-        integer products are exact, per-row scales deterministic — only
-        the f32 rescale epilogue may differ by ulps."""
-        from jax.experimental.pallas import tpu as pltpu
-
+    def test_int8_matches_host_emulation(self):
+        """Compiled Mosaic int8 analysis kernel vs an independent numpy
+        oracle of the same math (swizzle, f32 fold, per-row symmetric
+        quantize, EXACT integer matmul, static rescale). Integer products
+        are exact in int32, the per-row scales deterministic — only the
+        f32 fold and rescale epilogue may differ by ulps. (Interpret-mode
+        comparison is unusable on this rig: the interpreter dispatches
+        every per-grid-step op through the remote tunnel.)"""
         from audiocodec_tpu.mdct import MDCT
 
-        m_i8 = MDCT.create(1024, dct_precision="int8", use_pallas=True)
+        n, h, blocks = 256, 128, 4
+        m_i8 = MDCT.create(n, dct_precision="int8", use_pallas=True)
         rng = np.random.default_rng(1)
-        x = jnp.asarray(
-            rng.uniform(-0.9, 0.9, (1, 4 * 1024, 1)), jnp.float32
-        )
-        got_hw = np.asarray(jax.jit(m_i8.transform)(x))
-        with pltpu.force_tpu_interpret_mode():
-            got_interp = np.asarray(jax.jit(m_i8.transform)(x))
-        np.testing.assert_allclose(got_hw, got_interp, atol=2e-5)
+        x = rng.uniform(-0.9, 0.9, (blocks * n,)).astype(np.float32)
+        got_hw = np.asarray(
+            jax.jit(m_i8.transform)(jnp.asarray(x[None, :, None]))
+        )[0, :, :, 0]
+
+        wa = np.asarray(m_i8.pfwd_wa, np.float32)[0]
+        wb = np.asarray(m_i8.pfwd_wb, np.float32)[0]
+        qm = np.asarray(m_i8.pfwd_mat, np.int64)
+        scale = m_i8.pallas_int8_scale[0]
+        frames = x.reshape(blocks, n)
+        xs = np.concatenate([frames[:, :h][:, ::-1], frames[:, h:]], axis=1)
+        want = np.zeros((blocks + 1, n), np.float64)
+        for t in range(blocks + 1):
+            prev = xs[t - 1] if t >= 1 else np.zeros(n, np.float32)
+            cur = xs[t] if t < blocks else np.zeros(n, np.float32)
+            ta = (prev * wa).astype(np.float32)
+            tc = (cur * wb).astype(np.float32)
+            folded = np.concatenate(
+                [ta[:h] + ta[h:], tc[:h] + tc[h:]]
+            ).astype(np.float32)
+            s = float(np.max(np.abs(folded))) + 1e-12
+            q = np.clip(
+                np.round(folded.astype(np.float64) * (127.0 / s)),
+                -127, 127,
+            ).astype(np.int64)
+            want[t] = q @ qm * (s * scale)
+        np.testing.assert_allclose(got_hw, want, atol=2e-5)
 
     def test_int8_auto_resolution_on_tpu(self):
         """auto turns kernels ON for bf16-fast int8, OFF for f32 int8
