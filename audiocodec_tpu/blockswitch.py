@@ -171,7 +171,8 @@ def merge_spectrum(spectrum_sw: jax.Array, flags: jax.Array,
 
 
 def detect(spectrum: jax.Array, factor: int = FACTOR,
-           ratio: float = DETECT_RATIO) -> jax.Array:
+           ratio: float = DETECT_RATIO,
+           precision: str = "highest") -> jax.Array:
     """Per-frame transient flags from the short-basis time envelope.
 
     By Parseval, the energy of sub-spectrum s in the short basis IS the
@@ -192,7 +193,12 @@ def detect(spectrum: jax.Array, factor: int = FACTOR,
     """
     b, f, n, c = spectrum.shape
     fwd, _ = transition_matrices(n, factor, spectrum.dtype)
-    short = _apply(spectrum, fwd)
+    # The flags this produces are TRANSMITTED (the decoder never re-runs
+    # detection), so the matmul lowering here is purely an encoder-local
+    # decision knob — it may follow the cheap end of the ladder. A
+    # borderline transient flipping between precisions changes which
+    # basis a frame uses, not the wire contract.
+    short = _apply(spectrum, fwd, precision)
     e = jnp.sum(
         short.astype(jnp.float32).reshape(b, f, factor, n // factor, c)
         ** 2,

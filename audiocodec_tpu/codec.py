@@ -387,7 +387,11 @@ class Codec:
         :return: (quantizable spectrum, bark16 sidecar, base threshold,
             bs_flags bool [B, frames] or None).
         """
-        bs_flags = _blockswitch.detect(frames) if bs else None
+        bs_flags = (
+            _blockswitch.detect(
+                frames, precision=self.mdct.dct_precision
+            ) if bs else None
+        )
         tonality = self.psycho.tonality(frames)
         bark = self.psycho.global_masking_intensity_in_bark(
             frames, tonality, drown

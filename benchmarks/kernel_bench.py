@@ -57,6 +57,11 @@ def main():
         ("f32_high_n1024", 1024, jnp.float32, False, "high", (48, 192)),
         ("f32_default_n1024", 1024, jnp.float32, False, "default", (64, 256)),
         ("bf16_fast_n1024", 1024, jnp.bfloat16, True, "default", (96, 384)),
+        # the int8 MXU tier (docs/DESIGN.md §3c): analysis = flat
+        # per-row dynamic int8; synthesis = per-128-lane grouped int8
+        # inside the kernel, one-pass float on the XLA path
+        ("bf16_int8_n1024", 1024, jnp.bfloat16, True, "int8", (96, 384)),
+        ("bf16_int8_n2048", 2048, jnp.bfloat16, True, "int8", (48, 192)),
         # "highest" is kernel-ineligible past N=1024 (Mosaic's f32 operand
         # decomposition exceeds scoped VMEM — mdct.py create); the long
         # blocks run the bf16-hi/lo split tier instead.
