@@ -188,6 +188,17 @@ def cmd_encode(args):
     # without a rate target there is nothing to adapt to -> plain rounding
     dz = getattr(args, "deadzone", "auto")
     fixed_dz = 0.5 if dz == "auto" else float(dz)
+    if getattr(args, "dtx", 0.0):
+        if not args.chunk_blocks:
+            raise ValueError(
+                "--dtx needs --chunk-blocks (silent records are a "
+                ".acs stream feature)"
+            )
+        if args.kbps or args.fec:
+            raise ValueError(
+                "--dtx is VBR-only: it does not compose with "
+                "--kbps/--cbr rate control or --fec redundancy"
+            )
 
     if args.chunk_blocks:
         from audiocodec_tpu.io import stream_container
@@ -229,6 +240,7 @@ def cmd_encode(args):
                 ms=args.ms, deadzone=fixed_dz, tns=args.tns, nf=args.nf,
                 tmask=args.tmask, bs=args.bs, bwe=args.bwe,
                 intensity=args.intensity, fec=args.fec,
+                dtx=getattr(args, "dtx", 0.0),
                 orig_samples=orig_samples, lufs=lufs,
             )
         size = os.path.getsize(args.output)
@@ -628,7 +640,7 @@ def cmd_resample(args):
 
 def _is_acs(path):
     with open(path, "rb") as f:
-        return f.read(4) in (b"ACS1", b"ACS2")
+        return f.read(4) in (b"ACS1", b"ACS2", b"ACS3")
 
 
 def _codec_from_container_meta(args, meta):
@@ -1381,6 +1393,15 @@ def main(argv=None) -> int:
                  "more than KBITS kilobits from the constant-rate "
                  "schedule (0 = plain CBR; large = ABR's allocation "
                  "with per-chunk convergence)",
+        )
+        p.add_argument(
+            "--dtx", type=float, nargs="?", const=-70.0, default=0.0,
+            metavar="DBFS",
+            help="with --chunk-blocks: discontinuous transmission — "
+                 "chunks whose RMS sits below DBFS (default -70) become "
+                 "~10-byte silent records; the decoder synthesizes "
+                 "comfort noise at the recorded level. VBR streams "
+                 "only (not --kbps/--cbr/--fec)",
         )
         p.add_argument(
             "--fec", type=float, nargs="?", const=4.0, default=0.0,

@@ -52,6 +52,12 @@ import numpy as np
 # stays ACS1, and this reader accepts both.
 _MAGIC_V1 = b"ACS1"
 _MAGIC_V2 = b"ACS2"
+# "ACS3" — DTX streams only: every chunk body begins with a one-byte
+# marker (0 = normal layout, 1 = a silent record: blocks + per-channel
+# comfort-noise RMS levels instead of any coded members). Pre-DTX
+# readers would misparse such bodies, so the magic makes them refuse
+# loudly; non-DTX encodes keep their existing magic bytes unchanged.
+_MAGIC_V3 = b"ACS3"
 
 
 class Chunk(typing.NamedTuple):
@@ -67,6 +73,10 @@ class Chunk(typing.NamedTuple):
     isg: np.ndarray | None = None  # uint8 [blocks, groups]; None = off
     fec: bytes | None = None  # raw FEC member (redundant coarse coding
     #   of the PREVIOUS chunk — parse_fec_member); None = absent/empty
+    silent: np.ndarray | None = None  # f32 [C] comfort-noise RMS levels
+    #   (DTX streams only); set exactly on gated chunks — codes/bark are
+    #   then synthesized zeros/floors so the chunk decodes through the
+    #   standard step
 
 
 # The FEC copy's own sidecar parameters. Grid: 3 dB steps (scq k2=1) —
@@ -195,6 +205,7 @@ class StreamWriter:
                  is_start: int = 0,
                  sidecar_grid: int = 0,
                  fec_scale: float = 0.0,
+                 dtx_level: float = 0.0,
                  orig_samples: int = 0, lufs=None):
         self.meta = {
             "sample_rate": int(sample_rate),
@@ -346,6 +357,25 @@ class StreamWriter:
                     f"fec_scale must be in [1, 256], got {fec_scale}"
                 )
             self.meta["fec"] = {"scale": float(fec_scale)}
+        if dtx_level:
+            # discontinuous transmission: gated (near-silent) chunks are
+            # written as tiny silent records (append_silent) instead of
+            # coded members; the level (dBFS) is informational — the
+            # DECODE contract is carried per chunk. DTX streams bump the
+            # magic to ACS3 (pre-DTX readers would misparse the marker
+            # byte every chunk body now starts with).
+            if not -200.0 < float(dtx_level) < 0.0:
+                raise ValueError(
+                    f"dtx_level must be a negative dBFS gate, got "
+                    f"{dtx_level}"
+                )
+            if fec_scale or cbr:
+                raise ValueError(
+                    "dtx does not compose with fec or cbr streams (a "
+                    "silent record carries no members for the FEC chain "
+                    "or a per-chunk scale to ride)"
+                )
+            self.meta["dtx"] = {"level": float(dtx_level)}
         if cbr:
             # constant-bitrate mode: every chunk carries its OWN f64
             # threshold scale (leading the chunk, CRC-covered); the
@@ -361,7 +391,12 @@ class StreamWriter:
             self._f = path
             self._owns_file = False
         header = json.dumps(self.meta).encode()
-        magic = _MAGIC_V2 if "scq" in self.meta else _MAGIC_V1
+        if "dtx" in self.meta:
+            magic = _MAGIC_V3
+        elif "scq" in self.meta:
+            magic = _MAGIC_V2
+        else:
+            magic = _MAGIC_V1
         self._f.write(magic + struct.pack("<I", len(header)) + header)
         self._index = []
         self._closed = False
@@ -527,6 +562,10 @@ class StreamWriter:
         hdr_bark = struct.pack("<I", len(bark_bytes))
         crc = 0
         self._index.append(self._f.tell())
+        if "dtx" in self.meta:
+            # DTX bodies start with a marker byte: 0 = this normal layout
+            crc = zlib.crc32(b"\x00", crc)
+            self._f.write(b"\x00")
         if cbr is not None:
             ts_bytes = struct.pack("<d", float(tscale))
             crc = zlib.crc32(ts_bytes, crc)
@@ -570,6 +609,32 @@ class StreamWriter:
             self._f.write(fec)
         self._f.write(struct.pack("<I", crc))
 
+    def append_silent(self, blocks: int, levels) -> None:
+        """Write one DTX silent record: marker 1, the frame count, and
+        one float32 comfort-noise RMS level per channel (0.0 = decode to
+        digital silence). ~(9 + 4*C) bytes instead of a coded chunk.
+        Only valid on streams created with ``dtx_level``."""
+        if "dtx" not in self.meta:
+            raise ValueError(
+                "append_silent requires a DTX stream (dtx_level set)"
+            )
+        lv = np.asarray(levels, dtype=np.float32).ravel()
+        if lv.shape != (self.meta["channels"],):
+            raise ValueError(
+                f"need one level per channel ({self.meta['channels']}), "
+                f"got shape {lv.shape}"
+            )
+        if not (np.isfinite(lv).all() and (lv >= 0).all()):
+            raise ValueError(f"bad comfort-noise levels: {lv!r}")
+        blocks = int(blocks)
+        if blocks <= 0:
+            raise ValueError(f"silent record needs blocks > 0: {blocks}")
+        body = b"\x01" + struct.pack("<I", blocks) + lv.tobytes()
+        self._index.append(self._f.tell())
+        crc = zlib.crc32(body, 0)
+        self._f.write(body)
+        self._f.write(struct.pack("<I", crc))
+
     def close(self) -> None:
         if self._closed:
             return
@@ -607,7 +672,7 @@ class StreamReader:
             self._f.seek(0)
             self._owns_file = False
         magic = self._f.read(4)
-        if magic not in (_MAGIC_V1, _MAGIC_V2):
+        if magic not in (_MAGIC_V1, _MAGIC_V2, _MAGIC_V3):
             raise ValueError(f"not an ACS stream (magic {magic!r})")
         try:
             (hlen,) = struct.unpack("<I", self._f.read(4))
@@ -825,6 +890,15 @@ class StreamReader:
         # CBR chunks lead with their f64 threshold scale
         off = 8 if self.meta.get("cbr") else 0
         self._f.seek(self._index[i] + off)
+        if self.meta.get("dtx") is not None:
+            # DTX bodies lead with the marker byte; both layouts place
+            # the u32 frame count immediately after it
+            marker = self._read_exact(1, i)
+            if marker not in (b"\x00", b"\x01"):
+                raise ValueError(
+                    f"chunk {i} has an unknown DTX marker — corrupt "
+                    "stream"
+                )
         (blocks,) = struct.unpack("<I", self._read_exact(4, i))
         return blocks
 
@@ -901,6 +975,16 @@ class StreamReader:
             chain(data, hdr)
             return data
 
+        if self.meta.get("dtx") is not None:
+            marker = self._read_exact(1, i)
+            want = zlib.crc32(marker, want)
+            if marker == b"\x01":
+                return self._read_silent_record(i, want)
+            if marker != b"\x00":
+                raise ValueError(
+                    f"chunk {i} has an unknown DTX marker — corrupt "
+                    "stream"
+                )
         hdr_codes = self._read_exact(8, i)
         blocks, clen = struct.unpack("<II", hdr_codes)
         if blocks > self._size or clen > self._size:
@@ -1077,6 +1161,74 @@ class StreamReader:
         return Chunk(codes, bark, tns, nfl, tscale, bsw, bwe, isg,
                      fec_bytes if fec_bytes else None)
 
+    def _read_silent_record(self, i: int, want: int) -> "Chunk":
+        """Parse a DTX silent record (marker already consumed and
+        chained) into a synthetic Chunk that decodes through the
+        STANDARD step: zero codes, a floor sidecar, and neutral feature
+        members (zero reflection coefficients = identity TNS filter;
+        level/gain 0 = no nf/bwe/intensity fill; all-long bs flags) —
+        so carry evolution, seeks, and every decode path stay exactly
+        the coded-chunk machinery."""
+        import ml_dtypes
+
+        hdr = self._read_exact(4, i)
+        (blocks,) = struct.unpack("<I", hdr)
+        ch = self.meta["channels"]
+        if blocks > self._size:
+            raise ValueError(
+                f"chunk {i} has implausible sizes — corrupt stream"
+            )
+        lv_bytes = self._read_exact(4 * ch, i)
+        want = zlib.crc32(lv_bytes, zlib.crc32(hdr, want))
+        (crc,) = struct.unpack("<I", self._read_exact(4, i))
+        if want != crc:
+            raise ValueError(f"chunk {i} failed CRC — corrupt stream")
+        levels = np.frombuffer(lv_bytes, dtype=np.float32).copy()
+        if not np.isfinite(levels).all() or (levels < 0).any():
+            raise ValueError(
+                f"chunk {i} has bad comfort-noise levels — corrupt "
+                "stream"
+            )
+        n = self.meta["filters_n"]
+        bark_n = self.meta["bark_bands_n"]
+        bark_ch = 1 if self.meta.get("ms", False) else ch
+        codes = np.zeros((blocks, n, ch), np.int32)
+        bark = np.full(
+            (blocks, bark_n, bark_ch), 1e-9, dtype=ml_dtypes.bfloat16
+        )
+        tns_meta = self.meta.get("tns")
+        tns = (
+            np.zeros((blocks, tns_meta["order"], ch), np.int8)
+            if tns_meta is not None else None
+        )
+        nfl = (
+            np.zeros((blocks, ch), np.uint8)
+            if self.meta.get("nf") is not None else None
+        )
+        bsw = (
+            np.zeros(blocks, bool)
+            if self.meta.get("bs") is not None else None
+        )
+        bwe_meta = self.meta.get("bwe")
+        bwe = None
+        if bwe_meta is not None:
+            from audiocodec_tpu import bwe as _bwe_mod
+
+            bwe = np.zeros(
+                (blocks, _bwe_mod.n_groups(n, bwe_meta["start"]), ch),
+                np.uint8,
+            )
+        is_meta = self.meta.get("isf")
+        isg = None
+        if is_meta is not None:
+            from audiocodec_tpu import intensity as _is_mod
+
+            isg = np.zeros(
+                (blocks, _is_mod.n_groups(n, is_meta["start"])), np.uint8
+            )
+        return Chunk(codes, bark, tns, nfl, None, bsw, bwe, isg, None,
+                     silent=levels)
+
     def close(self) -> None:
         if self._owns_file:
             self._f.close()
@@ -1216,7 +1368,7 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
                   nf: bool = False, nf_seed: int = 0,
                   tmask: float = 0.0, bs: bool = False,
                   bwe: bool = False, intensity: bool = False,
-                  fec: float = 0.0,
+                  fec: float = 0.0, dtx: float = 0.0,
                   orig_samples: int = 0, lufs=None) -> int:
     """Encode a long waveform to a seekable stream with bounded memory.
 
@@ -1269,6 +1421,21 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         real spectral data out of its successor instead of
         extrapolating. Costs extra bytes (shrinking as ``fec`` grows);
         only the final flush chunk (one frame) is unprotected.
+    :param dtx: discontinuous transmission gate in dBFS (negative,
+        e.g. -70.0), 0 = off. Chunks whose per-channel RMS all sit below
+        the gate — with a one-chunk hangover after active content — are
+        written as ~(9+4C)-byte silent records carrying a per-channel
+        comfort-noise RMS level; the decoder synthesizes flat noise at
+        that level (digital-silence chunks decode to true silence).
+        The encoder zeroes its MDCT carry across gated chunks, so both
+        ends agree the gated span is silence and the window overlap
+        crossfades the boundaries. Bumps the stream magic to ACS3
+        (pre-DTX readers refuse loudly); does not compose with ``fec``
+        or per-chunk CBR scales. Gating is a user policy knob — the
+        psychoacoustic model itself would faithfully code a -80 dBFS
+        noise floor at ~70 kbit/s (it sits above threshold-in-quiet at
+        the 120 dB SPL calibration); DTX is how a caller says that
+        content is not worth bits.
     :return: number of chunks written.
     """
     import jax.numpy as jnp
@@ -1337,11 +1504,39 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         is_start=codec.is_start if intensity else 0,
         sidecar_grid=codec.sidecar_grid,
         fec_scale=float(fec),
+        dtx_level=float(dtx),
         orig_samples=orig_samples,
         lufs=lufs,
     ) as w:
         step, flush = _encode_chunk_fns()
         carry = streaming.mdct_stream_init(mdct, 1, c)
+        gate = None
+        if dtx:
+            # one jitted device pass (eager dispatch on remote-attached
+            # backends is pathological — CLAUDE.md platform notes):
+            # per-(chunk, channel) RMS of the input. The gate compares
+            # the LOUDEST channel; a one-chunk hangover keeps coding
+            # through the chunk right after active content so decays
+            # are not clipped mid-ring.
+            import jax as _jax
+
+            rms = np.asarray(
+                _jax.jit(
+                    lambda v: jnp.sqrt(
+                        jnp.mean(
+                            v.astype(jnp.float32).reshape(
+                                s // chunk, chunk, c
+                            ) ** 2,
+                            axis=1,
+                        )
+                    )
+                )(x)
+            )
+            thr = 10.0 ** (float(dtx) / 20.0)
+            below = rms.max(axis=1) < thr
+            gate = below & np.roll(below, 1)
+            gate[0] = below[0]
+            levels = rms  # comfort-noise levels = the gated content's RMS
         # one-deep software pipeline: dispatch chunk k+1 (async on the
         # device) BEFORE the host blocks on packing chunk k, so Rice
         # coding and device compute overlap instead of strictly
@@ -1364,6 +1559,21 @@ def encode_stream(codec, x, path: str, chunk_blocks: int = 256,
         prev_coarse = None
         for k, start in enumerate(range(0, s, chunk)):
             ts_k = scales[k] if cbr else threshold_scale
+            if gate is not None and gate[k]:
+                if pending is not None:
+                    w.append(*pending)
+                    pending = None
+                # digital silence records level 0 -> decode to silence
+                lv = levels[k] * (levels[k] > 1e-12)
+                w.append_silent(chunk_blocks, lv)
+                # both ends treat the gated span as zeros: reset the
+                # overlap carry (what an all-zero chunk would leave) and
+                # drop the post-masking context (>=1 gated chunk of
+                # decay leaves nothing audible; a fresh context only
+                # LOWERS thresholds, the conservative direction)
+                carry = streaming.mdct_stream_init(mdct, 1, c)
+                tctx = None
+                continue
             carry, tctx, enc, fecq = step(
                 codec, carry, x[:, start : start + chunk], drown,
                 ts_k, ms, deadzone, tns, nf, tmask=tmask,
@@ -2172,6 +2382,21 @@ def decode_stream(codec, path: str, start_chunk: int = 0,
                     bwe_start=bwe_start,
                     isg=put_opt(c.isg), is_start=is_start,
                 )
+                if c.silent is not None and float(np.max(c.silent)) > 0:
+                    # DTX comfort noise: flat Gaussian at the recorded
+                    # per-channel RMS, keyed by chunk index so seeks
+                    # reproduce it exactly. Added AFTER the synthesis
+                    # step — the (zero-spectrum) step still ran, so the
+                    # previous chunk's window tail rings out and the
+                    # overlap carry stays on the coded-chunk machinery.
+                    cn = np.random.default_rng(0xD7C0FFEE + i)
+                    noise = (
+                        cn.standard_normal(
+                            (1, samples.shape[1], ch)
+                        ).astype(np.float32)
+                        * c.silent[None, None, :]
+                    )
+                    samples = samples + jnp.asarray(noise, dtype)
                 frame_off += c.codes.shape[0]
                 yield samples
             tail = streaming.imdct_stream_flush(mdct, carry)

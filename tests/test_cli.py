@@ -453,6 +453,48 @@ class TestStreamFeatureCLI:
         # signal measures near 0 dB
         assert snr > 5.0
 
+    def test_chunked_dtx(self, tmp_path, capsys):
+        """--dtx gates near-silent chunks into tiny silent records and
+        the decoder plays comfort noise at the recorded level."""
+        import os as _os
+
+        n, rate, cb = 256, 16000, 8
+        cs = cb * n
+        rng = np.random.default_rng(6)
+        t = np.arange(12 * cs) / rate
+        sig = np.zeros(12 * cs, np.float32)
+        sig[: 4 * cs] = 0.4 * np.sin(2 * np.pi * 440 * t[: 4 * cs])
+        sig[4 * cs: 9 * cs] = 5e-5 * rng.standard_normal(5 * cs)
+        sig[9 * cs:] = 0.3 * np.sin(2 * np.pi * 660 * t[9 * cs:])
+        wav = str(tmp_path / "d.wav")
+        write_wav(wav, sig[:, None], rate)
+        plain = str(tmp_path / "plain.acs")
+        dtx = str(tmp_path / "dtx.acs")
+        assert cli.main(["encode", wav, plain, "--filters-n", "256",
+                         "--chunk-blocks", "8"]) == 0
+        assert cli.main(["encode", wav, dtx, "--filters-n", "256",
+                         "--chunk-blocks", "8", "--dtx"]) == 0
+        assert _os.path.getsize(dtx) < 0.75 * _os.path.getsize(plain)
+        rec = str(tmp_path / "d_rec.wav")
+        assert cli.main(["decode", dtx, rec]) == 0
+        y, _ = read_wav(rec)
+        a = sig[cs: 3 * cs]
+        b = y[0, cs + n: 3 * cs + n, 0]
+        snr = 10 * np.log10(
+            (a**2).sum() / max(((a - b) ** 2).sum(), 1e-30)
+        )
+        # CLI defaults (bark_bands_n=64 at this small N) quantize
+        # coarser than the API tests' 32-band config
+        assert snr > 10.0, snr
+        # invalid combinations are CLI errors (main catches and
+        # reports them as a nonzero exit)
+        assert cli.main(["encode", wav, dtx, "--filters-n", "256",
+                         "--chunk-blocks", "8", "--dtx", "--fec"]) != 0
+        assert "dtx" in capsys.readouterr().err.lower()
+        assert cli.main(["encode", wav, dtx, "--filters-n", "256",
+                         "--dtx"]) != 0
+        assert "dtx" in capsys.readouterr().err.lower()
+
 
 class TestPrecisionRecorded:
     """bark_precision is step-size-critical (the Bark sidecar expands

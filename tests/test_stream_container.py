@@ -950,3 +950,172 @@ class TestFEC:
         assert snr > 3.0
         np.testing.assert_allclose(out[:, 17 * n :], clean[:, 17 * n :],
                                    atol=1e-6)
+
+
+class TestDTX:
+    """Discontinuous transmission: gated chunks become ~(9+4C)-byte
+    silent records (magic ACS3); the decoder runs the STANDARD synthesis
+    step on synthesized zero codes (carry/seek machinery untouched) and
+    adds comfort noise at the recorded per-channel RMS."""
+
+    SR, N, CB = 16000, 256, 8
+
+    def _mixed_signal(self, channels=1, floor=5e-5):
+        """4 tone chunks, 5 noise-floor chunks, 3 tone chunks."""
+        cs = self.CB * self.N
+        samples = 12 * cs
+        t = np.arange(samples) / self.SR
+        rng = np.random.default_rng(0)
+        sig = np.zeros((samples, channels), np.float32)
+        for ch in range(channels):
+            sig[: 4 * cs, ch] = 0.4 * np.sin(
+                2 * np.pi * (440 + 20 * ch) * t[: 4 * cs])
+            sig[4 * cs: 9 * cs, ch] = floor * rng.standard_normal(5 * cs)
+            sig[9 * cs:, ch] = 0.3 * np.sin(
+                2 * np.pi * (660 + 20 * ch) * t[9 * cs:])
+        return jnp.asarray(sig[None])
+
+    @pytest.fixture(scope="class")
+    def codec(self):
+        return Codec.create(self.SR, filters_n=self.N, bark_bands_n=32)
+
+    def test_round_trip_and_size(self, codec, tmp_path):
+        x = self._mixed_signal()
+        p0 = str(tmp_path / "plain.acs")
+        p1 = str(tmp_path / "dtx.acs")
+        sc.encode_stream(codec, x, p0, chunk_blocks=self.CB)
+        sc.encode_stream(codec, x, p1, chunk_blocks=self.CB, dtx=-70.0)
+        import os
+
+        assert os.path.getsize(p1) < 0.7 * os.path.getsize(p0)
+        with open(p1, "rb") as f:
+            assert f.read(4) == b"ACS3"
+        with open(p0, "rb") as f:
+            assert f.read(4) != b"ACS3"  # non-DTX magic unchanged
+        out = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, p1)], axis=1
+        )
+        cs = self.CB * self.N
+        sig = np.asarray(x)[0, :, 0]
+        # coded spans keep quality
+        ref = sig[cs: 3 * cs]
+        deg = out[0, cs + self.N: 3 * cs + self.N, 0]
+        snr = 10 * np.log10((ref**2).sum() / ((ref - deg) ** 2).sum())
+        assert snr > 20.0, snr
+        # gated span decodes comfort noise at the recorded RMS
+        mid = out[0, 5 * cs + self.N: 8 * cs + self.N, 0]
+        rms = float(np.sqrt((mid**2).mean()))
+        assert 2e-5 < rms < 1.5e-4, rms
+
+    def test_digital_silence_decodes_to_silence(self, codec, tmp_path):
+        cs = self.CB * self.N
+        sig = np.zeros((1, 6 * cs, 1), np.float32)
+        t = np.arange(2 * cs) / self.SR
+        sig[0, :2 * cs, 0] = 0.4 * np.sin(2 * np.pi * 440 * t)
+        p = str(tmp_path / "sil.acs")
+        sc.encode_stream(codec, jnp.asarray(sig), p,
+                         chunk_blocks=self.CB, dtx=-70.0)
+        out = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, p)], axis=1
+        )
+        # level 0 on the wire -> EXACT zeros in the gated interior
+        # (one chunk of hangover after the tone, plus its window tail)
+        np.testing.assert_array_equal(out[:, 5 * cs:], 0.0)
+
+    def test_hangover_keeps_post_speech_chunk(self, codec, tmp_path):
+        x = self._mixed_signal()
+        p = str(tmp_path / "h.acs")
+        sc.encode_stream(codec, x, p, chunk_blocks=self.CB, dtx=-70.0)
+        with sc.StreamReader(p) as r:
+            silent = [
+                r.read_chunk(i).silent is not None
+                for i in range(r.n_chunks)
+            ]
+        # chunk 4 is the first below-gate chunk but follows active
+        # content: the one-chunk hangover keeps it coded
+        assert silent[:6] == [False] * 5 + [True]
+        assert silent[9] is False  # tone resumes
+
+    def test_seek_matches_full_decode(self, codec, tmp_path):
+        x = self._mixed_signal()
+        p = str(tmp_path / "s.acs")
+        sc.encode_stream(codec, x, p, chunk_blocks=self.CB, dtx=-70.0)
+        full = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, p)], axis=1
+        )
+        cs = self.CB * self.N
+        for start in (6, 9):  # inside the gated span; at the tone resume
+            part = np.concatenate(
+                [np.asarray(c)
+                 for c in sc.decode_stream(codec, p, start_chunk=start)],
+                axis=1,
+            )
+            np.testing.assert_allclose(
+                part, full[:, start * cs:], atol=1e-6
+            )
+
+    def test_stereo_ms_composes(self, tmp_path):
+        codec = Codec.create(self.SR, filters_n=self.N, bark_bands_n=32)
+        x = self._mixed_signal(channels=2)
+        p = str(tmp_path / "ms.acs")
+        sc.encode_stream(codec, x, p, chunk_blocks=self.CB, dtx=-70.0,
+                         ms=True, tns=True, nf=True, bs=True)
+        out = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, p)], axis=1
+        )
+        assert np.isfinite(out).all()
+        cs = self.CB * self.N
+        sig = np.asarray(x)[0, cs: 3 * cs]
+        deg = out[0, cs + self.N: 3 * cs + self.N]
+        snr = 10 * np.log10(
+            (sig**2).sum() / ((sig - deg) ** 2).sum()
+        )
+        assert snr > 15.0, snr
+
+    def test_corrupt_silent_record_fails_crc_and_conceals(
+        self, codec, tmp_path
+    ):
+        x = self._mixed_signal()
+        p = str(tmp_path / "c.acs")
+        sc.encode_stream(codec, x, p, chunk_blocks=self.CB, dtx=-70.0)
+        with sc.StreamReader(p) as r:
+            off = r._index[6]  # a silent record (see hangover test)
+            assert r.read_chunk(6).silent is not None
+        blob = bytearray(open(p, "rb").read())
+        blob[off + 3] ^= 0xFF  # flip inside the record body
+        open(p, "wb").write(bytes(blob))
+        with sc.StreamReader(p) as r:
+            with pytest.raises(ValueError, match="CRC|corrupt"):
+                r.read_chunk(6)
+        out = np.concatenate(
+            [np.asarray(c)
+             for c in sc.decode_stream(codec, p, conceal=True)], axis=1
+        )
+        assert np.isfinite(out).all()
+
+    def test_validation(self, codec, tmp_path):
+        x = self._mixed_signal()
+        with pytest.raises(ValueError, match="fec or cbr"):
+            sc.encode_stream(codec, x, str(tmp_path / "x.acs"),
+                             chunk_blocks=self.CB, dtx=-70.0, fec=4.0)
+        with pytest.raises(ValueError, match="fec or cbr"):
+            sc.encode_stream(codec, x, str(tmp_path / "x.acs"),
+                             chunk_blocks=self.CB, dtx=-70.0,
+                             threshold_scale=[1.0] * 12)
+        with pytest.raises(ValueError, match="dtx_level"):
+            sc.StreamWriter(
+                str(tmp_path / "y.acs"), sample_rate=self.SR,
+                filters_n=self.N, bark_bands_n=32, alpha=0.6,
+                window_type="vorbis", channels=1,
+                compute_dtype="float32", dtx_level=5.0,
+            )
+
+    def test_append_silent_requires_dtx_stream(self, tmp_path):
+        w = sc.StreamWriter(
+            str(tmp_path / "z.acs"), sample_rate=self.SR,
+            filters_n=self.N, bark_bands_n=32, alpha=0.6,
+            window_type="vorbis", channels=1, compute_dtype="float32",
+        )
+        with pytest.raises(ValueError, match="dtx"):
+            w.append_silent(8, [0.0])
+        w.close()
