@@ -618,7 +618,7 @@ class StreamWriter:
             raise ValueError(
                 "append_silent requires a DTX stream (dtx_level set)"
             )
-        lv = np.asarray(levels, dtype=np.float32).ravel()
+        lv = np.asarray(levels, dtype=np.float64).ravel()
         if lv.shape != (self.meta["channels"],):
             raise ValueError(
                 f"need one level per channel ({self.meta['channels']}), "
@@ -626,6 +626,18 @@ class StreamWriter:
             )
         if not (np.isfinite(lv).all() and (lv >= 0).all()):
             raise ValueError(f"bad comfort-noise levels: {lv!r}")
+        # canonicalize onto a 0.5 dB log grid: comfort-noise levels need
+        # nowhere near f32 resolution, and snapping makes the wire bytes
+        # deterministic across RMS computation paths (offline device f32
+        # vs live-session host f64 differ in the last ulp)
+        nz = lv > 1e-12
+        lv = np.where(
+            nz,
+            10.0 ** (np.round(
+                40.0 * np.log10(np.maximum(lv, 1e-12))
+            ) / 40.0),
+            0.0,
+        ).astype(np.float32)
         blocks = int(blocks)
         if blocks <= 0:
             raise ValueError(f"silent record needs blocks > 0: {blocks}")

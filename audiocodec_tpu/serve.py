@@ -651,6 +651,12 @@ class _StreamSession:
         if self.intensity and not self.ms:
             raise ValueError("intensity stereo needs ms coding")
         self.cbr = bool(cfg.get("cbr", False))
+        self.dtx = float(cfg.get("dtx", 0.0))
+        if self.dtx and not -200.0 < self.dtx < 0.0:
+            raise ValueError(f"dtx out of range: {self.dtx}")
+        if self.dtx and self.cbr:
+            raise ValueError("dtx does not compose with cbr sessions")
+        self._prev_below = False
         self._last_ts = self.tscale
         self._tctx = None
         self._codec = codec
@@ -684,6 +690,7 @@ class _StreamSession:
             is_start=codec.is_start if self.intensity else 0,
             sidecar_grid=codec.sidecar_grid,
             cbr=self.cbr,
+            dtx_level=self.dtx,
         )
         self._carry = _streaming.mdct_stream_init(
             codec.mdct, 1, self.channels
@@ -725,6 +732,33 @@ class _StreamSession:
             1, self._samples, self.channels
         )
         x = jnp.asarray(pcm, dtype=self._codec.mdct.compute_dtype)
+        if self.dtx:
+            # same gate as offline encode_stream: per-channel RMS vs
+            # the dBFS threshold, one-chunk hangover after active
+            # content. (Host f64 RMS here vs the offline path's device
+            # f32 — decisions can only differ for chunks within float
+            # roundoff of the gate, and the stream stays self-consistent
+            # either way: the gate is encoder policy, decode honors the
+            # wire.) Live sessions are DTX's canonical use (silence in
+            # calls); a gated chunk costs ~(9+4C) bytes and no device
+            # step.
+            rms = np.sqrt((pcm.astype(np.float64) ** 2).mean(axis=1))[0]
+            below = bool(rms.max() < 10.0 ** (self.dtx / 20.0))
+            gated = below and self._prev_below
+            self._prev_below = below
+            if gated:
+                from audiocodec_tpu import streaming as _streaming
+
+                lv = (rms * (rms > 1e-12)).astype(np.float32)
+                self._writer.append_silent(self.chunk_blocks, lv)
+                # both ends treat the gated span as zeros (mirrors
+                # offline encode_stream's carry/context reset)
+                self._carry = _streaming.mdct_stream_init(
+                    self._codec.mdct, 1, self.channels
+                )
+                self._tctx = None
+                self._last_ts = ts
+                return self.take_bytes()
         self._carry, self._tctx, enc, _ = self._step(
             self._codec, self._carry, x, 0.0, ts, self.ms,
             self.deadzone, self.tns, self.nf, tmask=self.tmask,
@@ -887,7 +921,8 @@ class Client:
         """Open a streaming encode session; returns the .acs header
         bytes. Config keys: channels, chunk_blocks, threshold_scale,
         ms, deadzone, tns, nf, nf_seed, tmask, bs, cbr (per-chunk
-        adaptive scales via feed(..., threshold_scale=))."""
+        adaptive scales via feed(..., threshold_scale=)), dtx (dBFS
+        gate — near-silent chunks cost ~10 bytes; VBR sessions only)."""
         return self._call("B", json.dumps(cfg).encode())
 
     def feed(self, pcm, threshold_scale=None) -> bytes:

@@ -302,6 +302,44 @@ class TestStreamingSessions:
                          ms=True, intensity=True)
         assert streamed == open(offline, "rb").read()
 
+    def test_session_dtx_bytes_equal_offline(self, codec, server,
+                                             tmp_path):
+        """A DTX session gates its silent chunks into the same silent
+        records as offline encode_stream (clear-margin content, so the
+        host/device RMS roundoff cannot flip a decision) and the bytes
+        match exactly."""
+        from audiocodec_tpu.io import stream_container as sc
+
+        rng = np.random.default_rng(44)
+        chunks = 6
+        cs = 8 * N
+        t = np.arange(chunks * cs) / SR
+        sig = np.zeros(chunks * cs, np.float32)
+        sig[: 2 * cs] = 0.4 * np.sin(2 * np.pi * 440 * t[: 2 * cs])
+        sig[2 * cs : 5 * cs] = 5e-5 * rng.standard_normal(3 * cs)
+        sig[5 * cs :] = 0.3 * np.sin(2 * np.pi * 660 * t[5 * cs :])
+        x = sig[None, :, None]
+        parts = []
+        with serve.Client(port=server.port) as c:
+            parts.append(c.begin_stream(channels=1, chunk_blocks=8,
+                                        dtx=-70.0))
+            for k in range(chunks):
+                parts.append(c.feed(x[0, k * cs : (k + 1) * cs]))
+            parts.append(c.finish_stream())
+        streamed = b"".join(parts)
+        assert streamed[:4] == b"ACS3"
+
+        offline = str(tmp_path / "offdtx.acs")
+        sc.encode_stream(codec, jnp.asarray(x), offline, chunk_blocks=8,
+                         dtx=-70.0)
+        assert streamed == open(offline, "rb").read()
+
+    def test_session_dtx_cbr_rejected(self, server):
+        with serve.Client(port=server.port) as c:
+            with pytest.raises(Exception, match="dtx|cbr"):
+                c.begin_stream(channels=1, chunk_blocks=8, dtx=-70.0,
+                               cbr=True)
+
     def test_session_tmask_bytes_equal_offline(self, codec, server,
                                                tmp_path):
         """The session's rolling temporal-masking context reproduces the
