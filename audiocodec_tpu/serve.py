@@ -836,6 +836,7 @@ class _DecodeSession:
         is_meta = meta.get("isf")
         self._is_start = int(is_meta["start"]) if is_meta else 0
         self._frame_off = 0
+        self._chunk_idx = 0
         self._carry = _streaming.imdct_stream_init(
             codec.mdct, 1, self._ch
         )
@@ -874,7 +875,22 @@ class _DecodeSession:
             bwe_start=self._bwe_start,
             isg=put_opt(c.isg), is_start=self._is_start,
         )
+        if c.silent is not None and float(np.max(c.silent)) > 0:
+            # DTX comfort noise, keyed by the session's chunk counter —
+            # identical to offline decode_stream's per-index noise for a
+            # stream fed in order from its start
+            cn = np.random.default_rng(0xD7C0FFEE + self._chunk_idx)
+            noise = (
+                cn.standard_normal(
+                    (1, samples.shape[1], self._ch)
+                ).astype(np.float32)
+                * c.silent[None, None, :]
+            )
+            samples = samples + jnp.asarray(
+                noise, self._codec.mdct.compute_dtype
+            )
         self._frame_off += c.codes.shape[0]
+        self._chunk_idx += 1
         return np.ascontiguousarray(
             np.asarray(samples.astype(jnp.float32))[0], dtype="<f4"
         ).tobytes()

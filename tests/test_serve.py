@@ -334,6 +334,44 @@ class TestStreamingSessions:
                          dtx=-70.0)
         assert streamed == open(offline, "rb").read()
 
+    def test_decode_session_dtx_matches_offline(self, codec, server,
+                                                tmp_path):
+        """A live decode session of a DTX stream reproduces offline
+        decode_stream sample-for-sample, comfort noise included."""
+        from audiocodec_tpu.io import stream_container as sc
+
+        rng = np.random.default_rng(45)
+        chunks = 6
+        cs = 8 * N
+        t = np.arange(chunks * cs) / SR
+        sig = np.zeros(chunks * cs, np.float32)
+        sig[: 2 * cs] = 0.4 * np.sin(2 * np.pi * 440 * t[: 2 * cs])
+        sig[2 * cs : 5 * cs] = 5e-5 * rng.standard_normal(3 * cs)
+        sig[5 * cs :] = 0.3 * np.sin(2 * np.pi * 660 * t[5 * cs :])
+        x = jnp.asarray(sig[None, :, None])
+        path = str(tmp_path / "ld.acs")
+        sc.encode_stream(codec, x, path, chunk_blocks=8, dtx=-70.0)
+        offline = np.concatenate(
+            [np.asarray(c) for c in sc.decode_stream(codec, path)],
+            axis=1,
+        )[0, :, 0]
+
+        blob = open(path, "rb").read()
+        import struct as _struct
+
+        (_, index_off) = _struct.unpack("<QQ", blob[-16:])
+        with sc.StreamReader(path) as r:
+            offs = list(r._index)
+        ends = offs[1:] + [index_off]
+        live = []
+        with serve.Client(port=server.port) as c:
+            c.begin_decode_stream(blob[: offs[0]])
+            for off, end in zip(offs, ends):
+                live.append(c.feed_chunk(blob[off:end])[:, 0])
+            live.append(c.finish_decode_stream()[:, 0])
+        live = np.concatenate(live)
+        np.testing.assert_allclose(live, offline, atol=1e-6)
+
     def test_session_dtx_cbr_rejected(self, server):
         with serve.Client(port=server.port) as c:
             with pytest.raises(Exception, match="dtx|cbr"):
