@@ -66,7 +66,7 @@ for n, dtype, fast, prec in [
 EOF
 
 step "kernel_bench (radix-relevant rows)" python benchmarks/kernel_bench.py \
-  --only f32_highest_n1024,bf16_fast_n1024,f32_high_n1024,f32_high_n2048,f32_highest_n2048,bf16_fast_n2048
+  --only f32_highest_n1024,bf16_fast_n1024,f32_high_n1024,f32_high_n2048,f32_highest_n2048,bf16_fast_n2048,bf16_int8_n1024,bf16_int8_n2048
 
 step "composed_bench" python benchmarks/composed_bench.py
 
