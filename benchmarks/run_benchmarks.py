@@ -762,8 +762,19 @@ def main():
             f"{r.get('throughput_audio_s_per_s', '-')} | {r['pass']} |"
         )
     out = os.path.join(os.path.dirname(__file__), "RESULTS.md")
+    # Preserve the hand-maintained sections (transport-ceiling notes,
+    # campaign tables) that follow the generated config table: keep
+    # everything from the first markdown section heading onward.
+    tail = ""
+    if os.path.exists(out):
+        old = open(out).read()
+        for marker in ("\nNote:", "\n## "):
+            idx = old.find(marker)
+            if idx != -1:
+                tail = old[idx:]
+                break
     with open(out, "w") as f:
-        f.write("\n".join(md) + "\n")
+        f.write("\n".join(md) + "\n" + tail)
     print(f"wrote {out}")
 
 
