@@ -59,6 +59,13 @@ _MAGIC_V2 = b"ACS2"
 # loudly; non-DTX encodes keep their existing magic bytes unchanged.
 _MAGIC_V3 = b"ACS3"
 
+# Frame-count ceiling for DTX silent records (writer-validated,
+# reader-enforced): 2^16 frames is >25 minutes of silence in ONE chunk
+# at N=1024 — far beyond any sane chunking — and caps the synthetic
+# zero-codes allocation a tampered record could demand at
+# 2^16 * N * C int32s.
+_SILENT_BLOCKS_CAP = 1 << 16
+
 
 class Chunk(typing.NamedTuple):
     """One decoded chunk's payload (StreamReader.read_chunk)."""
@@ -639,8 +646,11 @@ class StreamWriter:
             0.0,
         ).astype(np.float32)
         blocks = int(blocks)
-        if blocks <= 0:
-            raise ValueError(f"silent record needs blocks > 0: {blocks}")
+        if not 0 < blocks <= _SILENT_BLOCKS_CAP:
+            raise ValueError(
+                f"silent record blocks out of range (1..{_SILENT_BLOCKS_CAP}): "
+                f"{blocks}"
+            )
         body = b"\x01" + struct.pack("<I", blocks) + lv.tobytes()
         self._index.append(self._f.tell())
         crc = zlib.crc32(body, 0)
@@ -1186,7 +1196,12 @@ class StreamReader:
         hdr = self._read_exact(4, i)
         (blocks,) = struct.unpack("<I", hdr)
         ch = self.meta["channels"]
-        if blocks > self._size:
+        # unlike coded chunks (whose frame counts are bounded against
+        # their payload bytes), a silent record has no payload to bound
+        # against — a tampered u32 here must not size a multi-gigabyte
+        # zeros allocation, so the cap is explicit (and enforced at the
+        # writer, so it is never a legitimate value)
+        if not 0 < blocks <= _SILENT_BLOCKS_CAP:
             raise ValueError(
                 f"chunk {i} has implausible sizes — corrupt stream"
             )

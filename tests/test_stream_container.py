@@ -1110,6 +1110,32 @@ class TestDTX:
                 compute_dtype="float32", dtx_level=5.0,
             )
 
+    def test_tampered_silent_blocks_bounded(self, codec, tmp_path):
+        """A tampered silent-record frame count must fail loudly BEFORE
+        any allocation (the bounded-memory decode invariant): patch the
+        u32 to a huge value and re-CRC so only the cap can catch it."""
+        import struct
+        import zlib
+
+        x = self._mixed_signal()
+        p = str(tmp_path / "t.acs")
+        sc.encode_stream(codec, x, p, chunk_blocks=self.CB, dtx=-70.0)
+        with sc.StreamReader(p) as r:
+            off = r._index[6]
+            assert r.read_chunk(6).silent is not None
+        blob = bytearray(open(p, "rb").read())
+        # silent record: marker | u32 blocks | f32 level | u32 crc
+        huge = struct.pack("<I", 1 << 30)
+        blob[off + 1:off + 5] = huge
+        body = bytes(blob[off:off + 1 + 4 + 4])
+        blob[off + 9:off + 13] = struct.pack(
+            "<I", zlib.crc32(body)
+        )
+        open(p, "wb").write(bytes(blob))
+        with sc.StreamReader(p) as r:
+            with pytest.raises(ValueError, match="implausible|corrupt"):
+                r.read_chunk(6)
+
     def test_append_silent_requires_dtx_stream(self, tmp_path):
         w = sc.StreamWriter(
             str(tmp_path / "z.acs"), sample_rate=self.SR,
