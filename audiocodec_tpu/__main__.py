@@ -188,6 +188,11 @@ def cmd_encode(args):
     # without a rate target there is nothing to adapt to -> plain rounding
     dz = getattr(args, "deadzone", "auto")
     fixed_dz = 0.5 if dz == "auto" else float(dz)
+    if getattr(args, "fec", 0.0) and not args.chunk_blocks:
+        raise ValueError(
+            "--fec needs --chunk-blocks (redundant copies ride the "
+            ".acs stream's chunk framing)"
+        )
     if getattr(args, "dtx", 0.0):
         if not args.chunk_blocks:
             raise ValueError(

@@ -909,18 +909,22 @@ class StreamReader:
     def chunk_blocks(self, i: int) -> int:
         """Number of spectral frames in chunk i (header read only)."""
         self._check_index(i)
-        # CBR chunks lead with their f64 threshold scale
-        off = 8 if self.meta.get("cbr") else 0
-        self._f.seek(self._index[i] + off)
+        self._f.seek(self._index[i])
+        # wire order (mirrors StreamWriter.append): DTX marker byte
+        # first, then the f64 CBR scale, then the u32 frame count
+        silent = False
         if self.meta.get("dtx") is not None:
-            # DTX bodies lead with the marker byte; both layouts place
-            # the u32 frame count immediately after it
             marker = self._read_exact(1, i)
             if marker not in (b"\x00", b"\x01"):
                 raise ValueError(
                     f"chunk {i} has an unknown DTX marker — corrupt "
                     "stream"
                 )
+            silent = marker == b"\x01"
+        if self.meta.get("cbr") and not silent:
+            # silent records carry no scale: their u32 frame count
+            # follows the marker directly
+            self._f.seek(8, 1)
         (blocks,) = struct.unpack("<I", self._read_exact(4, i))
         return blocks
 
@@ -962,6 +966,21 @@ class StreamReader:
         hcrc = bool(self.meta.get("hcrc"))
         want = 0
         tscale = None
+        # wire order mirrors StreamWriter.append exactly: DTX marker
+        # byte FIRST (when the stream declares dtx), then the f64 CBR
+        # scale (when cbr) — dtx+cbr streams are currently rejected at
+        # encode, but reader and writer must agree on the layout so
+        # relaxing that restriction cannot silently misparse
+        if self.meta.get("dtx") is not None:
+            marker = self._read_exact(1, i)
+            want = zlib.crc32(marker, want)
+            if marker == b"\x01":
+                return self._read_silent_record(i, want)
+            if marker != b"\x00":
+                raise ValueError(
+                    f"chunk {i} has an unknown DTX marker — corrupt "
+                    "stream"
+                )
         if self.meta.get("cbr"):
             ts_bytes = self._read_exact(8, i)
             (tscale,) = struct.unpack("<d", ts_bytes)
@@ -996,17 +1015,6 @@ class StreamReader:
             data = self._read_exact(length, i)
             chain(data, hdr)
             return data
-
-        if self.meta.get("dtx") is not None:
-            marker = self._read_exact(1, i)
-            want = zlib.crc32(marker, want)
-            if marker == b"\x01":
-                return self._read_silent_record(i, want)
-            if marker != b"\x00":
-                raise ValueError(
-                    f"chunk {i} has an unknown DTX marker — corrupt "
-                    "stream"
-                )
         hdr_codes = self._read_exact(8, i)
         blocks, clen = struct.unpack("<II", hdr_codes)
         if blocks > self._size or clen > self._size:
@@ -1910,12 +1918,11 @@ def encode_stream_cbr(
             n_body, payload_target * chunk_seconds * 1000.0
         )
     else:
-        desired_bits = _np.maximum(
-            floor_bits,
-            _rate.reservoir_allocate(
-                demand_bits, budget_bits, reservoir_kbits * 1000.0,
-                floor=floor_bits,
-            ),
+        # reservoir_allocate enforces floor_bits itself (its waterfill
+        # clamps every chunk to >= floor) — the floor contract lives there
+        desired_bits = _rate.reservoir_allocate(
+            demand_bits, budget_bits, reservoir_kbits * 1000.0,
+            floor=floor_bits,
         )
     want_wire = desired_bits + overhead_bytes * 8.0
 

@@ -50,6 +50,23 @@ PRECISIONS = {
 MDCT_PRECISIONS = frozenset(PRECISIONS) | {"int8"}
 
 
+def int8_rowquant(u: jnp.ndarray):
+    """Symmetric per-row (last-axis) dynamic int8 quantization.
+
+    scale = max|row| + 1e-12 (kept, divided out as s/127 on dequant),
+    round-to-nearest, clip to ±127. THE recipe for every int8 tier —
+    the XLA path here and the Pallas kernels (ops/pallas_mdct.py) share
+    this function so the two lowerings cannot drift numerically.
+    Mosaic-traceable (plain jnp). Returns (int8 codes, f32 scale with
+    keepdims)."""
+    uf = u.astype(jnp.float32)
+    s = jnp.max(jnp.abs(uf), axis=-1, keepdims=True) + jnp.float32(1e-12)
+    q = jnp.clip(
+        jnp.round(uf * (jnp.float32(127.0) / s)), -127.0, 127.0
+    ).astype(jnp.int8)
+    return q, s
+
+
 def _int8_matmul(x: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
     """x [..., K] @ mat [K, M] on the MXU's int8 path, float32 out.
 
@@ -66,11 +83,7 @@ def _int8_matmul(x: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
     codec path, whose own noise floor sits far above that; fidelity
     paths keep the float ladder.
     """
-    xf = x.astype(jnp.float32)
-    s_r = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) + jnp.float32(1e-12)
-    q = jnp.clip(
-        jnp.round(xf * (jnp.float32(127.0) / s_r)), -127.0, 127.0
-    ).astype(jnp.int8)
+    q, s_r = int8_rowquant(x)
     mf = mat.astype(jnp.float32)
     s_m = jnp.max(jnp.abs(mf)) + jnp.float32(1e-12)
     qm = jnp.clip(

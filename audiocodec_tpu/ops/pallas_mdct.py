@@ -192,14 +192,9 @@ def _load_matrices(m_hbms, m_scratches, sems):
             cp.wait()
 
 
-def _int8_rowquant(u):
-    """Symmetric per-row dynamic int8: scale = max|row|/127."""
-    uf = u.astype(jnp.float32)
-    s = jnp.max(jnp.abs(uf), axis=1, keepdims=True) + jnp.float32(1e-12)
-    q = jnp.clip(
-        jnp.round(uf * (jnp.float32(127.0) / s)), -127.0, 127.0
-    ).astype(jnp.int8)
-    return q, s
+# THE int8 quantization recipe, shared with the XLA lowering so the two
+# tiers cannot drift numerically (ops/dct.py). Mosaic-traceable.
+_int8_rowquant = _dct.int8_rowquant
 
 
 def _mxu(u, m_scratches, prec_mode, mat_scale=1.0):

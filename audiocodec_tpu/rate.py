@@ -541,11 +541,8 @@ def reservoir_allocate(demand, budget, reservoir, floor=0.0):
     if (demand < 0).any() or demand.sum() <= 0:
         raise ValueError("demand must be nonnegative with positive sum")
     share = budget / n
-    t = demand * (budget / demand.sum())
-    for _ in range(8):
-        dev = np.cumsum(t) - share * np.arange(1, n + 1)
-        if (np.abs(dev) <= reservoir * (1 + 1e-9) + 1e-6).all():
-            break
+
+    def waterfill(t):
         out = np.empty_like(t)
         carry = 0.0  # unspendable bits banked for later chunks
         dv = 0.0
@@ -556,12 +553,26 @@ def reservoir_allocate(demand, budget, reservoir, floor=0.0):
             out[i] = min(max(want, lo), hi)
             carry = want - out[i]
             dv += out[i] - share
-        t = out
+        return out
+
+    t = demand * (budget / demand.sum())
+    for _ in range(8):
+        dev = np.cumsum(t) - share * np.arange(1, n + 1)
+        if (np.abs(dev) <= reservoir * (1 + 1e-9) + 1e-6).all() and (
+            t >= floor - 1e-9
+        ).all():
+            break
+        t = waterfill(t)
         # bits left un-placed (or over-placed) at the end: spread the
         # residual multiplicatively and re-clamp next iteration
-        if abs(t.sum()) > 0:
+        if t.sum() > 0:
             t *= budget / t.sum()
-    return np.maximum(t, floor)
+    # the excursion bound is HARD (a CBR decoder-buffer model relies on
+    # it); the budget is best-effort within it. The renormalization above
+    # can push chunks back over the bound, so the LAST operation must be
+    # a clamping pass — idempotent on already-feasible schedules. Only
+    # `floor` may override the bound (headers must fit).
+    return waterfill(t)
 
 
 def encode_with_target_bitrate(

@@ -656,7 +656,10 @@ class _StreamSession:
             raise ValueError(f"dtx out of range: {self.dtx}")
         if self.dtx and self.cbr:
             raise ValueError("dtx does not compose with cbr sessions")
-        self._prev_below = False
+        # True so the FIRST chunk gates when below — offline
+        # encode_stream's gate[0] = below[0] (no hangover precondition
+        # before any active content has been seen)
+        self._prev_below = True
         self._last_ts = self.tscale
         self._tctx = None
         self._codec = codec
@@ -731,7 +734,6 @@ class _StreamSession:
         pcm = np.frombuffer(payload, "<f4").reshape(
             1, self._samples, self.channels
         )
-        x = jnp.asarray(pcm, dtype=self._codec.mdct.compute_dtype)
         if self.dtx:
             # same gate as offline encode_stream: per-channel RMS vs
             # the dBFS threshold, one-chunk hangover after active
@@ -759,6 +761,9 @@ class _StreamSession:
                 self._tctx = None
                 self._last_ts = ts
                 return self.take_bytes()
+        # device transfer only for chunks that actually encode — a gated
+        # chunk must cost no H2D bytes (the tunnel is the rig bottleneck)
+        x = jnp.asarray(pcm, dtype=self._codec.mdct.compute_dtype)
         self._carry, self._tctx, enc, _ = self._step(
             self._codec, self._carry, x, 0.0, ts, self.ms,
             self.deadzone, self.tns, self.nf, tmask=self.tmask,

@@ -494,6 +494,11 @@ class TestStreamFeatureCLI:
         assert cli.main(["encode", wav, dtx, "--filters-n", "256",
                          "--dtx"]) != 0
         assert "dtx" in capsys.readouterr().err.lower()
+        # --fec without --chunk-blocks must refuse (silently dropping
+        # the redundancy the user asked for is a shipping hazard)
+        assert cli.main(["encode", wav, dtx, "--filters-n", "256",
+                         "--fec"]) != 0
+        assert "fec" in capsys.readouterr().err.lower()
 
 
 class TestPrecisionRecorded:

@@ -156,6 +156,22 @@ class TestReservoirAllocate:
             assert cur >= prev - 1e-9
             prev = cur
 
+    def test_bound_is_hard_under_concentrated_demand(self):
+        """Adversarial case for the renormalization pass: demand piled
+        into one chunk far above share+reservoir. Renormalizing AFTER
+        clamping used to push chunks back over the bound; the final
+        projection must keep every prefix excursion within ±reservoir
+        even when that means returning slightly under budget."""
+        demand = np.array([1.0, 1.0, 1e6, 1.0, 1.0, 1.0, 1.0, 1.0])
+        budget, reservoir = 8000.0, 200.0
+        t = rate.reservoir_allocate(demand, budget, reservoir)
+        share = budget / demand.shape[0]
+        dev = np.cumsum(t) - share * np.arange(1, demand.shape[0] + 1)
+        assert np.abs(dev).max() <= reservoir * (1 + 1e-9) + 1e-6, dev
+        # budget is best-effort inside the hard bound
+        assert t.sum() <= budget * (1 + 1e-9)
+        assert (t >= 0).all()
+
     def test_floor_respected(self):
         t = rate.reservoir_allocate(
             np.array([1.0, 1.0, 1000.0]), 300.0, 1e9, floor=40.0

@@ -334,6 +334,40 @@ class TestStreamingSessions:
                          dtx=-70.0)
         assert streamed == open(offline, "rb").read()
 
+    def test_session_dtx_first_chunk_silent_equals_offline(
+            self, codec, server, tmp_path):
+        """A stream that OPENS with silence gates its first chunk just
+        like offline encode_stream (gate[0] = below[0], no hangover
+        precondition) — a call that starts quiet must not spend
+        full-rate bits on chunk 0."""
+        from audiocodec_tpu.io import stream_container as sc
+
+        rng = np.random.default_rng(45)
+        chunks = 4
+        cs = 8 * N
+        t = np.arange(chunks * cs) / SR
+        sig = np.zeros(chunks * cs, np.float32)
+        sig[: 2 * cs] = 5e-5 * rng.standard_normal(2 * cs)
+        sig[2 * cs :] = 0.4 * np.sin(2 * np.pi * 440 * t[2 * cs :])
+        x = sig[None, :, None]
+        parts = []
+        with serve.Client(port=server.port) as c:
+            parts.append(c.begin_stream(channels=1, chunk_blocks=8,
+                                        dtx=-70.0))
+            for k in range(chunks):
+                parts.append(c.feed(x[0, k * cs : (k + 1) * cs]))
+            parts.append(c.finish_stream())
+        streamed = b"".join(parts)
+
+        offline = str(tmp_path / "offdtx0.acs")
+        sc.encode_stream(codec, jnp.asarray(x), offline, chunk_blocks=8,
+                         dtx=-70.0)
+        assert streamed == open(offline, "rb").read()
+        # and the opening chunks really are ~13-byte silent records
+        with sc.StreamReader(offline) as r:
+            assert r.read_chunk(0).silent is not None
+            assert r.read_chunk(1).silent is not None
+
     def test_decode_session_dtx_matches_offline(self, codec, server,
                                                 tmp_path):
         """A live decode session of a DTX stream reproduces offline
