@@ -9,15 +9,16 @@ from audiocodec_tpu.codec import Codec, EncodedFrames
 from audiocodec_tpu.mdct import MDCT
 from audiocodec_tpu.psycho import PsychoacousticModel
 from audiocodec_tpu.resample import Resampler
+from audiocodec_tpu import lossless
 from audiocodec_tpu import metrics
 from audiocodec_tpu import nf
 from audiocodec_tpu import quantize
 from audiocodec_tpu import tns
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml
 
 __all__ = [
     "Codec", "EncodedFrames", "MDCT", "PsychoacousticModel", "Resampler",
-    "metrics", "nf", "quantize", "tns",
+    "lossless", "metrics", "nf", "quantize", "tns",
     "__version__",
 ]

@@ -157,11 +157,78 @@ def _pad_to_blocks(data, block):
     return data, orig
 
 
+def _cmd_encode_lossless(args):
+    from audiocodec_tpu import lossless
+    from audiocodec_tpu.io import wav as _wav
+
+    # the lossy shaping ladder has no meaning when the output is exact;
+    # refuse rather than silently ignore a flag the user asked for
+    for flag, attr in [
+        ("--kbps", "kbps"), ("--cbr", "cbr"), ("--chunk-blocks", "chunk_blocks"),
+        ("--ms", "ms"), ("--intensity", "intensity"), ("--dtx", "dtx"),
+        ("--fec", "fec"), ("--preset", "preset"), ("--resample-to", "resample_to"),
+        ("--bf16", "bf16"), ("--tns", "tns"), ("--nf", "nf"), ("--bwe", "bwe"),
+        ("--tmask", "tmask"), ("--bs", "bs"), ("--tag-loudness", "tag_loudness"),
+        ("--drown", "drown"), ("--reservoir", "reservoir"),
+    ]:
+        if getattr(args, attr, None):
+            raise ValueError(
+                f"--lossless is exact PCM coding; {flag} belongs to the "
+                "lossy path and does not compose with it"
+            )
+    x, rate, bits = _wav.read_wav_int(args.input)
+    blob = lossless.encode_lossless(x, rate, bits=bits)
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    raw = x.shape[0] * x.shape[1] * bits // 8
+    print(
+        f"{args.output}: lossless, {x.shape[0]} samples x {x.shape[1]} ch "
+        f"{bits}-bit @ {rate} Hz, {len(blob)} bytes "
+        f"({100.0 * len(blob) / raw:.1f}% of PCM)"
+    )
+    return 0
+
+
+def _cmd_decode_lossless(args):
+    from audiocodec_tpu import lossless
+    from audiocodec_tpu.io import wav as _wav
+
+    for flag, attr in [
+        ("--resample-to", "resample_to"), ("--normalize-lufs", "normalize_lufs"),
+        ("--bf16", "bf16"), ("--conceal", "conceal"),
+    ]:
+        if getattr(args, attr, None):
+            raise ValueError(
+                f"{flag} would modify samples; lossless decode writes the "
+                "exact coded PCM (use the lossy tools on the decoded file)"
+            )
+    with open(args.input, "rb") as f:
+        x, rate, bits = lossless.decode_lossless(f.read())
+    start = int(round(getattr(args, "start", 0.0) * rate))
+    if start:
+        if start >= x.shape[0]:
+            raise ValueError(
+                f"--start {args.start}s is at or past the end of the clip"
+            )
+        x = x[start:]
+    dur = getattr(args, "duration", 0.0)
+    if dur:
+        x = x[: int(round(dur * rate))]
+    _wav.write_wav_int(args.output, x, rate, bits)
+    print(
+        f"{args.output}: {x.shape[0]} samples x {x.shape[1]} ch "
+        f"{bits}-bit @ {rate} Hz (exact)"
+    )
+    return 0
+
+
 def cmd_encode(args):
     import jax.numpy as jnp
 
     from audiocodec_tpu.io import bitstream
 
+    if getattr(args, "lossless", False):
+        return _cmd_encode_lossless(args)
     data, rate = _read(args.input)
     data, rate = _maybe_resample(data, rate, args.resample_to)
     codec = _build_codec(rate, args)
@@ -674,6 +741,10 @@ def cmd_decode(args):
 
     if _is_acs(args.input):
         return _decode_stream(args)
+    from audiocodec_tpu import lossless as _lossless
+
+    if _lossless.is_lossless_file(args.input):
+        return _cmd_decode_lossless(args)
 
     codes, bark, meta = bitstream.load(args.input)
     codec = _codec_from_container_meta(args, meta)
@@ -1137,6 +1208,23 @@ def cmd_info(args):
         print(f"  size: {size} bytes  (~{kbps:.0f} kbit/s)")
         return 0
 
+    from audiocodec_tpu import lossless as _lossless
+
+    with open(args.input, "rb") as fh:
+        blob = fh.read()
+    if _lossless.is_lossless_bytes(blob):
+        d = _lossless.describe(blob)
+        seconds = d["n_samples"] / d["sample_rate"]
+        raw = d["n_samples"] * d["channels"] * d["bits"] // 8
+        print(f"{args.input} (lossless):")
+        for k, v in d.items():
+            print(f"  {k}: {v}")
+        print(
+            f"  size: {len(blob)} bytes (~{seconds:.2f} s, "
+            f"{100.0 * len(blob) / raw:.1f}% of PCM)"
+        )
+        return 0
+
     codes, bark, meta = bitstream.load(args.input)
     size = os.path.getsize(args.input)
     blocks = codes.shape[1]
@@ -1430,6 +1518,12 @@ def main(argv=None) -> int:
     p = sub.add_parser("encode", help="wav -> .acz bitstream")
     p.add_argument("input")
     p.add_argument("output")
+    p.add_argument(
+        "--lossless", action="store_true",
+        help="exact PCM coding (FLAC-class fixed predictors + Rice): "
+             "decode reproduces the input bit-for-bit; 16/24-bit integer "
+             "WAV only, and the lossy shaping flags do not apply",
+    )
     add_model_args(p)
     p.set_defaults(fn=cmd_encode)
 

@@ -87,6 +87,78 @@ def read_wav_bytes(buf: bytes, dtype=np.float32):
     return x[None, :, :].astype(dtype), rate
 
 
+def read_wav_int(path: str):
+    """Read integer PCM WAV without any float conversion.
+
+    The lossless path (lossless.py) must see the EXACT stored sample
+    values — the float ingress above divides by 32768/2^23 and would
+    round-trip 16-bit PCM only by luck of the scale factor.
+
+    :return: (data int32 [samples, channels], sample_rate, bits) with
+        bits in {16, 24}. 32-bit int and float sources raise: their
+        difference signals overflow the int32 residual pipeline (and
+        float WAVs have no integer identity to preserve).
+    """
+    with open(path, "rb") as f:
+        return read_wav_int_bytes(f.read())
+
+
+def read_wav_int_bytes(buf: bytes):
+    """:func:`read_wav_int` for an in-memory WAV blob."""
+    code, channels, rate, bits, frames = _parse_riff(buf)
+    if code == 3:
+        raise ValueError(
+            "lossless mode needs integer PCM input; this WAV is float32 "
+            "(decode it with the lossy path, or convert to PCM first)"
+        )
+    if code != 1 or bits not in (16, 24):
+        raise ValueError(
+            f"lossless mode supports 16/24-bit integer PCM; this WAV is "
+            f"format code {code}, {bits}-bit"
+        )
+    if bits == 16:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.int32)
+    else:
+        raw = np.frombuffer(frames, dtype=np.uint8)
+        raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+        x = (
+            raw[:, 0].astype(np.int32)
+            | (raw[:, 1].astype(np.int32) << 8)
+            | (raw[:, 2].astype(np.int32) << 16)
+        )
+        x = np.where(x >= 1 << 23, x - (1 << 24), x)
+    x = x[: len(x) - len(x) % channels].reshape(-1, channels)
+    if x.shape[0] == 0:
+        raise ValueError("empty WAV data chunk")
+    return x, rate, bits
+
+
+def write_wav_int(path: str, data, sample_rate: int, bits: int) -> None:
+    """Write int32 [samples, channels] as exact 16/24-bit integer PCM."""
+    x = np.asarray(data, dtype=np.int32)
+    if x.ndim != 2:
+        raise ValueError(f"write_wav_int takes [samples, channels]; got {x.shape}")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if x.min() < lo or x.max() > hi:
+        raise ValueError(f"samples outside the {bits}-bit range")
+    if bits == 16:
+        pcm = x.astype("<i2").tobytes()
+    elif bits == 24:
+        u = (x.ravel() & 0xFFFFFF).astype(np.uint32)
+        b = np.empty((u.size, 3), dtype=np.uint8)
+        b[:, 0] = u & 0xFF
+        b[:, 1] = (u >> 8) & 0xFF
+        b[:, 2] = (u >> 16) & 0xFF
+        pcm = b.tobytes()
+    else:
+        raise ValueError(f"unsupported bit depth: {bits}")
+    with wave.open(path, "wb") as f:
+        f.setnchannels(x.shape[1])
+        f.setsampwidth(bits // 8)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm)
+
+
 def write_wav_bytes(data, sample_rate: int, width: int = 2) -> bytes:
     """:func:`write_wav` to an in-memory WAV blob (serving egress)."""
     import io

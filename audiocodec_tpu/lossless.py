@@ -1,0 +1,571 @@
+"""Lossless archival mode: FLAC-class fixed-predictor coding.
+
+The reference has no lossless path at all — its "encode" is masked noise
+injection (SURVEY.md §0; /root/reference/audiocodec/psychoacoustic.py:151)
+— so this is framework-added surface, same as the quantizer/bitstream
+layer. The scheme is the classic fixed-predictor one (FLAC's -0..-4
+"fast" ladder): per frame, pick the finite-difference order 0-4 whose
+residual costs fewest Rice bits, entropy-code the residuals, rebuild
+exactly by integration.
+
+TPU-first design decisions (vs FLAC's bitstream):
+
+- **Frames are fully independent.** Instead of predicting across frame
+  boundaries (which makes decode a sequential scan with carried
+  context), each frame stores its own warmup as *progressive diffs*:
+  residual slot j < k holds the j-th-order difference's first element,
+  slots k..n-1 hold the order-k difference body. Total length stays n,
+  the warmup entries are already decorrelated (only slot 0 is a raw
+  sample), and every frame decodes by k cumsums with NO neighbor data —
+  so decode vmaps over frames and shards over the mesh like any batch
+  axis. Cost of the choice: ~4 extra values per frame*channel, < 0.1%
+  of the stream.
+- **Order selection is a device argmin, not a host loop.** All five
+  candidate residual ladders are built in one jitted program (five
+  shifted subtractions, MXU-free but bandwidth-trivial) and scored with
+  the Rice bit model min_p[n*(p+1) + sum(zigzag)/2^p]; the per-frame
+  winner is a take_along_axis. One device pass regardless of corpus
+  length.
+- **The entropy stage reuses the spectral stack**: the native
+  escape-capped Rice coder and its run-length variant
+  (native/entropy.cpp), picked per file post-deflate exactly like the
+  codes member of the lossy container (io/bitstream.py) — run-length
+  wins on silence-heavy material, plain Rice elsewhere.
+
+Stereo uses FLAC's lossless mid/side: mid = (l+r)>>1, side = l-r, with
+the shared parity bit recovered from side (l = mid + ((side+(side&1))>>1)).
+The l/r vs m/s choice is per file, by the same bit model.
+
+Supported depths: 16- and 24-bit integer PCM. 32-bit is rejected: a
+4th-order difference of full-scale int32 overflows the int32 residual
+pipeline (FLAC needs 33-bit side channels for the same reason).
+"""
+
+from __future__ import annotations
+
+import io as _io
+
+import numpy as np
+
+MAX_ORDER = 4
+DEFAULT_FRAME = 4096  # multiple of the Rice group (256) so per-group
+#                       parameters never straddle a frame boundary
+_VERSION = 1
+_MAX_CHANNELS = 64
+_MAX_FRAME = 1 << 16
+_MAX_SAMPLES = 1 << 40  # ~70 years of 48 kHz stereo; bounds allocations
+
+
+# -- device side --------------------------------------------------------------
+
+
+def _progressive_residuals(xf):
+    """All five fixed-predictor residual ladders for a batch of frames.
+
+    :param xf: int32 [frames, n, channels]
+    :return: int32 [5, frames, n, channels]; ladder k holds the
+        progressive warmup diffs in slots 0..k-1 and the k-th-order
+        difference body in slots k..n-1.
+    """
+    import jax.numpy as jnp
+
+    diffs = [xf]
+    for _ in range(MAX_ORDER):
+        d = diffs[-1]
+        diffs.append(d[:, 1:, :] - d[:, :-1, :])
+    ladders = []
+    for k in range(MAX_ORDER + 1):
+        heads = [diffs[j][:, :1, :] for j in range(k)]
+        ladders.append(jnp.concatenate(heads + [diffs[k]], axis=1))
+    return jnp.stack(ladders)
+
+
+def _rice_bits(res5):
+    """Estimated Rice bits per (ladder, frame, channel).
+
+    Models each frame as one Rice group with the optimal parameter p:
+    bits ~= n*(p+1) + sum(zigzag)/2^p. The real coder re-adapts p every
+    256 samples and escape-caps outliers, so this slightly over-scores
+    heavy-tailed frames — fine for ORDER SELECTION, which only needs the
+    ranking."""
+    import jax.numpy as jnp
+
+    n = res5.shape[2]
+    sumu = jnp.sum(jnp.abs(res5).astype(jnp.float32) * 2.0, axis=2)
+    ps = jnp.arange(18, dtype=jnp.float32)
+    bits = (n * (ps + 1.0))[:, None] + sumu[..., None, :] / (2.0 ** ps)[:, None]
+    return jnp.min(bits, axis=-2)  # [5, frames, channels]
+
+
+def _select(xf):
+    """Pick the cheapest predictor order per (frame, channel).
+
+    :param xf: int32 [frames, n, channels]
+    :return: (orders int32 [frames, channels],
+              residuals int32 [frames, n, channels],
+              total_bits float32 scalar)
+    """
+    import jax.numpy as jnp
+
+    res5 = _progressive_residuals(xf)
+    bits = _rice_bits(res5)  # [5, F, C]
+    orders = jnp.argmin(bits, axis=0)  # [F, C]
+    res = jnp.take_along_axis(
+        res5, orders[None, :, None, :].astype(jnp.int32), axis=0
+    )[0]
+    total = jnp.sum(jnp.min(bits, axis=0))
+    return orders, res, total
+
+
+def _reconstruct(res, orders):
+    """Invert :func:`_select`: residuals + per-frame orders -> samples.
+
+    Every frame integrates independently (k cumsum passes seeded by the
+    progressive warmup slots), so this is one vectorized program over
+    [frames, n, channels] — no scan, no carried state; a sharded decode
+    just splits the frame axis."""
+    import jax.numpy as jnp
+
+    outs = []
+    for k in range(MAX_ORDER + 1):
+        cur = res[:, k:, :]
+        for j in range(k - 1, -1, -1):
+            head = res[:, j : j + 1, :]
+            cur = jnp.cumsum(
+                jnp.concatenate([head, cur], axis=1), axis=1, dtype=jnp.int32
+            )
+        outs.append(cur)
+    stacked = jnp.stack(outs)  # [5, F, n, C]
+    return jnp.take_along_axis(
+        stacked, orders[None, :, None, :].astype(jnp.int32), axis=0
+    )[0]
+
+
+def _jitted(fn):
+    import jax
+
+    return jax.jit(fn)
+
+
+_select_jit = None
+_reconstruct_jit = None
+
+
+def _get_select():
+    global _select_jit
+    if _select_jit is None:
+        _select_jit = _jitted(_select)
+    return _select_jit
+
+
+def _get_reconstruct():
+    global _reconstruct_jit
+    if _reconstruct_jit is None:
+        _reconstruct_jit = _jitted(_reconstruct)
+    return _reconstruct_jit
+
+
+# -- stereo decorrelation ------------------------------------------------------
+
+
+def _to_ms(x):
+    """Lossless mid/side: int32 [S, 2] l/r -> [S, 2] mid/side."""
+    l = x[:, 0]
+    r = x[:, 1]
+    mid = (l + r) >> 1  # arithmetic shift = floor division
+    side = l - r
+    return np.stack([mid, side], axis=1)
+
+
+def _from_ms(x):
+    mid = x[:, 0]
+    side = x[:, 1]
+    l = mid + ((side + (side & 1)) >> 1)
+    r = l - side
+    return np.stack([l, r], axis=1)
+
+
+# -- container ----------------------------------------------------------------
+
+
+def _pad_frames(x, frame):
+    """Edge-pad [S, C] to a whole number of frames (edge values make the
+    pad's residuals exactly zero from order 1 up) -> [F, frame, C]."""
+    s = x.shape[0]
+    f = -(-s // frame)
+    pad = f * frame - s
+    if pad:
+        x = np.concatenate([x, np.repeat(x[-1:, :], pad, axis=0)], axis=0)
+    return x.reshape(f, frame, -1)
+
+
+def encode_lossless(
+    x, sample_rate: int, bits: int = 16, frame: int = DEFAULT_FRAME
+) -> bytes:
+    """Losslessly encode integer PCM -> container bytes.
+
+    :param x: int samples [samples, channels] (or [1, samples, channels]),
+        within the given bit depth.
+    :param bits: source depth, 16 or 24.
+    """
+    from audiocodec_tpu import native
+
+    x = np.asarray(x)
+    if x.ndim == 3:
+        if x.shape[0] != 1:
+            raise ValueError("encode_lossless takes a single clip")
+        x = x[0]
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise ValueError(f"want [samples, channels]; got shape {x.shape}")
+    if not np.issubdtype(x.dtype, np.integer):
+        raise ValueError(
+            f"lossless mode takes integer PCM, not {x.dtype} (the lossy "
+            "path is the one for float tensors)"
+        )
+    if bits not in (16, 24):
+        raise ValueError(f"bits must be 16 or 24, got {bits}")
+    if frame % 256 != 0 or not 256 <= frame <= _MAX_FRAME:
+        raise ValueError(
+            f"frame must be a multiple of 256 in [256, {_MAX_FRAME}]"
+        )
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    x = x.astype(np.int64)
+    if x.min() < lo or x.max() > hi:
+        raise ValueError(f"samples outside the {bits}-bit range")
+    x = x.astype(np.int32)
+    n_samples, channels = x.shape
+    if channels > _MAX_CHANNELS:
+        raise ValueError(f"at most {_MAX_CHANNELS} channels")
+
+    select = _get_select()
+    candidates = [(0, x)]
+    if channels == 2:
+        candidates.append((1, _to_ms(x)))
+    best = None
+    for mode, xc in candidates:
+        orders, res, total = select(_pad_frames(xc, frame))
+        if best is None or float(total) < best[3]:
+            best = (mode, orders, res, float(total))
+    stereo_mode, orders, res, _ = best
+
+    # frame-major, channel-second layout: each (frame, channel) run is a
+    # whole number of Rice groups, so the coder's per-group parameters
+    # adapt within one predictor's output, never across two
+    flat = np.asarray(res).transpose(0, 2, 1).ravel()
+    candidates = [(0, native.rice_encode(flat))]
+    # the run-length variant only wins on zero-run-heavy residuals
+    # (silence, digital black); gate its trial on zero density rather
+    # than always paying a second full coding pass
+    if np.count_nonzero(flat) < 0.7 * flat.size:
+        candidates.append((1, native.rrice_encode(flat)))
+    # a flagged deflate pass on top of each tried coder: Rice is
+    # memoryless, so PERIODIC content (a steady tone's repeating
+    # residual pattern) leaves LZ redundancy on the table — measured
+    # ~4x smaller on a pure sine, ~0% on dense music. The second
+    # deflate only ever runs on sparse (small) payloads, so the common
+    # dense case pays exactly one pass
+    import zlib
+
+    entropy, payload = min(candidates, key=lambda cp: len(cp[1]))
+    for code, pay in candidates:
+        zpay = zlib.compress(pay, 6)
+        if len(zpay) < len(payload):
+            entropy, payload = code + 3, zpay
+    # third coder family, for tonal content: width-packed raw residual
+    # bytes + deflate. A steady tone's residuals repeat with its period,
+    # but Rice's bit-packed stream hides that from LZ's byte matcher;
+    # byte-aligned residuals deflate ~5x smaller (measured 2.4% vs 12.6%
+    # of PCM on a pure sine). Gated on small residuals (Rice k <= 3) so
+    # dense music skips the extra deflate pass
+    if float(np.mean(np.abs(flat, dtype=np.int64))) * 2.0 < 16.0:
+        mx = int(np.abs(flat).max())
+        width = 1 if mx < (1 << 7) else (2 if mx < (1 << 15) else 4)
+        wdt = {1: np.int8, 2: np.int16, 4: np.int32}[width]
+        zraw = zlib.compress(flat.astype(wdt).tobytes(), 6)
+        if len(zraw) < len(payload):
+            entropy, payload = {1: 5, 2: 6, 4: 7}[width], zraw
+    # verbatim escape: incompressible content (white noise) costs ~17
+    # Rice bits per 16-bit sample; falling back to raw PCM bounds the
+    # worst case at container overhead (the FLAC VERBATIM guarantee).
+    # Members are STORED (below), so plain byte length IS the on-disk
+    # metric
+    raw_bytes = n_samples * channels * bits // 8
+    if raw_bytes < len(payload):
+        entropy, stereo_mode, payload = 2, 0, _pack_raw(x, bits)
+        orders = np.zeros((0, 0), dtype=np.uint8)
+    buf = _io.BytesIO()
+    # plain savez (STORED members): Rice output is already near-optimal
+    # entropy, so deflating it costs ~0.3 s per audio-minute for < 0.5%
+    # — and the verbatim branch is chosen exactly when raw PCM is
+    # incompressible. np.load reads stored and deflated members alike,
+    # so decoders accept either
+    np.savez(
+        buf,
+        lmeta=np.asarray(
+            [
+                _VERSION,
+                sample_rate,
+                channels,
+                n_samples,
+                frame,
+                bits,
+                stereo_mode,
+                entropy,
+            ],
+            dtype=np.int64,
+        ),
+        orders=np.asarray(orders, dtype=np.uint8),
+        res=np.frombuffer(payload, dtype=np.uint8),
+    )
+    return buf.getvalue()
+
+
+def _pack_raw(x, bits):
+    """int32 [S, C] -> little-endian 16-bit or packed 24-bit PCM bytes."""
+    if bits == 16:
+        return x.astype("<i2").tobytes()
+    u = (x.ravel() & 0xFFFFFF).astype(np.uint32)
+    b = np.empty((u.size, 3), dtype=np.uint8)
+    b[:, 0] = u & 0xFF
+    b[:, 1] = (u >> 8) & 0xFF
+    b[:, 2] = (u >> 16) & 0xFF
+    return b.tobytes()
+
+
+def _bounded_inflate(buf: bytes) -> bytes:
+    """Inflate a flagged-deflate residual payload with the allocation
+    bounded by DEFLATE's ~1030:1 ceiling (the same bound
+    io/bitstream._bounded_member applies to member reads) — a tampered
+    stream cannot demand more than ~1030x its own size."""
+    import zlib
+
+    cap = 1030 * max(len(buf), 1) + 64
+    d = zlib.decompressobj()
+    try:
+        out = d.decompress(buf, cap)
+    except zlib.error as e:
+        raise ValueError(
+            f"corrupt lossless container: bad deflate stream ({e})"
+        ) from e
+    if d.unconsumed_tail or not d.eof:
+        raise ValueError(
+            "corrupt lossless container: deflate stream truncated or "
+            "over the expansion bound"
+        )
+    return out
+
+
+def _unpack_raw(buf, n_samples, channels, bits):
+    width = bits // 8
+    if buf.size != n_samples * channels * width:
+        raise ValueError(
+            f"corrupt lossless container: verbatim payload {buf.size} bytes "
+            f"for {n_samples}x{channels} {bits}-bit samples"
+        )
+    if bits == 16:
+        x = np.frombuffer(buf.tobytes(), dtype="<i2").astype(np.int32)
+    else:
+        b = buf.reshape(-1, 3)
+        x = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        x = np.where(x >= 1 << 23, x - (1 << 24), x)
+    return x.reshape(n_samples, channels)
+
+
+def _parse_lmeta(meta):
+    """Validate the untrusted header member -> its eight fields.
+
+    THE one place header fields are bounds-checked, shared by decode and
+    describe so their accept/reject behavior can never drift."""
+    if meta.shape != (8,):
+        raise ValueError(f"corrupt lossless container: lmeta {meta.shape}")
+    version, rate, channels, n_samples, frame, bits, stereo_mode, entropy = (
+        int(v) for v in meta
+    )
+    if version != _VERSION:
+        raise ValueError(f"unsupported lossless container version {version}")
+    if not 0 < channels <= _MAX_CHANNELS:
+        raise ValueError(f"corrupt lossless container: channels {channels}")
+    if not 0 < n_samples <= _MAX_SAMPLES:
+        raise ValueError(f"corrupt lossless container: n_samples {n_samples}")
+    if frame % 256 != 0 or not 256 <= frame <= _MAX_FRAME:
+        raise ValueError(f"corrupt lossless container: frame {frame}")
+    if bits not in (16, 24):
+        raise ValueError(f"corrupt lossless container: bits {bits}")
+    if stereo_mode not in (0, 1) or (stereo_mode and channels != 2):
+        raise ValueError("corrupt lossless container: bad stereo mode")
+    # 3/4 = rice/rrice + deflate; 5/6/7 = deflated raw residuals at
+    # byte width 1/2/4
+    if entropy not in (0, 1, 2, 3, 4, 5, 6, 7):
+        raise ValueError("corrupt lossless container: bad entropy code")
+    if not 1 <= rate <= 1 << 31:
+        raise ValueError(f"corrupt lossless container: rate {rate}")
+    return version, rate, channels, n_samples, frame, bits, stereo_mode, entropy
+
+
+def describe(data: bytes) -> dict:
+    """Header fields of a lossless container (for `info`), without
+    decoding the residual stream. Raises ValueError on corrupt input."""
+    import zipfile
+    import zlib
+
+    from audiocodec_tpu.io.bitstream import _SMALL_MEMBER_CAP, _bounded_member
+
+    try:
+        z = np.load(_io.BytesIO(data), allow_pickle=False)
+    except (
+        zipfile.BadZipFile, zlib.error, OSError, EOFError,
+        NotImplementedError, RuntimeError,
+    ) as e:
+        raise ValueError(f"corrupt lossless container: {e}") from e
+    if not hasattr(z, "files"):
+        raise ValueError("corrupt lossless container: not an npz archive")
+    try:
+        fields = _parse_lmeta(
+            _bounded_member(z, "lmeta", len(data), _SMALL_MEMBER_CAP)
+        )
+    except KeyError as e:
+        raise ValueError(f"corrupt lossless container: missing member {e}") from e
+    except (
+        zipfile.BadZipFile, zlib.error, OSError, EOFError,
+        NotImplementedError, RuntimeError,
+    ) as e:
+        raise ValueError(f"corrupt lossless container: bad member data ({e})") from e
+    finally:
+        z.close()
+    version, rate, channels, n_samples, frame, bits, stereo_mode, entropy = fields
+    return {
+        "version": version,
+        "sample_rate": rate,
+        "channels": channels,
+        "n_samples": n_samples,
+        "frame": frame,
+        "bits": bits,
+        "stereo_mode": ("mid/side" if stereo_mode else "independent"),
+        "entropy": {0: "rice", 1: "rrice", 2: "verbatim",
+                    3: "rice+deflate", 4: "rrice+deflate",
+                    5: "raw8+deflate", 6: "raw16+deflate",
+                    7: "raw32+deflate"}[entropy],
+    }
+
+
+def decode_lossless(data: bytes):
+    """Container bytes -> (int32 samples [samples, channels], rate, bits).
+
+    Bit-exact inverse of :func:`encode_lossless`. Raises ValueError on
+    corrupt input — never a raw zipfile error, never an allocation driven
+    by attacker-declared sizes (same hardening contract as
+    io/bitstream.unpack)."""
+    import zipfile
+    import zlib
+
+    from audiocodec_tpu import native
+    from audiocodec_tpu.io.bitstream import _SMALL_MEMBER_CAP, _bounded_member
+
+    try:
+        z = np.load(_io.BytesIO(data), allow_pickle=False)
+    except (
+        zipfile.BadZipFile, zlib.error, OSError, EOFError,
+        NotImplementedError, RuntimeError,
+    ) as e:
+        raise ValueError(f"corrupt lossless container: {e}") from e
+    if not hasattr(z, "files"):
+        raise ValueError("corrupt lossless container: not an npz archive")
+    try:
+        version, rate, channels, n_samples, frame, bits, stereo_mode, entropy = (
+            _parse_lmeta(_bounded_member(z, "lmeta", len(data), _SMALL_MEMBER_CAP))
+        )
+        f = -(-n_samples // frame)
+        total = f * frame * channels
+        payload = _bounded_member(z, "res", len(data))
+        orders = None
+        if entropy != 2:
+            orders = np.asarray(
+                _bounded_member(
+                    z, "orders", len(data), max(total, _SMALL_MEMBER_CAP)
+                )
+            )
+            if orders.shape != (f, channels):
+                raise ValueError(
+                    f"corrupt lossless container: orders {orders.shape} for "
+                    f"{f} frames x {channels} channels"
+                )
+            if orders.max(initial=0) > MAX_ORDER:
+                raise ValueError("corrupt lossless container: order out of range")
+    except KeyError as e:
+        raise ValueError(f"corrupt lossless container: missing member {e}") from e
+    except (
+        zipfile.BadZipFile, zlib.error, OSError, EOFError,
+        NotImplementedError, RuntimeError,
+    ) as e:
+        raise ValueError(f"corrupt lossless container: bad member data ({e})") from e
+    finally:
+        z.close()
+
+    if entropy == 2:
+        x = _unpack_raw(np.asarray(payload), n_samples, channels, bits)
+    else:
+        buf = payload.tobytes()
+        if entropy >= 3:
+            buf = _bounded_inflate(buf)
+        if entropy >= 5:
+            width = {5: 1, 6: 2, 7: 4}[entropy]
+            if len(buf) != total * width:
+                raise ValueError(
+                    f"corrupt lossless container: {len(buf)} residual "
+                    f"bytes for {total} width-{width} values"
+                )
+            wdt = {1: np.int8, 2: "<i2", 4: "<i4"}[width]
+            flat = np.frombuffer(buf, dtype=wdt).astype(np.int32)
+        else:
+            # plain Rice spends >=1 bit/value; run-length Rice amortizes
+            # a 256-zero group to ~22 bits (~96 values/byte) — same bound
+            # as the spectral container's _checked_shape. Applied
+            # POST-inflate so a deflated declared-huge stream cannot
+            # dodge it
+            if total > 96 * max(len(buf), 1):
+                raise ValueError(
+                    f"corrupt lossless container: {total} values declared "
+                    f"from a {len(buf)}-byte residual stream"
+                )
+            decode = (
+                native.rice_decode if entropy % 3 == 0 else native.rrice_decode
+            )
+            flat = decode(buf, total)
+        res = flat.reshape(f, channels, frame).transpose(0, 2, 1)
+        x = np.asarray(
+            _get_reconstruct()(
+                np.ascontiguousarray(res, dtype=np.int32),
+                orders.astype(np.int32),
+            )
+        ).reshape(f * frame, channels)[:n_samples]
+        if stereo_mode:
+            x = _from_ms(x)
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if x.min() < lo or x.max() > hi:
+        raise ValueError("corrupt lossless container: samples exceed bit depth")
+    return x, rate, bits
+
+
+def is_lossless_bytes(data: bytes) -> bool:
+    """Cheap sniff: is this blob a lossless container?"""
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(_io.BytesIO(data)) as zf:
+            return "lmeta.npy" in zf.namelist()
+    except Exception:
+        return False
+
+
+def is_lossless_file(path: str) -> bool:
+    try:
+        with open(path, "rb") as fh:
+            return is_lossless_bytes(fh.read())
+    except OSError:
+        return False

@@ -1,0 +1,370 @@
+"""Lossless archival mode (lossless.py).
+
+The reference has no lossless path (its encode is masked noise
+injection, SURVEY.md §0) — this is framework-added surface. The
+contract under test is absolute: decode(encode(x)) == x bit-for-bit,
+for every signal class, depth, channel count, and length, plus the
+container-hardening guarantees shared with the lossy bitstream."""
+
+import io
+import zipfile
+
+import numpy as np
+import pytest
+
+from audiocodec_tpu import lossless
+from audiocodec_tpu.io import wav
+
+
+def _roundtrip(x, rate=44100, bits=16, frame=lossless.DEFAULT_FRAME):
+    blob = lossless.encode_lossless(x, rate, bits=bits, frame=frame)
+    y, rate2, bits2 = lossless.decode_lossless(blob)
+    assert rate2 == rate and bits2 == bits
+    np.testing.assert_array_equal(np.asarray(x, np.int32).reshape(y.shape), y)
+    return blob
+
+
+class TestRoundTrip:
+    def test_sine_mono(self):
+        t = np.arange(44100) / 44100
+        x = (20000 * np.sin(2 * np.pi * 440 * t)).astype(np.int32)[:, None]
+        blob = _roundtrip(x)
+        # tonal content is highly predictable: far below half of PCM
+        assert len(blob) < 0.25 * x.size * 2
+
+    def test_correlated_stereo_picks_mid_side(self):
+        rng = np.random.default_rng(0)
+        t = np.arange(44100 * 2) / 44100
+        l = (12000 * np.sin(2 * np.pi * 440 * t)
+             + rng.normal(0, 60, t.size)).astype(np.int32)
+        r = (l * 0.9 + rng.normal(0, 40, t.size)).astype(np.int32)
+        x = np.stack([l, r], axis=1)
+        blob = _roundtrip(x)
+        assert lossless.describe(blob)["stereo_mode"] == "mid/side"
+
+    def test_independent_stereo_stays_lr(self):
+        # loud left + near-silent right: m/s would smear the loud channel
+        # into BOTH mid and side, so independent coding clearly wins
+        rng = np.random.default_rng(1)
+        t = np.arange(30000) / 44100
+        l = (rng.normal(0, 8000, t.size)).astype(np.int32)
+        r = rng.integers(-8, 8, size=t.size, dtype=np.int32)
+        blob = _roundtrip(np.stack([l, r], axis=1))
+        assert lossless.describe(blob)["stereo_mode"] == "independent"
+
+    def test_white_noise_never_expands_much(self):
+        rng = np.random.default_rng(2)
+        x = rng.integers(-32768, 32767, size=(50000, 2), dtype=np.int16)
+        blob = _roundtrip(x)
+        # verbatim escape bounds the worst case at container overhead
+        assert len(blob) < 1.01 * x.size * 2
+        assert lossless.describe(blob)["entropy"] == "verbatim"
+
+    def test_silence_is_tiny(self):
+        x = np.zeros((100000, 2), dtype=np.int16)
+        blob = _roundtrip(x)
+        assert len(blob) < 2000
+
+    def test_constant_dc(self):
+        x = np.full((10000, 1), -12345, dtype=np.int32)
+        _roundtrip(x)
+
+    def test_ramp_prefers_higher_order(self):
+        x = (np.arange(20000, dtype=np.int32) % 30000 - 15000)[:, None]
+        blob = _roundtrip(x)
+        assert len(blob) < 0.1 * x.size * 2
+
+    @pytest.mark.parametrize("n", [1, 37, 255, 256, 4095, 4096, 4097, 9000])
+    def test_lengths_not_multiple_of_frame(self, n):
+        rng = np.random.default_rng(n)
+        x = rng.integers(-500, 500, size=(n, 1), dtype=np.int16)
+        _roundtrip(x)
+
+    def test_full_scale_extremes(self):
+        x = np.tile(np.asarray([[32767], [-32768]], np.int32), (3000, 1))
+        _roundtrip(x)
+
+    def test_24_bit(self):
+        rng = np.random.default_rng(3)
+        t = np.arange(48000) / 48000
+        l = (4_000_000 * np.sin(2 * np.pi * 220 * t)
+             + rng.normal(0, 800, t.size)).astype(np.int32)
+        r = (l + rng.normal(0, 500, t.size)).astype(np.int32)
+        _roundtrip(np.stack([l, r], axis=1), rate=48000, bits=24)
+
+    def test_24_bit_extremes(self):
+        hi, lo = (1 << 23) - 1, -(1 << 23)
+        x = np.tile(np.asarray([[hi], [lo]], np.int32), (2000, 1))
+        _roundtrip(x, bits=24)
+
+    def test_multichannel(self):
+        rng = np.random.default_rng(4)
+        x = rng.integers(-300, 300, size=(10000, 6), dtype=np.int16)
+        _roundtrip(x)
+
+    def test_small_frame(self):
+        rng = np.random.default_rng(5)
+        x = rng.integers(-300, 300, size=(3000, 1), dtype=np.int16)
+        _roundtrip(x, frame=256)
+
+    def test_batch_leading_axis_accepted(self):
+        x = np.zeros((1, 5000, 2), dtype=np.int16)
+        blob = lossless.encode_lossless(x, 16000)
+        y, _, _ = lossless.decode_lossless(blob)
+        assert y.shape == (5000, 2)
+
+    def test_all_orders_selected_somewhere(self):
+        """A composite signal should exercise several predictor orders —
+        the selection argmin is real, not a constant."""
+        rng = np.random.default_rng(6)
+        parts = [
+            np.full(8192, 777),                                  # constant
+            rng.integers(-32000, 32000, 8192),                   # noise
+            (20000 * np.sin(2 * np.pi * 440 *
+                            np.arange(8192) / 44100)),           # tonal
+            np.arange(8192) % 4000,                              # ramps
+        ]
+        x = np.concatenate(parts).astype(np.int32)[:, None]
+        blob = _roundtrip(x)
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            with zf.open("orders.npy") as f:
+                orders = np.load(f)
+        assert len(np.unique(orders)) >= 3
+
+
+class TestValidation:
+    def test_rejects_float(self):
+        with pytest.raises(ValueError, match="integer PCM"):
+            lossless.encode_lossless(
+                np.zeros((100, 1), np.float32), 44100
+            )
+
+    def test_rejects_out_of_range(self):
+        with pytest.raises(ValueError, match="16-bit range"):
+            lossless.encode_lossless(
+                np.full((100, 1), 40000, np.int32), 44100, bits=16
+            )
+
+    def test_rejects_32_bit(self):
+        with pytest.raises(ValueError, match="bits"):
+            lossless.encode_lossless(
+                np.zeros((100, 1), np.int32), 44100, bits=32
+            )
+
+    def test_rejects_empty(self):
+        with pytest.raises(ValueError):
+            lossless.encode_lossless(np.zeros((0, 1), np.int32), 44100)
+
+    def test_rejects_bad_frame(self):
+        with pytest.raises(ValueError, match="frame"):
+            lossless.encode_lossless(
+                np.zeros((100, 1), np.int16), 44100, frame=1000
+            )
+
+
+def _tamper_lmeta(blob, **overrides):
+    """Rewrite header fields of a valid container (attacker model)."""
+    src = zipfile.ZipFile(io.BytesIO(blob))
+    out = io.BytesIO()
+    fields = ["version", "sample_rate", "channels", "n_samples", "frame",
+              "bits", "stereo_mode", "entropy"]
+    with zipfile.ZipFile(out, "w") as dst:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "lmeta.npy":
+                arr = np.load(io.BytesIO(data))
+                for k, v in overrides.items():
+                    arr[fields.index(k)] = v
+                buf = io.BytesIO()
+                np.save(buf, arr)
+                data = buf.getvalue()
+            dst.writestr(name, data)
+    return out.getvalue()
+
+
+class TestHardening:
+    @pytest.fixture()
+    def blob(self):
+        rng = np.random.default_rng(7)
+        x = rng.integers(-500, 500, size=(9000, 2), dtype=np.int16)
+        return lossless.encode_lossless(x, 44100)
+
+    def test_garbage_bytes(self):
+        # the contract (shared with io/bitstream.unpack) is ValueError,
+        # whatever np.load's message: never a raw zipfile/KeyError
+        with pytest.raises(ValueError):
+            lossless.decode_lossless(b"not a container at all")
+
+    def test_truncated(self, blob):
+        with pytest.raises(ValueError):
+            lossless.decode_lossless(blob[: len(blob) // 2])
+
+    def test_bit_flip_anywhere_never_crashes_raw(self, blob):
+        rng = np.random.default_rng(8)
+        for _ in range(20):
+            pos = int(rng.integers(0, len(blob)))
+            bad = bytearray(blob)
+            bad[pos] ^= 0xFF
+            try:
+                lossless.decode_lossless(bytes(bad))
+            except ValueError:
+                pass  # the contract: ValueError or a successful decode
+
+    @pytest.mark.parametrize("field,value", [
+        ("version", 99), ("channels", 0), ("channels", 1000),
+        ("n_samples", 0), ("n_samples", 1 << 62), ("frame", 7),
+        ("frame", 1 << 30), ("bits", 32), ("stereo_mode", 5),
+        ("entropy", 9), ("sample_rate", 0),
+    ])
+    def test_tampered_header_fields(self, blob, field, value):
+        with pytest.raises(ValueError):
+            lossless.decode_lossless(_tamper_lmeta(blob, **{field: value}))
+
+    def test_declared_bomb_rejected_before_allocation(self, blob):
+        # huge n_samples from a small residual stream must be refused by
+        # the values-per-byte bound, not attempted
+        bad = _tamper_lmeta(blob, n_samples=1 << 38)
+        with pytest.raises(ValueError):
+            lossless.decode_lossless(bad)
+
+    def test_describe_matches_decode_validation(self, blob):
+        d = lossless.describe(blob)
+        assert d["channels"] == 2 and d["bits"] == 16
+        with pytest.raises(ValueError):
+            lossless.describe(_tamper_lmeta(blob, frame=7))
+
+    def test_deflated_payload_tamper(self):
+        # force a deflated-family container (tonal -> raw16+deflate),
+        # then corrupt the deflate stream itself
+        t = np.arange(12000) / 44100
+        x = (20000 * np.sin(2 * np.pi * 440 * t)).astype(np.int32)[:, None]
+        blob = lossless.encode_lossless(x, 44100)
+        assert "deflate" in lossless.describe(blob)["entropy"]
+        src = zipfile.ZipFile(io.BytesIO(blob))
+        out = io.BytesIO()
+        with zipfile.ZipFile(out, "w") as dst:
+            for name in src.namelist():
+                data = src.read(name)
+                if name == "res.npy":
+                    data = data[:-40]  # truncate the deflate stream
+                dst.writestr(name, data)
+        with pytest.raises(ValueError):
+            lossless.decode_lossless(out.getvalue())
+
+    def test_entropy_width_mismatch(self, blob):
+        # claim a raw-width family on a Rice payload: byte count check
+        # must refuse before any frombuffer reshape
+        for code in (5, 6, 7):
+            bad = _tamper_lmeta(blob, entropy=code)
+            with pytest.raises(ValueError):
+                lossless.decode_lossless(bad)
+
+    def test_sniff(self, blob):
+        assert lossless.is_lossless_bytes(blob)
+        assert not lossless.is_lossless_bytes(b"RIFF....WAVE")
+
+
+class TestIntWavIO:
+    def test_wav_int_roundtrip_16(self, tmp_path):
+        rng = np.random.default_rng(9)
+        x = rng.integers(-32768, 32767, size=(5000, 2), dtype=np.int16)
+        p = str(tmp_path / "a.wav")
+        wav.write_wav_int(p, x.astype(np.int32), 44100, 16)
+        y, rate, bits = wav.read_wav_int(p)
+        assert (rate, bits) == (44100, 16)
+        np.testing.assert_array_equal(x.astype(np.int32), y)
+
+    def test_wav_int_roundtrip_24(self, tmp_path):
+        rng = np.random.default_rng(10)
+        x = rng.integers(-(1 << 23), (1 << 23) - 1, size=(3000, 1))
+        p = str(tmp_path / "b.wav")
+        wav.write_wav_int(p, x.astype(np.int32), 48000, 24)
+        y, rate, bits = wav.read_wav_int(p)
+        assert (rate, bits) == (48000, 24)
+        np.testing.assert_array_equal(x.astype(np.int32), y)
+
+    def test_float_wav_refused(self, tmp_path):
+        p = str(tmp_path / "f.wav")
+        wav.write_wav(p, np.zeros((100, 1)), 44100)  # int16 output: fine
+        wav.read_wav_int(p)
+        # hand-build a float32 WAV
+        import struct
+        pcm = np.zeros(100, np.float32).tobytes()
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 44100,
+                                       44100 * 4, 4, 32)
+               + b"data" + struct.pack("<I", len(pcm)))
+        fp = str(tmp_path / "g.wav")
+        with open(fp, "wb") as f:
+            f.write(hdr + pcm)
+        with pytest.raises(ValueError, match="float32"):
+            wav.read_wav_int(fp)
+
+    def test_int_wav_matches_float_ingress_scale(self, tmp_path):
+        """The int reader and the float reader must describe the SAME
+        samples (float = int / 2^(bits-1))."""
+        rng = np.random.default_rng(11)
+        x = rng.integers(-32768, 32767, size=(2000, 1), dtype=np.int16)
+        p = str(tmp_path / "c.wav")
+        wav.write_wav_int(p, x.astype(np.int32), 44100, 16)
+        xi, _, _ = wav.read_wav_int(p)
+        xf, _ = wav.read_wav(p, dtype=np.float64)
+        np.testing.assert_allclose(xf[0, :, :], xi / 32768.0, atol=0)
+
+
+class TestCLI:
+    def test_encode_decode_info(self, tmp_path, capsys):
+        import audiocodec_tpu.__main__ as cli
+
+        rng = np.random.default_rng(12)
+        t = np.arange(22050) / 44100
+        l = (9000 * np.sin(2 * np.pi * 330 * t)
+             + rng.normal(0, 30, t.size)).astype(np.int32)
+        x = np.stack([l, (l // 2)], axis=1)
+        src = str(tmp_path / "in.wav")
+        enc = str(tmp_path / "out.acz")
+        dst = str(tmp_path / "out.wav")
+        wav.write_wav_int(src, x, 44100, 16)
+        assert cli.main(["encode", src, enc, "--lossless"]) == 0
+        assert "lossless" in capsys.readouterr().out
+        assert cli.main(["info", enc]) == 0
+        assert "(lossless)" in capsys.readouterr().out
+        assert cli.main(["decode", enc, dst]) == 0
+        y, rate, bits = wav.read_wav_int(dst)
+        assert (rate, bits) == (44100, 16)
+        np.testing.assert_array_equal(x, y)
+
+    def test_decode_start_duration_exact_slice(self, tmp_path):
+        import audiocodec_tpu.__main__ as cli
+
+        rng = np.random.default_rng(13)
+        x = rng.integers(-500, 500, size=(44100, 1), dtype=np.int16)
+        src = str(tmp_path / "in.wav")
+        enc = str(tmp_path / "o.acz")
+        dst = str(tmp_path / "o.wav")
+        wav.write_wav_int(src, x.astype(np.int32), 44100, 16)
+        assert cli.main(["encode", src, enc, "--lossless"]) == 0
+        assert cli.main(["decode", enc, dst, "--start", "0.25",
+                         "--duration", "0.5"]) == 0
+        y, _, _ = wav.read_wav_int(dst)
+        np.testing.assert_array_equal(
+            x[11025:11025 + 22050].astype(np.int32), y
+        )
+
+    def test_lossy_flags_refused(self, tmp_path, capsys):
+        import audiocodec_tpu.__main__ as cli
+
+        src = str(tmp_path / "in.wav")
+        wav.write_wav_int(src, np.zeros((4096, 1), np.int32), 44100, 16)
+        rc = cli.main(["encode", src, str(tmp_path / "o.acz"),
+                       "--lossless", "--kbps", "64"])
+        assert rc != 0
+        assert "lossy" in capsys.readouterr().err
+
+    def test_float_input_refused(self, tmp_path, capsys):
+        import audiocodec_tpu.__main__ as cli
+
+        src = str(tmp_path / "f.wav")
+        wav.write_wav(src, np.zeros((4096, 1)), 44100, width=4)
+        rc = cli.main(["encode", src, str(tmp_path / "o.acz"), "--lossless"])
+        assert rc != 0
