@@ -40,6 +40,16 @@ REFERENCE = {  # measured TF-CPU numbers from BASELINE.md
 # fails that config's row.
 GATES = {
     "mdct_floor": 700_000.0,             # nominal ~968,000 audio-s/s
+    # lossless archival mode (config 6; CPU-pinned — entropy-coder-bound).
+    # Ratio nominals: music-ish 0.616, sine 0.033, noise 1.005,
+    # silence 0.0006; throughput nominals ~83 enc / ~130 dec audio-s/s
+    # on this rig's single core.
+    "lossless_music_ratio": 0.70,
+    "lossless_sine_ratio": 0.06,
+    "lossless_noise_ratio": 1.01,
+    "lossless_silence_ratio": 0.01,
+    "lossless_encode_floor": 40.0,
+    "lossless_decode_floor": 60.0,
     "psycho_floor": 45_000.0,            # nominal ~60,000 audio-s/s
     "full_floor": 90_000.0,              # f32 HIGHEST nominal ~108-110k
     "bf16_floor": 330_000.0,             # bf16-fast nominal ~404,000
@@ -710,6 +720,71 @@ def config5_streaming(quick):
     }
 
 
+def config6_lossless(quick):
+    """Lossless archival mode: exactness is a hard gate, the per-class
+    compression ratios catch coder/selector regressions, and throughput
+    is gated on the host path (the mode is entropy-coder-bound; its
+    device work is five shifted subtractions, so it runs pinned to the
+    CPU backend — tunnel transfer would measure the rig, not the code)."""
+    import jax
+
+    from audiocodec_tpu import lossless
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    rng = np.random.default_rng(0)
+    secs = 2 if quick else 30
+    sr = 44100
+    t = np.arange(sr * secs) / sr
+    l = (12000 * np.sin(2 * np.pi * 440 * t)
+         + rng.normal(0, 120, t.size)).astype(np.int32)
+    music = np.stack([l, (l * 0.9 + rng.normal(0, 90, t.size)).astype(np.int32)],
+                     axis=1)
+    sine = (20000 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+            ).astype(np.int32)[:, None]
+    noise = rng.integers(-32768, 32767, size=(sr, 2), dtype=np.int16)
+    silence = np.zeros((sr * 5, 2), dtype=np.int16)
+
+    ratios = {}
+    exact = True
+    with jax.default_device(cpu):
+        for name, x in [("music", music), ("sine", sine),
+                        ("noise", noise), ("silence", silence)]:
+            blob = lossless.encode_lossless(np.asarray(x, np.int32), sr)
+            y, _, _ = lossless.decode_lossless(blob)
+            exact = exact and bool(
+                np.array_equal(np.asarray(x, np.int32), y)
+            )
+            ratios[name] = round(len(blob) / (x.size * 2), 4)
+
+        blob = lossless.encode_lossless(music, sr)  # warm jit for shape
+        enc_dt = timed(lambda: len(lossless.encode_lossless(music, sr)),
+                       iters=2)
+        dec_dt = timed(lambda: int(lossless.decode_lossless(blob)[0][0, 0]),
+                       iters=2)
+    enc_thr = secs / enc_dt
+    dec_thr = secs / dec_dt
+
+    ok = exact and bool(
+        ratios["music"] <= GATES["lossless_music_ratio"]
+        and ratios["sine"] <= GATES["lossless_sine_ratio"]
+        and ratios["noise"] <= GATES["lossless_noise_ratio"]
+        and ratios["silence"] <= GATES["lossless_silence_ratio"]
+    )
+    if not quick:
+        ok = ok and bool(
+            enc_thr >= GATES["lossless_encode_floor"]
+            and dec_thr >= GATES["lossless_decode_floor"]
+        )
+    return {
+        "config": "lossless_archival",
+        "bit_exact": exact,
+        "ratio": ratios,
+        "decode_audio_s_per_s": round(dec_thr, 1),
+        "throughput_audio_s_per_s": round(enc_thr, 1),
+        "pass": ok,
+    }
+
+
 CONFIGS = [
     config1_mdct_roundtrip,
     config2_psycho_twotone,
@@ -717,6 +792,7 @@ CONFIGS = [
     config3b_full_encode_decode_bf16,
     config4_corpus,
     config5_streaming,
+    config6_lossless,
 ]
 
 
