@@ -157,25 +157,29 @@ def _pad_to_blocks(data, block):
     return data, orig
 
 
-def _cmd_encode_lossless(args):
-    from audiocodec_tpu import lossless
-    from audiocodec_tpu.io import wav as _wav
-
-    # the lossy shaping ladder has no meaning when the output is exact;
-    # refuse rather than silently ignore a flag the user asked for
+def _refuse_lossy_flags(args, extra=()):
+    """The lossy shaping ladder has no meaning when the output is exact;
+    refuse rather than silently ignore a flag the user asked for."""
     for flag, attr in [
         ("--kbps", "kbps"), ("--cbr", "cbr"), ("--chunk-blocks", "chunk_blocks"),
         ("--ms", "ms"), ("--intensity", "intensity"), ("--dtx", "dtx"),
         ("--fec", "fec"), ("--preset", "preset"), ("--resample-to", "resample_to"),
         ("--bf16", "bf16"), ("--tns", "tns"), ("--nf", "nf"), ("--bwe", "bwe"),
         ("--tmask", "tmask"), ("--bs", "bs"), ("--tag-loudness", "tag_loudness"),
-        ("--drown", "drown"), ("--reservoir", "reservoir"),
+        ("--drown", "drown"), ("--reservoir", "reservoir"), *extra,
     ]:
         if getattr(args, attr, None):
             raise ValueError(
                 f"--lossless is exact PCM coding; {flag} belongs to the "
                 "lossy path and does not compose with it"
             )
+
+
+def _cmd_encode_lossless(args):
+    from audiocodec_tpu import lossless
+    from audiocodec_tpu.io import wav as _wav
+
+    _refuse_lossy_flags(args)
     x, rate, bits = _wav.read_wav_int(args.input)
     blob = lossless.encode_lossless(x, rate, bits=bits)
     with open(args.output, "wb") as f:
@@ -425,6 +429,31 @@ def cmd_corpus_decode(args):
     if not paths:
         raise ValueError(f"no .acz files under {args.indir}")
     os.makedirs(args.outdir, exist_ok=True)
+
+    # lossless containers (corpus --lossless output) mix freely with
+    # lossy ones in a directory; they decode host-side to exact PCM at
+    # each file's own rate/depth, then the lossy pipeline below handles
+    # the rest
+    from audiocodec_tpu import lossless as _lossless
+    from audiocodec_tpu.io import wav as _wavmod
+
+    ll_paths = [p for p in paths if _lossless.is_lossless_file(p)]
+    if ll_paths:
+        def _dec_ll(p):
+            with open(p, "rb") as f:
+                x, rate, bits = _lossless.decode_lossless(f.read())
+            base = os.path.splitext(os.path.basename(p))[0]
+            _wavmod.write_wav_int(
+                os.path.join(args.outdir, base + ".wav"), x, rate, bits
+            )
+
+        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+            list(ex.map(_dec_ll, ll_paths))
+        print(f"{len(ll_paths)} lossless containers -> exact PCM wavs")
+        skip = set(ll_paths)
+        paths = [p for p in paths if p not in skip]
+        if not paths:
+            return 0
 
     with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as ex:
         loaded = list(ex.map(bitstream.load, paths))
@@ -950,6 +979,46 @@ def _decode_stream(args):
     return 0
 
 
+def _cmd_corpus_lossless(args, paths):
+    """Bulk lossless archival: thread-pooled per-file encode. Unlike the
+    lossy corpus path there is no uniform-rate requirement — each file
+    keeps its own rate/depth — and no device batching to amortize: the
+    mode is entropy-coder-bound (DESIGN.md §22), the coders release the
+    GIL (ctypes + zlib), and encode_lossless buckets its device call's
+    frame count to powers of two so varied lengths compile O(log n)
+    programs, not one per file."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from audiocodec_tpu import lossless
+    from audiocodec_tpu.io import wav as _wav
+
+    _refuse_lossy_flags(args, extra=[("--cache", "cache")])
+    os.makedirs(args.outdir, exist_ok=True)
+
+    def one(path):
+        x, rate, bits = _wav.read_wav_int(path)
+        blob = lossless.encode_lossless(x, rate, bits=bits)
+        base = os.path.splitext(os.path.basename(path))[0]
+        with open(os.path.join(args.outdir, base + ".acz"), "wb") as f:
+            f.write(blob)
+        return x.shape[0] / rate, x.size * bits // 8, len(blob)
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+        stats = list(ex.map(one, paths))
+    dt = time.perf_counter() - t0
+    audio_s = sum(s for s, _, _ in stats)
+    raw = sum(r for _, r, _ in stats)
+    out = sum(o for _, _, o in stats)
+    print(
+        f"{len(paths)} files lossless -> {args.outdir}: "
+        f"{out} / {raw} bytes ({100.0 * out / max(raw, 1):.1f}% of PCM), "
+        f"{audio_s:.1f} audio-s in {dt:.1f} s ({audio_s / dt:.0f} audio-s/s)"
+    )
+    return 0
+
+
 def cmd_corpus(args):
     """Bulk-encode a directory of WAVs into per-clip .acz bitstreams:
     native thread-pool decode (straight to the int16 wire) -> prefetched
@@ -988,6 +1057,15 @@ def cmd_corpus(args):
     paths.sort()
     if not paths:
         raise ValueError(f"no .wav files under {args.indir}")
+    if getattr(args, "lossless", False):
+        if args.sample_rate:
+            raise ValueError(
+                "--sample-rate does not apply with --lossless: each "
+                "file's own rate is preserved exactly"
+            )
+        return _cmd_corpus_lossless(args, paths)
+    if not args.sample_rate:
+        raise ValueError("--sample-rate is required for lossy corpus encode")
     if args.chunk_blocks:
         raise ValueError(
             "--chunk-blocks streams a single file to .acs; the corpus "
@@ -1570,8 +1648,10 @@ def main(argv=None) -> int:
     )
     p.add_argument("indir")
     p.add_argument("outdir")
-    p.add_argument("--sample-rate", type=int, required=True,
-                   help="corpus sample rate (no resampling is performed)")
+    p.add_argument("--sample-rate", type=int, default=0,
+                   help="corpus sample rate (no resampling is performed); "
+                        "required for lossy encodes, not applicable with "
+                        "--lossless (each file keeps its own rate)")
     p.add_argument("--clip-seconds", type=float, default=10.0,
                    help="uniform framing: clips truncate/zero-pad to this")
     p.add_argument("--channels", type=int, default=1)
@@ -1579,6 +1659,11 @@ def main(argv=None) -> int:
     p.add_argument("--cache", default="",
                    help="raw-PCM cache .npy path: built on first run, "
                         "memmapped on repeat runs (skips WAV decoding)")
+    p.add_argument(
+        "--lossless", action="store_true",
+        help="exact PCM archival of the whole directory (thread-pooled "
+             "FLAC-class coding; 16/24-bit integer WAV, per-file rates)",
+    )
     add_model_args(p)
     p.set_defaults(fn=cmd_corpus)
 

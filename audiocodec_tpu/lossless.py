@@ -243,12 +243,26 @@ def encode_lossless(
     candidates = [(0, x)]
     if channels == 2:
         candidates.append((1, _to_ms(x)))
+    # bucket the DEVICE call's frame count to the next power of two so a
+    # corpus of varied-length files compiles O(log max_F) programs, not
+    # one per length; the pad frames are edge-replicas (zero residuals),
+    # get sliced off below, and never reach the wire
+    f_real = -(-n_samples // frame)
+    f_pad = 1 << (f_real - 1).bit_length()
     best = None
     for mode, xc in candidates:
-        orders, res, total = select(_pad_frames(xc, frame))
+        xf = _pad_frames(xc, frame)
+        if f_pad > f_real:
+            xf = np.concatenate(
+                [xf, np.repeat(xf[-1:, -1:, :], frame, axis=1).repeat(
+                    f_pad - f_real, axis=0)], axis=0
+            )
+        orders, res, total = select(xf)
         if best is None or float(total) < best[3]:
             best = (mode, orders, res, float(total))
     stereo_mode, orders, res, _ = best
+    orders = np.asarray(orders)[:f_real]
+    res = np.asarray(res)[:f_real]
 
     # frame-major, channel-second layout: each (frame, channel) run is a
     # whole number of Rice groups, so the coder's per-group parameters

@@ -361,6 +361,48 @@ class TestCLI:
         assert rc != 0
         assert "lossy" in capsys.readouterr().err
 
+    def test_corpus_lossless_roundtrip(self, tmp_path):
+        """Bulk archival: corpus --lossless on mixed rates/depths/
+        lengths, then corpus-decode restores every file bit-exactly."""
+        import audiocodec_tpu.__main__ as cli
+
+        rng = np.random.default_rng(14)
+        indir = tmp_path / "in"
+        outdir = tmp_path / "enc"
+        recdir = tmp_path / "rec"
+        indir.mkdir()
+        files = {
+            "a": (rng.integers(-300, 300, size=(5000, 1),
+                               dtype=np.int16).astype(np.int32), 44100, 16),
+            "b": (rng.integers(-100, 100, size=(12345, 2),
+                               dtype=np.int16).astype(np.int32), 16000, 16),
+            "c": (rng.integers(-40000, 40000, size=(3000, 1)
+                               ).astype(np.int32), 48000, 24),
+        }
+        for name, (x, rate, bits) in files.items():
+            wav.write_wav_int(str(indir / f"{name}.wav"), x, rate, bits)
+        assert cli.main(["corpus", str(indir), str(outdir),
+                         "--lossless"]) == 0
+        assert cli.main(["corpus-decode", str(outdir), str(recdir)]) == 0
+        for name, (x, rate, bits) in files.items():
+            y, r2, b2 = wav.read_wav_int(str(recdir / f"{name}.wav"))
+            assert (r2, b2) == (rate, bits)
+            np.testing.assert_array_equal(x, y)
+
+    def test_corpus_lossless_refuses_lossy_flags(self, tmp_path, capsys):
+        import audiocodec_tpu.__main__ as cli
+
+        indir = tmp_path / "in"
+        indir.mkdir()
+        wav.write_wav_int(str(indir / "a.wav"),
+                          np.zeros((4096, 1), np.int32), 44100, 16)
+        rc = cli.main(["corpus", str(indir), str(tmp_path / "o"),
+                       "--lossless", "--sample-rate", "44100"])
+        assert rc != 0
+        assert "rate is preserved" in capsys.readouterr().err
+        rc = cli.main(["corpus", str(indir), str(tmp_path / "o")])
+        assert rc != 0  # lossy corpus still requires --sample-rate
+
     def test_float_input_refused(self, tmp_path, capsys):
         import audiocodec_tpu.__main__ as cli
 
