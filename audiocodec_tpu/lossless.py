@@ -103,7 +103,7 @@ def _select(xf):
     :param xf: int32 [frames, n, channels]
     :return: (orders int32 [frames, channels],
               residuals int32 [frames, n, channels],
-              total_bits float32 scalar)
+              best_bits float32 [frames, channels])
     """
     import jax.numpy as jnp
 
@@ -113,8 +113,7 @@ def _select(xf):
     res = jnp.take_along_axis(
         res5, orders[None, :, None, :].astype(jnp.int32), axis=0
     )[0]
-    total = jnp.sum(jnp.min(bits, axis=0))
-    return orders, res, total
+    return orders, res, jnp.min(bits, axis=0)
 
 
 def _reconstruct(res, orders):
@@ -240,29 +239,60 @@ def encode_lossless(
         raise ValueError(f"at most {_MAX_CHANNELS} channels")
 
     select = _get_select()
-    candidates = [(0, x)]
-    if channels == 2:
-        candidates.append((1, _to_ms(x)))
     # bucket the DEVICE call's frame count to the next power of two so a
     # corpus of varied-length files compiles O(log max_F) programs, not
     # one per length; the pad frames are edge-replicas (zero residuals),
     # get sliced off below, and never reach the wire
     f_real = -(-n_samples // frame)
     f_pad = 1 << (f_real - 1).bit_length()
-    best = None
-    for mode, xc in candidates:
+
+    def bucketed(xc):
         xf = _pad_frames(xc, frame)
         if f_pad > f_real:
             xf = np.concatenate(
                 [xf, np.repeat(xf[-1:, -1:, :], frame, axis=1).repeat(
                     f_pad - f_real, axis=0)], axis=0
             )
-        orders, res, total = select(xf)
-        if best is None or float(total) < best[3]:
-            best = (mode, orders, res, float(total))
-    stereo_mode, orders, res, _ = best
-    orders = np.asarray(orders)[:f_real]
-    res = np.asarray(res)[:f_real]
+        return xf
+
+    smodes = None
+    if channels == 2:
+        # per-frame stereo decorrelation, FLAC's four modes: one device
+        # pass scores all of l/r/mid/side, then each frame keeps the
+        # cheapest PAIR — l+r, mid+side, l+side ("left/side"), or
+        # side+r ("side/right"); side alone often rides one loud
+        # channel's frame
+        l, r = x[:, 0], x[:, 1]
+        x4 = np.stack([l, r, (l + r) >> 1, l - r], axis=1)
+        orders4, res4, bits4 = select(bucketed(x4))
+        orders4, res4 = np.asarray(orders4), np.asarray(res4)
+        bits4 = np.asarray(bits4)
+        comb = np.stack(
+            [bits4[:, 0] + bits4[:, 1],   # 0: l/r
+             bits4[:, 2] + bits4[:, 3],   # 1: mid/side
+             bits4[:, 0] + bits4[:, 3],   # 2: left/side
+             bits4[:, 1] + bits4[:, 3]],  # 3: side/right
+            axis=1,
+        )
+        smode = np.argmin(comb, axis=1)
+        idx = np.stack(
+            [np.asarray([0, 2, 0, 1])[smode],
+             np.asarray([1, 3, 3, 3])[smode]], axis=1
+        )  # per-frame (first, second) stored-channel picks
+        orders = np.take_along_axis(orders4, idx, axis=1)[:f_real]
+        res = np.take_along_axis(res4, idx[:, None, :], axis=2)[:f_real]
+        smode = smode[:f_real]
+        if not smode.any():
+            stereo_mode = 0
+        elif (smode == 1).all():
+            stereo_mode = 1  # pure mid/side keeps the compact header form
+        else:
+            stereo_mode, smodes = 2, smode.astype(np.uint8)
+    else:
+        stereo_mode = 0
+        orders, res, _ = select(bucketed(x))
+        orders = np.asarray(orders)[:f_real]
+        res = np.asarray(res)[:f_real]
 
     # frame-major, channel-second layout: each (frame, channel) run is a
     # whole number of Rice groups, so the coder's per-group parameters
@@ -309,6 +339,8 @@ def encode_lossless(
     if raw_bytes < len(payload):
         entropy, stereo_mode, payload = 2, 0, _pack_raw(x, bits)
         orders = np.zeros((0, 0), dtype=np.uint8)
+        smodes = None
+    extra = {} if smodes is None else {"smodes": smodes}
     buf = _io.BytesIO()
     # plain savez (STORED members): Rice output is already near-optimal
     # entropy, so deflating it costs ~0.3 s per audio-minute for < 0.5%
@@ -332,6 +364,7 @@ def encode_lossless(
         ),
         orders=np.asarray(orders, dtype=np.uint8),
         res=np.frombuffer(payload, dtype=np.uint8),
+        **extra,
     )
     return buf.getvalue()
 
@@ -411,7 +444,8 @@ def _parse_lmeta(meta):
         raise ValueError(f"corrupt lossless container: frame {frame}")
     if bits not in (16, 24):
         raise ValueError(f"corrupt lossless container: bits {bits}")
-    if stereo_mode not in (0, 1) or (stereo_mode and channels != 2):
+    # 0 = independent, 1 = all mid/side, 2 = per-frame (smodes member)
+    if stereo_mode not in (0, 1, 2) or (stereo_mode and channels != 2):
         raise ValueError("corrupt lossless container: bad stereo mode")
     # 3/4 = rice/rrice + deflate; 5/6/7 = deflated raw residuals at
     # byte width 1/2/4
@@ -460,7 +494,8 @@ def describe(data: bytes) -> dict:
         "n_samples": n_samples,
         "frame": frame,
         "bits": bits,
-        "stereo_mode": ("mid/side" if stereo_mode else "independent"),
+        "stereo_mode": {0: "independent", 1: "mid/side",
+                        2: "per-frame"}[stereo_mode],
         "entropy": {0: "rice", 1: "rrice", 2: "verbatim",
                     3: "rice+deflate", 4: "rrice+deflate",
                     5: "raw8+deflate", 6: "raw16+deflate",
@@ -511,6 +546,22 @@ def decode_lossless(data: bytes):
                 )
             if orders.max(initial=0) > MAX_ORDER:
                 raise ValueError("corrupt lossless container: order out of range")
+        smodes = None
+        if entropy != 2 and stereo_mode == 2:
+            smodes = np.asarray(
+                _bounded_member(
+                    z, "smodes", len(data), max(total, _SMALL_MEMBER_CAP)
+                )
+            )
+            if smodes.shape != (f,):
+                raise ValueError(
+                    f"corrupt lossless container: smodes {smodes.shape} "
+                    f"for {f} frames"
+                )
+            if smodes.max(initial=0) > 3:
+                raise ValueError(
+                    "corrupt lossless container: stereo frame mode out of range"
+                )
     except KeyError as e:
         raise ValueError(f"corrupt lossless container: missing member {e}") from e
     except (
