@@ -113,6 +113,61 @@ class TestRoundTrip:
         y, _, _ = lossless.decode_lossless(blob)
         assert y.shape == (5000, 2)
 
+    def test_per_frame_stereo_mixed_halves(self):
+        """Halves favoring different pairings must go per-frame AND stay
+        bit-exact — the round-3 regression shipped because no test
+        covered a stream whose argmin mixes stereo modes."""
+        rng = np.random.default_rng(7)
+        n = 44100
+        t = np.arange(n) / 44100
+        # first half: independent loud-left / quiet-right -> l/r (or l/side)
+        l1 = np.clip(rng.normal(0, 8000, n), -32000, 32000).astype(np.int32)
+        r1 = rng.integers(-6, 6, size=n, dtype=np.int32)
+        # second half: strongly correlated tonal -> mid/side
+        l2 = (12000 * np.sin(2 * np.pi * 330 * t)
+              + rng.normal(0, 50, n)).astype(np.int32)
+        r2 = (l2 + rng.normal(0, 30, n)).astype(np.int32)
+        x = np.stack(
+            [np.concatenate([l1, l2]), np.concatenate([r1, r2])], axis=1
+        )
+        blob = _roundtrip(x)
+        assert lossless.describe(blob)["stereo_mode"] == "per-frame"
+
+    def test_per_frame_left_side_and_side_right(self):
+        """Composites that favor the asymmetric pairings: one loud noisy
+        channel + one near-copy channel makes side tiny, so l/side (or
+        side/r) beats both l/r and m/s; flipping which channel leads per
+        half exercises modes 2 and 3 in ONE stream."""
+        rng = np.random.default_rng(8)
+        n = 40960
+        a1 = np.clip(rng.normal(0, 7000, n), -32000, 32000).astype(np.int32)
+        b1 = a1 + rng.integers(-3, 3, size=n, dtype=np.int32)
+        b2 = np.clip(rng.normal(0, 7000, n), -32000, 32000).astype(np.int32)
+        a2 = b2 + rng.integers(-3, 3, size=n, dtype=np.int32)
+        x = np.stack(
+            [np.concatenate([a1, a2]), np.concatenate([b1, b2])], axis=1
+        )
+        blob = _roundtrip(x)
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            names = zf.namelist()
+            if "smodes.npy" in names:
+                with zf.open("smodes.npy") as f:
+                    smodes = np.load(f)
+                # both asymmetric modes must round-trip when present
+                assert set(np.unique(smodes)) <= {0, 1, 2, 3}
+
+    def test_24_bit_stereo_odd_frame_count(self):
+        """Regression for the b4c972a power-of-two bucketing: a frame
+        count that is NOT a power of two (here 11 frames of 4096) with
+        24-bit correlated stereo must stay bit-exact."""
+        rng = np.random.default_rng(9)
+        n = 10 * 4096 + 1234  # 11 frames, last partial
+        t = np.arange(n) / 48000
+        l = (3_500_000 * np.sin(2 * np.pi * 180 * t)
+             + rng.normal(0, 700, n)).astype(np.int32)
+        r = (l + rng.normal(0, 400, n)).astype(np.int32)
+        _roundtrip(np.stack([l, r], axis=1), rate=48000, bits=24)
+
     def test_all_orders_selected_somewhere(self):
         """A composite signal should exercise several predictor orders —
         the selection argmin is real, not a constant."""
