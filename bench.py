@@ -37,15 +37,33 @@ the noise stage with real integer coding. Like-for-like numbers for the
 noise-injection chain itself are in benchmarks/RESULTS.md (~950x f32
 HIGHEST). Target: >= 100x on TPU v5e-1.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Budget discipline (round-3 lesson: the driver's run timed out with
+NOTHING parsed): the script emits a COMPLETE headline JSON line as soon
+as the first configuration is measured, then re-emits an enriched line
+after each further stage — the driver keeps the LAST complete line, so
+a timeout mid-stage still leaves a real number behind. An overall
+wall-clock budget (env BENCH_BUDGET_S, default 480 s) skips remaining
+stages rather than overrunning, and each config costs ONE compile (a
+dynamic-trip-count fori_loop chain timed at two lengths) instead of two.
+
+The last printed line is the result: {"metric", "value", "unit",
+"vs_baseline", ...}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_AUDIO_SEC_PER_SEC = 92.0  # reference TF-CPU, measured (BASELINE.md)
+
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+
+
+def _remaining():
+    return _BUDGET_S - (time.monotonic() - _T0)
 
 
 def _require_backend(deadline_s: float = 300.0):
@@ -107,7 +125,7 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    _require_backend()
+    _require_backend(deadline_s=min(240.0, max(_remaining(), 30.0)))
 
     import jax.numpy as jnp
 
@@ -158,101 +176,117 @@ def main():
         return 10 * np.log10((ref**2).sum() / max(err, 1e-30))
 
     def measure(codec, xs8):
+        # ONE compiled program per config: the trip count is a traced
+        # scalar, so the two chain lengths share the compile (round 3's
+        # two-scan layout paid two cold tunnel compiles per config)
         one = jnp.asarray(1.0, dtype=xs8.dtype)
 
-        def make_chain(iters):
-            @jax.jit
-            def chained(c, xs):
-                def body(acc, i):
-                    # cycle the resident batches, rescaled per step so the
-                    # encode stays loop-variant and cannot hoist
-                    x = xs[i % xs.shape[0]] * (
-                        one + jnp.asarray(0.001, xs.dtype) * i.astype(xs.dtype)
-                    )
-                    out = c.round_trip_quantized(x)
-                    return acc + jnp.sum(jnp.abs(out).astype(jnp.float32)), None
+        @jax.jit
+        def chained(c, xs, iters):
+            def body(i, acc):
+                # cycle the resident batches, rescaled per step so the
+                # encode stays loop-variant and cannot hoist
+                x = xs[i % xs.shape[0]] * (
+                    one + jnp.asarray(0.001, xs.dtype) * i.astype(xs.dtype)
+                )
+                out = c.round_trip_quantized(x)
+                return acc + jnp.sum(jnp.abs(out).astype(jnp.float32))
 
-                acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
-                return acc
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-            return chained
-
-        chain_short = make_chain(iters_short)
-        chain_long = make_chain(iters_long)
+        i_s = jnp.asarray(iters_short, jnp.int32)
+        i_l = jnp.asarray(iters_long, jnp.int32)
         # warmup / compile (host readback forces completion)
-        float(chain_short(codec, xs8))
-        float(chain_long(codec, xs8))
-        t_short = best_of(lambda: float(chain_short(codec, xs8)))
-        t_long = best_of(lambda: float(chain_long(codec, xs8)))
+        float(chained(codec, xs8, i_s))
+        float(chained(codec, xs8, i_l))
+        t_short = best_of(lambda: float(chained(codec, xs8, i_s)))
+        t_long = best_of(lambda: float(chained(codec, xs8, i_l)))
         per_iter = max((t_long - t_short) / (iters_long - iters_short), 1e-9)
         return batch * (samples / sample_rate) / per_iter
 
-    # Production path A: float32 quantized (the quality-default deployment)
-    codec_f32 = Codec.create(
-        sample_rate=sample_rate, filters_n=filters_n, bark_bands_n=64,
-        dct_precision="default",
-    )
+    # Stage order is budget order: the expected headline winner first so
+    # the first emitted line already carries the real number, then the
+    # quality-default ride-alongs, then the SNR garnish.
+    results = {}
+    snrs = {}
+
+    def emit():
+        named = {
+            "bf16_int8": "round_trip_quantized bf16 fast_bf16 dct_precision=int8",
+            "bf16": "round_trip_quantized bf16 fast_bf16 dct_precision=default",
+            "f32": "round_trip_quantized f32 dct_precision=default",
+        }
+        best = max(results, key=results.get)
+        out = {
+            "metric": "encode_pipeline_throughput",
+            "value": round(results[best], 1),
+            "unit": "audio-sec/sec",
+            "vs_baseline": round(results[best] / BASELINE_AUDIO_SEC_PER_SEC, 2),
+            "path": named[best],
+            "configs_measured": sorted(results),
+            "budget_s": _BUDGET_S,
+            "elapsed_s": round(time.monotonic() - _T0, 1),
+        }
+        if "f32" in results:
+            out["f32_quantized_value"] = round(results["f32"], 1)
+            out["f32_vs_baseline"] = round(
+                results["f32"] / BASELINE_AUDIO_SEC_PER_SEC, 2
+            )
+        if "bf16" in results:
+            out["bf16_default_value"] = round(results["bf16"], 1)
+        if snrs:
+            # NOTE: SNRs are for THIS file's workload (10 s 440+1320 Hz
+            # two-tone + noise, B=32, N=1024) — intentionally different
+            # from RESULTS.md config 3b's single-tone signal.
+            out["snr_db"] = {k: round(float(v), 2) for k, v in snrs.items()}
+            out["snr_signal"] = "two-tone(440,1320)+noise 10s B=32 N=1024"
+        print(json.dumps(out), flush=True)
+
     xs_f32 = jnp.asarray(base8)
-    snr_f32 = measure_snr(codec_f32, xs_f32)
-    thr_f32 = measure(codec_f32, xs_f32)
-
-    # Production path B: bfloat16 fast (the speed deployment; ~1.5 dB
-    # below the f32 quantized SNR on this workload)
-    codec_bf16 = Codec.create(
-        sample_rate=sample_rate, filters_n=filters_n, bark_bands_n=64,
-        compute_dtype=jnp.bfloat16, fast_bf16=True, dct_precision="default",
-    )
     xs_bf16 = jnp.asarray(base8, dtype=jnp.bfloat16)
-    snr_bf16 = measure_snr(codec_bf16, xs_bf16)
-    thr_bf16 = measure(codec_bf16, xs_bf16)
-
-    # Production path C: bfloat16 fast + int8 MXU transforms (the maximum-
-    # throughput deployment — docs/DESIGN.md §3c: flat-int8 analysis
-    # kernel, per-128-bin grouped-int8 synthesis kernel; measured -0.08 dB
-    # SNR / NMR 0.029 vs 0.021 against the "default" tier, both inside
-    # the codec's own 1/36 calibration + margin)
     codec_i8 = Codec.create(
         sample_rate=sample_rate, filters_n=filters_n, bark_bands_n=64,
         compute_dtype=jnp.bfloat16, fast_bf16=True, dct_precision="int8",
     )
-    snr_i8 = measure_snr(codec_i8, xs_bf16)
-    thr_i8 = measure(codec_i8, xs_bf16)
+    codec_bf16 = Codec.create(
+        sample_rate=sample_rate, filters_n=filters_n, bark_bands_n=64,
+        compute_dtype=jnp.bfloat16, fast_bf16=True, dct_precision="default",
+    )
+    codec_f32 = Codec.create(
+        sample_rate=sample_rate, filters_n=filters_n, bark_bands_n=64,
+        dct_precision="default",
+    )
 
-    # Headline: the fastest production configuration, path named; the f32
-    # quality-default number rides along in the same JSON line.
-    throughput = max(thr_f32, thr_bf16, thr_i8)
-    path = (
-        "round_trip_quantized bf16 fast_bf16 dct_precision=int8"
-        if thr_i8 >= max(thr_f32, thr_bf16)
-        else "round_trip_quantized bf16 fast_bf16 dct_precision=default"
-        if thr_bf16 >= thr_f32
-        else "round_trip_quantized f32 dct_precision=default"
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "encode_pipeline_throughput",
-                "value": round(throughput, 1),
-                "unit": "audio-sec/sec",
-                "vs_baseline": round(throughput / BASELINE_AUDIO_SEC_PER_SEC, 2),
-                "path": path,
-                "f32_quantized_value": round(thr_f32, 1),
-                "f32_vs_baseline": round(thr_f32 / BASELINE_AUDIO_SEC_PER_SEC, 2),
-                # NOTE: these SNRs are for THIS file's workload (10 s
-                # 440+1320 Hz two-tone + noise, B=32, N=1024). They are
-                # intentionally different numbers from RESULTS.md config
-                # 3b (its 10 s 440 Hz sine + noise signal scores bf16
-                # ~17.4 dB) — same codec, different test signal.
-                "bf16_default_value": round(thr_bf16, 1),
-                "snr_db": {
-                    "f32": round(float(snr_f32), 2),
-                    "bf16": round(float(snr_bf16), 2),
-                    "bf16_int8": round(float(snr_i8), 2),
-                },
-                "snr_signal": "two-tone(440,1320)+noise 10s B=32 N=1024",
-            }
-        )
-    )
+    # Stage 1 — bfloat16 fast + int8 MXU transforms (the maximum-
+    # throughput deployment — docs/DESIGN.md §3c: flat-int8 analysis
+    # kernel, per-128-bin grouped-int8 synthesis kernel; measured
+    # -0.08 dB SNR vs the "default" tier, inside the codec's own
+    # calibration margin). This is the round-3 headline winner.
+    results["bf16_int8"] = measure(codec_i8, xs_bf16)
+    emit()
+
+    # Stage 2 — bfloat16 fast (speed deployment without int8)
+    if _remaining() > 30:
+        results["bf16"] = measure(codec_bf16, xs_bf16)
+        emit()
+
+    # Stage 3 — float32 quantized (the quality-default deployment)
+    if _remaining() > 30:
+        results["f32"] = measure(codec_f32, xs_f32)
+        emit()
+
+    # Stage 4 — quantized round-trip SNRs (garnish; one extra compile per
+    # config, so they go last and are skipped first under budget)
+    for key, codec, xs in (
+        ("bf16_int8", codec_i8, xs_bf16),
+        ("bf16", codec_bf16, xs_bf16),
+        ("f32", codec_f32, xs_f32),
+    ):
+        if key not in results or _remaining() <= 30:
+            break
+        snrs[key] = measure_snr(codec, xs)
+    if snrs:
+        emit()
 
 
 if __name__ == "__main__":
