@@ -150,6 +150,33 @@ class PsychoacousticModel:
 
     # attribute surface the reference exposes
     @property
+    def compute_dtype(self):
+        return self._p.compute_dtype
+
+    @property
+    def max_frequency(self):
+        """Nyquist (reference: audiocodec/psychoacoustic.py:61)."""
+        return self.sample_rate / 2.0
+
+    @property
+    def max_bark(self):
+        """Bark value at Nyquist (reference: psychoacoustic.py:62)."""
+        return self._p.max_bark
+
+    @property
+    def bark_band_width(self):
+        """Bark width per Bark band (reference: psychoacoustic.py:63)."""
+        return self._p.max_bark / self.bark_bands_n
+
+    def freq2bark(self, frequencies):
+        """bark = 6*asinh(f/600) (reference: psychoacoustic.py:333)."""
+        return 6.0 * jnp.arcsinh(jnp.asarray(frequencies) / 600.0)
+
+    def bark2freq(self, bark_band):
+        """f = 600*sinh(b/6) (reference: psychoacoustic.py:337)."""
+        return 600.0 * jnp.sinh(jnp.asarray(bark_band) / 6.0)
+
+    @property
     def W(self):
         return self._p.W
 
@@ -190,9 +217,3 @@ class PsychoacousticModel:
         return self._p.add_noise(
             key, jnp.asarray(mdct_amplitudes), jnp.asarray(masking_threshold)
         )
-
-    def freq2bark(self, frequencies):
-        return 6.0 * jnp.arcsinh(jnp.asarray(frequencies) / 600.0)
-
-    def bark2freq(self, bark_band):
-        return 600.0 * jnp.sinh(jnp.asarray(bark_band) / 6.0)

@@ -153,6 +153,40 @@ class TestShimExtras:
         assert out.shape == (1, wave.shape[1] + 2 * filters_n, 1)
         assert bool(jnp.all(jnp.isfinite(out)))
 
+    def test_attribute_surface_superset_of_reference(self):
+        """Drop-in means drop-in: every public attribute a reference
+        INSTANCE carries (its __dict__ plus public methods) must resolve
+        on the shim too (reference: audiocodec/psychoacoustic.py:35-69,
+        mdctransformer.py:36-59). Skips when the reference checkout or
+        TF is unavailable."""
+        import os
+        import sys
+
+        pytest.importorskip("tensorflow")
+        if not os.path.isdir("/root/reference/audiocodec"):
+            pytest.skip("reference checkout not available")
+        sys.path.insert(0, "/root/reference")
+        try:
+            from audiocodec.mdctransformer import MDCTransformer as RefM
+            from audiocodec.psychoacoustic import PsychoacousticModel as RefP
+        finally:
+            sys.path.remove("/root/reference")
+
+        for ref_obj, shim in (
+            (RefM(64), MDCTransformer(64)),
+            (RefP(16000, filter_bands_n=64), PsychoacousticModel(
+                16000, filter_bands_n=64)),
+        ):
+            names = {
+                n for n in list(vars(ref_obj)) + dir(type(ref_obj))
+                if not n.startswith("_")
+            }
+            missing = {n for n in names if not hasattr(shim, n)}
+            assert not missing, (
+                f"shim {type(shim).__name__} lacks reference attributes: "
+                f"{sorted(missing)}"
+            )
+
     def test_bark_scale_methods(self):
         pa = PsychoacousticModel(44100)
         f = jnp.asarray([100.0, 1000.0, 10000.0])
