@@ -59,29 +59,8 @@ _MAX_SAMPLES = 1 << 40  # ~70 years of 48 kHz stereo; bounds allocations
 # -- device side --------------------------------------------------------------
 
 
-def _progressive_residuals(xf):
-    """All five fixed-predictor residual ladders for a batch of frames.
-
-    :param xf: int32 [frames, n, channels]
-    :return: int32 [5, frames, n, channels]; ladder k holds the
-        progressive warmup diffs in slots 0..k-1 and the k-th-order
-        difference body in slots k..n-1.
-    """
-    import jax.numpy as jnp
-
-    diffs = [xf]
-    for _ in range(MAX_ORDER):
-        d = diffs[-1]
-        diffs.append(d[:, 1:, :] - d[:, :-1, :])
-    ladders = []
-    for k in range(MAX_ORDER + 1):
-        heads = [diffs[j][:, :1, :] for j in range(k)]
-        ladders.append(jnp.concatenate(heads + [diffs[k]], axis=1))
-    return jnp.stack(ladders)
-
-
-def _rice_bits(res5):
-    """Estimated Rice bits per (ladder, frame, channel).
+def _rice_bits(sumu, n):
+    """Estimated Rice bits from per-(ladder, frame, channel) zigzag sums.
 
     Models each frame as one Rice group with the optimal parameter p:
     bits ~= n*(p+1) + sum(zigzag)/2^p. The real coder re-adapts p every
@@ -90,8 +69,6 @@ def _rice_bits(res5):
     ranking."""
     import jax.numpy as jnp
 
-    n = res5.shape[2]
-    sumu = jnp.sum(jnp.abs(res5).astype(jnp.float32) * 2.0, axis=2)
     ps = jnp.arange(18, dtype=jnp.float32)
     bits = (n * (ps + 1.0))[:, None] + sumu[..., None, :] / (2.0 ** ps)[:, None]
     return jnp.min(bits, axis=-2)  # [5, frames, channels]
@@ -100,6 +77,13 @@ def _rice_bits(res5):
 def _select(xf):
     """Pick the cheapest predictor order per (frame, channel).
 
+    Scores all five fixed-predictor ladders from the running difference
+    alone (ladder k's zigzag sum = its body |d_k| plus the warmup heads
+    |d_j[0]|, j<k — no [5, F, n, C] materialization), then builds ONLY
+    the winning residual ladder in place with four masked difference
+    passes. ~3x less work and memory than stacking every ladder and
+    gathering (the round-3 layout).
+
     :param xf: int32 [frames, n, channels]
     :return: (orders int32 [frames, channels],
               residuals int32 [frames, n, channels],
@@ -107,37 +91,68 @@ def _select(xf):
     """
     import jax.numpy as jnp
 
-    res5 = _progressive_residuals(xf)
-    bits = _rice_bits(res5)  # [5, F, C]
-    orders = jnp.argmin(bits, axis=0)  # [F, C]
-    res = jnp.take_along_axis(
-        res5, orders[None, :, None, :].astype(jnp.int32), axis=0
-    )[0]
-    return orders, res, jnp.min(bits, axis=0)
+    n = xf.shape[1]
+    d = xf
+    head_acc = jnp.zeros(
+        (xf.shape[0], xf.shape[2]), dtype=jnp.float32
+    )
+    sums = []
+    for k in range(MAX_ORDER + 1):
+        if k:
+            d = d[:, 1:, :] - d[:, :-1, :]
+        ad = jnp.abs(d).astype(jnp.float32)
+        sums.append(head_acc + jnp.sum(ad, axis=1))
+        head_acc = head_acc + ad[:, 0, :]
+    sumu = jnp.stack(sums) * 2.0  # [5, F, C]
+    bits = _rice_bits(sumu, n)
+    orders = jnp.argmin(bits, axis=0).astype(jnp.int32)  # [F, C]
+
+    # masked in-place differencing: after pass j, frames with order > j
+    # hold head slots 0..j and the (j+1)-th difference in slots j+1..
+    y = xf
+    for j in range(MAX_ORDER):
+        m = (orders > j)[:, None, :]
+        seg = y[:, j:, :]
+        dj = seg[:, 1:, :] - seg[:, :-1, :]
+        y = jnp.concatenate(
+            [y[:, : j + 1, :], jnp.where(m, dj, y[:, j + 1 :, :])], axis=1
+        )
+    return orders, y, jnp.min(bits, axis=0)
 
 
 def _reconstruct(res, orders):
     """Invert :func:`_select`: residuals + per-frame orders -> samples.
 
-    Every frame integrates independently (k cumsum passes seeded by the
-    progressive warmup slots), so this is one vectorized program over
-    [frames, n, channels] — no scan, no carried state; a sharded decode
+    Four masked cumsum passes, highest order first: at pass j, frames
+    whose order exceeds j integrate slots j.. (slot j holds the j-th
+    difference's warmup head). One vectorized program over
+    [frames, n, channels] — no scan, no carried state, and no 5-ladder
+    stack + gather (the round-3 layout cost 10 cumsums and a [5,F,n,C]
+    materialization; this costs at most 4 cumsums) — a sharded decode
     just splits the frame axis."""
     import jax.numpy as jnp
 
-    outs = []
-    for k in range(MAX_ORDER + 1):
-        cur = res[:, k:, :]
-        for j in range(k - 1, -1, -1):
-            head = res[:, j : j + 1, :]
-            cur = jnp.cumsum(
-                jnp.concatenate([head, cur], axis=1), axis=1, dtype=jnp.int32
-            )
-        outs.append(cur)
-    stacked = jnp.stack(outs)  # [5, F, n, C]
-    return jnp.take_along_axis(
-        stacked, orders[None, :, None, :].astype(jnp.int32), axis=0
-    )[0]
+    y = res
+    for j in range(MAX_ORDER - 1, -1, -1):
+        m = (orders > j)[:, None, :]
+        c = jnp.cumsum(y[:, j:, :], axis=1, dtype=jnp.int32)
+        y = jnp.concatenate(
+            [y[:, :j, :], jnp.where(m, c, y[:, j:, :])], axis=1
+        )
+    return y
+
+
+def _select_stereo(xf):
+    """Stereo candidate expansion ON DEVICE: [F, n, 2] l/r frames ->
+    the four stored-channel candidates [l, r, mid, side] scored and
+    residualized in one program (the host-side numpy stack + shift of
+    round 3 cost more than the whole jitted select on this rig)."""
+    import jax.numpy as jnp
+
+    l = xf[..., 0]
+    r = xf[..., 1]
+    x4 = jnp.stack([l, r, (l + r) >> 1, l - r], axis=-1)
+    return _select(x4)
 
 
 def _jitted(fn):
@@ -146,22 +161,25 @@ def _jitted(fn):
     return jax.jit(fn)
 
 
-_select_jit = None
-_reconstruct_jit = None
+_jit_cache = {}
 
 
 def _get_select():
-    global _select_jit
-    if _select_jit is None:
-        _select_jit = _jitted(_select)
-    return _select_jit
+    if "select" not in _jit_cache:
+        _jit_cache["select"] = _jitted(_select)
+    return _jit_cache["select"]
+
+
+def _get_select_stereo():
+    if "select_stereo" not in _jit_cache:
+        _jit_cache["select_stereo"] = _jitted(_select_stereo)
+    return _jit_cache["select_stereo"]
 
 
 def _get_reconstruct():
-    global _reconstruct_jit
-    if _reconstruct_jit is None:
-        _reconstruct_jit = _jitted(_reconstruct)
-    return _reconstruct_jit
+    if "reconstruct" not in _jit_cache:
+        _jit_cache["reconstruct"] = _jitted(_reconstruct)
+    return _jit_cache["reconstruct"]
 
 
 # -- stereo decorrelation ------------------------------------------------------
@@ -208,17 +226,6 @@ def _from_modes(x, sm):
 # -- container ----------------------------------------------------------------
 
 
-def _pad_frames(x, frame):
-    """Edge-pad [S, C] to a whole number of frames (edge values make the
-    pad's residuals exactly zero from order 1 up) -> [F, frame, C]."""
-    s = x.shape[0]
-    f = -(-s // frame)
-    pad = f * frame - s
-    if pad:
-        x = np.concatenate([x, np.repeat(x[-1:, :], pad, axis=0)], axis=0)
-    return x.reshape(f, frame, -1)
-
-
 def encode_lossless(
     x, sample_rate: int, bits: int = 16, frame: int = DEFAULT_FRAME
 ) -> bytes:
@@ -250,31 +257,27 @@ def encode_lossless(
         raise ValueError(
             f"frame must be a multiple of 256 in [256, {_MAX_FRAME}]"
         )
+    # bounds check on the input dtype (min/max never overflow), then ONE
+    # int32 copy — the round-3 int64 round trip cost two extra passes
     lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
-    x = x.astype(np.int64)
     if x.min() < lo or x.max() > hi:
         raise ValueError(f"samples outside the {bits}-bit range")
-    x = x.astype(np.int32)
+    x = np.ascontiguousarray(x, dtype=np.int32)
     n_samples, channels = x.shape
     if channels > _MAX_CHANNELS:
         raise ValueError(f"at most {_MAX_CHANNELS} channels")
 
-    select = _get_select()
     # bucket the DEVICE call's frame count to the next power of two so a
     # corpus of varied-length files compiles O(log max_F) programs, not
-    # one per length; the pad frames are edge-replicas (zero residuals),
-    # get sliced off below, and never reach the wire
+    # one per length; the pad region is edge-replica (zero residuals
+    # from order 1 up), gets sliced off below, and never reaches the
+    # wire. Built as one allocation + one memcpy + one broadcast store.
     f_real = -(-n_samples // frame)
     f_pad = 1 << (f_real - 1).bit_length()
-
-    def bucketed(xc):
-        xf = _pad_frames(xc, frame)
-        if f_pad > f_real:
-            xf = np.concatenate(
-                [xf, np.repeat(xf[-1:, -1:, :], frame, axis=1).repeat(
-                    f_pad - f_real, axis=0)], axis=0
-            )
-        return xf
+    buf = np.empty((f_pad * frame, channels), dtype=np.int32)
+    buf[:n_samples] = x
+    buf[n_samples:] = x[-1]
+    xf = buf.reshape(f_pad, frame, channels)
 
     smodes = None
     if channels == 2:
@@ -283,9 +286,7 @@ def encode_lossless(
         # cheapest PAIR — l+r, mid+side, l+side ("left/side"), or
         # side+r ("side/right"); side alone often rides one loud
         # channel's frame
-        l, r = x[:, 0], x[:, 1]
-        x4 = np.stack([l, r, (l + r) >> 1, l - r], axis=1)
-        orders4, res4, bits4 = select(bucketed(x4))
+        orders4, res4, bits4 = _get_select_stereo()(xf)
         # slice the edge-replica pad frames off BEFORE any mode decision:
         # they are constant-valued filler for the jit shape bucket and
         # must influence neither the global stereo cost nor the wire
@@ -335,7 +336,7 @@ def encode_lossless(
             stereo_mode, smodes = 2, smode.astype(np.uint8)
     else:
         stereo_mode = 0
-        orders, res, _ = select(bucketed(x))
+        orders, res, _ = _get_select()(xf)
         orders = np.asarray(orders)[:f_real]
         res = np.asarray(res)[:f_real]
 
@@ -359,6 +360,13 @@ def encode_lossless(
 
     entropy, payload = min(candidates, key=lambda cp: len(cp[1]))
     for code, pay in candidates:
+        # cheap probe before the full pass: deflate only ever wins on
+        # PERIODIC content (LZ redundancy is distributed, so a 256 KiB
+        # level-1 sample detects it); dense music skips the full
+        # level-6 pass it can never win
+        probe = pay[: 1 << 18]
+        if len(zlib.compress(probe, 1)) >= 0.95 * len(probe):
+            continue
         zpay = zlib.compress(pay, 6)
         if len(zpay) < len(payload):
             entropy, payload = code + 3, zpay
