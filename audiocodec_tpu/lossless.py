@@ -92,7 +92,15 @@ def _select(xf):
     import jax.numpy as jnp
 
     n = xf.shape[1]
-    d = xf
+    # Score on a per-frame chunk: the Rice bit model only needs each
+    # candidate's mean |residual|, and a 1024-sample prefix of a 4096-
+    # sample frame estimates it to well under the inter-order spread
+    # (audio is near-stationary at 25 ms). The chunk sums extrapolate by
+    # n/chunk so the n*(p+1) unary/remainder term keeps its units. This
+    # quarters the scoring bandwidth, the encode bottleneck on few-core
+    # hosts; the BUILD below stays exact for whatever order wins.
+    chunk = min(1024, n)
+    d = xf[:, :chunk, :]
     head_acc = jnp.zeros(
         (xf.shape[0], xf.shape[2]), dtype=jnp.float32
     )
@@ -101,7 +109,7 @@ def _select(xf):
         if k:
             d = d[:, 1:, :] - d[:, :-1, :]
         ad = jnp.abs(d).astype(jnp.float32)
-        sums.append(head_acc + jnp.sum(ad, axis=1))
+        sums.append(head_acc + jnp.sum(ad, axis=1) * (n / d.shape[1]))
         head_acc = head_acc + ad[:, 0, :]
     sumu = jnp.stack(sums) * 2.0  # [5, F, C]
     bits = _rice_bits(sumu, n)
@@ -155,6 +163,38 @@ def _select_stereo(xf):
     return _select(x4)
 
 
+def _gather_flat(res, idx):
+    """Device-side wire layout: keep per-frame stored channels `idx`
+    [F, P] out of res [F, n, C] and flatten frame-major, channel-second
+    -> [F*P*n]. Only this (the exact bytes the entropy coder eats)
+    crosses to the host; round 3 pulled the full 4-candidate residual
+    tensor across and gathered in numpy — 3x the transfer and the
+    gather at host memory speed."""
+    import jax.numpy as jnp
+
+    g = jnp.take_along_axis(res, idx[:, None, :], axis=2)
+    return jnp.transpose(g, (0, 2, 1)).reshape(-1)
+
+
+def _flatten(res):
+    """[F, n, C] -> wire-layout [F*C*n] on device (mono/multichannel)."""
+    import jax.numpy as jnp
+
+    return jnp.transpose(res, (0, 2, 1)).reshape(-1)
+
+
+def _reconstruct_flat(flat, orders):
+    """Decode-side fusion: wire-layout residuals [F*C*n] + orders [F, C]
+    -> samples [F*n, C] in one device program (unwire transpose,
+    integration, and output layout — no host-side transpose copies)."""
+    import jax.numpy as jnp
+
+    f, c = orders.shape
+    n = flat.size // (f * c)
+    res = jnp.transpose(flat.reshape(f, c, n), (0, 2, 1))
+    return _reconstruct(res, orders).reshape(f * n, c)
+
+
 def _jitted(fn):
     import jax
 
@@ -164,22 +204,22 @@ def _jitted(fn):
 _jit_cache = {}
 
 
+def _get(name):
+    if name not in _jit_cache:
+        _jit_cache[name] = _jitted(globals()["_" + name])
+    return _jit_cache[name]
+
+
 def _get_select():
-    if "select" not in _jit_cache:
-        _jit_cache["select"] = _jitted(_select)
-    return _jit_cache["select"]
+    return _get("select")
 
 
 def _get_select_stereo():
-    if "select_stereo" not in _jit_cache:
-        _jit_cache["select_stereo"] = _jitted(_select_stereo)
-    return _jit_cache["select_stereo"]
+    return _get("select_stereo")
 
 
 def _get_reconstruct():
-    if "reconstruct" not in _jit_cache:
-        _jit_cache["reconstruct"] = _jitted(_reconstruct)
-    return _jit_cache["reconstruct"]
+    return _get("reconstruct")
 
 
 # -- stereo decorrelation ------------------------------------------------------
@@ -289,9 +329,11 @@ def encode_lossless(
         orders4, res4, bits4 = _get_select_stereo()(xf)
         # slice the edge-replica pad frames off BEFORE any mode decision:
         # they are constant-valued filler for the jit shape bucket and
-        # must influence neither the global stereo cost nor the wire
+        # must influence neither the global stereo cost nor the wire.
+        # Only the small per-frame score/order tensors cross to the
+        # host; the residual tensor stays device-resident for the wire
+        # gather below.
         orders4 = np.asarray(orders4)[:f_real]
-        res4 = np.asarray(res4)[:f_real]
         bits4 = np.asarray(bits4)[:f_real]
         comb = np.stack(
             [bits4[:, 0] + bits4[:, 1],   # 0: l/r
@@ -327,7 +369,11 @@ def encode_lossless(
              np.asarray([1, 3, 3, 3])[smode]], axis=1
         )  # per-frame (first, second) stored-channel picks
         orders = np.take_along_axis(orders4, idx, axis=1)
-        res = np.take_along_axis(res4, idx[:, None, :], axis=2)
+        idx_pad = np.zeros((f_pad, 2), dtype=np.int32)
+        idx_pad[:f_real] = idx
+        flat = np.asarray(_get("gather_flat")(res4, idx_pad))[
+            : f_real * 2 * frame
+        ]
         if not smode.any():
             stereo_mode = 0
         elif (smode == 1).all():
@@ -338,12 +384,12 @@ def encode_lossless(
         stereo_mode = 0
         orders, res, _ = _get_select()(xf)
         orders = np.asarray(orders)[:f_real]
-        res = np.asarray(res)[:f_real]
+        flat = np.asarray(_get("flatten")(res))[: f_real * channels * frame]
 
-    # frame-major, channel-second layout: each (frame, channel) run is a
-    # whole number of Rice groups, so the coder's per-group parameters
-    # adapt within one predictor's output, never across two
-    flat = np.asarray(res).transpose(0, 2, 1).ravel()
+    # flat is the frame-major, channel-second wire layout (built on
+    # device): each (frame, channel) run is a whole number of Rice
+    # groups, so the coder's per-group parameters adapt within one
+    # predictor's output, never across two
     candidates = [(0, native.rice_encode(flat))]
     # the run-length variant only wins on zero-run-heavy residuals
     # (silence, digital black); gate its trial on zero density rather
@@ -666,24 +712,18 @@ def decode_lossless(data: bytes):
                 native.rice_decode if entropy % 3 == 0 else native.rrice_decode
             )
             flat = decode(buf, total)
-        res = flat.reshape(f, channels, frame).transpose(0, 2, 1)
-        res = np.ascontiguousarray(res, dtype=np.int32)
-        ordr = orders.astype(np.int32)
         # mirror encode's power-of-two frame bucketing so corpus decode
         # of varied-length files hits O(log max_F) compiled programs, not
         # one 30 s-6 min tunnel compile per distinct length; zero pad
-        # frames integrate to zeros and are sliced off below
+        # frames integrate to zeros and are sliced off below. The wire
+        # stream goes to the device as-is — unwiring and integration
+        # fuse in one jitted program.
         f_pad = 1 << max(f - 1, 0).bit_length()
-        if f_pad > f:
-            res = np.concatenate(
-                [res, np.zeros((f_pad - f, frame, channels), np.int32)]
-            )
-            ordr = np.concatenate(
-                [ordr, np.zeros((f_pad - f, channels), np.int32)]
-            )
-        x = np.asarray(_get_reconstruct()(res, ordr)).reshape(
-            f_pad * frame, channels
-        )[:n_samples]
+        flat_pad = np.zeros(f_pad * channels * frame, dtype=np.int32)
+        flat_pad[: flat.size] = flat
+        ordr = np.zeros((f_pad, channels), dtype=np.int32)
+        ordr[:f] = orders
+        x = np.asarray(_get("reconstruct_flat")(flat_pad, ordr))[:n_samples]
         if stereo_mode == 2:
             sm = np.repeat(smodes.astype(np.uint8), frame)[:n_samples]
             x = _from_modes(x, sm)

@@ -304,6 +304,20 @@ def write_wav(path: str, data, sample_rate: int, width: int = 2) -> None:
 
 RICE_GROUP = 256  # values per Rice parameter group
 
+# Grow-only per-thread scratch for encoder output: allocating the
+# worst-case bound fresh per call made page faults cost 4x the actual
+# coding work (measured 80 ms of faults vs 22 ms of coding on a 2.6M-
+# value stream). Thread-local because rate.py thread-pools packing.
+_scratch = threading.local()
+
+
+def _scratch_buf(cap: int) -> np.ndarray:
+    buf = getattr(_scratch, "buf", None)
+    if buf is None or buf.size < cap:
+        buf = np.empty(max(cap, 1 << 20), dtype=np.uint8)
+        _scratch.buf = buf
+    return buf
+
 
 def rice_encode(codes, group: int = RICE_GROUP) -> bytes:
     """Entropy-code int32 codes (any shape) -> bytes. Native-only (the
@@ -316,7 +330,7 @@ def rice_encode(codes, group: int = RICE_GROUP) -> bytes:
         )
     flat = np.ascontiguousarray(np.asarray(codes, dtype=np.int32).ravel())
     cap = int(lib.acx_rice_bound(flat.size, group))
-    out = np.empty(cap, dtype=np.uint8)
+    out = _scratch_buf(cap)
     written = lib.acx_rice_encode(
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         flat.size,
@@ -377,7 +391,7 @@ def rrice_encode(codes, group: int = RICE_GROUP) -> bytes:
         )
     flat = np.ascontiguousarray(np.asarray(codes, dtype=np.int32).ravel())
     cap = int(lib.acx_rrice_bound(flat.size, group))
-    out = np.empty(cap, dtype=np.uint8)
+    out = _scratch_buf(cap)
     written = lib.acx_rrice_encode(
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         flat.size,

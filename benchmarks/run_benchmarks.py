@@ -42,14 +42,15 @@ GATES = {
     "mdct_floor": 700_000.0,             # nominal ~968,000 audio-s/s
     # lossless archival mode (config 6; CPU-pinned — entropy-coder-bound).
     # Ratio nominals: music-ish 0.616, sine 0.033, noise 1.005,
-    # silence 0.0006; throughput nominals ~83 enc / ~130 dec audio-s/s
-    # on this rig's single core.
+    # silence 0.0006; throughput nominals ~217 enc / ~179 dec audio-s/s
+    # on this rig's single core (round 4: chunk-scored selection, masked
+    # single-ladder build, 64-bit-accumulator Rice coder, scratch reuse).
     "lossless_music_ratio": 0.70,
     "lossless_sine_ratio": 0.06,
     "lossless_noise_ratio": 1.01,
     "lossless_silence_ratio": 0.01,
-    "lossless_encode_floor": 40.0,
-    "lossless_decode_floor": 60.0,
+    "lossless_encode_floor": 150.0,
+    "lossless_decode_floor": 120.0,
     "psycho_floor": 45_000.0,            # nominal ~60,000 audio-s/s
     "full_floor": 90_000.0,              # f32 HIGHEST nominal ~108-110k
     "bf16_floor": 330_000.0,             # bf16-fast nominal ~404,000
