@@ -58,12 +58,14 @@ GATES = {
     "corpus_ingest_floor": 250.0,        # best-path nominal ~410-480
                                          # (run-to-run tunnel noise ~30%)
     "streaming_floor": 40_000.0,         # HIGHEST nominal ~45-47k audio-s/s
-    # default-precision nominal ~94-97k standalone, but the rig's tunnel/
-    # device state degrades up to ~1.7x during long multi-config runs
-    # (observed 55k in a full-suite pass whose transport ceiling had also
-    # halved); floor set below that transient so the gate flags real
-    # regressions, not rig weather
-    "streaming_default_floor": 50_000.0,
+    # default-precision nominal ~94-97k standalone. The rig's tunnel/
+    # device state degrades up to ~2x during long multi-config runs
+    # (observed 55k in a full-suite pass whose transport ceiling had
+    # also halved), so this NOMINAL-based floor is scaled at run time by
+    # transport_health(): a healthy tunnel gates at the full 80k (a 2x
+    # code regression fails), a degraded tunnel scales down pro rata
+    # (no false alarm on rig weather)
+    "streaming_default_floor": 80_000.0,
     "streaming_snr_floor": 26.0,         # quantized stereo nominal 28.41 dB
     "bf16_snr_floor": 17.2,              # dense-bf16 nominal 17.36 dB
     # noise-to-mask ratio, mean((err/threshold)^2) on the quantized path.
@@ -136,6 +138,49 @@ def _rtt() -> float:
             best = min(best, time.perf_counter() - t0)
         _RTT = best
     return _RTT
+
+
+_NOMINAL_H2D_MBPS = 37.0  # honest forced-completion tunnel ceiling
+#                           (benchmarks/transport_probe.py, CLAUDE.md)
+
+
+def transport_health(nominal_mbps=_NOMINAL_H2D_MBPS):
+    """Measured marginal H2D bandwidth over the rig's nominal ceiling,
+    clamped to [0.2, 1.0] — the gate scaler for transport-coupled
+    configs. A degraded tunnel (observed up to ~2x during long runs)
+    lowers the factor so floors track rig weather instead of being set
+    permanently below nominal; on a healthy tunnel the factor is 1.0 and
+    a genuine 2x code regression fails the gate (round-3 weakness: the
+    default-precision streaming floor was simply lowered under an
+    observed transient, hiding real regressions).
+
+    Slope method (transport_probe.py): 3 puts vs 1 put of 8 MB int16,
+    each forced complete by a full-buffer reduction + scalar readback;
+    the difference cancels the per-call RTT. ~2-4 s on a healthy tunnel.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    base = np.random.default_rng(0).integers(
+        -32768, 32767, 4 * 1024 * 1024, dtype=np.int16
+    )  # 8 MB
+    touch = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
+
+    def put_k(k):
+        acc = None
+        t0 = time.perf_counter()
+        for i in range(k):
+            d = jax.device_put(base + np.int16(i))
+            s = touch(d)
+            acc = s if acc is None else acc + s
+        float(acc)
+        return time.perf_counter() - t0
+
+    put_k(1)  # warm compile + page-touch
+    t1 = min(put_k(1) for _ in range(2))
+    t3 = min(put_k(3) for _ in range(2))
+    mbps = 2 * 8.0 / max(t3 - t1, 1e-6)
+    return max(0.2, min(1.0, mbps / nominal_mbps)), round(mbps, 1)
 
 
 def timed(fn, iters=3):
@@ -701,10 +746,15 @@ def config5_streaming(quick):
     kbps = acs_bytes * 8 / head_s / 1000
 
     ok = bool(snr > GATES["streaming_snr_floor"] and nmr < GATES["nmr_ceiling"])
+    health = 1.0
+    h2d_mbps = None
     if not quick:
+        # gate floors track measured rig weather, not a permanently
+        # lowered constant (see transport_health)
+        health, h2d_mbps = transport_health()
         ok = ok and bool(
-            thr >= GATES["streaming_floor"]
-            and thr_d >= GATES["streaming_default_floor"]
+            thr >= GATES["streaming_floor"] * health
+            and thr_d >= GATES["streaming_default_floor"] * health
             and kbps <= GATES["streaming_kbps_ceiling"]
         )
     return {
@@ -717,6 +767,8 @@ def config5_streaming(quick):
         "throughput_audio_s_per_s": round(thr, 1),
         "realtime_factor": round(thr, 1),
         "default_precision_audio_s_per_s": round(thr_d, 1),
+        "transport_health": round(health, 3),
+        "h2d_mbps": h2d_mbps,
         "pass": ok,
     }
 
