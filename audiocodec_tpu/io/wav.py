@@ -133,6 +133,27 @@ def read_wav_int_bytes(buf: bytes):
     return x, rate, bits
 
 
+def read_wav_i16_bytes(buf: bytes):
+    """Raw PCM16 frames WITHOUT float conversion, or None if the WAV is
+    not 16-bit integer PCM.
+
+    Serving wire-format fast path (serve.py): shipping int16 to the
+    device and dequantizing there halves H2D bytes on the remote-tunnel
+    rig; int16/32768 is exactly representable in float32, so the device
+    dequant is bit-identical to the float ingress path.
+
+    :return: (int16 [samples, channels], sample_rate) or None.
+    """
+    code, channels, rate, bits, frames = _parse_riff(buf)
+    if code != 1 or bits != 16:
+        return None
+    x = np.frombuffer(frames, dtype="<i2")
+    x = x[: len(x) - len(x) % channels].reshape(-1, channels)
+    if x.shape[0] == 0:
+        raise ValueError("empty WAV data chunk")
+    return x, rate
+
+
 def write_wav_int(path: str, data, sample_rate: int, bits: int) -> None:
     """Write int32 [samples, channels] as exact 16/24-bit integer PCM."""
     x = np.asarray(data, dtype=np.int32)

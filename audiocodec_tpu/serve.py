@@ -159,6 +159,10 @@ class CodecServer:
         self._max_wait = max_wait_ms / 1000.0
         self._min_blocks = min_blocks
         self._encode_q: queue.Queue = queue.Queue()
+        # at most 2 batches queued on the device/tunnel at once: one
+        # reading back while the next coalesces+uploads (more buys
+        # nothing — the transport serializes — and costs memory)
+        self._inflight = threading.Semaphore(2)
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._sock = None
@@ -179,6 +183,39 @@ class CodecServer:
             return c.quantize_frames(c.mdct.transform(x))
 
         import functools
+
+        dtype = codec.mdct.compute_dtype
+        bark_n = codec.psycho.bark_bands_n
+
+        @functools.partial(jax.jit, static_argnames=("g", "s", "ch"))
+        def _enc_i16(c, flat, g, s, ch):
+            """Transport-lean batch encode (benchmarks/serve_probe.py):
+
+            * IN: the PCM16 batch as ONE flat int16 buffer — half the
+              H2D bytes of float32, and 1-D because 3-D int16 puts pay a
+              device-layout pass on this rig (measured 127 vs 83 ms for
+              the same 1.4 MB);
+            * dequant on device: int16/32768 is exact in float32, so
+              codes are bit-identical to the float ingress path;
+            * OUT: ONE flat int16 buffer [codes:int16 | bark:bf16-bits |
+              fits-flag] — half the D2H bytes and a single readback RTT
+              instead of two. The flag reports whether every code fit in
+              int16; the caller falls back to the int32 path when not
+              (loud/low-threshold content, rare).
+            """
+            x = flat.reshape(g, s, ch).astype(jnp.float32) * jnp.float32(
+                1.0 / 32768.0
+            )
+            codes, bark = c.quantize_frames(c.mdct.transform(x.astype(dtype)))
+            fits = (jnp.max(jnp.abs(codes)) <= 32767).astype(jnp.int16)
+            b16 = jax.lax.bitcast_convert_type(bark, jnp.int16)
+            return jnp.concatenate(
+                [codes.astype(jnp.int16).reshape(-1), b16.reshape(-1),
+                 fits.reshape(1)]
+            )
+
+        self._enc_i16 = _enc_i16
+        self._bark_n = bark_n
 
         @functools.partial(
             jax.jit,
@@ -531,16 +568,23 @@ class CodecServer:
     def _run_batch(self, batch, pool):
         n = self._codec.mdct.filters_n
         dtype = self._codec.mdct.compute_dtype
-        parsed = []  # (req, wave [s, C], real_blocks) | finished errors
+        parsed = []  # (req, wave [s, C] int16|f32, real_blocks, samples)
         for req in batch:
             try:
-                wave, rate = _wav.read_wav_bytes(req.payload)
+                # PCM16 fast path: raw int16 frames ship to the device
+                # as-is (half the H2D bytes; device dequant bit-exact)
+                i16 = _wav.read_wav_i16_bytes(req.payload)
+                if i16 is not None:
+                    wave, rate = i16
+                else:
+                    wave_f, rate = _wav.read_wav_bytes(req.payload)
+                    wave = wave_f[0]
                 if rate != self._rate:
                     raise ValueError(
                         f"server encodes at {self._rate} Hz, request is "
                         f"{rate} Hz; resample client-side"
                     )
-                samples = wave.shape[1]
+                samples = wave.shape[0]
                 if samples < n:
                     raise ValueError(
                         f"need at least one MDCT block ({n} samples)"
@@ -548,48 +592,128 @@ class CodecServer:
                 # gapless: CEIL to blocks (the batch buffer pads with
                 # zeros) and record the exact length in the container
                 blocks = -(-samples // n)
-                parsed.append((req, wave[0], blocks, samples))
+                parsed.append((req, wave, blocks, samples))
             except Exception as e:
                 with self._lock:
                     self.stats["errors"] += 1
                 req.finish(1, str(e).encode())
         if not parsed:
             return
-        # one jitted call per (bucket_blocks, channels) group, batch
-        # padded to the next power of two
+        # one jitted call per (bucket_blocks, channels, wire) group,
+        # batch padded to the next power of two
         groups: dict = {}
         for item in parsed:
             _, wave, blocks, _ = item
             bucket = max(self._min_blocks, _next_pow2(blocks))
-            groups.setdefault((bucket, wave.shape[-1]), []).append(item)
-        for (bucket, ch), items in groups.items():
+            groups.setdefault(
+                (bucket, wave.shape[-1], wave.dtype == np.int16), []
+            ).append(item)
+        # Dispatch each group's device work WITHOUT blocking on the
+        # result, then hand readback+pack to the pool: the batch loop
+        # goes straight back to coalescing the next batch while this
+        # one's D2H rides the tunnel (measured: longer coalescing
+        # windows LOSE to this pipelining — latency doubles for the
+        # same transport bytes). _inflight bounds queued device work.
+        for (bucket, ch, i16_wire), items in groups.items():
             g = _next_pow2(len(items))
-            x = np.zeros((g, bucket * n, ch), dtype=np.float32)
-            for j, (_, wave, blocks, samples) in enumerate(items):
-                x[j, :samples] = wave
             try:
-                codes, bark = self._enc(
-                    self._codec, jnp.asarray(x, dtype=dtype)
-                )
-                codes_h, bark_h = np.asarray(codes), np.asarray(bark)
+                if i16_wire:
+                    handle = self._dispatch_i16(items, g, bucket, ch)
+                else:
+                    x = np.zeros((g, bucket * n, ch), dtype=np.float32)
+                    for j, (_, wave, blocks, samples) in enumerate(items):
+                        x[j, :samples] = wave
+                    handle = self._enc(
+                        self._codec, jnp.asarray(x, dtype=dtype)
+                    )
             except Exception as e:
                 with self._lock:
                     self.stats["errors"] += 1
                 for req, *_ in items:
                     req.finish(1, str(e).encode())
                 continue
+            self._inflight.acquire()
+            pool.submit(
+                self._finalize_batch, items, handle, g, bucket, ch,
+                i16_wire,
+            )
+
+    def _dispatch_i16(self, items, g, bucket, ch):
+        """Int16-wire group encode dispatch (async device handle).
+
+        Ships ONE flat int16 buffer up; the device returns ONE flat
+        int16 buffer (codes + bark bits + fits flag, see _enc_i16)."""
+        import jax
+
+        n = self._codec.mdct.filters_n
+        x = np.zeros((g, bucket * n, ch), dtype=np.int16)
+        for j, (_, wave, blocks, samples) in enumerate(items):
+            x[j, :samples] = wave
+        flat = jax.device_put(x.reshape(-1))
+        out = self._enc_i16(self._codec, flat, g=g, s=bucket * n, ch=ch)
+        return (out, x)
+
+    def _finalize_batch(self, items, handle, g, bucket, ch, i16_wire):
+        """Pool-side half: block on the device result, unpack, pack,
+        respond. Runs concurrently with the batch loop's next dispatch."""
+        try:
+            try:
+                if i16_wire:
+                    codes_h, bark_h = self._unpack_i16(
+                        handle, g, bucket, ch
+                    )
+                else:
+                    codes, bark = handle
+                    codes_h, bark_h = np.asarray(codes), np.asarray(bark)
+            except Exception as e:
+                with self._lock:
+                    self.stats["errors"] += 1
+                for req, *_ in items:
+                    req.finish(1, str(e).encode())
+                return
             with self._lock:
                 self.stats["encode_batches"] += 1
             for j, (req, _, blocks, samples) in enumerate(items):
                 # frames 0..blocks fully determine the unpadded clip: a
                 # frame depends only on blocks i-1, i and the pad blocks
                 # are zeros — trimming is bit-identical to solo encode
-                pool.submit(
-                    self._pack_one, req,
+                self._pack_one(
+                    req,
                     codes_h[j : j + 1, : blocks + 1],
                     bark_h[j : j + 1, : blocks + 1],
                     samples,
                 )
+        finally:
+            self._inflight.release()
+
+    def _unpack_i16(self, handle, g, bucket, ch):
+        """Flat int16 device result -> (codes int32, bark bf16) host
+        arrays; falls back to the float/int32 path for the rare batch
+        whose codes overflow int16."""
+        import ml_dtypes
+
+        out_dev, x = handle
+        n = self._codec.mdct.filters_n
+        out = np.asarray(out_dev)
+        if out[-1]:
+            blocks_out = bucket + 1
+            nc = g * blocks_out * n * ch
+            nb = g * blocks_out * self._bark_n * ch
+            codes_h = out[:nc].astype(np.int32).reshape(
+                g, blocks_out, n, ch
+            )
+            bark_h = out[nc : nc + nb].view(ml_dtypes.bfloat16).reshape(
+                g, blocks_out, self._bark_n, ch
+            )
+            return codes_h, bark_h
+        # overflow: at least one code needs >int16 — recompute via the
+        # exact float path (int16/32768 is exact in float32)
+        xf = x.astype(np.float32) * np.float32(1.0 / 32768.0)
+        codes, bark = self._enc(
+            self._codec,
+            jnp.asarray(xf, dtype=self._codec.mdct.compute_dtype),
+        )
+        return np.asarray(codes), np.asarray(bark)
 
     def _pack_one(self, req, codes, bark, orig_samples=0):
         try:
