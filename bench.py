@@ -244,13 +244,21 @@ def main():
 
     xs_f32 = jnp.asarray(base8)
     xs_bf16 = jnp.asarray(base8, dtype=jnp.bfloat16)
+    # Speed deployments run the Bark/threshold einsums one-pass too
+    # (bark_precision="default"): measured +6.7% composed throughput
+    # with IDENTICAL quantized SNR (18.93 dB) and NMR (0.0306) on this
+    # workload — the threshold only picks step sizes, and the field is
+    # recorded in container meta so both ends always agree
+    # (docs/DESIGN.md §3d). The f32 quality default keeps HIGHEST.
     codec_i8 = Codec.create(
         sample_rate=sample_rate, filters_n=filters_n, bark_bands_n=64,
         compute_dtype=jnp.bfloat16, fast_bf16=True, dct_precision="int8",
+        bark_precision="default",
     )
     codec_bf16 = Codec.create(
         sample_rate=sample_rate, filters_n=filters_n, bark_bands_n=64,
         compute_dtype=jnp.bfloat16, fast_bf16=True, dct_precision="default",
+        bark_precision="default",
     )
     codec_f32 = Codec.create(
         sample_rate=sample_rate, filters_n=filters_n, bark_bands_n=64,
