@@ -637,3 +637,83 @@ class TestUnixSocket:
             out = serve.request("E", blob, unix_path=path)
             codes, _, _ = bitstream.unpack(out)
             assert codes.shape[1] == 5
+
+
+class TestInt16Wire:
+    """Round 4's transport-lean encode path (serve._enc_i16): PCM16
+    requests ship int16 and come back as one flat int16 buffer. The
+    contract is byte-identity with the float ingress for PCM16, correct
+    fallback for every other wire, and a working int32 escape when codes
+    overflow int16."""
+
+    def test_float_wav_request_uses_float_path(self, codec, server):
+        # 32-bit PCM WAV: read_wav_i16_bytes returns None, so the server
+        # takes the float ingress; result must equal the offline float
+        # encode of the same decoded samples
+        t = np.arange(8 * N) / SR
+        x = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)[:, None]
+        blob = write_wav_bytes(x, SR, width=4)
+        from audiocodec_tpu.io.wav import read_wav_bytes
+
+        wave_f, rate = read_wav_bytes(blob)
+        assert rate == SR
+        with serve.Client(port=server.port) as c:
+            out = c.encode(blob)
+        codes, bark, _ = bitstream.unpack(out)
+        w_codes, w_bark = _jit_encode(codec, jnp.asarray(wave_f, jnp.float32))
+        np.testing.assert_array_equal(codes, np.asarray(w_codes))
+
+    def test_read_wav_i16_bytes_dispatch(self):
+        from audiocodec_tpu.io.wav import read_wav_i16_bytes
+
+        x = (np.sin(2 * np.pi * 440 * np.arange(2048) / SR) * 20000
+             ).astype(np.float32)[:, None]
+        pcm16 = write_wav_bytes(x / 32768.0 * 0.6, SR, width=2)
+        got = read_wav_i16_bytes(pcm16)
+        assert got is not None and got[0].dtype == np.int16
+        assert got[1] == SR
+        pcm32 = write_wav_bytes(x / 32768.0 * 0.6, SR, width=4)
+        assert read_wav_i16_bytes(pcm32) is None
+
+    def test_unpack_i16_overflow_falls_back_to_int32(self, codec, server):
+        # fabricate a handle whose fits flag is 0: _unpack_i16 must
+        # recompute via the float/int32 path and return exact int32 codes
+        import jax
+
+        g, bucket, ch = 1, 4, 1
+        x = np.zeros((g, bucket * N, ch), dtype=np.int16)
+        x[0, : 2 * N, 0] = (
+            np.sin(2 * np.pi * 440 * np.arange(2 * N) / SR) * 20000
+        ).astype(np.int16)
+        fake = jax.device_put(
+            np.zeros(g * (bucket + 1) * N * ch
+                     + g * (bucket + 1) * codec.psycho.bark_bands_n * ch
+                     + 1, dtype=np.int16)
+        )
+        codes_h, bark_h = server._unpack_i16((fake, x), g, bucket, ch)
+        assert codes_h.dtype == np.int32
+        xf = x.astype(np.float32) / 32768.0
+        w_codes, w_bark = server._enc(codec, jnp.asarray(xf, jnp.float32))
+        np.testing.assert_array_equal(codes_h, np.asarray(w_codes))
+
+    def test_i16_wire_equals_float_wire_bytes(self, codec, server):
+        # the SAME samples sent as PCM16 and PCM32 must produce
+        # identical containers (int16/32768 dequant is exact in f32)
+        t = np.arange(8 * N) / SR
+        x16 = (np.sin(2 * np.pi * 220 * t) * 12000).astype(np.int16)
+        xf = (x16.astype(np.float32) / 32768.0)[:, None]
+        import io as _io
+        import wave as _wave
+
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(SR)
+            f.writeframes(x16.tobytes())
+        pcm16_blob = buf.getvalue()
+        with serve.Client(port=server.port) as c:
+            out16 = c.encode(pcm16_blob)
+        codes, bark, _ = bitstream.unpack(out16)
+        w_codes, _ = _jit_encode(codec, jnp.asarray(xf[None], jnp.float32))
+        np.testing.assert_array_equal(codes, np.asarray(w_codes))
