@@ -181,7 +181,9 @@ def _cmd_encode_lossless(args):
 
     _refuse_lossy_flags(args)
     x, rate, bits = _wav.read_wav_int(args.input)
-    blob = lossless.encode_lossless(x, rate, bits=bits)
+    blob = lossless.encode_lossless(
+        x, rate, bits=bits, level=getattr(args, "lossless_level", 1)
+    )
     with open(args.output, "wb") as f:
         f.write(blob)
     raw = x.shape[0] * x.shape[1] * bits // 8
@@ -998,7 +1000,9 @@ def _cmd_corpus_lossless(args, paths):
 
     def one(path):
         x, rate, bits = _wav.read_wav_int(path)
-        blob = lossless.encode_lossless(x, rate, bits=bits)
+        blob = lossless.encode_lossless(
+            x, rate, bits=bits, level=getattr(args, "lossless_level", 1)
+        )
         base = os.path.splitext(os.path.basename(path))[0]
         with open(os.path.join(args.outdir, base + ".acz"), "wb") as f:
             f.write(blob)
@@ -1602,6 +1606,12 @@ def main(argv=None) -> int:
              "decode reproduces the input bit-for-bit; 16/24-bit integer "
              "WAV only, and the lossy shaping flags do not apply",
     )
+    p.add_argument(
+        "--lossless-level", type=int, default=1, choices=(1, 2),
+        help="1 = fixed predictors (fast); 2 = additionally fit "
+             "order-8 quantized LPC per frame (FLAC -8-class ratios, "
+             "slower encode; decode cost unchanged)",
+    )
     add_model_args(p)
     p.set_defaults(fn=cmd_encode)
 
@@ -1663,6 +1673,11 @@ def main(argv=None) -> int:
         "--lossless", action="store_true",
         help="exact PCM archival of the whole directory (thread-pooled "
              "FLAC-class coding; 16/24-bit integer WAV, per-file rates)",
+    )
+    p.add_argument(
+        "--lossless-level", type=int, default=1, choices=(1, 2),
+        help="1 = fixed predictors (fast); 2 = + per-frame quantized "
+             "LPC (smaller, slower encode)",
     )
     add_model_args(p)
     p.set_defaults(fn=cmd_corpus)

@@ -32,9 +32,17 @@ TPU-first design decisions (vs FLAC's bitstream):
   codes member of the lossy container (io/bitstream.py) — run-length
   wins on silence-heavy material, plain Rice elsewhere.
 
-Stereo uses FLAC's lossless mid/side: mid = (l+r)>>1, side = l-r, with
-the shared parity bit recovered from side (l = mid + ((side+(side&1))>>1)).
-The l/r vs m/s choice is per file, by the same bit model.
+Stereo decorrelates per frame over FLAC's four pairings — l/r,
+mid/side (mid = (l+r)>>1, side = l-r, shared parity bit recovered from
+side), left/side, and side/right — by the same bit model, with margins
+that keep estimator near-ties on the file-level mode (uniform streams
+keep the compact header forms).
+
+Level 2 adds FLAC "-8"-class quantized LPC: an order-8 host float64
+Levinson fit competes per (frame, channel) against the fixed ladder;
+prediction/reconstruction are exact int64-accumulator integer filters
+in C++ (native/entropy.cpp). Container version 2; level 1 keeps
+writing version 1.
 
 Supported depths: 16- and 24-bit integer PCM. 32-bit is rejected: a
 4th-order difference of full-scale int32 overflows the int32 residual
@@ -51,9 +59,17 @@ MAX_ORDER = 4
 DEFAULT_FRAME = 4096  # multiple of the Rice group (256) so per-group
 #                       parameters never straddle a frame boundary
 _VERSION = 1
+_VERSION_LPC = 2  # adds the quantized-LPC frame type (orders value 5)
 _MAX_CHANNELS = 64
 _MAX_FRAME = 1 << 16
 _MAX_SAMPLES = 1 << 40  # ~70 years of 48 kHz stereo; bounds allocations
+
+# Level-2 ("max") tier: FLAC-style quantized LPC competing per frame
+# and channel against the fixed ladder. Format constants of container
+# version 2 — not knobs (decode derives everything from them).
+LPC_ORDER = 8
+LPC_SHIFT = 12  # coefficient quantization: qcoef = round(a * 2^12)
+LPC_MARK = MAX_ORDER + 1  # orders value flagging an LPC frame
 
 
 # -- device side --------------------------------------------------------------
@@ -222,6 +238,60 @@ def _get_reconstruct():
     return _get("reconstruct")
 
 
+# -- LPC tier (level 2) -------------------------------------------------------
+
+
+def _lpc_fit(y, order=LPC_ORDER):
+    """Quantized LPC coefficients per (frame, channel), host-side.
+
+    Windowed autocorrelation + vectorized Levinson-Durbin in float64
+    (coefficient QUALITY only — exactness comes from the integer filter
+    in native/entropy.cpp, which re-derives residuals with the same
+    quantized coefficients the decoder reads).
+
+    :param y: int32 [F, n, C] stored-channel samples
+    :return: int32 [F, order, C], qcoef[j] predicting x[t] from x[t-1-j]
+    """
+    f, n, c = y.shape
+    w = np.hanning(n)
+    d = y.astype(np.float64) * w[None, :, None]
+    r = np.empty((f, order + 1, c))
+    for k in range(order + 1):
+        r[:, k] = np.einsum("fnc,fnc->fc", d[:, k:], d[:, : n - k])
+    # Levinson-Durbin over [F, C]
+    a = np.zeros((f, order, c))
+    e = r[:, 0] + 1e-9
+    for m in range(order):
+        acc = r[:, m + 1].copy()
+        for j in range(m):
+            acc -= a[:, j] * r[:, m - j]
+        k_ref = np.where(e > 0, acc / np.maximum(e, 1e-30), 0.0)
+        k_ref = np.clip(k_ref, -0.9999, 0.9999)
+        prev = a[:, :m].copy()
+        a[:, m] = k_ref
+        for j in range(m):
+            a[:, j] = prev[:, j] - k_ref * prev[:, m - 1 - j]
+        e = e * (1.0 - k_ref**2)
+    q = np.clip(
+        np.round(a * float(1 << LPC_SHIFT)), -32768, 32767
+    ).astype(np.int32)
+    return q
+
+
+def _est_bits(res):
+    """Rice bit estimate per (frame, channel) — the same
+    min_p n(p+1)+sum(zigzag)/2^p model as the device selector, exact
+    sums (host side, used by the level-2 per-frame competition)."""
+    n = res.shape[1]
+    sumu = 2.0 * np.abs(res, dtype=np.float64).sum(axis=1)
+    ps = np.arange(18.0)
+    bits = (
+        n * (ps + 1.0)[None, :, None]
+        + sumu[:, None, :] / (2.0**ps)[None, :, None]
+    )
+    return bits.min(axis=1)
+
+
 # -- stereo decorrelation ------------------------------------------------------
 
 
@@ -267,13 +337,19 @@ def _from_modes(x, sm):
 
 
 def encode_lossless(
-    x, sample_rate: int, bits: int = 16, frame: int = DEFAULT_FRAME
+    x, sample_rate: int, bits: int = 16, frame: int = DEFAULT_FRAME,
+    level: int = 1,
 ) -> bytes:
     """Losslessly encode integer PCM -> container bytes.
 
     :param x: int samples [samples, channels] (or [1, samples, channels]),
         within the given bit depth.
     :param bits: source depth, 16 or 24.
+    :param level: 1 = fixed predictors (FLAC "fast" ladder; the gated
+        default), 2 = additionally fit order-8 quantized LPC per frame
+        and keep whichever wins per (frame, channel) — FLAC "-8"-class
+        ratios at FLAC "-8"-class encode cost (the LPC fit is host
+        float64 + a native exact integer filter). Decoders handle both.
     """
     from audiocodec_tpu import native
 
@@ -297,6 +373,8 @@ def encode_lossless(
         raise ValueError(
             f"frame must be a multiple of 256 in [256, {_MAX_FRAME}]"
         )
+    if level not in (1, 2):
+        raise ValueError(f"level must be 1 or 2, got {level}")
     # bounds check on the input dtype (min/max never overflow), then ONE
     # int32 copy — the round-3 int64 round trip cost two extra passes
     lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
@@ -386,6 +464,42 @@ def encode_lossless(
         orders = np.asarray(orders)[:f_real]
         flat = np.asarray(_get("flatten")(res))[: f_real * channels * frame]
 
+    lpc = None
+    if level >= 2 and frame > LPC_ORDER:
+        # level-2 tier: fit order-8 quantized LPC per frame on the SAME
+        # stored channels the fixed ladder chose, and keep whichever
+        # costs fewer estimated bits per (frame, channel). The 128-bit
+        # margin plus the 16-bit/coefficient overhead keeps near-ties on
+        # the cheaper-to-decode fixed path.
+        c_stored = 2 if channels == 2 else channels
+        xf_host = xf[:f_real]
+        if channels == 2:
+            l4 = xf_host[..., 0]
+            r4 = xf_host[..., 1]
+            x4h = np.stack(
+                [l4, r4, (l4 + r4) >> 1, l4 - r4], axis=-1
+            )
+            y = np.take_along_axis(x4h, idx[:, None, :], axis=2)
+        else:
+            y = xf_host
+        y = np.ascontiguousarray(y, dtype=np.int32)
+        qcoef = _lpc_fit(y)
+        res_lpc = native.lpc_residual(y, qcoef, LPC_SHIFT)
+        res_w = np.ascontiguousarray(
+            flat.reshape(f_real, c_stored, frame).transpose(0, 2, 1)
+        )
+        use = (
+            _est_bits(res_lpc) + 16.0 * LPC_ORDER + 128.0
+            < _est_bits(res_w)
+        )
+        if use.any():
+            res_w = np.where(use[:, None, :], res_lpc, res_w)
+            orders = np.where(use, LPC_MARK, orders)
+            lpc = np.where(use[:, None, :], qcoef, 0).astype(np.int16)
+            flat = np.ascontiguousarray(
+                res_w.transpose(0, 2, 1)
+            ).reshape(-1)
+
     # flat is the frame-major, channel-second wire layout (built on
     # device): each (frame, channel) run is a whole number of Rice
     # groups, so the coder's per-group parameters adapt within one
@@ -439,7 +553,10 @@ def encode_lossless(
         entropy, stereo_mode, payload = 2, 0, _pack_raw(x, bits)
         orders = np.zeros((0, 0), dtype=np.uint8)
         smodes = None
+        lpc = None
     extra = {} if smodes is None else {"smodes": smodes}
+    if lpc is not None:
+        extra["lpc"] = lpc
     buf = _io.BytesIO()
     # plain savez (STORED members): Rice output is already near-optimal
     # entropy, so deflating it costs ~0.3 s per audio-minute for < 0.5%
@@ -450,7 +567,7 @@ def encode_lossless(
         buf,
         lmeta=np.asarray(
             [
-                _VERSION,
+                _VERSION_LPC if lpc is not None else _VERSION,
                 sample_rate,
                 channels,
                 n_samples,
@@ -533,7 +650,7 @@ def _parse_lmeta(meta):
     version, rate, channels, n_samples, frame, bits, stereo_mode, entropy = (
         int(v) for v in meta
     )
-    if version != _VERSION:
+    if version not in (_VERSION, _VERSION_LPC):
         raise ValueError(f"unsupported lossless container version {version}")
     if not 0 < channels <= _MAX_CHANNELS:
         raise ValueError(f"corrupt lossless container: channels {channels}")
@@ -647,8 +764,9 @@ def decode_lossless(data: bytes):
                 raise ValueError(
                     f"corrupt lossless container: orders dtype {orders.dtype}"
                 )
+            max_order = LPC_MARK if version >= _VERSION_LPC else MAX_ORDER
             if (
-                orders.max(initial=0) > MAX_ORDER
+                orders.max(initial=0) > max_order
                 or orders.min(initial=0) < 0
             ):
                 raise ValueError("corrupt lossless container: order out of range")
@@ -672,6 +790,31 @@ def decode_lossless(data: bytes):
                 raise ValueError(
                     "corrupt lossless container: stereo frame mode out of range"
                 )
+        lpc = None
+        if (
+            entropy != 2
+            and orders is not None
+            and (orders == LPC_MARK).any()
+        ):
+            lpc = np.asarray(
+                _bounded_member(
+                    z, "lpc", len(data), max(total, _SMALL_MEMBER_CAP)
+                )
+            )
+            if lpc.shape != (f, LPC_ORDER, channels):
+                raise ValueError(
+                    f"corrupt lossless container: lpc {lpc.shape} for "
+                    f"{f} frames x order {LPC_ORDER} x {channels} channels"
+                )
+            if not np.issubdtype(lpc.dtype, np.integer):
+                raise ValueError(
+                    f"corrupt lossless container: lpc dtype {lpc.dtype}"
+                )
+            if lpc.max(initial=0) > 32767 or lpc.min(initial=0) < -32768:
+                raise ValueError(
+                    "corrupt lossless container: lpc coefficient out of range"
+                )
+            lpc = lpc.astype(np.int32)
     except KeyError as e:
         raise ValueError(f"corrupt lossless container: missing member {e}") from e
     except (
@@ -722,8 +865,24 @@ def decode_lossless(data: bytes):
         flat_pad = np.zeros(f_pad * channels * frame, dtype=np.int32)
         flat_pad[: flat.size] = flat
         ordr = np.zeros((f_pad, channels), dtype=np.int32)
-        ordr[:f] = orders
-        x = np.asarray(_get("reconstruct_flat")(flat_pad, ordr))[:n_samples]
+        # LPC frames (orders == LPC_MARK) integrate natively below; the
+        # device program sees them as order 0 (identity) and is
+        # overwritten — same frame independence, different filter
+        ordr[:f] = np.where(orders == LPC_MARK, 0, orders)
+        x = np.array(_get("reconstruct_flat")(flat_pad, ordr))
+        if lpc is not None:
+            res_h = flat.reshape(f, channels, frame).transpose(0, 2, 1)
+            xv = x[: f * frame].reshape(f, frame, channels)
+            for c in range(channels):
+                kk = np.nonzero(np.asarray(orders)[:, c] == LPC_MARK)[0]
+                if kk.size:
+                    rec = native.lpc_reconstruct(
+                        np.ascontiguousarray(res_h[kk][:, :, c : c + 1]),
+                        np.ascontiguousarray(lpc[kk][:, :, c : c + 1]),
+                        LPC_SHIFT,
+                    )
+                    xv[kk, :, c] = rec[:, :, 0]
+        x = x[:n_samples]
         if stereo_mode == 2:
             sm = np.repeat(smodes.astype(np.uint8), frame)[:n_samples]
             x = _from_modes(x, sm)

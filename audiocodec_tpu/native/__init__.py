@@ -101,6 +101,19 @@ def _bind(lib):
         ctypes.c_int64,
         ctypes.c_int64,
     ]
+    lib.acx_lpc_residual.restype = ctypes.c_int32
+    lib.acx_lpc_residual.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.acx_lpc_reconstruct.restype = ctypes.c_int32
+    lib.acx_lpc_reconstruct.argtypes = list(lib.acx_lpc_residual.argtypes)
     lib.acx_rrice_bound.restype = ctypes.c_int64
     lib.acx_rrice_bound.argtypes = [ctypes.c_int64, ctypes.c_int64]
     lib.acx_rrice_encode.restype = ctypes.c_int64
@@ -421,6 +434,58 @@ def rrice_decode(data: bytes, n: int, group: int = RICE_GROUP) -> np.ndarray:
             raise ValueError("corrupt rice stream")
         return out
     return _rrice_decode_py(buf, n, group)
+
+
+def _lpc_call(fn_name, data, qcoef, shift):
+    """Shared driver for the exact integer LPC filters (lossless.py
+    level-2 tier). int64 accumulators live in C++ because the no-x64
+    JAX default cannot express them exactly; pure-Python fallbacks would
+    be minutes per file, so this pair is native-only like rice_encode.
+
+    :param data: int32 [frames, n, channels] (samples or residuals)
+    :param qcoef: int32 [frames, p, channels] quantized coefficients
+    :param shift: right-shift of the prediction accumulator (0..31)
+    :return: int32 [frames, n, channels]
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            f"{fn_name} needs the native library: {_build_error}"
+        )
+    data = np.ascontiguousarray(data, dtype=np.int32)
+    qcoef = np.ascontiguousarray(qcoef, dtype=np.int32)
+    frames, n, channels = data.shape
+    if qcoef.shape[0] != frames or qcoef.shape[2] != channels:
+        raise ValueError(
+            f"qcoef {qcoef.shape} does not match data {data.shape}"
+        )
+    p = qcoef.shape[1]
+    out = np.empty_like(data)
+    rc = getattr(lib, fn_name)(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        frames,
+        n,
+        channels,
+        qcoef.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        p,
+        int(shift),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise ValueError(
+            f"invalid LPC parameters (order {p}, shift {shift})"
+        )
+    return out
+
+
+def lpc_residual(x, qcoef, shift):
+    """Quantized-LPC residuals per frame (exact, FLAC-style)."""
+    return _lpc_call("acx_lpc_residual", x, qcoef, shift)
+
+
+def lpc_reconstruct(res, qcoef, shift):
+    """Exact inverse of :func:`lpc_residual`."""
+    return _lpc_call("acx_lpc_reconstruct", res, qcoef, shift)
 
 
 def _rrice_decode_py(buf: np.ndarray, n: int, group: int) -> np.ndarray:

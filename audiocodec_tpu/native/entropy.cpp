@@ -359,6 +359,78 @@ int64_t acx_rrice_encode(const int32_t* codes, int64_t n, int64_t group,
   return w.finish();
 }
 
+// ---- LPC predictor filters (lossless.py level-2 "max" tier) ----------------
+//
+// FLAC-style quantized-LPC prediction: pred[t] = (sum_j qcoef[j] *
+// x[t-1-j]) >> shift with an int64 accumulator (a 15-bit coefficient
+// times a 25-bit mid/side sample times order 32 needs ~45 bits — the
+// reason this runs in C++ and not in the no-x64 JAX default). The
+// first `p` warmup slots store x[0] raw and first differences, so every
+// frame remains self-contained (no neighbor context), matching the
+// fixed-predictor frames' decode independence.
+//
+// Batched over frames*channels: x/res are [frames, n, channels] in
+// C-order sample-major per frame; qcoef is [frames, p, channels].
+// Returns 0, or -1 on invalid args.
+
+static inline int64_t sar64(int64_t v, int s) {
+  // arithmetic shift right, defined for negative v
+  return v >> s;
+}
+
+int32_t acx_lpc_residual(const int32_t* x, int64_t frames, int64_t n,
+                         int64_t channels, const int32_t* qcoef, int64_t p,
+                         int32_t shift, int32_t* res) {
+  if (p < 1 || p > 32 || shift < 0 || shift > 31 || n <= p) return -1;
+  for (int64_t f = 0; f < frames; ++f) {
+    for (int64_t c = 0; c < channels; ++c) {
+      const int32_t* xf = x + (f * n) * channels + c;
+      const int32_t* cf = qcoef + (f * p) * channels + c;
+      int32_t* rf = res + (f * n) * channels + c;
+      rf[0] = xf[0];
+      for (int64_t t = 1; t < p; ++t)
+        rf[t * channels] = xf[t * channels] - xf[(t - 1) * channels];
+      for (int64_t t = p; t < n; ++t) {
+        int64_t acc = 0;
+        for (int64_t j = 0; j < p; ++j)
+          acc += static_cast<int64_t>(cf[j * channels]) *
+                 static_cast<int64_t>(xf[(t - 1 - j) * channels]);
+        rf[t * channels] = static_cast<int32_t>(
+            static_cast<int64_t>(xf[t * channels]) - sar64(acc, shift));
+      }
+    }
+  }
+  return 0;
+}
+
+int32_t acx_lpc_reconstruct(const int32_t* res, int64_t frames, int64_t n,
+                            int64_t channels, const int32_t* qcoef, int64_t p,
+                            int32_t shift, int32_t* x) {
+  if (p < 1 || p > 32 || shift < 0 || shift > 31 || n <= p) return -1;
+  for (int64_t f = 0; f < frames; ++f) {
+    for (int64_t c = 0; c < channels; ++c) {
+      const int32_t* rf = res + (f * n) * channels + c;
+      const int32_t* cf = qcoef + (f * p) * channels + c;
+      int32_t* xf = x + (f * n) * channels + c;
+      xf[0] = rf[0];
+      for (int64_t t = 1; t < p; ++t)
+        xf[t * channels] = xf[(t - 1) * channels] + rf[t * channels];
+      for (int64_t t = p; t < n; ++t) {
+        int64_t acc = 0;
+        for (int64_t j = 0; j < p; ++j)
+          acc += static_cast<int64_t>(cf[j * channels]) *
+                 static_cast<int64_t>(xf[(t - 1 - j) * channels]);
+        // int64 sum then cast: tampered coefficients can push the
+        // prediction past int32 and a plain int32 add would be UB; the
+        // cast wraps and the caller's bit-depth bounds check rejects it
+        xf[t * channels] = static_cast<int32_t>(
+            static_cast<int64_t>(rf[t * channels]) + sar64(acc, shift));
+      }
+    }
+  }
+  return 0;
+}
+
 int32_t acx_rrice_decode(const uint8_t* in, int64_t len, int32_t* codes,
                          int64_t n, int64_t group) {
   BitReader r{in, len};

@@ -465,3 +465,134 @@ class TestCLI:
         wav.write_wav(src, np.zeros((4096, 1)), 44100, width=4)
         rc = cli.main(["encode", src, str(tmp_path / "o.acz"), "--lossless"])
         assert rc != 0
+
+
+class TestLPCLevel:
+    """Level-2 tier: per-frame quantized LPC (container version 2).
+    The contract is unchanged — decode(encode(x)) == x bit-for-bit —
+    plus the tier must actually earn its bytes on predictable content
+    and its new container member must be hardened like the others."""
+
+    def _music(self, secs=6, sr=44100):
+        rng = np.random.default_rng(21)
+        t = np.arange(sr * secs) / sr
+        l = (9000 * np.sin(2 * np.pi * 330 * t)
+             + 4000 * np.sin(2 * np.pi * 495 * t + 0.3)
+             + rng.normal(0, 80, t.size)).astype(np.int32)
+        r = (0.8 * l + rng.normal(0, 60, t.size)).astype(np.int32)
+        return np.stack([l, r], axis=1), sr
+
+    def test_level2_bit_exact_and_smaller(self):
+        x, sr = self._music()
+        b1 = lossless.encode_lossless(x, sr, level=1)
+        b2 = lossless.encode_lossless(x, sr, level=2)
+        y, rate, bits = lossless.decode_lossless(b2)
+        np.testing.assert_array_equal(y, x)
+        assert lossless.describe(b2)["version"] == 2
+        # tonal-dominated content: LPC must beat the fixed ladder
+        assert len(b2) < len(b1)
+
+    def test_level2_mono_24bit_odd_length(self):
+        rng = np.random.default_rng(22)
+        n = 3 * 4096 + 777
+        t = np.arange(n) / 48000
+        x = (4_000_000 * np.sin(2 * np.pi * 123 * t)
+             + rng.normal(0, 500, n)).astype(np.int32)[:, None]
+        blob = lossless.encode_lossless(x, 48000, bits=24, level=2)
+        y, _, _ = lossless.decode_lossless(blob)
+        np.testing.assert_array_equal(y, x)
+
+    def test_level2_noise_still_never_expands(self):
+        rng = np.random.default_rng(23)
+        x = rng.integers(-32768, 32767, size=(30000, 2), dtype=np.int16)
+        blob = lossless.encode_lossless(x, 44100, level=2)
+        y, _, _ = lossless.decode_lossless(blob)
+        np.testing.assert_array_equal(np.asarray(x, np.int32), y)
+        assert len(blob) < 1.01 * x.size * 2
+
+    def test_level1_streams_stay_version1(self):
+        x, sr = self._music(secs=2)
+        blob = lossless.encode_lossless(x, sr, level=1)
+        assert lossless.describe(blob)["version"] == 1
+
+    def test_bad_level_rejected(self):
+        with pytest.raises(ValueError, match="level"):
+            lossless.encode_lossless(
+                np.zeros((1000, 1), np.int16), 44100, level=3
+            )
+
+    def _retag(self, blob, drop_lpc=False, lpc_shape=None, lpc_vals=None):
+        """Rewrite the lpc member of a v2 container (attacker model)."""
+        src = zipfile.ZipFile(io.BytesIO(blob))
+        out = io.BytesIO()
+        with zipfile.ZipFile(out, "w") as dst:
+            for name in src.namelist():
+                data = src.read(name)
+                if name == "lpc.npy":
+                    if drop_lpc:
+                        continue
+                    buf = io.BytesIO(data)
+                    arr = np.load(buf)
+                    if lpc_vals is not None:
+                        arr = lpc_vals
+                    if lpc_shape is not None:
+                        arr = np.zeros(lpc_shape, arr.dtype)
+                    nb = io.BytesIO()
+                    np.save(nb, arr)
+                    data = nb.getvalue()
+                dst.writestr(name, data)
+        return out.getvalue()
+
+    def test_missing_lpc_member_rejected(self):
+        x, sr = self._music(secs=2)
+        blob = lossless.encode_lossless(x, sr, level=2)
+        assert lossless.describe(blob)["version"] == 2
+        with pytest.raises(ValueError, match="missing member|corrupt"):
+            lossless.decode_lossless(self._retag(blob, drop_lpc=True))
+
+    def test_wrong_lpc_shape_rejected(self):
+        x, sr = self._music(secs=2)
+        blob = lossless.encode_lossless(x, sr, level=2)
+        with pytest.raises(ValueError, match="lpc"):
+            lossless.decode_lossless(
+                self._retag(blob, lpc_shape=(1, lossless.LPC_ORDER, 2))
+            )
+
+    def test_tampered_lpc_values_never_crash(self):
+        """Garbage coefficients must yield ValueError or wrong samples,
+        never a crash/overflow (the int64 accumulator + bit-depth bounds
+        check)."""
+        x, sr = self._music(secs=2)
+        blob = lossless.encode_lossless(x, sr, level=2)
+        src = zipfile.ZipFile(io.BytesIO(blob))
+        lpc = np.load(io.BytesIO(src.read("lpc.npy")))
+        evil = np.full_like(lpc, 32767)
+        try:
+            y, _, _ = lossless.decode_lossless(
+                self._retag(blob, lpc_vals=evil)
+            )
+        except ValueError:
+            pass  # bit-depth bounds check fired — fine
+
+    def test_cli_level2_roundtrip(self, tmp_path):
+        import subprocess
+        import sys
+
+        from audiocodec_tpu.io import wav as _wav
+
+        x, sr = self._music(secs=1)
+        src = str(tmp_path / "in.wav")
+        acz = str(tmp_path / "out.acz")
+        back = str(tmp_path / "back.wav")
+        _wav.write_wav_int(src, x, sr, 16)
+        for cmd in (
+            ["encode", src, acz, "--lossless", "--lossless-level", "2"],
+            ["decode", acz, back],
+        ):
+            r = subprocess.run(
+                [sys.executable, "-m", "audiocodec_tpu"] + cmd,
+                capture_output=True, text=True,
+            )
+            assert r.returncode == 0, r.stderr
+        y, rate, bits = _wav.read_wav_int(back)
+        np.testing.assert_array_equal(y, x)
