@@ -814,14 +814,29 @@ def config6_lossless(quick):
                        iters=2)
         dec_dt = timed(lambda: int(lossless.decode_lossless(blob)[0][0, 0]),
                        iters=2)
+        # level-2 (quantized LPC) tier: exactness is the same hard gate;
+        # the ratio gate is RELATIVE — the tier must actually beat the
+        # fixed ladder on predictable content, else its margin logic
+        # regressed. Throughput is informational (the tier is the
+        # opt-in "max" mode; FLAC -8 is slow on purpose too).
+        blob2 = lossless.encode_lossless(music, sr, level=2)
+        y2, _, _ = lossless.decode_lossless(blob2)
+        exact = exact and bool(np.array_equal(np.asarray(music, np.int32), y2))
+        ratio_l2 = len(blob2) / (music.size * 2)
+        enc2_dt = timed(
+            lambda: len(lossless.encode_lossless(music, sr, level=2)),
+            iters=2,
+        )
     enc_thr = secs / enc_dt
     dec_thr = secs / dec_dt
+    enc2_thr = secs / enc2_dt
 
     ok = exact and bool(
         ratios["music"] <= GATES["lossless_music_ratio"]
         and ratios["sine"] <= GATES["lossless_sine_ratio"]
         and ratios["noise"] <= GATES["lossless_noise_ratio"]
         and ratios["silence"] <= GATES["lossless_silence_ratio"]
+        and ratio_l2 < ratios["music"]
     )
     if not quick:
         ok = ok and bool(
@@ -832,8 +847,10 @@ def config6_lossless(quick):
         "config": "lossless_archival",
         "bit_exact": exact,
         "ratio": ratios,
+        "ratio_music_lpc": round(ratio_l2, 4),
         "decode_audio_s_per_s": round(dec_thr, 1),
         "throughput_audio_s_per_s": round(enc_thr, 1),
+        "lpc_encode_audio_s_per_s": round(enc2_thr, 1),
         "pass": ok,
     }
 
