@@ -557,6 +557,15 @@ def encode_lossless(
     extra = {} if smodes is None else {"smodes": smodes}
     if lpc is not None:
         extra["lpc"] = lpc
+    # FLAC-MD5-style integrity: CRC32 of the source PCM (the _pack_raw
+    # byte stream at the declared depth). Decode verifies when present,
+    # catching bit rot and coder regressions the structural checks
+    # cannot; the member is additive, so older readers ignore it.
+    import zlib as _zlib
+
+    extra["pcrc"] = np.asarray(
+        [_zlib.crc32(_pack_raw(x, bits))], dtype=np.uint32
+    )
     buf = _io.BytesIO()
     # plain savez (STORED members): Rice output is already near-optimal
     # entropy, so deflating it costs ~0.3 s per audio-minute for < 0.5%
@@ -700,11 +709,14 @@ def describe(data: bytes) -> dict:
         NotImplementedError, RuntimeError,
     ) as e:
         raise ValueError(f"corrupt lossless container: bad member data ({e})") from e
+    else:
+        has_crc = "pcrc" in getattr(z, "files", ())
     finally:
         z.close()
     version, rate, channels, n_samples, frame, bits, stereo_mode, entropy = fields
     return {
         "version": version,
+        "integrity": "crc32" if has_crc else "none",
         "sample_rate": rate,
         "channels": channels,
         "n_samples": n_samples,
@@ -815,6 +827,16 @@ def decode_lossless(data: bytes):
                     "corrupt lossless container: lpc coefficient out of range"
                 )
             lpc = lpc.astype(np.int32)
+        pcrc = None
+        if "pcrc" in getattr(z, "files", ()):
+            pcrc_arr = np.asarray(
+                _bounded_member(z, "pcrc", len(data), _SMALL_MEMBER_CAP)
+            )
+            if pcrc_arr.shape != (1,) or not np.issubdtype(
+                pcrc_arr.dtype, np.integer
+            ):
+                raise ValueError("corrupt lossless container: pcrc member")
+            pcrc = int(pcrc_arr[0]) & 0xFFFFFFFF
     except KeyError as e:
         raise ValueError(f"corrupt lossless container: missing member {e}") from e
     except (
@@ -891,6 +913,12 @@ def decode_lossless(data: bytes):
     lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
     if x.min() < lo or x.max() > hi:
         raise ValueError("corrupt lossless container: samples exceed bit depth")
+    if pcrc is not None and (
+        zlib.crc32(_pack_raw(np.ascontiguousarray(x), bits)) & 0xFFFFFFFF
+    ) != pcrc:
+        raise ValueError(
+            "lossless container integrity check failed (PCM CRC mismatch)"
+        )
     return x, rate, bits
 
 

@@ -596,3 +596,49 @@ class TestLPCLevel:
             assert r.returncode == 0, r.stderr
         y, rate, bits = _wav.read_wav_int(back)
         np.testing.assert_array_equal(y, x)
+
+
+class TestIntegrityCRC:
+    """FLAC-MD5-style whole-stream integrity: every new container
+    carries a CRC32 of the source PCM; decode verifies it, catching bit
+    rot and coder regressions the structural checks cannot."""
+
+    def _blob(self):
+        rng = np.random.default_rng(31)
+        x = (np.cumsum(rng.normal(0, 200, (20000, 2)), axis=0)
+             ).astype(np.int32)
+        np.clip(x, -30000, 30000, out=x)
+        return x, lossless.encode_lossless(x, 44100)
+
+    def test_describe_reports_crc(self):
+        _, blob = self._blob()
+        assert lossless.describe(blob)["integrity"] == "crc32"
+
+    def test_flipped_residual_byte_detected(self):
+        x, blob = self._blob()
+        src = zipfile.ZipFile(io.BytesIO(blob))
+        out = io.BytesIO()
+        with zipfile.ZipFile(out, "w") as dst:
+            for name in src.namelist():
+                data = src.read(name)
+                if name == "res.npy":
+                    b = bytearray(data)
+                    b[-200] ^= 0x10  # flip a residual payload bit
+                    data = bytes(b)
+                dst.writestr(name, data)
+        # either the entropy layer rejects the stream outright, or the
+        # reconstruction differs and the CRC catches it
+        with pytest.raises(ValueError):
+            lossless.decode_lossless(out.getvalue())
+
+    def test_pre_crc_containers_still_decode(self):
+        x, blob = self._blob()
+        src = zipfile.ZipFile(io.BytesIO(blob))
+        out = io.BytesIO()
+        with zipfile.ZipFile(out, "w") as dst:
+            for name in src.namelist():
+                if name == "pcrc.npy":
+                    continue  # a round-3 writer never stored it
+                dst.writestr(name, src.read(name))
+        y, _, _ = lossless.decode_lossless(out.getvalue())
+        np.testing.assert_array_equal(y, x)
