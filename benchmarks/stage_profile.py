@@ -40,7 +40,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
 
-    from audiocodec_tpu import quantize as _quantize
     from audiocodec_tpu.codec import Codec
 
     sr, n, B = 44100, 1024, args.batch
