@@ -150,6 +150,11 @@ EOF
 step "serving throughput" python benchmarks/serve_bench.py \
   --clients 8 --requests 64 --seconds 2.0
 
+step "serve transport decomposition" python benchmarks/serve_probe.py
+
+step "composed stage profile (int8 flagship)" python \
+  benchmarks/stage_profile.py --config bf16_int8 --bark-precision default
+
 step "bench.py headline" python bench.py
 
 echo "campaign complete -> $LOG" | tee -a "$LOG"
