@@ -574,6 +574,25 @@ class TestLPCLevel:
         except ValueError:
             pass  # bit-depth bounds check fired — fine
 
+    def test_level2_multichannel(self):
+        rng = np.random.default_rng(24)
+        t = np.arange(30000) / 44100
+        x = np.stack(
+            [(6000 * np.sin(2 * np.pi * (200 + 50 * c) * t)
+              + rng.normal(0, 40, t.size)).astype(np.int32)
+             for c in range(6)], axis=1,
+        )
+        blob = lossless.encode_lossless(x, 44100, level=2)
+        y, _, _ = lossless.decode_lossless(blob)
+        np.testing.assert_array_equal(y, x)
+
+    def test_level2_tiny_clip_small_frame(self):
+        rng = np.random.default_rng(25)
+        x = rng.integers(-200, 200, size=(300, 1), dtype=np.int16)
+        blob = lossless.encode_lossless(x, 44100, level=2, frame=256)
+        y, _, _ = lossless.decode_lossless(blob)
+        np.testing.assert_array_equal(y, np.asarray(x, np.int32))
+
     def test_cli_level2_roundtrip(self, tmp_path):
         import subprocess
         import sys
