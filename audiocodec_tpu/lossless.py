@@ -537,7 +537,10 @@ def encode_lossless(
     # of PCM on a pure sine). Gated on small residuals (Rice k <= 3) so
     # dense music skips the extra deflate pass
     if float(np.mean(np.abs(flat, dtype=np.int64))) * 2.0 < 16.0:
-        mx = int(np.abs(flat).max())
+        # int64 abs: an exact INT32_MIN residual would wrap to a
+        # negative max under int32 and select width 1, truncating the
+        # written stream (caught only at decode by its own CRC)
+        mx = int(np.abs(flat.astype(np.int64)).max())
         width = 1 if mx < (1 << 7) else (2 if mx < (1 << 15) else 4)
         wdt = {1: np.int8, 2: np.int16, 4: np.int32}[width]
         zraw = zlib.compress(flat.astype(wdt).tobytes(), 6)

@@ -616,6 +616,11 @@ class CodecServer:
         # same transport bytes). _inflight bounds queued device work.
         for (bucket, ch, i16_wire), items in groups.items():
             g = _next_pow2(len(items))
+            # acquire BEFORE dispatching so the semaphore bounds
+            # dispatched device work (H2D upload included), not just
+            # finalization — depth-3 uploads behind two in-flight
+            # batches only add host memory pressure on this transport
+            self._inflight.acquire()
             try:
                 if i16_wire:
                     handle = self._dispatch_i16(items, g, bucket, ch)
@@ -627,16 +632,25 @@ class CodecServer:
                         self._codec, jnp.asarray(x, dtype=dtype)
                     )
             except Exception as e:
+                self._inflight.release()
                 with self._lock:
                     self.stats["errors"] += 1
                 for req, *_ in items:
                     req.finish(1, str(e).encode())
                 continue
-            self._inflight.acquire()
-            pool.submit(
-                self._finalize_batch, items, handle, g, bucket, ch,
-                i16_wire,
-            )
+            try:
+                pool.submit(
+                    self._finalize_batch, items, handle, g, bucket, ch,
+                    i16_wire,
+                )
+            except RuntimeError as e:
+                # executor shut down mid-stop: release the slot (it
+                # would otherwise leak permanently) and fail the batch
+                self._inflight.release()
+                with self._lock:
+                    self.stats["errors"] += 1
+                for req, *_ in items:
+                    req.finish(1, str(e).encode())
 
     def _dispatch_i16(self, items, g, bucket, ch):
         """Int16-wire group encode dispatch (async device handle).
