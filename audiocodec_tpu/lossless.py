@@ -38,11 +38,20 @@ side), left/side, and side/right — by the same bit model, with margins
 that keep estimator near-ties on the file-level mode (uniform streams
 keep the compact header forms).
 
-Level 2 adds FLAC "-8"-class quantized LPC: an order-8 host float64
-Levinson fit competes per (frame, channel) against the fixed ladder;
-prediction/reconstruction are exact int64-accumulator integer filters
-in C++ (native/entropy.cpp). Container version 2; level 1 keeps
-writing version 1.
+Level 2 adds FLAC "-8"-class quantized LPC: per (frame, channel) a
+native C++ analyzer (native/entropy.cpp acx_lpc_analyze) runs
+Hann+Tukey windowed autocorrelation and a Levinson-Durbin ORDER SEARCH
+to order 26 (each order's prediction error is a recursion by-product,
+so the search is free), quantizes the winner with a per-frame adaptive
+shift at 15 magnitude bits, and replaces the fixed-ladder residuals
+only where the exact integer residual's estimated bits win. Winning
+predictors ship sparsely: `lpco` holds (order, shift) per winning
+entry, `lpcc` the concatenated int16 coefficients — a file where LPC
+never wins carries zero coefficient overhead, and a file-level gate
+drops the tier entirely unless its estimated savings clear the member
+overhead (so level 2 can never emit a larger container than level 1).
+Container version 3; version-2 streams (dense order-8 member) still
+decode; level 1 keeps writing version 1.
 
 Supported depths: 16- and 24-bit integer PCM. 32-bit is rejected: a
 4th-order difference of full-scale int32 overflows the int32 residual
@@ -59,17 +68,23 @@ MAX_ORDER = 4
 DEFAULT_FRAME = 4096  # multiple of the Rice group (256) so per-group
 #                       parameters never straddle a frame boundary
 _VERSION = 1
-_VERSION_LPC = 2  # adds the quantized-LPC frame type (orders value 5)
+_VERSION_LPC = 2   # adds the quantized-LPC frame type (orders value 5)
+_VERSION_LPC2 = 3  # sparse searched-order LPC members (lpco/lpcc)
 _MAX_CHANNELS = 64
 _MAX_FRAME = 1 << 16
 _MAX_SAMPLES = 1 << 40  # ~70 years of 48 kHz stereo; bounds allocations
 
 # Level-2 ("max") tier: FLAC-style quantized LPC competing per frame
-# and channel against the fixed ladder. Format constants of container
-# version 2 — not knobs (decode derives everything from them).
-LPC_ORDER = 8
-LPC_SHIFT = 12  # coefficient quantization: qcoef = round(a * 2^12)
-LPC_MARK = MAX_ORDER + 1  # orders value flagging an LPC frame
+# and channel against the fixed ladder.
+LPC_ORDER = 8   # container v2 (legacy decode): fixed order 8...
+LPC_SHIFT = 12  # ...at fixed shift 12, dense `lpc` member
+LPC_MARK = MAX_ORDER + 1  # orders value flagging an LPC frame (v2 + v3)
+# container v3: per-frame searched order/shift, sparse members
+LPC_MAX_ORDER = 26   # encoder search ceiling (format allows 1..32)
+LPC_PRECISION = 15   # coefficient magnitude bits (int16 storage)
+_LPC_FORMAT_MAX_ORDER = 32
+_LPC_MARGIN = 64.0   # bits a frame's LPC must win by (estimator noise)
+_LPC_FILE_GATE_BITS = 4096.0  # zip member overhead the tier must clear
 
 
 # -- device side --------------------------------------------------------------
@@ -239,60 +254,85 @@ def _get_reconstruct():
 
 
 # -- LPC tier (level 2) -------------------------------------------------------
+#
+# The whole per-frame analysis (windowed autocorrelation, Levinson
+# order search, quantization, exact residual competition) lives in ONE
+# native call — native.lpc_analyze / entropy.cpp acx_lpc_analyze. The
+# float64 numpy fit it replaced spent ~3x the rest of the level-2
+# encode in the autocorrelation einsums alone on a few-core host.
 
 
-def _lpc_fit(y, order=LPC_ORDER):
-    """Quantized LPC coefficients per (frame, channel), host-side.
+def _lpc_pack_sparse(lorders, lshifts, lqcoef):
+    """Winning predictors -> (lpco uint8 [E, 2], lpcc int16 [sum orders]).
 
-    Windowed autocorrelation + vectorized Levinson-Durbin in float64
-    (coefficient QUALITY only — exactness comes from the integer filter
-    in native/entropy.cpp, which re-derives residuals with the same
-    quantized coefficients the decoder reads).
-
-    :param y: int32 [F, n, C] stored-channel samples
-    :return: int32 [F, order, C], qcoef[j] predicting x[t] from x[t-1-j]
-    """
-    f, n, c = y.shape
-    w = np.hanning(n)
-    d = y.astype(np.float64) * w[None, :, None]
-    r = np.empty((f, order + 1, c))
-    for k in range(order + 1):
-        r[:, k] = np.einsum("fnc,fnc->fc", d[:, k:], d[:, : n - k])
-    # Levinson-Durbin over [F, C]
-    a = np.zeros((f, order, c))
-    e = r[:, 0] + 1e-9
-    for m in range(order):
-        acc = r[:, m + 1].copy()
-        for j in range(m):
-            acc -= a[:, j] * r[:, m - j]
-        k_ref = np.where(e > 0, acc / np.maximum(e, 1e-30), 0.0)
-        k_ref = np.clip(k_ref, -0.9999, 0.9999)
-        prev = a[:, :m].copy()
-        a[:, m] = k_ref
-        for j in range(m):
-            a[:, j] = prev[:, j] - k_ref * prev[:, m - 1 - j]
-        e = e * (1.0 - k_ref**2)
-    q = np.clip(
-        np.round(a * float(1 << LPC_SHIFT)), -32768, 32767
-    ).astype(np.int32)
-    return q
-
-
-def _est_bits(res):
-    """Rice bit estimate per (frame, channel) — the same
-    min_p n(p+1)+sum(zigzag)/2^p model as the device selector, exact
-    sums (host side, used by the level-2 per-frame competition)."""
-    n = res.shape[1]
-    sumu = 2.0 * np.abs(res, dtype=np.float64).sum(axis=1)
-    ps = np.arange(18.0)
-    bits = (
-        n * (ps + 1.0)[None, :, None]
-        + sumu[:, None, :] / (2.0**ps)[None, :, None]
-    )
-    return bits.min(axis=1)
+    Entry scan order is frame-major, channel-second (numpy row-major
+    over the [F, C] win mask) — decode expands in the same order."""
+    win = lorders > 0
+    ff, cc = np.nonzero(win)
+    ords_e = lorders[ff, cc]
+    lpco = np.stack([ords_e, lshifts[ff, cc]], axis=1).astype(np.uint8)
+    block = lqcoef[ff, :, cc]  # [E, max_order]
+    mask = np.arange(lqcoef.shape[1])[None, :] < ords_e[:, None]
+    lpcc = block[mask].astype(np.int16)
+    return lpco, lpcc
 
 
 # -- stereo decorrelation ------------------------------------------------------
+
+
+def _choose_pairs(bits4):
+    """Per-frame stereo pairing from candidate scores, FLAC's four modes.
+
+    `bits4` [F, 4] holds estimated bits for the candidates l/r/mid/side
+    (device sampled-chunk floats at level 1, native exact doubles at
+    level 2); each frame keeps the cheapest PAIR — l+r, mid+side,
+    l+side ("left/side"), or side+r ("side/right").
+
+    Decision discipline (the bit model is a ranking estimator, not the
+    real coder, so near-ties are noise):
+    1. the asymmetric pairings (left/side, side/right) must EARN their
+       pick by > 64 estimated bits/frame — on symmetric material they
+       tie l/r and m/s to within estimator noise (measured 0.6 bits of
+       663k on an independent-stereo file);
+    2. per-frame mode switching must beat the best uniform mode by
+       > max(256 bits, 0.1%) in total, else the file keeps ONE mode —
+       stable describe() output and no mode flapping;
+    3. within a per-frame stream, departing from the file-level mode
+       costs a further 64-bit margin per frame.
+
+    :return: (smode int64 [F], stereo_mode 0/1/2,
+              idx int64 [F, 2] stored-candidate picks,
+              smodes uint8 [F] member or None)
+    """
+    comb = np.stack(
+        [bits4[:, 0] + bits4[:, 1],   # 0: l/r
+         bits4[:, 2] + bits4[:, 3],   # 1: mid/side
+         bits4[:, 0] + bits4[:, 3],   # 2: left/side
+         bits4[:, 1] + bits4[:, 3]],  # 3: side/right
+        axis=1,
+    )
+    bias = np.asarray([0.0, 0.0, 64.0, 64.0], dtype=comb.dtype)
+    cb = comb + bias
+    g = int(np.argmin(cb.sum(axis=0)))
+    uni_total = float(cb[:, g].sum())
+    gain = uni_total - float(cb.min(axis=1).sum())
+    if gain <= max(256.0, 1e-3 * uni_total):
+        smode = np.full(bits4.shape[0], g, dtype=np.int64)
+    else:
+        pen = np.full(4, 64.0, dtype=cb.dtype)
+        pen[g] = 0.0
+        smode = np.argmin(cb + pen, axis=1)
+    idx = np.stack(
+        [np.asarray([0, 2, 0, 1])[smode],
+         np.asarray([1, 3, 3, 3])[smode]], axis=1
+    )  # per-frame (first, second) stored-channel picks
+    if not smode.any():
+        stereo_mode, smodes = 0, None
+    elif (smode == 1).all():
+        stereo_mode, smodes = 1, None  # pure m/s keeps the compact form
+    else:
+        stereo_mode, smodes = 2, smode.astype(np.uint8)
+    return smode, stereo_mode, idx, smodes
 
 
 def _to_ms(x):
@@ -398,7 +438,52 @@ def encode_lossless(
     xf = buf.reshape(f_pad, frame, channels)
 
     smodes = None
-    if channels == 2:
+    lpco = lpcc = None
+    use_l2 = level >= 2 and frame > LPC_MAX_ORDER + 1
+    if use_l2:
+        # Level-2 "max" tier: the WHOLE analysis runs in the native
+        # engine — exact full-frame fixed-ladder scores, the stereo pair
+        # choice on those exact sums (same decision discipline as the
+        # device path, via _choose_pairs), then one build+LPC-search
+        # pass writing the wire layout directly. No device programs: the
+        # tier is autocorrelation-bound host work (int64 exact filters
+        # the no-x64 JAX default cannot express), so the device round
+        # trip would only add transfer; it also makes level-2 output
+        # deterministic across backends. Decode is unchanged — the
+        # container decodes through the same sharded device integrator
+        # as level 1.
+        xfr = xf[:f_real]
+        if channels == 2:
+            orders4, bits4 = native.lossless_score(xfr, stereo4=True)
+            smode, stereo_mode, idx, smodes = _choose_pairs(bits4)
+            fixed_orders = np.take_along_axis(orders4, idx, axis=1)
+            idx32 = idx.astype(np.int32)
+        else:
+            stereo_mode = 0
+            fixed_orders, _ = native.lossless_score(xfr)
+            idx32 = None
+        flat, lorders, lshifts, lqcoef, savings = native.l2_encode(
+            xfr, idx32, fixed_orders, do_lpc=True,
+            max_order=LPC_MAX_ORDER, precision=LPC_PRECISION,
+            n_windows=2, margin=_LPC_MARGIN,
+        )
+        orders = fixed_orders
+        # file-level gate (the per-entry coefficient cost is already
+        # inside `savings`; this covers the two zip members' fixed
+        # overhead): a file whose LPC wins are marginal keeps the
+        # version-1 form, so level 2 can never emit a LARGER container
+        if (lorders > 0).any() and savings > _LPC_FILE_GATE_BITS:
+            orders = np.where(lorders > 0, LPC_MARK, orders)
+            lpco, lpcc = _lpc_pack_sparse(lorders, lshifts, lqcoef)
+        elif (lorders > 0).any():
+            # marginal wins under the gate: rebuild fixed-only (rare,
+            # and the rebuild skips the LPC search entirely)
+            flat, *_ = native.l2_encode(
+                xfr, idx32, fixed_orders, do_lpc=False,
+                max_order=LPC_MAX_ORDER, precision=LPC_PRECISION,
+                n_windows=2, margin=_LPC_MARGIN,
+            )
+    elif channels == 2:
         # per-frame stereo decorrelation, FLAC's four modes: one device
         # pass scores all of l/r/mid/side, then each frame keeps the
         # cheapest PAIR — l+r, mid+side, l+side ("left/side"), or
@@ -413,92 +498,18 @@ def encode_lossless(
         # gather below.
         orders4 = np.asarray(orders4)[:f_real]
         bits4 = np.asarray(bits4)[:f_real]
-        comb = np.stack(
-            [bits4[:, 0] + bits4[:, 1],   # 0: l/r
-             bits4[:, 2] + bits4[:, 3],   # 1: mid/side
-             bits4[:, 0] + bits4[:, 3],   # 2: left/side
-             bits4[:, 1] + bits4[:, 3]],  # 3: side/right
-            axis=1,
-        )
-        # Decision discipline (the bit model is a ranking estimator, not
-        # the real coder, so near-ties are noise):
-        # 1. the asymmetric pairings (left/side, side/right) must EARN
-        #    their pick by > 64 estimated bits/frame — on symmetric
-        #    material they tie l/r and m/s to within estimator noise
-        #    (measured 0.6 bits of 663k on an independent-stereo file);
-        # 2. per-frame mode switching must beat the best uniform mode by
-        #    > max(256 bits, 0.1%) in total, else the file keeps ONE
-        #    mode — stable describe() output and no mode flapping;
-        # 3. within a per-frame stream, departing from the file-level
-        #    mode costs a further 64-bit margin per frame.
-        bias = np.asarray([0.0, 0.0, 64.0, 64.0], dtype=comb.dtype)
-        cb = comb + bias
-        g = int(np.argmin(cb.sum(axis=0)))
-        uni_total = float(cb[:, g].sum())
-        gain = uni_total - float(cb.min(axis=1).sum())
-        if gain <= max(256.0, 1e-3 * uni_total):
-            smode = np.full(f_real, g, dtype=np.int64)
-        else:
-            pen = np.full(4, 64.0, dtype=cb.dtype)
-            pen[g] = 0.0
-            smode = np.argmin(cb + pen, axis=1)
-        idx = np.stack(
-            [np.asarray([0, 2, 0, 1])[smode],
-             np.asarray([1, 3, 3, 3])[smode]], axis=1
-        )  # per-frame (first, second) stored-channel picks
+        smode, stereo_mode, idx, smodes = _choose_pairs(bits4)
         orders = np.take_along_axis(orders4, idx, axis=1)
         idx_pad = np.zeros((f_pad, 2), dtype=np.int32)
         idx_pad[:f_real] = idx
         flat = np.asarray(_get("gather_flat")(res4, idx_pad))[
             : f_real * 2 * frame
         ]
-        if not smode.any():
-            stereo_mode = 0
-        elif (smode == 1).all():
-            stereo_mode = 1  # pure mid/side keeps the compact header form
-        else:
-            stereo_mode, smodes = 2, smode.astype(np.uint8)
     else:
         stereo_mode = 0
         orders, res, _ = _get_select()(xf)
         orders = np.asarray(orders)[:f_real]
         flat = np.asarray(_get("flatten")(res))[: f_real * channels * frame]
-
-    lpc = None
-    if level >= 2 and frame > LPC_ORDER:
-        # level-2 tier: fit order-8 quantized LPC per frame on the SAME
-        # stored channels the fixed ladder chose, and keep whichever
-        # costs fewer estimated bits per (frame, channel). The 128-bit
-        # margin plus the 16-bit/coefficient overhead keeps near-ties on
-        # the cheaper-to-decode fixed path.
-        c_stored = 2 if channels == 2 else channels
-        xf_host = xf[:f_real]
-        if channels == 2:
-            l4 = xf_host[..., 0]
-            r4 = xf_host[..., 1]
-            x4h = np.stack(
-                [l4, r4, (l4 + r4) >> 1, l4 - r4], axis=-1
-            )
-            y = np.take_along_axis(x4h, idx[:, None, :], axis=2)
-        else:
-            y = xf_host
-        y = np.ascontiguousarray(y, dtype=np.int32)
-        qcoef = _lpc_fit(y)
-        res_lpc = native.lpc_residual(y, qcoef, LPC_SHIFT)
-        res_w = np.ascontiguousarray(
-            flat.reshape(f_real, c_stored, frame).transpose(0, 2, 1)
-        )
-        use = (
-            _est_bits(res_lpc) + 16.0 * LPC_ORDER + 128.0
-            < _est_bits(res_w)
-        )
-        if use.any():
-            res_w = np.where(use[:, None, :], res_lpc, res_w)
-            orders = np.where(use, LPC_MARK, orders)
-            lpc = np.where(use[:, None, :], qcoef, 0).astype(np.int16)
-            flat = np.ascontiguousarray(
-                res_w.transpose(0, 2, 1)
-            ).reshape(-1)
 
     # flat is the frame-major, channel-second wire layout (built on
     # device): each (frame, channel) run is a whole number of Rice
@@ -556,10 +567,11 @@ def encode_lossless(
         entropy, stereo_mode, payload = 2, 0, _pack_raw(x, bits)
         orders = np.zeros((0, 0), dtype=np.uint8)
         smodes = None
-        lpc = None
+        lpco = lpcc = None
     extra = {} if smodes is None else {"smodes": smodes}
-    if lpc is not None:
-        extra["lpc"] = lpc
+    if lpco is not None:
+        extra["lpco"] = lpco
+        extra["lpcc"] = lpcc
     # FLAC-MD5-style integrity: CRC32 of the source PCM (the _pack_raw
     # byte stream at the declared depth). Decode verifies when present,
     # catching bit rot and coder regressions the structural checks
@@ -579,7 +591,7 @@ def encode_lossless(
         buf,
         lmeta=np.asarray(
             [
-                _VERSION_LPC if lpc is not None else _VERSION,
+                _VERSION_LPC2 if lpco is not None else _VERSION,
                 sample_rate,
                 channels,
                 n_samples,
@@ -662,7 +674,7 @@ def _parse_lmeta(meta):
     version, rate, channels, n_samples, frame, bits, stereo_mode, entropy = (
         int(v) for v in meta
     )
-    if version not in (_VERSION, _VERSION_LPC):
+    if version not in (_VERSION, _VERSION_LPC, _VERSION_LPC2):
         raise ValueError(f"unsupported lossless container version {version}")
     if not 0 < channels <= _MAX_CHANNELS:
         raise ValueError(f"corrupt lossless container: channels {channels}")
@@ -805,31 +817,84 @@ def decode_lossless(data: bytes):
                 raise ValueError(
                     "corrupt lossless container: stereo frame mode out of range"
                 )
-        lpc = None
+        lpc = lpco = lpcc = None
         if (
             entropy != 2
             and orders is not None
             and (orders == LPC_MARK).any()
         ):
-            lpc = np.asarray(
-                _bounded_member(
-                    z, "lpc", len(data), max(total, _SMALL_MEMBER_CAP)
+            if version >= _VERSION_LPC2:
+                n_marked = int((orders == LPC_MARK).sum())
+                lpco = np.asarray(
+                    _bounded_member(
+                        z, "lpco", len(data), max(total, _SMALL_MEMBER_CAP)
+                    )
                 )
-            )
-            if lpc.shape != (f, LPC_ORDER, channels):
-                raise ValueError(
-                    f"corrupt lossless container: lpc {lpc.shape} for "
-                    f"{f} frames x order {LPC_ORDER} x {channels} channels"
+                if lpco.shape != (n_marked, 2):
+                    raise ValueError(
+                        f"corrupt lossless container: lpco {lpco.shape} for "
+                        f"{n_marked} LPC frames"
+                    )
+                if not np.issubdtype(lpco.dtype, np.integer):
+                    raise ValueError(
+                        f"corrupt lossless container: lpco dtype {lpco.dtype}"
+                    )
+                lpco = lpco.astype(np.int32)
+                if (
+                    lpco[:, 0].min(initial=1) < 1
+                    or lpco[:, 0].max(initial=1) > _LPC_FORMAT_MAX_ORDER
+                    or lpco[:, 0].max(initial=0) >= frame
+                    or lpco[:, 1].min(initial=0) < 0
+                    or lpco[:, 1].max(initial=0) > 31
+                ):
+                    raise ValueError(
+                        "corrupt lossless container: lpc order/shift out of "
+                        "range"
+                    )
+                lpcc = np.asarray(
+                    _bounded_member(
+                        z, "lpcc", len(data), max(total, _SMALL_MEMBER_CAP)
+                    )
                 )
-            if not np.issubdtype(lpc.dtype, np.integer):
-                raise ValueError(
-                    f"corrupt lossless container: lpc dtype {lpc.dtype}"
+                if (
+                    lpcc.ndim != 1
+                    or lpcc.size != int(lpco[:, 0].sum())
+                    or not np.issubdtype(lpcc.dtype, np.integer)
+                ):
+                    raise ValueError(
+                        "corrupt lossless container: lpcc member does not "
+                        "match the declared predictor orders"
+                    )
+                if (
+                    lpcc.size
+                    and (lpcc.max() > 32767 or lpcc.min() < -32768)
+                ):
+                    raise ValueError(
+                        "corrupt lossless container: lpc coefficient out of "
+                        "range"
+                    )
+                lpcc = lpcc.astype(np.int32)
+            else:  # version 2: dense fixed-order member
+                lpc = np.asarray(
+                    _bounded_member(
+                        z, "lpc", len(data), max(total, _SMALL_MEMBER_CAP)
+                    )
                 )
-            if lpc.max(initial=0) > 32767 or lpc.min(initial=0) < -32768:
-                raise ValueError(
-                    "corrupt lossless container: lpc coefficient out of range"
-                )
-            lpc = lpc.astype(np.int32)
+                if lpc.shape != (f, LPC_ORDER, channels):
+                    raise ValueError(
+                        f"corrupt lossless container: lpc {lpc.shape} for "
+                        f"{f} frames x order {LPC_ORDER} x {channels} channels"
+                    )
+                if not np.issubdtype(lpc.dtype, np.integer):
+                    raise ValueError(
+                        f"corrupt lossless container: lpc dtype {lpc.dtype}"
+                    )
+                if lpc.max(initial=0) > 32767 or lpc.min(initial=0) < -32768:
+                    raise ValueError(
+                        "corrupt lossless container: lpc coefficient out of "
+                        "range"
+                    )
+                lpc = lpc.astype(np.int32)
         pcrc = None
         if "pcrc" in getattr(z, "files", ()):
             pcrc_arr = np.asarray(
@@ -886,27 +951,56 @@ def decode_lossless(data: bytes):
         # frames integrate to zeros and are sliced off below. The wire
         # stream goes to the device as-is — unwiring and integration
         # fuse in one jitted program.
-        f_pad = 1 << max(f - 1, 0).bit_length()
-        flat_pad = np.zeros(f_pad * channels * frame, dtype=np.int32)
-        flat_pad[: flat.size] = flat
-        ordr = np.zeros((f_pad, channels), dtype=np.int32)
-        # LPC frames (orders == LPC_MARK) integrate natively below; the
-        # device program sees them as order 0 (identity) and is
-        # overwritten — same frame independence, different filter
-        ordr[:f] = np.where(orders == LPC_MARK, 0, orders)
-        x = np.array(_get("reconstruct_flat")(flat_pad, ordr))
-        if lpc is not None:
-            res_h = flat.reshape(f, channels, frame).transpose(0, 2, 1)
+        mark_all = (
+            (lpc is not None or lpco is not None)
+            and bool((np.asarray(orders) == LPC_MARK).all())
+        )
+        if mark_all:
+            # every run is LPC (common for tonal material at level 2):
+            # the native variable-order pass below produces EVERY
+            # sample, so skip the device integrator's masked cumsums
+            x = np.zeros((f * frame, channels), dtype=np.int32)
+        else:
+            f_pad = 1 << max(f - 1, 0).bit_length()
+            flat_pad = np.zeros(f_pad * channels * frame, dtype=np.int32)
+            flat_pad[: flat.size] = flat
+            ordr = np.zeros((f_pad, channels), dtype=np.int32)
+            # LPC frames (orders == LPC_MARK) integrate natively below;
+            # the device program sees them as order 0 (identity) and is
+            # overwritten — same frame independence, different filter
+            ordr[:f] = np.where(orders == LPC_MARK, 0, orders)
+            x = np.array(_get("reconstruct_flat")(flat_pad, ordr))
+        if lpc is not None or lpco is not None:
+            # LPC frames: expand the (sparse v3 / dense v2) predictor
+            # members into per-(frame, channel) order/shift/coefficient
+            # arrays and run ONE native variable-order pass over the
+            # wire layout; the device integrator's output for those
+            # runs is replaced wholesale
+            mark = np.asarray(orders) == LPC_MARK
+            if lpco is not None:  # v3 sparse
+                maxo = int(lpco[:, 0].max())
+                ordv = np.zeros((f, channels), np.int32)
+                shiftv = np.zeros((f, channels), np.int32)
+                qc = np.zeros((f, maxo, channels), np.int32)
+                ff, cc = np.nonzero(mark)
+                ordv[ff, cc] = lpco[:, 0]
+                shiftv[ff, cc] = lpco[:, 1]
+                cmask = (
+                    np.arange(maxo)[None, :] < lpco[:, 0][:, None]
+                )
+                block = np.zeros((lpco.shape[0], maxo), np.int32)
+                block[cmask] = lpcc
+                qc[ff, :, cc] = block
+            else:  # v2 dense fixed order/shift
+                ordv = np.where(mark, LPC_ORDER, 0).astype(np.int32)
+                shiftv = np.where(mark, LPC_SHIFT, 0).astype(np.int32)
+                qc = lpc
+            xl = native.lpc_reconstruct_wire(flat, ordv, shiftv, qc)
             xv = x[: f * frame].reshape(f, frame, channels)
-            for c in range(channels):
-                kk = np.nonzero(np.asarray(orders)[:, c] == LPC_MARK)[0]
-                if kk.size:
-                    rec = native.lpc_reconstruct(
-                        np.ascontiguousarray(res_h[kk][:, :, c : c + 1]),
-                        np.ascontiguousarray(lpc[kk][:, :, c : c + 1]),
-                        LPC_SHIFT,
-                    )
-                    xv[kk, :, c] = rec[:, :, 0]
+            np.copyto(
+                xv, xl.reshape(f, frame, channels),
+                where=mark[:, None, :],
+            )
         x = x[:n_samples]
         if stereo_mode == 2:
             sm = np.repeat(smodes.astype(np.uint8), frame)[:n_samples]

@@ -41,15 +41,18 @@ REFERENCE = {  # measured TF-CPU numbers from BASELINE.md
 GATES = {
     "mdct_floor": 700_000.0,             # nominal ~968,000 audio-s/s
     # lossless archival mode (config 6; CPU-pinned — entropy-coder-bound).
-    # Ratio nominals: music-ish 0.616, sine 0.033, noise 1.005,
-    # silence 0.0006; throughput nominals ~217 enc / ~179 dec audio-s/s
-    # on this rig's single core (round 4: chunk-scored selection, masked
-    # single-ladder build, 64-bit-accumulator Rice coder, scratch reuse).
+    # Ratio nominals: music-ish 0.616 (0.569 at level 2, whose measured
+    # entropy floor on that workload is 0.551 — DESIGN.md §22b), sine
+    # 0.033, noise 1.005, silence 0.0006; throughput nominals ~230 enc /
+    # ~179 dec audio-s/s level 1 and ~265 enc level 2 on this rig's
+    # single core (round 5: one-pass native order-searched analysis).
     "lossless_music_ratio": 0.70,
+    "lossless_music_lpc_ratio": 0.60,    # nominal 0.569; floor 0.551
     "lossless_sine_ratio": 0.06,
     "lossless_noise_ratio": 1.01,
     "lossless_silence_ratio": 0.01,
     "lossless_encode_floor": 150.0,
+    "lossless_lpc_encode_floor": 150.0,  # nominal ~265; was informational
     "lossless_decode_floor": 120.0,
     "psycho_floor": 45_000.0,            # nominal ~60,000 audio-s/s
     "full_floor": 90_000.0,              # f32 HIGHEST nominal ~108-110k
@@ -827,9 +830,12 @@ def config6_lossless(quick):
             lambda: len(lossless.encode_lossless(music, sr, level=2)),
             iters=2,
         )
+        dec2_dt = timed(lambda: int(lossless.decode_lossless(blob2)[0][0, 0]),
+                        iters=2)
     enc_thr = secs / enc_dt
     dec_thr = secs / dec_dt
     enc2_thr = secs / enc2_dt
+    dec2_thr = secs / dec2_dt
 
     ok = exact and bool(
         ratios["music"] <= GATES["lossless_music_ratio"]
@@ -837,11 +843,13 @@ def config6_lossless(quick):
         and ratios["noise"] <= GATES["lossless_noise_ratio"]
         and ratios["silence"] <= GATES["lossless_silence_ratio"]
         and ratio_l2 < ratios["music"]
+        and ratio_l2 <= GATES["lossless_music_lpc_ratio"]
     )
     if not quick:
         ok = ok and bool(
             enc_thr >= GATES["lossless_encode_floor"]
             and dec_thr >= GATES["lossless_decode_floor"]
+            and enc2_thr >= GATES["lossless_lpc_encode_floor"]
         )
     return {
         "config": "lossless_archival",
@@ -849,6 +857,7 @@ def config6_lossless(quick):
         "ratio": ratios,
         "ratio_music_lpc": round(ratio_l2, 4),
         "decode_audio_s_per_s": round(dec_thr, 1),
+        "lpc_decode_audio_s_per_s": round(dec2_thr, 1),
         "throughput_audio_s_per_s": round(enc_thr, 1),
         "lpc_encode_audio_s_per_s": round(enc2_thr, 1),
         "pass": ok,

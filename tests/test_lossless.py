@@ -468,10 +468,11 @@ class TestCLI:
 
 
 class TestLPCLevel:
-    """Level-2 tier: per-frame quantized LPC (container version 2).
-    The contract is unchanged — decode(encode(x)) == x bit-for-bit —
-    plus the tier must actually earn its bytes on predictable content
-    and its new container member must be hardened like the others."""
+    """Level-2 tier: per-frame ORDER-SEARCHED quantized LPC (container
+    version 3; legacy version-2 streams must keep decoding). The
+    contract is unchanged — decode(encode(x)) == x bit-for-bit — plus
+    the tier must actually earn its bytes on predictable content and
+    its container members must be hardened like the others."""
 
     def _music(self, secs=6, sr=44100):
         rng = np.random.default_rng(21)
@@ -488,9 +489,38 @@ class TestLPCLevel:
         b2 = lossless.encode_lossless(x, sr, level=2)
         y, rate, bits = lossless.decode_lossless(b2)
         np.testing.assert_array_equal(y, x)
-        assert lossless.describe(b2)["version"] == 2
+        assert lossless.describe(b2)["version"] == 3
         # tonal-dominated content: LPC must beat the fixed ladder
         assert len(b2) < len(b1)
+
+    def test_level2_order_search_varies(self):
+        """The v3 tier searches per-frame orders: tonal+noise music must
+        produce orders beyond the old fixed 8, and the sparse members
+        must be structurally consistent."""
+        import zipfile
+
+        x, sr = self._music()
+        b2 = lossless.encode_lossless(x, sr, level=2)
+        src = zipfile.ZipFile(io.BytesIO(b2))
+        lpco = np.load(io.BytesIO(src.read("lpco.npy")))
+        lpcc = np.load(io.BytesIO(src.read("lpcc.npy")))
+        orders = np.load(io.BytesIO(src.read("orders.npy")))
+        assert lpco.shape == (int((orders == lossless.LPC_MARK).sum()), 2)
+        assert lpcc.size == int(lpco[:, 0].sum())
+        assert lpco[:, 0].max() > 8  # the search actually went past 8
+        assert lpco[:, 0].max() <= lossless.LPC_MAX_ORDER
+
+    def test_v2_golden_container_still_decodes(self):
+        """Frozen version-2 (dense fixed-order-8) container from the
+        round-4 encoder: decode compatibility is pinned forever."""
+        import os
+
+        vec = os.path.join(os.path.dirname(__file__), "vectors")
+        blob = open(os.path.join(vec, "lossless_v2.bin"), "rb").read()
+        ref = np.load(os.path.join(vec, "lossless_v2.pcm.npy"))
+        assert lossless.describe(blob)["version"] == 2
+        y, rate, bits = lossless.decode_lossless(blob)
+        np.testing.assert_array_equal(y, ref)
 
     def test_level2_mono_24bit_odd_length(self):
         rng = np.random.default_rng(22)
@@ -521,42 +551,68 @@ class TestLPCLevel:
                 np.zeros((1000, 1), np.int16), 44100, level=3
             )
 
-    def _retag(self, blob, drop_lpc=False, lpc_shape=None, lpc_vals=None):
-        """Rewrite the lpc member of a v2 container (attacker model)."""
+    def _retag(self, blob, member, drop=False, shape=None, vals=None,
+               edit=None):
+        """Rewrite one member of a container (attacker model)."""
         src = zipfile.ZipFile(io.BytesIO(blob))
         out = io.BytesIO()
         with zipfile.ZipFile(out, "w") as dst:
             for name in src.namelist():
                 data = src.read(name)
-                if name == "lpc.npy":
-                    if drop_lpc:
+                if name == member + ".npy":
+                    if drop:
                         continue
-                    buf = io.BytesIO(data)
-                    arr = np.load(buf)
-                    if lpc_vals is not None:
-                        arr = lpc_vals
-                    if lpc_shape is not None:
-                        arr = np.zeros(lpc_shape, arr.dtype)
+                    arr = np.load(io.BytesIO(data))
+                    if edit is not None:
+                        arr = edit(arr)
+                    if vals is not None:
+                        arr = vals
+                    if shape is not None:
+                        arr = np.zeros(shape, arr.dtype)
                     nb = io.BytesIO()
                     np.save(nb, arr)
                     data = nb.getvalue()
                 dst.writestr(name, data)
         return out.getvalue()
 
-    def test_missing_lpc_member_rejected(self):
+    def test_missing_lpc_members_rejected(self):
         x, sr = self._music(secs=2)
         blob = lossless.encode_lossless(x, sr, level=2)
-        assert lossless.describe(blob)["version"] == 2
-        with pytest.raises(ValueError, match="missing member|corrupt"):
-            lossless.decode_lossless(self._retag(blob, drop_lpc=True))
+        assert lossless.describe(blob)["version"] == 3
+        for member in ("lpco", "lpcc"):
+            with pytest.raises(ValueError, match="missing member|corrupt"):
+                lossless.decode_lossless(
+                    self._retag(blob, member, drop=True)
+                )
 
-    def test_wrong_lpc_shape_rejected(self):
+    def test_wrong_lpco_shape_rejected(self):
         x, sr = self._music(secs=2)
         blob = lossless.encode_lossless(x, sr, level=2)
-        with pytest.raises(ValueError, match="lpc"):
+        with pytest.raises(ValueError, match="lpco|lpc"):
             lossless.decode_lossless(
-                self._retag(blob, lpc_shape=(1, lossless.LPC_ORDER, 2))
+                self._retag(blob, "lpco", shape=(1, 2))
             )
+
+    def test_lpcc_size_mismatch_rejected(self):
+        x, sr = self._music(secs=2)
+        blob = lossless.encode_lossless(x, sr, level=2)
+        with pytest.raises(ValueError, match="lpcc"):
+            lossless.decode_lossless(
+                self._retag(blob, "lpcc", edit=lambda a: a[:-3])
+            )
+
+    def test_order_shift_out_of_range_rejected(self):
+        x, sr = self._music(secs=2)
+        blob = lossless.encode_lossless(x, sr, level=2)
+        for col, bad in ((0, 0), (0, 60), (1, 40)):
+            def evil(a, col=col, bad=bad):
+                a = a.astype(np.int32).copy()
+                a[0, col] = bad
+                return a
+            with pytest.raises(ValueError, match="order|shift|lpc"):
+                lossless.decode_lossless(
+                    self._retag(blob, "lpco", edit=evil)
+                )
 
     def test_tampered_lpc_values_never_crash(self):
         """Garbage coefficients must yield ValueError or wrong samples,
@@ -565,14 +621,27 @@ class TestLPCLevel:
         x, sr = self._music(secs=2)
         blob = lossless.encode_lossless(x, sr, level=2)
         src = zipfile.ZipFile(io.BytesIO(blob))
-        lpc = np.load(io.BytesIO(src.read("lpc.npy")))
-        evil = np.full_like(lpc, 32767)
+        lpcc = np.load(io.BytesIO(src.read("lpcc.npy")))
+        evil = np.full_like(lpcc, 32767)
         try:
-            y, _, _ = lossless.decode_lossless(
-                self._retag(blob, lpc_vals=evil)
+            lossless.decode_lossless(
+                self._retag(blob, "lpcc", vals=evil)
             )
         except ValueError:
-            pass  # bit-depth bounds check fired — fine
+            pass  # bit-depth bounds / CRC check fired — fine
+
+    def test_tampered_v2_members_rejected(self):
+        """The frozen v2 vector's dense member keeps its hardening."""
+        import os
+
+        vec = os.path.join(os.path.dirname(__file__), "vectors")
+        blob = open(os.path.join(vec, "lossless_v2.bin"), "rb").read()
+        with pytest.raises(ValueError, match="missing member|corrupt"):
+            lossless.decode_lossless(self._retag(blob, "lpc", drop=True))
+        with pytest.raises(ValueError, match="lpc"):
+            lossless.decode_lossless(
+                self._retag(blob, "lpc", shape=(1, lossless.LPC_ORDER, 2))
+            )
 
     def test_level2_multichannel(self):
         rng = np.random.default_rng(24)
