@@ -209,17 +209,24 @@ def _cmd_decode_lossless(args):
                 "exact coded PCM (use the lossy tools on the decoded file)"
             )
     with open(args.input, "rb") as f:
-        x, rate, bits = lossless.decode_lossless(f.read())
+        blob = f.read()
+    # range-decode straight from the container: seekable streams (the
+    # fidx index, or byte-addressable payloads) pay work proportional
+    # to the requested window, not the archive length
+    rate = lossless.describe(blob)["sample_rate"]
     start = int(round(getattr(args, "start", 0.0) * rate))
-    if start:
-        if start >= x.shape[0]:
+    dur = getattr(args, "duration", 0.0)
+    count = int(round(dur * rate)) if dur else None
+    try:
+        x, rate, bits = lossless.decode_lossless(
+            blob, start=start, count=count
+        )
+    except ValueError as e:
+        if start and "outside the stream" in str(e):
             raise ValueError(
                 f"--start {args.start}s is at or past the end of the clip"
-            )
-        x = x[start:]
-    dur = getattr(args, "duration", 0.0)
-    if dur:
-        x = x[: int(round(dur * rate))]
+            ) from e
+        raise
     _wav.write_wav_int(args.output, x, rate, bits)
     print(
         f"{args.output}: {x.shape[0]} samples x {x.shape[1]} ch "

@@ -514,13 +514,23 @@ def encode_lossless(
     # flat is the frame-major, channel-second wire layout (built on
     # device): each (frame, channel) run is a whole number of Rice
     # groups, so the coder's per-group parameters adapt within one
-    # predictor's output, never across two
-    candidates = [(0, native.rice_encode(flat))]
+    # predictor's output, never across two. Each trial also records the
+    # bit offset of every FRAME's first group (stride = one frame's
+    # values) — the random-access index that makes decode_lossless's
+    # start/count cost proportional to the range, 8 bytes/frame
+    # (< 0.05% of a typical stream)
+    c_stored = 2 if channels == 2 else channels
+    fidx_stride = c_stored * frame
+    pay0, idx0 = native.rice_encode_indexed(flat, fidx_stride)
+    candidates = [(0, pay0)]
+    fidx_by_base = {0: idx0}
     # the run-length variant only wins on zero-run-heavy residuals
     # (silence, digital black); gate its trial on zero density rather
     # than always paying a second full coding pass
     if np.count_nonzero(flat) < 0.7 * flat.size:
-        candidates.append((1, native.rrice_encode(flat)))
+        pay1, idx1 = native.rrice_encode_indexed(flat, fidx_stride)
+        candidates.append((1, pay1))
+        fidx_by_base[1] = idx1
     # a flagged deflate pass on top of each tried coder: Rice is
     # memoryless, so PERIODIC content (a steady tone's repeating
     # residual pattern) leaves LZ redundancy on the table — measured
@@ -572,6 +582,11 @@ def encode_lossless(
     if lpco is not None:
         extra["lpco"] = lpco
         extra["lpcc"] = lpcc
+    # random-access index: per-frame bit offsets into the (pre-deflate)
+    # Rice stream. Additive — older readers ignore it; raw/verbatim
+    # payloads (entropy 2, 5-7) need none (their offsets are arithmetic)
+    if entropy in (0, 1, 3, 4) and f_real > 1:
+        extra["fidx"] = fidx_by_base[entropy % 3]
     # FLAC-MD5-style integrity: CRC32 of the source PCM (the _pack_raw
     # byte stream at the declared depth). Decode verifies when present,
     # catching bit rot and coder regressions the structural checks
@@ -726,12 +741,15 @@ def describe(data: bytes) -> dict:
         raise ValueError(f"corrupt lossless container: bad member data ({e})") from e
     else:
         has_crc = "pcrc" in getattr(z, "files", ())
+        has_fidx = "fidx" in getattr(z, "files", ())
     finally:
         z.close()
     version, rate, channels, n_samples, frame, bits, stereo_mode, entropy = fields
     return {
         "version": version,
         "integrity": "crc32" if has_crc else "none",
+        # entropy 2 and 5-7 are byte-addressable without an index
+        "seekable": bool(has_fidx or entropy in (2, 5, 6, 7)),
         "sample_rate": rate,
         "channels": channels,
         "n_samples": n_samples,
@@ -746,13 +764,28 @@ def describe(data: bytes) -> dict:
     }
 
 
-def decode_lossless(data: bytes):
+def decode_lossless(data: bytes, start: int = 0, count: int | None = None):
     """Container bytes -> (int32 samples [samples, channels], rate, bits).
 
     Bit-exact inverse of :func:`encode_lossless`. Raises ValueError on
     corrupt input — never a raw zipfile error, never an allocation driven
     by attacker-declared sizes (same hardening contract as
-    io/bitstream.unpack)."""
+    io/bitstream.unpack).
+
+    :param start: first sample to decode (random access). Containers
+        written since round 5 carry a per-frame bit-offset index
+        (`fidx`), making the work proportional to the requested range;
+        older Rice-coded streams decode the prefix up to the range's
+        last frame (still cheaper than a full decode+slice). The
+        returned slice is bit-exact versus the same rows of a full
+        decode.
+    :param count: number of samples (default: to the end; clamped).
+    :raises ValueError: when `start` is outside the stream or `count`
+        is not positive.
+
+    The whole-stream PCM CRC is only verifiable on a FULL decode;
+    partial decodes rely on the structural checks (bounds-checked
+    members, bit-depth range) instead."""
     import zipfile
     import zlib
 
@@ -774,7 +807,36 @@ def decode_lossless(data: bytes):
         )
         f = -(-n_samples // frame)
         total = f * frame * channels
+        start = int(start)
+        if start < 0 or start >= n_samples:
+            raise ValueError(
+                f"start {start} outside the stream's [0, {n_samples}) samples"
+            )
+        if count is not None and int(count) <= 0:
+            raise ValueError(f"count must be positive, got {count}")
+        end = n_samples if count is None else min(start + int(count), n_samples)
+        full = start == 0 and end == n_samples
+        f0 = start // frame
+        f1 = -(-end // frame)
         payload = _bounded_member(z, "res", len(data))
+        fidx = None
+        if entropy in (0, 1, 3, 4) and "fidx" in getattr(z, "files", ()):
+            fidx = np.asarray(
+                _bounded_member(
+                    z, "fidx", len(data), max(total, _SMALL_MEMBER_CAP)
+                )
+            )
+            if fidx.shape != (f,) or not np.issubdtype(
+                fidx.dtype, np.integer
+            ):
+                raise ValueError("corrupt lossless container: fidx member")
+            fidx = fidx.astype(np.int64)
+            if int(fidx[0]) != 0 or (np.diff(fidx) < 0).any() or (
+                fidx < 0
+            ).any():
+                raise ValueError(
+                    "corrupt lossless container: fidx not monotonic"
+                )
         orders = None
         if entropy != 2:
             orders = np.asarray(
@@ -917,7 +979,10 @@ def decode_lossless(data: bytes):
 
     if entropy == 2:
         x = _unpack_raw(np.asarray(payload), n_samples, channels, bits)
+        x = x[start:end]
     else:
+        cf = channels * frame  # wire values per frame
+        fr = f1 - f0
         buf = payload.tobytes()
         if entropy >= 3:
             buf = _bounded_inflate(buf)
@@ -929,7 +994,9 @@ def decode_lossless(data: bytes):
                     f"bytes for {total} width-{width} values"
                 )
             wdt = {1: np.int8, 2: "<i2", 4: "<i4"}[width]
-            flat = np.frombuffer(buf, dtype=wdt).astype(np.int32)
+            flat = np.frombuffer(
+                buf[f0 * cf * width : f1 * cf * width], dtype=wdt
+            ).astype(np.int32)
         else:
             # plain Rice spends >=1 bit/value; run-length Rice amortizes
             # a 256-zero group to ~22 bits (~96 values/byte) — same bound
@@ -944,7 +1011,39 @@ def decode_lossless(data: bytes):
             decode = (
                 native.rice_decode if entropy % 3 == 0 else native.rrice_decode
             )
-            flat = decode(buf, total)
+            if fidx is not None and f0 > 0:
+                # random access: jump straight to frame f0's group
+                # header and decode only the range's values
+                if int(fidx.max()) >= 8 * max(len(buf), 1):
+                    raise ValueError(
+                        "corrupt lossless container: fidx beyond stream"
+                    )
+                flat = decode(buf, fr * cf, start_bit=int(fidx[f0]))
+            else:
+                # no index (pre-round-5 stream) or range starts at 0:
+                # decode the PREFIX through the range's last frame —
+                # work proportional to f1, never the whole stream
+                flat = decode(buf, f1 * cf)[f0 * cf :]
+        # restrict the per-frame members to the decoded range (sparse
+        # LPC members slice by prefix-summing the full mark mask, which
+        # was validated against the full orders member above)
+        if lpco is not None:
+            mark_f = np.asarray(orders) == LPC_MARK
+            e0 = int(mark_f[:f0].sum())
+            e1 = int(mark_f[:f1].sum())
+            c0 = int(lpco[:e0, 0].sum())
+            c1 = c0 + int(lpco[e0:e1, 0].sum())
+            lpco, lpcc = lpco[e0:e1], lpcc[c0:c1]
+            if lpco.shape[0] == 0:
+                lpco = lpcc = None
+        if lpc is not None:
+            lpc = np.ascontiguousarray(lpc[f0:f1])
+            if not (np.asarray(orders)[f0:f1] == LPC_MARK).any():
+                lpc = None
+        orders = np.asarray(orders)[f0:f1]
+        if smodes is not None:
+            smodes = smodes[f0:f1]
+        f = fr
         # mirror encode's power-of-two frame bucketing so corpus decode
         # of varied-length files hits O(log max_F) compiled programs, not
         # one 30 s-6 min tunnel compile per distinct length; zero pad
@@ -1001,16 +1100,21 @@ def decode_lossless(data: bytes):
                 xv, xl.reshape(f, frame, channels),
                 where=mark[:, None, :],
             )
-        x = x[:n_samples]
+        row0 = start - f0 * frame
+        x = x[row0 : row0 + (end - start)]
         if stereo_mode == 2:
-            sm = np.repeat(smodes.astype(np.uint8), frame)[:n_samples]
+            sm = np.repeat(smodes.astype(np.uint8), frame)[
+                row0 : row0 + (end - start)
+            ]
             x = _from_modes(x, sm)
         elif stereo_mode:
             x = _from_ms(x)
     lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
     if x.min() < lo or x.max() > hi:
         raise ValueError("corrupt lossless container: samples exceed bit depth")
-    if pcrc is not None and (
+    # the PCM CRC covers the whole stream — verifiable only on a full
+    # decode; partial decodes rely on the structural checks above
+    if full and pcrc is not None and (
         zlib.crc32(_pack_raw(np.ascontiguousarray(x), bits)) & 0xFFFFFFFF
     ) != pcrc:
         raise ValueError(

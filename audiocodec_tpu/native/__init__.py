@@ -170,6 +170,26 @@ def _bind(lib):
     lib.acx_rrice_encode.argtypes = list(lib.acx_rice_encode.argtypes)
     lib.acx_rrice_decode.restype = ctypes.c_int32
     lib.acx_rrice_decode.argtypes = list(lib.acx_rice_decode.argtypes)
+    idx_encode_argtypes = list(lib.acx_rice_encode.argtypes) + [
+        ctypes.c_int64,                   # idx_stride (values)
+        ctypes.POINTER(ctypes.c_uint64),  # idx_out (bit offsets)
+    ]
+    lib.acx_rice_encode_idx.restype = ctypes.c_int64
+    lib.acx_rice_encode_idx.argtypes = idx_encode_argtypes
+    lib.acx_rrice_encode_idx.restype = ctypes.c_int64
+    lib.acx_rrice_encode_idx.argtypes = idx_encode_argtypes
+    decode_at_argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_uint64,                  # start_bit
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+    ]
+    lib.acx_rice_decode_at.restype = ctypes.c_int32
+    lib.acx_rice_decode_at.argtypes = decode_at_argtypes
+    lib.acx_rrice_decode_at.restype = ctypes.c_int32
+    lib.acx_rrice_decode_at.argtypes = decode_at_argtypes
     return lib
 
 
@@ -406,21 +426,71 @@ def rice_encode(codes, group: int = RICE_GROUP) -> bytes:
     return out[:written].tobytes()
 
 
+def _encode_indexed(fn_name, codes, idx_stride, group):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            f"{fn_name} needs the native library: {_build_error}"
+        )
+    flat = np.ascontiguousarray(np.asarray(codes, dtype=np.int32).ravel())
+    if idx_stride <= 0 or idx_stride % group != 0:
+        raise ValueError(
+            f"idx_stride must be a positive multiple of group {group}"
+        )
+    bound = "acx_rrice_bound" if "rrice" in fn_name else "acx_rice_bound"
+    cap = int(getattr(lib, bound)(flat.size, group))
+    out = _scratch_buf(cap)
+    idx = np.zeros(-(-flat.size // idx_stride), dtype=np.uint64)
+    written = getattr(lib, fn_name)(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        flat.size,
+        group,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+        idx_stride,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if written < 0:
+        raise RuntimeError("rice encoder overflow (bound bug)")
+    return out[:written].tobytes(), idx
+
+
+def rice_encode_indexed(codes, idx_stride, group: int = RICE_GROUP):
+    """Like :func:`rice_encode`, also returning the bit offset of every
+    idx_stride-th value's group header (seek points for
+    :func:`rice_decode` start_bit). idx_stride must be a multiple of
+    the Rice group so offsets land on resynchronizable boundaries."""
+    return _encode_indexed("acx_rice_encode_idx", codes, idx_stride, group)
+
+
+def rrice_encode_indexed(codes, idx_stride, group: int = RICE_GROUP):
+    """Run-length variant of :func:`rice_encode_indexed`."""
+    return _encode_indexed("acx_rrice_encode_idx", codes, idx_stride, group)
+
+
 # Above this many values, the pure-Python fallback takes minutes; tell
 # the user how to get the ~100x-faster native decoder instead of looking
 # hung. (Streaming .acs decodes go chunk-by-chunk and stay under this.)
 _PY_DECODE_WARN_N = 20_000_000
 
 
-def rice_decode(data: bytes, n: int, group: int = RICE_GROUP) -> np.ndarray:
-    """Decode `n` int32 values from a Rice stream (native or pure Python)."""
+def rice_decode(data: bytes, n: int, group: int = RICE_GROUP,
+                start_bit: int = 0) -> np.ndarray:
+    """Decode `n` int32 values from a Rice stream (native or pure Python).
+
+    `start_bit` must be a group-boundary bit offset recorded by
+    :func:`rice_encode_indexed` (0 = stream start); an arbitrary offset
+    decodes garbage values but can never read out of bounds."""
     lib = _load()
     buf = np.frombuffer(data, dtype=np.uint8)
     out = np.empty(n, dtype=np.int32)
+    if start_bit < 0 or start_bit > buf.size * 8:
+        raise ValueError("corrupt rice stream")
     if lib is not None:
-        rc = lib.acx_rice_decode(
+        rc = lib.acx_rice_decode_at(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             buf.size,
+            int(start_bit),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             n,
             group,
@@ -438,7 +508,7 @@ def rice_decode(data: bytes, n: int, group: int = RICE_GROUP) -> np.ndarray:
             RuntimeWarning,
             stacklevel=2,
         )
-    return _rice_decode_py(buf, n, group)
+    return _rice_decode_py(buf, n, group, start_bit)
 
 
 def rrice_encode(codes, group: int = RICE_GROUP) -> bytes:
@@ -467,15 +537,20 @@ def rrice_encode(codes, group: int = RICE_GROUP) -> bytes:
     return out[:written].tobytes()
 
 
-def rrice_decode(data: bytes, n: int, group: int = RICE_GROUP) -> np.ndarray:
-    """Decode `n` int32 values from a run-length Rice stream."""
+def rrice_decode(data: bytes, n: int, group: int = RICE_GROUP,
+                 start_bit: int = 0) -> np.ndarray:
+    """Decode `n` int32 values from a run-length Rice stream
+    (optionally from an indexed group-boundary `start_bit`)."""
     lib = _load()
     buf = np.frombuffer(data, dtype=np.uint8)
+    if start_bit < 0 or start_bit > buf.size * 8:
+        raise ValueError("corrupt rice stream")
     if lib is not None:
         out = np.empty(n, dtype=np.int32)
-        rc = lib.acx_rrice_decode(
+        rc = lib.acx_rrice_decode_at(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             buf.size,
+            int(start_bit),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             n,
             group,
@@ -483,7 +558,7 @@ def rrice_decode(data: bytes, n: int, group: int = RICE_GROUP) -> np.ndarray:
         if rc != 0:
             raise ValueError("corrupt rice stream")
         return out
-    return _rrice_decode_py(buf, n, group)
+    return _rrice_decode_py(buf, n, group, start_bit)
 
 
 def _lpc_call(fn_name, data, qcoef, shift):
@@ -680,7 +755,8 @@ def lpc_reconstruct(res, qcoef, shift):
     return _lpc_call("acx_lpc_reconstruct", res, qcoef, shift)
 
 
-def _rrice_decode_py(buf: np.ndarray, n: int, group: int) -> np.ndarray:
+def _rrice_decode_py(buf: np.ndarray, n: int, group: int,
+                     start_bit: int = 0) -> np.ndarray:
     """Pure-Python run-length Rice decoder (portability fallback).
 
     Token-paced, not value-paced: RLE groups cost one loop iteration per
@@ -691,7 +767,7 @@ def _rrice_decode_py(buf: np.ndarray, n: int, group: int) -> np.ndarray:
     bits = np.unpackbits(buf)  # MSB-first, matches the BitWriter
     total = bits.size
     out = np.zeros(n, dtype=np.int32)
-    pos = 0
+    pos = int(start_bit)
     max_q = 47  # kMaxQuotient
     escape = max_q + 1
 
@@ -769,7 +845,8 @@ def _rrice_decode_py(buf: np.ndarray, n: int, group: int) -> np.ndarray:
     return out
 
 
-def _rice_decode_py(buf: np.ndarray, n: int, group: int) -> np.ndarray:
+def _rice_decode_py(buf: np.ndarray, n: int, group: int,
+                    start_bit: int = 0) -> np.ndarray:
     """Dependency-free Rice decoder (portability fallback), numpy-paced.
 
     Instead of per-bit Python loops, it slides a bit window over the
@@ -818,8 +895,8 @@ def _rice_decode_py(buf: np.ndarray, n: int, group: int) -> np.ndarray:
             state["vk"][k] = v
         return v
 
-    load_window(0)
-    pos = 0
+    load_window(int(start_bit))
+    pos = int(start_bit)
     i = 0
     k = 0
     group_end = 0

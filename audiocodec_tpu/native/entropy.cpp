@@ -266,11 +266,24 @@ int64_t acx_rice_bound(int64_t n, int64_t group) {
   return bits / 8 + 16;
 }
 
-int64_t acx_rice_encode(const int32_t* codes, int64_t n, int64_t group,
-                        uint8_t* out, int64_t cap) {
+// idx_stride/idx_out (both optional — stride 0 / NULL disables): record
+// the bit offset of every idx_stride-th value's group header into
+// idx_out[i]. Strides must be multiples of `group` so every recorded
+// offset lands exactly on a group boundary — that is what makes the
+// offsets valid *_decode_at entry points (the decoder resynchronizes on
+// a 4-bit k header there). The wire format is UNCHANGED; the index is
+// carried out of band (the lossless container's `fidx` member).
+int64_t acx_rice_encode_idx(const int32_t* codes, int64_t n, int64_t group,
+                            uint8_t* out, int64_t cap, int64_t idx_stride,
+                            uint64_t* idx_out) {
+  if (idx_stride < 0 || (idx_stride > 0 && idx_stride % group != 0))
+    return -3;
   BitWriter w{out, cap};
   for (int64_t g = 0; g < n; g += group) {
     int64_t end = g + group < n ? g + group : n;
+    if (idx_out && idx_stride > 0 && g % idx_stride == 0)
+      idx_out[g / idx_stride] =
+          static_cast<uint64_t>(w.byte_pos) * 8u + w.nbits;
     uint64_t sum = 0;
     for (int64_t i = g; i < end; ++i) sum += zigzag(codes[i]);
     int best_k = best_k_from_sum(sum, end - g);
@@ -280,9 +293,21 @@ int64_t acx_rice_encode(const int32_t* codes, int64_t n, int64_t group,
   return w.finish();
 }
 
-int32_t acx_rice_decode(const uint8_t* in, int64_t len, int32_t* codes,
-                        int64_t n, int64_t group) {
+int64_t acx_rice_encode(const int32_t* codes, int64_t n, int64_t group,
+                        uint8_t* out, int64_t cap) {
+  return acx_rice_encode_idx(codes, n, group, out, cap, 0, nullptr);
+}
+
+// Decode n values starting at bit offset start_bit (must be a group
+// boundary recorded by the encoder's index; an arbitrary offset decodes
+// garbage, which the caller's bounds/CRC checks reject — it can never
+// read out of bounds or loop).
+int32_t acx_rice_decode_at(const uint8_t* in, int64_t len, uint64_t start_bit,
+                           int32_t* codes, int64_t n, int64_t group) {
+  if (start_bit > static_cast<uint64_t>(len) * 8u) return -2;
   BitReader r{in, len};
+  r.byte_pos = static_cast<int64_t>(start_bit >> 3);
+  if (start_bit & 7u) r.get_bits(static_cast<int>(start_bit & 7u));
   bool bad = false;
   for (int64_t g = 0; g < n; g += group) {
     int64_t end = g + group < n ? g + group : n;
@@ -297,6 +322,11 @@ int32_t acx_rice_decode(const uint8_t* in, int64_t len, int32_t* codes,
   return 0;
 }
 
+int32_t acx_rice_decode(const uint8_t* in, int64_t len, int32_t* codes,
+                        int64_t n, int64_t group) {
+  return acx_rice_decode_at(in, len, 0, codes, n, group);
+}
+
 int64_t acx_rrice_bound(int64_t n, int64_t group) {
   // plain mode is always available per group, so the bound is the rice
   // bound plus one mode bit per group
@@ -304,11 +334,17 @@ int64_t acx_rrice_bound(int64_t n, int64_t group) {
   return acx_rice_bound(n, group) + groups / 8 + 16;
 }
 
-int64_t acx_rrice_encode(const int32_t* codes, int64_t n, int64_t group,
-                         uint8_t* out, int64_t cap) {
+int64_t acx_rrice_encode_idx(const int32_t* codes, int64_t n, int64_t group,
+                             uint8_t* out, int64_t cap, int64_t idx_stride,
+                             uint64_t* idx_out) {
+  if (idx_stride < 0 || (idx_stride > 0 && idx_stride % group != 0))
+    return -3;
   BitWriter w{out, cap};
   for (int64_t g = 0; g < n; g += group) {
     int64_t end = g + group < n ? g + group : n;
+    if (idx_out && idx_stride > 0 && g % idx_stride == 0)
+      idx_out[g / idx_stride] =
+          static_cast<uint64_t>(w.byte_pos) * 8u + w.nbits;
 
     // ONE pass: plain-mode zigzag sum, rle-mode gamma run bits + the
     // nonzero magnitudes' (u-1) sum
@@ -360,6 +396,11 @@ int64_t acx_rrice_encode(const int32_t* codes, int64_t n, int64_t group,
     }
   }
   return w.finish();
+}
+
+int64_t acx_rrice_encode(const int32_t* codes, int64_t n, int64_t group,
+                         uint8_t* out, int64_t cap) {
+  return acx_rrice_encode_idx(codes, n, group, out, cap, 0, nullptr);
 }
 
 // ---- LPC predictor filters (lossless.py level-2 "max" tier) ----------------
@@ -831,9 +872,13 @@ int32_t acx_lpc_reconstruct_wire(const int32_t* wire, int64_t frames,
   return 0;
 }
 
-int32_t acx_rrice_decode(const uint8_t* in, int64_t len, int32_t* codes,
-                         int64_t n, int64_t group) {
+int32_t acx_rrice_decode_at(const uint8_t* in, int64_t len,
+                            uint64_t start_bit, int32_t* codes, int64_t n,
+                            int64_t group) {
+  if (start_bit > static_cast<uint64_t>(len) * 8u) return -2;
   BitReader r{in, len};
+  r.byte_pos = static_cast<int64_t>(start_bit >> 3);
+  if (start_bit & 7u) r.get_bits(static_cast<int>(start_bit & 7u));
   bool bad = false;
   for (int64_t g = 0; g < n; g += group) {
     int64_t end = g + group < n ? g + group : n;
@@ -864,6 +909,11 @@ int32_t acx_rrice_decode(const uint8_t* in, int64_t len, int32_t* codes,
     if (r.underflow) return -2;
   }
   return 0;
+}
+
+int32_t acx_rrice_decode(const uint8_t* in, int64_t len, int32_t* codes,
+                         int64_t n, int64_t group) {
+  return acx_rrice_decode_at(in, len, 0, codes, n, group);
 }
 
 }  // extern "C"

@@ -686,6 +686,152 @@ class TestLPCLevel:
         np.testing.assert_array_equal(y, x)
 
 
+class TestRandomAccess:
+    """decode_lossless(start, count): bit-exact vs the slice of a full
+    decode, across every entropy family, with the fidx index hardened
+    like every other member and a prefix-decode fallback for streams
+    written before the index existed."""
+
+    def _cases(self):
+        rng = np.random.default_rng(31)
+        sr = 44100
+        t = np.arange(sr * 4) / sr
+        l = (9000 * np.sin(2 * np.pi * 440 * t)
+             + rng.normal(0, 90, t.size)).astype(np.int32)
+        music = np.stack(
+            [l, (0.8 * l + rng.normal(0, 70, t.size)).astype(np.int32)],
+            axis=1,
+        )
+        sil = music.copy()
+        sil[: sr * 2] = 0
+        sine = (20000 * np.sin(2 * np.pi * 440 * np.arange(sr * 2) / sr)
+                ).astype(np.int32)[:, None]
+        noise = rng.integers(-32768, 32767, size=(sr, 2)).astype(np.int32)
+        return sr, [
+            ("rice", music, 1), ("lpc", music, 2), ("rrice", sil, 1),
+            ("tonal", sine, 1), ("verbatim", noise, 1),
+        ]
+
+    def test_ranges_exact_all_modes(self):
+        sr, cases = self._cases()
+        for name, x, level in cases:
+            blob = lossless.encode_lossless(x, sr, level=level)
+            assert lossless.describe(blob)["seekable"]
+            n = x.shape[0]
+            for s, c in [(0, 999), (4096 * 2, 4096), (n // 2 + 7, 9999),
+                         (n - 77, None), (123, 1)]:
+                c_eff = n - s if c is None else min(c, n - s)
+                y, rate, bits = lossless.decode_lossless(
+                    blob, start=s, count=c
+                )
+                np.testing.assert_array_equal(
+                    y, x[s:s + c_eff], err_msg=f"{name} ({s}, {c})"
+                )
+
+    def test_prefix_fallback_without_fidx(self):
+        """Streams without the index (pre-round-5) range-decode via the
+        prefix path — still bit-exact."""
+        sr, cases = self._cases()
+        _, x, _ = cases[0][0], cases[0][1], cases[0][2]
+        blob = lossless.encode_lossless(x, sr)
+        src = zipfile.ZipFile(io.BytesIO(blob))
+        out = io.BytesIO()
+        with zipfile.ZipFile(out, "w") as dst:
+            for nm in src.namelist():
+                if nm != "fidx.npy":
+                    dst.writestr(nm, src.read(nm))
+        old = out.getvalue()
+        assert not lossless.describe(old)["seekable"]
+        y, _, _ = lossless.decode_lossless(old, start=44100, count=4096)
+        np.testing.assert_array_equal(y, x[44100:44100 + 4096])
+
+    def test_v2_golden_partial_decode(self):
+        import os
+
+        vec = os.path.join(os.path.dirname(__file__), "vectors")
+        blob = open(os.path.join(vec, "lossless_v2.bin"), "rb").read()
+        ref = np.load(os.path.join(vec, "lossless_v2.pcm.npy"))
+        y, _, _ = lossless.decode_lossless(blob, start=10000, count=5000)
+        np.testing.assert_array_equal(y, ref[10000:15000])
+
+    def _retag_fidx(self, blob, edit):
+        src = zipfile.ZipFile(io.BytesIO(blob))
+        out = io.BytesIO()
+        with zipfile.ZipFile(out, "w") as dst:
+            for nm in src.namelist():
+                data = src.read(nm)
+                if nm == "fidx.npy":
+                    arr = edit(np.load(io.BytesIO(data)))
+                    nb = io.BytesIO()
+                    np.save(nb, arr)
+                    data = nb.getvalue()
+                dst.writestr(nm, data)
+        return out.getvalue()
+
+    def test_corrupt_fidx_rejected(self):
+        sr, cases = self._cases()
+        x = cases[0][1]
+        blob = lossless.encode_lossless(x, sr)
+        for label, edit in [
+            ("wrong shape", lambda a: a[:-1]),
+            ("non-monotonic", lambda a: a[::-1].copy()),
+            ("negative", lambda a: (a.astype(np.int64) - 10**6)),
+            ("float dtype", lambda a: a.astype(np.float64)),
+        ]:
+            bad = self._retag_fidx(blob, edit)
+            with pytest.raises(ValueError, match="fidx|corrupt"):
+                lossless.decode_lossless(bad, start=8192, count=100)
+
+    def test_fidx_beyond_stream_rejected_or_garbage_bounded(self):
+        """Offsets past the payload must raise, never read OOB."""
+        sr, cases = self._cases()
+        x = cases[0][1]
+        blob = lossless.encode_lossless(x, sr)
+        bad = self._retag_fidx(
+            blob, lambda a: a + np.uint64(10**9)
+        )
+        with pytest.raises(ValueError):
+            lossless.decode_lossless(bad, start=8192, count=100)
+
+    def test_bounds_errors(self):
+        sr, cases = self._cases()
+        x = cases[0][1]
+        blob = lossless.encode_lossless(x, sr)
+        for s, c in [(-1, None), (x.shape[0], None), (10**15, None),
+                     (0, 0), (0, -4)]:
+            with pytest.raises(ValueError):
+                lossless.decode_lossless(blob, start=s, count=c)
+        # count overruns clamp instead of raising
+        y, _, _ = lossless.decode_lossless(
+            blob, start=x.shape[0] - 10, count=10**9
+        )
+        np.testing.assert_array_equal(y, x[-10:])
+
+    def test_cli_start_duration(self, tmp_path):
+        import subprocess
+        import sys
+
+        from audiocodec_tpu.io import wav as _wav
+
+        sr, cases = self._cases()
+        x = cases[0][1]
+        src = str(tmp_path / "in.wav")
+        acz = str(tmp_path / "a.acz")
+        back = str(tmp_path / "b.wav")
+        _wav.write_wav_int(src, x, sr, 16)
+        for cmd in (
+            ["encode", src, acz, "--lossless"],
+            ["decode", acz, back, "--start", "1.0", "--duration", "0.5"],
+        ):
+            r = subprocess.run(
+                [sys.executable, "-m", "audiocodec_tpu"] + cmd,
+                capture_output=True, text=True,
+            )
+            assert r.returncode == 0, r.stderr
+        y, rate, bits = _wav.read_wav_int(back)
+        np.testing.assert_array_equal(y, x[sr:sr + sr // 2])
+
+
 class TestIntegrityCRC:
     """FLAC-MD5-style whole-stream integrity: every new container
     carries a CRC32 of the source PCM; decode verifies it, catching bit
