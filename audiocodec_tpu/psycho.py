@@ -89,6 +89,112 @@ def _bark_freq_mapping(
     return W, W_inv
 
 
+def _bark_freq_mapping_calibrated(
+    sample_rate: float, filter_bands_n: int, bark_bands_n: int
+):
+    """Centroid-preserving analysis matrix for calibrated mode.
+
+    Each filter band's intensity is split between the two Bark bands
+    whose CENTERS bracket the filter band's center (triangular kernel)
+    instead of rectangular overlap binning. Rows still sum to 1 (energy
+    conservation is untouched); what changes is that a tonal masker's
+    effective Bark position becomes its true position instead of its
+    band's center — rectangular binning quantizes masker positions by
+    up to half a Bark band, which on the lower masking skirt
+    (~-27 dB/Bark) is a ±7 dB resolution-dependent threshold error at
+    48 bands (measured; DESIGN.md §4b).
+    """
+    max_frequency = sample_rate / 2.0
+    max_bark = freq2bark(max_frequency)
+    step = max_bark / bark_bands_n
+    fc = (np.arange(filter_bands_n) + 0.5) * max_frequency / filter_bands_n
+    pos = (freq2bark(fc) - 0.5 * step) / step  # fractional center index
+    lo = np.clip(np.floor(pos).astype(int), 0, bark_bands_n - 1)
+    hi = np.clip(lo + 1, 0, bark_bands_n - 1)
+    wfrac = np.clip(pos - lo, 0.0, 1.0)
+    W = np.zeros((filter_bands_n, bark_bands_n))
+    np.add.at(W, (np.arange(filter_bands_n), lo), 1.0 - wfrac)
+    np.add.at(W, (np.arange(filter_bands_n), hi), wfrac)
+    return W
+
+
+def _spreading_matrix_integrated(
+    bark_bands_n: int, max_bark: float, alpha: float
+):
+    """Band-integrated spreading matrix for calibrated mode.
+
+    Each entry is the AVERAGE prototype intensity over the target
+    band's width (33-point trapezoid in float64 on host) instead of a
+    point sample — point sampling at band-step granularity (plus the
+    reference construction's half-step offset) makes the steep masking
+    skirts resolution-dependent by several dB. Converges to the
+    continuous band average as resolution grows, so different
+    bark_bands_n agree.
+    """
+    step = max_bark / bark_bands_n
+    d = (
+        np.arange(bark_bands_n)[None, :] - np.arange(bark_bands_n)[:, None]
+    ).astype(np.float64)
+    u = np.linspace(-0.5, 0.5, 33)
+    # the reference construction samples the prototype at a half-step
+    # offset (z index n - r + c lands on (c - r + 0.5)*step); anchoring
+    # to the 1024/64 standard keeps that offset as a FIXED bark shift
+    # (half of the 64-band step) so every resolution reproduces the
+    # default configuration's masking pattern instead of shifting its
+    # skirts by its own half step
+    anchor_shift = 0.5 * (max_bark / 64.0)
+    z = (d[:, :, None] + u[None, None, :]) * step + anchor_shift
+    f_spreading = 15.81 + 7.5 * (z + 0.474) - 17.5 * np.sqrt(
+        1.0 + (z + 0.474) ** 2
+    )
+    vals = 10.0 ** (alpha * f_spreading / 10.0)
+    return np.trapezoid(vals, u, axis=2)
+
+
+def _quiet_threshold_freq_amp(
+    sample_rate: float, filter_bands_n: int, db_min: float
+):
+    """Threshold-in-quiet per FILTER band, [1, 1, filter_bands_n, 1]
+    amplitudes — the calibrated mode's fine-grid quiet floor.
+
+    The Bark-domain quiet threshold samples a steeply-sloped curve at
+    band midpoints: the lowest Bark band's midpoint moves with
+    bark_bands_n, shifting its threshold by >10 dB between 48 and 96
+    bands (the curve rises ~-0.8 log-slope toward DC and k^4 toward
+    Nyquist). Evaluating on the filter-band grid removes that
+    resolution dependence entirely (measured: quiet-level agreement
+    across configs goes from ~2.5 dB worst to ~0.6 dB; DESIGN.md §4b).
+    """
+    fc = (
+        (np.arange(filter_bands_n) + 0.5)
+        * (sample_rate / 2.0)
+        / filter_bands_n
+    )
+    f_khz = fc / 1000.0
+    quiet_db = np.clip(
+        3.64 * f_khz**-0.8
+        - 6.5 * np.exp(-0.6 * (f_khz - 3.3) ** 2)
+        + 1e-3 * f_khz**4,
+        db_min,
+        DB_MAX,
+    )
+    # Anchor to the 1024/64 standard's level convention: the rectangular
+    # W_inv splits a Bark band's quiet intensity across the filter bands
+    # it covers, so per-band quiet intensity = I_quiet / n_default(f)
+    # with n_default(f) = (Hz width of a 64-band Bark band at f) /
+    # (the 1024-band filter width) — evaluated CONTINUOUSLY here
+    # (dHz/dbark = 100 cosh(bark/6)), which is exactly what removes the
+    # midpoint-sampling resolution dependence while keeping the default
+    # configuration's absolute levels.
+    max_bark = freq2bark(sample_rate / 2.0)
+    bark_width_hz = 100.0 * np.cosh(freq2bark(fc) / 6.0) * (max_bark / 64.0)
+    filter_bw_default = (sample_rate / 2.0) / 1024.0
+    n_default = np.maximum(bark_width_hz / filter_bw_default, 1e-6)
+    intensity = 10.0 ** ((quiet_db - DB_MAX) / 10.0) / n_default
+    amp = np.sqrt(intensity)
+    return amp.reshape(1, 1, -1, 1)
+
+
 def _spreading_matrix(bark_bands_n: int, max_bark: float, alpha: float):
     """Toeplitz-like matrix of shifted spreading prototypes, float64.
 
@@ -233,11 +339,11 @@ def temporal_masking(bark_intensity, decay_db_per_frame: float,
     jax.tree_util.register_dataclass,
     data_fields=[
         "W", "W_inv", "quiet_threshold_intensity", "spreading_matrix",
-        "bark_grid",
+        "bark_grid", "quiet_threshold_freq_amp",
     ],
     meta_fields=[
         "sample_rate", "filter_bands_n", "bark_bands_n", "alpha",
-        "compute_dtype", "max_bark", "bark_precision",
+        "compute_dtype", "max_bark", "bark_precision", "calibrated",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -258,6 +364,17 @@ class PsychoacousticModel:
         thresholds), "high", or "default" (one bf16 pass, ~1e-3 relative
         threshold error — inaudible next to quantization noise; the
         production quantized path's setting via Codec's dct_precision).
+    :param calibrated: False (default) keeps reference parity, including
+        the reference's documented caveat that deviating from
+        1024/64 bands shifts absolute threshold levels
+        (/root/reference/audiocodec/psychoacoustic.py:20-23 — its "todo
+        normalization"). True fixes that todo: thresholds become
+        invariant to (filter_bands_n, bark_bands_n), anchored to the
+        1024/64 standard, via four measured normalizations (W_inv level
+        scalar, fine-grid quiet floor, band-integrated spreading,
+        centroid-preserving analysis kernel — DESIGN.md §4b has the
+        per-term measurements). Model-level only: the coded-bitstream
+        path pins parity mode, so containers are unaffected.
     """
 
     sample_rate: float
@@ -267,11 +384,13 @@ class PsychoacousticModel:
     compute_dtype: object
     max_bark: float
     bark_precision: str
+    calibrated: bool
     W: jax.Array
     W_inv: jax.Array
     quiet_threshold_intensity: jax.Array
     spreading_matrix: jax.Array
     bark_grid: jax.Array  # linspace(0, max_bark, bark_bands_n)
+    quiet_threshold_freq_amp: object  # calibrated mode only, else None
 
     @classmethod
     def create(
@@ -282,6 +401,7 @@ class PsychoacousticModel:
         alpha: float = 0.6,
         compute_dtype=jnp.float32,
         bark_precision: str = "highest",
+        calibrated: bool = False,
     ) -> "PsychoacousticModel":
         from audiocodec_tpu.ops import dct as _dct
 
@@ -297,6 +417,28 @@ class PsychoacousticModel:
         # (reference psychoacoustic.py:58 and the clamp at :83-84).
         db_min = 10.0 * math.log10(INTENSITY_EPS) + DB_MAX
         W, W_inv = _bark_freq_mapping(sample_rate, filter_bands_n, bark_bands_n)
+        quiet_freq = None
+        if calibrated:
+            # Level anchor: the rectangular W_inv splits a Bark band's
+            # threshold intensity across its filter bands, so per-band
+            # levels scale with filter_bands_n/bark_bands_n. This scalar
+            # pins them to what the 1024/64 standard configuration
+            # produces (exactly 1.0 there, so calibrated mode is
+            # anchored, not re-tuned).
+            W_inv = W_inv * (
+                (filter_bands_n * 64.0) / (1024.0 * bark_bands_n)
+            )
+            W = _bark_freq_mapping_calibrated(
+                sample_rate, filter_bands_n, bark_bands_n
+            )
+            spreading = _spreading_matrix_integrated(
+                bark_bands_n, max_bark, alpha
+            )
+            quiet_freq = _quiet_threshold_freq_amp(
+                sample_rate, filter_bands_n, db_min
+            )
+        else:
+            spreading = _spreading_matrix(bark_bands_n, max_bark, alpha)
         as_compute = lambda v: jnp.asarray(v, dtype=dtype)
         return cls(
             sample_rate=float(sample_rate),
@@ -306,16 +448,18 @@ class PsychoacousticModel:
             compute_dtype=dtype,
             max_bark=max_bark,
             bark_precision=bark_precision,
+            calibrated=bool(calibrated),
             W=as_compute(W),
             W_inv=as_compute(W_inv),
             quiet_threshold_intensity=as_compute(
                 _quiet_threshold_intensity(bark_bands_n, max_bark, db_min)
             ),
-            spreading_matrix=as_compute(
-                _spreading_matrix(bark_bands_n, max_bark, alpha)
-            ),
+            spreading_matrix=as_compute(spreading),
             bark_grid=as_compute(
                 np.linspace(0.0, max_bark, bark_bands_n)
+            ),
+            quiet_threshold_freq_amp=(
+                None if quiet_freq is None else as_compute(quiet_freq)
             ),
         )
 
@@ -443,7 +587,14 @@ class PsychoacousticModel:
             global_in_bark = self.global_masking_intensity_in_bark(
                 mdct_amplitudes, tonality_per_block, drown
             )
-            return self._bark_intensity_to_freq_ampl(global_in_bark)
+            thr = self._bark_intensity_to_freq_ampl(global_in_bark)
+            if self.calibrated:
+                # calibrated mode refines the quiet floor on the fine
+                # filter-band grid — the Bark-midpoint sampling of the
+                # steep quiet curve is the dominant resolution
+                # dependence at the spectrum edges (DESIGN.md §4b)
+                thr = jnp.maximum(thr, self.quiet_threshold_freq_amp)
+            return thr
 
     def global_masking_intensity_in_bark(
         self, mdct_amplitudes, tonality_per_block, drown=0.0
