@@ -151,7 +151,7 @@ class CodecServer:
     def __init__(self, codec, sample_rate: int, host: str = "127.0.0.1",
                  port: int = 0, unix_path: str = "", max_batch: int = 8,
                  max_wait_ms: float = 5.0, min_blocks: int = 8,
-                 entropy: str | None = None):
+                 entropy: str | None = None, inflight_depth: int = 2):
         self._codec = codec
         self._rate = sample_rate
         self._host, self._port0, self._unix = host, port, unix_path
@@ -159,10 +159,14 @@ class CodecServer:
         self._max_wait = max_wait_ms / 1000.0
         self._min_blocks = min_blocks
         self._encode_q: queue.Queue = queue.Queue()
-        # at most 2 batches queued on the device/tunnel at once: one
-        # reading back while the next coalesces+uploads (more buys
-        # nothing — the transport serializes — and costs memory)
-        self._inflight = threading.Semaphore(2)
+        # batches dispatched-but-unfinalized on the device/tunnel at
+        # once. Depth 2 = one reading back while the next
+        # coalesces+uploads; depths 3-4 were probed at 8 clients and
+        # measured WITHIN RUN NOISE of 2 on this transport (the tunnel
+        # serializes the bytes either way — benchmarks/serve_bench.py
+        # --inflight-depth and DESIGN.md §8c), so 2 stays the default
+        # for its lower memory floor.
+        self._inflight = threading.Semaphore(max(1, int(inflight_depth)))
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._sock = None
@@ -292,6 +296,16 @@ class CodecServer:
                 ms if prev is None else prev + (ms - prev) / 16
             )
             self.stats[f"{kind}_ema_ms"] = round(self._lat[kind], 2)
+
+    def _note_stage(self, kind: str, seconds: float) -> None:
+        """Cumulative per-stage wall seconds across the whole batch
+        cycle (parse / dispatch / acquire-wait / readback / pack) — the
+        request-cycle decomposition serve_bench prints so the gap to
+        the transport ceiling is attributed term by term, the way
+        transport_probe.py did for ingest (DESIGN.md §8c)."""
+        with self._lock:
+            key = f"t_{kind}_s"
+            self.stats[key] = round(self.stats.get(key, 0.0) + seconds, 4)
 
     def start(self):
         if self._unix:
@@ -568,6 +582,7 @@ class CodecServer:
     def _run_batch(self, batch, pool):
         n = self._codec.mdct.filters_n
         dtype = self._codec.mdct.compute_dtype
+        t_parse0 = time.monotonic()
         parsed = []  # (req, wave [s, C] int16|f32, real_blocks, samples)
         for req in batch:
             try:
@@ -599,6 +614,7 @@ class CodecServer:
                 req.finish(1, str(e).encode())
         if not parsed:
             return
+        self._note_stage("parse", time.monotonic() - t_parse0)
         # one jitted call per (bucket_blocks, channels, wire) group,
         # batch padded to the next power of two
         groups: dict = {}
@@ -618,9 +634,12 @@ class CodecServer:
             g = _next_pow2(len(items))
             # acquire BEFORE dispatching so the semaphore bounds
             # dispatched device work (H2D upload included), not just
-            # finalization — depth-3 uploads behind two in-flight
-            # batches only add host memory pressure on this transport
+            # finalization — deeper dispatch only adds host memory
+            # pressure on this transport (measured; see inflight_depth)
+            t_acq0 = time.monotonic()
             self._inflight.acquire()
+            t_disp0 = time.monotonic()
+            self._note_stage("acquire", t_disp0 - t_acq0)
             try:
                 if i16_wire:
                     handle = self._dispatch_i16(items, g, bucket, ch)
@@ -631,6 +650,7 @@ class CodecServer:
                     handle = self._enc(
                         self._codec, jnp.asarray(x, dtype=dtype)
                     )
+                self._note_stage("dispatch", time.monotonic() - t_disp0)
             except Exception as e:
                 self._inflight.release()
                 with self._lock:
@@ -671,6 +691,7 @@ class CodecServer:
         """Pool-side half: block on the device result, unpack, pack,
         respond. Runs concurrently with the batch loop's next dispatch."""
         try:
+            t_read0 = time.monotonic()
             try:
                 if i16_wire:
                     codes_h, bark_h = self._unpack_i16(
@@ -685,6 +706,8 @@ class CodecServer:
                 for req, *_ in items:
                     req.finish(1, str(e).encode())
                 return
+            t_pack0 = time.monotonic()
+            self._note_stage("readback", t_pack0 - t_read0)
             with self._lock:
                 self.stats["encode_batches"] += 1
             for j, (req, _, blocks, samples) in enumerate(items):
@@ -697,6 +720,7 @@ class CodecServer:
                     bark_h[j : j + 1, : blocks + 1],
                     samples,
                 )
+            self._note_stage("pack", time.monotonic() - t_pack0)
         finally:
             self._inflight.release()
 

@@ -38,6 +38,8 @@ def main():
                     help="clip length per request")
     ap.add_argument("--filters-n", type=int, default=1024)
     ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--inflight-depth", type=int, default=2,
+                    help="dispatched-but-unfinalized batch bound")
     ap.add_argument("--decode", action="store_true",
                     help="also measure the decode direction")
     args = ap.parse_args()
@@ -68,7 +70,7 @@ def main():
 
     with serve.CodecServer(
         codec, sr, port=0, max_batch=args.max_batch, max_wait_ms=3.0,
-        min_blocks=8,
+        min_blocks=8, inflight_depth=args.inflight_depth,
     ) as server:
 
         def run_pass(measure_decode=False):
@@ -123,8 +125,37 @@ def main():
             "requests_per_s": round(total / dt, 2),
             "audio_s_per_s": round(total * clip_seconds / dt, 1),
             "batching_ratio": round(reqs / max(batches, 1), 2),
+            "inflight_depth": args.inflight_depth,
             "decode_included": bool(args.decode),
         }
+        # same-run tunnel health so rows taken on different days are
+        # comparable (the transport ceiling scales with it — a 0.66
+        # tunnel caps this bench at ~145 audio-s/s regardless of code)
+        if not args.cpu:
+            from run_benchmarks import transport_health
+
+            health, mbps = transport_health()
+            row["transport_health"] = round(health, 3)
+            row["h2d_mbps"] = mbps
+            row["audio_s_per_s_health_normalized"] = round(
+                row["audio_s_per_s"] / max(health, 1e-6), 1
+            )
+        # request-cycle decomposition (cumulative stage seconds across
+        # the measured pass; batch-loop stages serialize on one thread,
+        # readback/pack overlap in the pool) — the term-by-term
+        # attribution of the gap to the transport ceiling
+        stages = {}
+        for k in ("t_parse_s", "t_acquire_s", "t_dispatch_s",
+                  "t_readback_s", "t_pack_s"):
+            if k in stats1:
+                stages[k] = round(stats1[k] - stats0.get(k, 0.0), 3)
+        if stages:
+            row["stage_s"] = stages
+            loop_busy = sum(
+                stages.get(k, 0.0)
+                for k in ("t_parse_s", "t_acquire_s", "t_dispatch_s")
+            )
+            row["batch_loop_busy_frac"] = round(loop_busy / dt, 3)
         print(json.dumps(row))
 
 
