@@ -123,25 +123,44 @@ def _select(xf):
     import jax.numpy as jnp
 
     n = xf.shape[1]
-    # Score on a per-frame chunk: the Rice bit model only needs each
-    # candidate's mean |residual|, and a 1024-sample prefix of a 4096-
-    # sample frame estimates it to well under the inter-order spread
-    # (audio is near-stationary at 25 ms). The chunk sums extrapolate by
-    # n/chunk so the n*(p+1) unary/remainder term keeps its units. This
-    # quarters the scoring bandwidth, the encode bottleneck on few-core
-    # hosts; the BUILD below stays exact for whatever order wins.
-    chunk = min(1024, n)
-    d = xf[:, :chunk, :]
+    # Score on a sampled subset: the Rice bit model only needs each
+    # candidate's mean |residual|, and 1024 samples of a 4096-sample
+    # frame estimate it to well under the inter-order spread (audio is
+    # near-stationary at 25 ms). The samples are FOUR 256-sample chunks
+    # SPREAD across the frame (not a contiguous prefix): a frame whose
+    # character changes after the prefix — a transient in the tail —
+    # would otherwise pick its order and stereo pairing from the wrong
+    # statistics. Differences stay within each chunk, so every chunk's
+    # sums measure the same ladders the build produces. The chunk sums
+    # extrapolate by n/body so the n*(p+1) unary/remainder term keeps
+    # its units; scoring bandwidth stays a quarter of the frame, the
+    # encode bottleneck on few-core hosts. The BUILD below is exact for
+    # whatever order wins.
+    if n > 1024:
+        offs = (
+            0,
+            (n // 4) // 256 * 256,
+            (n // 2) // 256 * 256,
+            (3 * n // 4) // 256 * 256,
+        )
+        d = jnp.stack([xf[:, o : o + 256, :] for o in offs], axis=1)
+    else:
+        d = xf[:, None, :, :]  # small frames score in full
     head_acc = jnp.zeros(
         (xf.shape[0], xf.shape[2]), dtype=jnp.float32
     )
     sums = []
     for k in range(MAX_ORDER + 1):
         if k:
-            d = d[:, 1:, :] - d[:, :-1, :]
+            d = d[:, :, 1:, :] - d[:, :, :-1, :]
         ad = jnp.abs(d).astype(jnp.float32)
-        sums.append(head_acc + jnp.sum(ad, axis=1) * (n / d.shape[1]))
-        head_acc = head_acc + ad[:, 0, :]
+        body = ad.shape[1] * ad.shape[2]
+        sums.append(
+            head_acc + jnp.sum(ad, axis=(1, 2)) * (n / body)
+        )
+        # warmup heads |d_k[0]| come from the frame's true start
+        # (chunk 0's first element)
+        head_acc = head_acc + ad[:, 0, 0, :]
     sumu = jnp.stack(sums) * 2.0  # [5, F, C]
     bits = _rice_bits(sumu, n)
     orders = jnp.argmin(bits, axis=0).astype(jnp.int32)  # [F, C]
