@@ -1615,9 +1615,9 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--lossless-level", type=int, default=1, choices=(1, 2),
-        help="1 = fixed predictors (fast); 2 = additionally fit "
-             "order-8 quantized LPC per frame (FLAC -8-class ratios, "
-             "slower encode; decode cost unchanged)",
+        help="1 = fixed predictors; 2 = order-searched quantized LPC "
+             "per frame (FLAC -8-class ratios; native analysis, encode "
+             "throughput at or above level 1; decode cost unchanged)",
     )
     add_model_args(p)
     p.set_defaults(fn=cmd_encode)
@@ -1683,8 +1683,8 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--lossless-level", type=int, default=1, choices=(1, 2),
-        help="1 = fixed predictors (fast); 2 = + per-frame quantized "
-             "LPC (smaller, slower encode)",
+        help="1 = fixed predictors; 2 = + order-searched per-frame "
+             "quantized LPC (smaller at comparable encode speed)",
     )
     add_model_args(p)
     p.set_defaults(fn=cmd_corpus)
