@@ -38,4 +38,10 @@ def test_codec_demo(tmp_path):
     r = _run("codec_demo.py", "--cpu", "--bitrates", "96",
              "--out-dir", str(tmp_path), timeout=540)
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "mode" in r.stdout
+
+
+def test_archival_demo(tmp_path):
+    r = _run("archival_demo.py", "--cpu", "--seconds", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "bit-exact" in r.stdout
+    assert "seekable=True" in r.stdout
