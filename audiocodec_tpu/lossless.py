@@ -997,8 +997,21 @@ def decode_lossless(data: bytes, start: int = 0, count: int | None = None):
         z.close()
 
     if entropy == 2:
-        x = _unpack_raw(np.asarray(payload), n_samples, channels, bits)
-        x = x[start:end]
+        # byte-addressable: validate the full payload size, then unpack
+        # only the requested rows (a seek into a verbatim archive never
+        # materializes the whole stream)
+        payload = np.asarray(payload)
+        width = bits // 8
+        if payload.size != n_samples * channels * width:
+            raise ValueError(
+                f"corrupt lossless container: verbatim payload "
+                f"{payload.size} bytes for {n_samples}x{channels} "
+                f"{bits}-bit samples"
+            )
+        x = _unpack_raw(
+            payload[start * channels * width : end * channels * width],
+            end - start, channels, bits,
+        )
     else:
         cf = channels * frame  # wire values per frame
         fr = f1 - f0
