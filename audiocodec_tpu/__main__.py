@@ -217,6 +217,10 @@ def _cmd_decode_lossless(args):
     start = int(round(getattr(args, "start", 0.0) * rate))
     dur = getattr(args, "duration", 0.0)
     count = int(round(dur * rate)) if dur else None
+    if count is not None and count <= 0:
+        raise ValueError(
+            f"--duration {dur}s rounds to zero samples at {rate} Hz"
+        )
     try:
         x, rate, bits = lossless.decode_lossless(
             blob, start=start, count=count

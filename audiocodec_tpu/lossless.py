@@ -793,11 +793,14 @@ def decode_lossless(data: bytes, start: int = 0, count: int | None = None):
 
     :param start: first sample to decode (random access). Containers
         written since round 5 carry a per-frame bit-offset index
-        (`fidx`), making the work proportional to the requested range;
-        older Rice-coded streams decode the prefix up to the range's
-        last frame (still cheaper than a full decode+slice). The
-        returned slice is bit-exact versus the same rows of a full
-        decode.
+        (`fidx`), making the DECODE work proportional to the requested
+        range (for the flagged-deflate payloads, entropy 3/4, the
+        deflate layer still inflates in full first — deflate has no
+        random access — so those pay O(stream) inflate + O(range)
+        everything else); older Rice-coded streams decode the prefix up
+        to the range's last frame (still cheaper than a full
+        decode+slice). The returned slice is bit-exact versus the same
+        rows of a full decode.
     :param count: number of samples (default: to the end; clamped).
     :raises ValueError: when `start` is outside the stream or `count`
         is not positive.

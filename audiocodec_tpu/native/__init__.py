@@ -21,9 +21,31 @@ _SRCS = [
     os.path.join(os.path.dirname(__file__), "entropy.cpp"),
 ]
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "_native.so")
+# host fingerprint recorded next to the .so: -march=native binaries are
+# ISA-specific, and a library rsynced/baked into an image and run on a
+# different CPU would otherwise pass the mtime staleness check and
+# SIGILL on first use
+_MARK_PATH = _LIB_PATH + ".host"
 _lock = threading.Lock()
 _lib = None
 _build_error: str | None = None
+
+
+def _host_fingerprint() -> str:
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    key = f"{platform.machine()}|{flags}".encode()
+    return hashlib.sha256(key).hexdigest()[:32]
 
 
 def _build() -> str | None:
@@ -46,6 +68,11 @@ def _build() -> str | None:
         except (OSError, subprocess.TimeoutExpired) as e:
             return f"g++ unavailable: {e}"
         if proc.returncode == 0:
+            try:
+                with open(_MARK_PATH, "w") as fh:
+                    fh.write(_host_fingerprint())
+            except OSError:
+                pass  # fingerprint is an optimization guard, not a gate
             return None
         err = f"g++ failed: {proc.stderr[-500:]}"
     return err
@@ -207,6 +234,15 @@ def _load():
         needs_build = not os.path.exists(_LIB_PATH) or os.path.getmtime(
             _LIB_PATH
         ) < max(os.path.getmtime(src) for src in _SRCS)
+        if not needs_build:
+            # -march=native binaries are host-specific: a .so carried to
+            # a different CPU (image bake, rsync) would SIGILL, which is
+            # a process kill, not a catchable error — rebuild instead
+            try:
+                with open(_MARK_PATH) as fh:
+                    needs_build = fh.read().strip() != _host_fingerprint()
+            except OSError:
+                needs_build = True  # no fingerprint: assume foreign
         for attempt in range(2):
             if needs_build:
                 _build_error = _build()

@@ -148,7 +148,9 @@ def _spreading_matrix_integrated(
         1.0 + (z + 0.474) ** 2
     )
     vals = 10.0 ** (alpha * f_spreading / 10.0)
-    return np.trapezoid(vals, u, axis=2)
+    # np.trapezoid is numpy >= 2.0; fall back to its pre-2.0 name
+    trap = getattr(np, "trapezoid", None) or np.trapz
+    return trap(vals, u, axis=2)
 
 
 def _quiet_threshold_freq_amp(
