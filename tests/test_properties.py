@@ -136,3 +136,108 @@ class TestStreamingProperties:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-6
         )
+
+
+class TestLosslessProperties:
+    @_settings
+    @given(
+        n=st.integers(min_value=1, max_value=20000),
+        channels=st.integers(min_value=1, max_value=3),
+        bits=st.sampled_from([16, 24]),
+        level=st.sampled_from([1, 2]),
+        frame=st.sampled_from([256, 1024, 4096]),
+        character=st.sampled_from(["noise", "tone", "ramp", "silence",
+                                   "mixed"]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_roundtrip_exact_everywhere(
+        self, n, channels, bits, level, frame, character, seed
+    ):
+        """decode(encode(x)) == x for ANY shape/depth/level/frame and
+        signal class — the lossless contract has no fine print."""
+        from audiocodec_tpu import lossless
+
+        rng = np.random.default_rng(seed)
+        amp = (1 << (bits - 1)) - 1
+        t = np.arange(n)
+        if character == "noise":
+            x = rng.integers(-amp, amp, (n, channels))
+        elif character == "tone":
+            x = (0.7 * amp * np.sin(2 * np.pi * 0.01 * t))[:, None] * (
+                np.linspace(0.5, 1.0, channels)[None, :]
+            )
+        elif character == "ramp":
+            x = np.linspace(-amp, amp, n)[:, None] * np.ones(
+                (1, channels)
+            )
+        elif character == "silence":
+            x = np.zeros((n, channels))
+        else:
+            x = 0.3 * amp * np.sin(2 * np.pi * 0.003 * t)[:, None] * (
+                np.ones((1, channels))
+            )
+            k = max(1, n // 3)
+            x[:k] = rng.integers(-amp, amp, (k, channels))
+        x = np.asarray(x, np.int32)
+        blob = lossless.encode_lossless(x, 44100, bits=bits, frame=frame,
+                                        level=level)
+        y, rate, b = lossless.decode_lossless(blob)
+        assert b == bits and rate == 44100
+        np.testing.assert_array_equal(y, x)
+
+    @_settings
+    @given(
+        start=st.integers(min_value=0, max_value=19999),
+        count=st.integers(min_value=1, max_value=25000),
+        level=st.sampled_from([1, 2]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_any_range_matches_full_decode(self, start, count, level, seed):
+        """Range decode is bit-exact vs the full-decode slice for ANY
+        window (clamped at the end; the container is cached per level
+        since hypothesis drives many examples)."""
+        from audiocodec_tpu import lossless
+
+        blob, x = _range_fixture(level)
+        y, _, _ = lossless.decode_lossless(blob, start=start, count=count)
+        np.testing.assert_array_equal(
+            y, x[start : min(start + count, x.shape[0])]
+        )
+
+    @_settings
+    @given(
+        pos=st.integers(min_value=0, max_value=10**6),
+        val=st.integers(min_value=0, max_value=255),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_byte_flips_never_crash(self, pos, val, seed):
+        """A corrupted container must either raise ValueError or decode
+        to SOMETHING — never segfault, hang, or allocate unboundedly.
+        (CRC catches silent wrong decodes on full reads.)"""
+        from audiocodec_tpu import lossless
+
+        blob, _ = _range_fixture(2)
+        buf = bytearray(blob)
+        buf[pos % len(buf)] = val
+        try:
+            lossless.decode_lossless(bytes(buf))
+        except ValueError:
+            pass
+
+
+_RANGE_FIXTURE = {}
+
+
+def _range_fixture(level):
+    from audiocodec_tpu import lossless
+
+    if level not in _RANGE_FIXTURE:
+        rng = np.random.default_rng(77)
+        t = np.arange(20000)
+        l = (9000 * np.sin(2 * np.pi * 0.015 * t)
+             + rng.normal(0, 60, t.size)).astype(np.int32)
+        x = np.stack([l, (0.8 * l).astype(np.int32)], axis=1)
+        _RANGE_FIXTURE[level] = (
+            lossless.encode_lossless(x, 44100, level=level), x
+        )
+    return _RANGE_FIXTURE[level]
