@@ -47,7 +47,18 @@ def _check_precompute_dtype(precompute_dtype):
     reference's *default*, mdctransformer.py:14). A non-default request is
     honored in spirit — results are at least as accurate — but the exact
     low-precision rounding of e.g. a float32 precompute is not reproduced,
-    so say so loudly rather than silently."""
+    so say so loudly rather than silently.
+
+    Why not honor it exactly: the reference's f32-precompute numbers are
+    the rounding trail of ITS computation graph — a dense polyphase
+    convolution plus `tf.linalg.inv` in float32
+    (mdctransformer.py:176-190). This rebuild derives the same constants
+    through a different, closed-form graph (sparse diamond fold, exact
+    2x2 block inverse — ops/folding.py:16-37), so running OUR precompute
+    in float32 would produce a THIRD set of values: strictly less
+    accurate than the float64 path while still not bit-matching TF's
+    float32. Between two ways to deviate, the shim picks the one that is
+    a numerical superset of both, and warns."""
     if precompute_dtype is None:
         return
     name = getattr(precompute_dtype, "name", None) or str(precompute_dtype)
