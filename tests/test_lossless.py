@@ -876,3 +876,32 @@ class TestIntegrityCRC:
                 dst.writestr(name, src.read(name))
         y, _, _ = lossless.decode_lossless(out.getvalue())
         np.testing.assert_array_equal(y, x)
+
+
+class TestV3GoldenVector:
+    """Frozen version-3 container (round-5 encoder: order-searched
+    sparse LPC + fidx index): decode compatibility is pinned forever,
+    including the range-decode path through the frozen index."""
+
+    def _load(self):
+        import os
+
+        vec = os.path.join(os.path.dirname(__file__), "vectors")
+        blob = open(os.path.join(vec, "lossless_v3.bin"), "rb").read()
+        ref = np.load(os.path.join(vec, "lossless_v3.pcm.npy"))
+        return blob, ref
+
+    def test_full_decode(self):
+        blob, ref = self._load()
+        d = lossless.describe(blob)
+        assert d["version"] == 3 and d["seekable"]
+        y, rate, bits = lossless.decode_lossless(blob)
+        assert (rate, bits) == (44100, 16)
+        np.testing.assert_array_equal(y, ref)
+
+    def test_range_decode_through_frozen_index(self):
+        blob, ref = self._load()
+        for s, c in [(0, 4096), (12345, 6789), (ref.shape[0] - 500, None)]:
+            y, _, _ = lossless.decode_lossless(blob, start=s, count=c)
+            end = ref.shape[0] if c is None else min(s + c, ref.shape[0])
+            np.testing.assert_array_equal(y, ref[s:end])
