@@ -415,7 +415,20 @@ def _bounded_member(z, name, data_len, max_bytes=None):
                 f"corrupt .acz container: member {name} declares "
                 f"{info.file_size} bytes from a {data_len}-byte container"
             )
-    return z[name]
+    try:
+        return z[name]
+    except KeyError:
+        raise  # callers map missing members to their own message
+    except Exception as e:
+        # numpy's npy-header parser raises whatever its tokenizer or
+        # struct layer happens to hit on corrupt bytes (TokenError,
+        # SyntaxError, UnicodeDecodeError, struct.error, ... — found by
+        # byte-flip fuzzing). The hardening contract is that corrupt
+        # containers raise ValueError, never a parser internal.
+        raise ValueError(
+            f"corrupt container: unreadable member {name} "
+            f"({type(e).__name__}: {e})"
+        ) from e
 
 
 # Absolute size cap for header-like members; generous for the largest
